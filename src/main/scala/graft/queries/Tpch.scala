@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DateType}
+import graft.sources.Tables._
+
+/** TPC-H-class SQL surface.
+  *
+  * The reference benchmarks its AVX2 parquet scanner on TPC-H Q6 /
+  * Q12 / Q13 / Q14 (/root/reference/README.md:10-16); being an
+  * Impala slice its implied surface is the full scan→join→agg→
+  * window→sort pipeline. Here each query is declared with the
+  * DataFrame API and Catalyst chooses the physical plan: filters
+  * reach the parquet reader as PushedFilters (the Spark analog of
+  * the reference's skip-bitset predicate evaluation,
+  * simple-predicates.h:37-120), dimension tables get broadcast, and
+  * aggregates run partial→final with map-side combine.
+  *
+  * Queries are adapted to the driver schema (no
+  * l_shipmode/l_commitdate/l_receiptdate, no o_comment — see
+  * SURVEY.md §3); the adaptation is noted per query.
+  *
+  * Determinism/oracle notes: all money columns hold exact 2-decimal
+  * values, so aggregation is done on DECIMAL (exact, association-
+  * order independent) and results are cast back to DOUBLE, which is
+  * bit-identical across Spark and DuckDB. Timestamp outputs are cast
+  * to DATE. Every query ends with a total ORDER BY.
+  */
+object Tpch {
+  private val D = DecimalType(18, 2)
+
+  private def dec(c: Column): Column = c.cast(D)
+  /** exact revenue term: extprice * (1 - discount) on decimals */
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(BigDecimal(1)).cast(D) - dec(disc))
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  /** Q1 pricing summary: selective scan + hash agg on lineitem. */
+  def q1(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")).cast(DecimalType(18, 6)) *
+          (lit(BigDecimal(1)).cast(D) + dec(col("l_tax"))))
+          // stays DECIMAL: at scale 8 a double cast can differ by 1 ulp
+          // across engines, and rounding to a smaller scale hits
+          // half-up-vs-half-even on exact .5 digits. Exact decimal out.
+          .cast(DecimalType(38, 8)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3 shipping priority: BUILDING customers' highest-value open orders. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders(spark, dir).filter(col("o_orderdate") < ts("1998-06-01"))
+    val li = lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-06-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q4 order priority: EXISTS rewritten as a left-semi join.
+    * Adapted: the commit/receipt-date lag test becomes "some line
+    * shipped ≥60 days after the order date". */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val li = lineitem(spark, dir)
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q5 local supplier volume: 6-way join, revenue by nation.
+    * region/nation/supplier broadcast; customer⋈orders⋈lineitem
+    * shuffle on their keys. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val reg = region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = nation(spark, dir)
+    val sup = supplier(spark, dir)
+    val cust = customer(spark, dir)
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val li = lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6 forecast revenue — the reference's flagship scan benchmark
+    * (README.md:10): date-range + discount BETWEEN + quantity
+    * predicate, all pushed to the parquet scan, then a single agg. */
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  /** Q10 returned items: customers who returned goods, by lost revenue. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val nat = nation(spark, dir)
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val li = lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q12 (adapted — no l_shipmode): per order-priority, count lines
+    * shipped within vs beyond 90 days of the order date in 1997. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val ord = orders(spark, dir)
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("on_time_count"),
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L)).as("late_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13 customer order-count distribution: left outer join + two
+    * aggregations. Adapted: the o_comment NOT LIKE filter becomes
+    * "exclude 5-LOW priority orders". */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val ord = orders(spark, dir).filter(col("o_orderpriority") =!= "5-LOW")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q14 promo effect: CASE-ratio aggregate over lineitem⋈part.
+    * part is broadcast; the ratio is computed on exact decimal sums
+    * cast to double so the division is bit-identical to the oracle. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val pt = part(spark, dir)
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"),
+            discPrice(col("l_extendedprice"), col("l_discount"))).otherwise(lit(BigDecimal(0)).cast(D)))
+            .cast("double") /
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double"))
+          .as("promo_revenue"))
+  }
+
+  /** Q18 large-volume customers: HAVING on a grouped fact, then join
+    * back. The qualifying-orderkey set is tiny → broadcast back. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 150)
+    val ord = orders(spark, dir)
+    val cust = customer(spark, dir)
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19 (adapted — no container/shipinstruct): disjunction of
+    * brand×size×quantity conjunctions, evaluated as one OR-of-ANDs
+    * predicate over lineitem⋈part. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val pt = part(spark, dir)
+    val li = lineitem(spark, dir)
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  /** Q22 (adapted — no c_phone): customers above the positive-mean
+    * account balance with no orders, by nation. NOT EXISTS → left
+    * anti; the scalar mean is a broadcast cross join, not a
+    * collect(). */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+    val ord = orders(spark, dir).filter(col("o_orderdate") >= ts("2000-01-01"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+}

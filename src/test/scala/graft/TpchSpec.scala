@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TpchSpec extends SparkSpec {
+
+  test("q1 aggregates all six flag/status groups") {
+    val rows = queries.Tpch.q1(spark, sf).collect()
+    assert(rows.length == 6)
+    val r = rows.map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r == Set(("A","F"),("A","O"),("N","F"),("N","O"),("R","F"),("R","O")))
+    assert(rows.forall(_.getDouble(2) > 0)) // sum_qty
+  }
+
+  test("q3 returns at most 10 rows sorted by revenue desc") {
+    val rows = queries.Tpch.q3(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("q6 matches a reference computation done row-at-a-time") {
+    val got = queries.Tpch.q6(spark, sf).collect()(0).getDouble(0)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val exp = li.iterator.filter { r =>
+      // parquet ntz timestamps surface as LocalDateTime in Spark 4
+      val sd = r.getAs[java.time.LocalDateTime](0)
+      val d = r.getDouble(1); val q = r.getDouble(2)
+      !sd.isBefore(lo) && sd.isBefore(hi) && d >= 0.03 && d <= 0.07 && q < 24
+    }.map(r => BigDecimal(r.getDouble(3)).setScale(2) * BigDecimal(r.getDouble(1)).setScale(2))
+      .sum
+    assert(math.abs(got - exp.toDouble) < 1e-6)
+  }
+
+  test("q13 distribution covers every customer exactly once") {
+    val rows = queries.Tpch.q13(spark, sf).collect()
+    val totalCust = rows.map(_.getLong(1)).sum
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    assert(totalCust == nCust)
+  }
+
+  test("q14 promo ratio is a percentage in (0, 100)") {
+    val v = queries.Tpch.q14(spark, sf).collect()(0).getDouble(0)
+    assert(v > 0 && v < 100)
+  }
+
+  test("q1 plan pushes the shipdate filter to the parquet scan") {
+    val plan = queries.Tpch.q1(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+
+  test("every SparkEntry query runs and every oracle key exists") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      df.count() // executes the plan
+    }
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}
