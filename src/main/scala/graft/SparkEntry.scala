@@ -24,7 +24,31 @@ object SparkEntry {
     "q14_promo_effect"          -> Tpch.q14 _,
     "q18_large_volume"          -> Tpch.q18 _,
     "q19_disjunctive"           -> Tpch.q19 _,
-    "q22_anti_join"             -> Tpch.q22 _
+    "q22_anti_join"             -> Tpch.q22 _,
+    // §2.2 scan-level pushdown & pruning
+    "scan_pred_eq"          -> Scans.predEq _,
+    "scan_pred_range"       -> Scans.predRange _,
+    "scan_pred_in"          -> Scans.predIn _,
+    "scan_pred_compound"    -> Scans.predCompound _,
+    "scan_prune_projection" -> Scans.pruneProjection _,
+    "scan_selectivity_sweep" -> Scans.selectivitySweep _,
+    // §2.3 expressions
+    "expr_string_funcs"   -> Exprs.stringFuncs _,
+    "expr_math_case"      -> Exprs.mathCase _,
+    "expr_date_funcs"     -> Exprs.dateFuncs _,
+    "expr_hash_digest"    -> Exprs.hashDigest _,
+    "expr_null_semantics" -> Exprs.nullSemantics _,
+    // §2.4 sources / sinks / encodings
+    "src_delimited_text"     -> SourcesSinks.delimitedText _,
+    "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
+    "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
+    // §2.5 window / analytic
+    "win_rank_topn"    -> Analytic.rankTopN _,
+    "win_running_sum"  -> Analytic.runningSum _,
+    "win_sessionize"   -> Analytic.sessionize _,
+    // §2.6 events (batch analogs of the streaming pipelines)
+    "ev_tumbling_window" -> Analytic.tumblingWindow _,
+    "ev_user_stats"      -> Analytic.userStats _
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -117,6 +141,131 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |                   FROM customer WHERE c_acctbal > 0)
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // §2.2 scan-level pushdown & pruning
+    "scan_pred_eq" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_pred_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice < 10000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_pred_in" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_orderstatus IN ('F','O')
+        |ORDER BY o_orderkey""".stripMargin,
+    "scan_pred_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_quantity < 10)
+        |   OR (NOT (l_linestatus = 'F') AND l_discount > 0.05)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_prune_projection" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_extendedprice""".stripMargin,
+    "scan_selectivity_sweep" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 10 = 0""".stripMargin,
+
+    // §2.3 expressions
+    "expr_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        | substring(p_type, 1, 3) AS type_prefix,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | length(p_name) AS name_len,
+        | p_type LIKE '%O%' AS has_o,
+        | trim(p_name) AS name_trim
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "expr_math_case" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS gross,
+        | CASE WHEN l_discount > 0.05 THEN 'HIGH' WHEN l_discount = 0.0 THEN 'ZERO' ELSE 'LOW' END AS disc_band,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        | CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+        | -l_tax AS neg_tax,
+        | abs(l_extendedprice - l_quantity) AS abs_diff
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "expr_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        | dayofmonth(o_orderdate) AS o_day, quarter(o_orderdate) AS o_quarter,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_2000
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "expr_hash_digest" ->
+      """SELECT doc_id, md5(text) AS digest_md5, sha256(text) AS digest_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "expr_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber,
+        | nullif(l_discount, 0.0) AS disc_or_null,
+        | coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+        | l_discount IS NOT DISTINCT FROM 0.0 AS is_zero_nullsafe,
+        | nullif(l_tax, 0.0) IS NULL AS tax_is_zero
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // §2.4 sources / sinks / encodings (oracle states the semantics
+    // over the ORIGINAL parquet tables; the Spark side proves the
+    // csv/parquet roundtrip preserves them).
+    "src_delimited_text" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "sink_parquet_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dict_cardinality_stats" ->
+      """SELECT column_name, ndv, n_rows, ndv <= 4096 AS dict_encodable FROM (
+        |  SELECT 'l_returnflag' AS column_name, count(DISTINCT l_returnflag) AS ndv, count(*) AS n_rows FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus), count(*) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity), count(*) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey), count(*) FROM lineitem
+        |) ORDER BY column_name""".stripMargin,
+
+    // §2.5 window / analytic
+    "win_rank_topn" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |   row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "win_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+        | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // §2.6 events
+    "ev_tumbling_window" ->
+      """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+    "ev_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        | count(DISTINCT event_type) AS n_event_types,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | min(epoch_ns(ts)//1000000000) AS first_sec,
+        | max(epoch_ns(ts)//1000000000) AS last_sec
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

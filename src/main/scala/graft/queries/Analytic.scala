@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+
+/** Window/analytic functions + events analytics (batch side).
+  *
+  * Impala ships analytic functions (OVER/PARTITION BY) as a core
+  * operator; the reference's expr framework feeds them
+  * (/root/reference/expr.h). Spark analog:
+  * `org.apache.spark.sql.expressions.Window`.
+  *
+  * Determinism: every window ORDER BY ends in a unique key so
+  * running aggregates are total-ordered; event timestamps are
+  * reduced to epoch seconds (BIGINT). The raw `ts` column is parquet
+  * TIMESTAMP(NANOS), surfaced in Spark as epoch-ns BIGINT (see
+  * Tables.table) — seconds are derived with integer `div`, never via
+  * double (1.7e18 ns exceeds double's 53-bit exact range). DuckDB
+  * oracles mirror it with `epoch_ns(ts)//1000000000`.
+  */
+object Analytic {
+  private val D = DecimalType(18, 2)
+
+  /** epoch-ns BIGINT → epoch-seconds BIGINT, integer division. */
+  private val tsSec: org.apache.spark.sql.Column = expr("ts div 1000000000")
+
+  /** Top-3 parts by retail price per brand (row_number). */
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Running revenue per supplier (rows unbounded preceding → current). */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(spark, dir)
+      .withColumn("running_rev",
+        sum(col("l_extendedprice").cast(D)).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running
+    * sum of session-start flags — the batch analog of the streaming
+    * sessionizer in graft.streaming. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    events(spark, dir)
+      .withColumn("ts_sec", tsSec)
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_sec").as("start_sec"),
+        max("ts_sec").as("end_sec"),
+        sum(col("value").cast(D)).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling 1-hour window aggregate over events — the batch analog
+    * of the streaming windowed agg (same grouping keys). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("hour_sec", expr("ts div 1000000000 div 3600 * 3600"))
+      .groupBy("hour_sec", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("hour_sec", "event_type")
+
+  /** Per-user event profile (stateful-agg batch analog). */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts_sec", tsSec)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(col("value").cast(D)).cast("double").as("total_value"),
+        min("ts_sec").as("first_sec"),
+        max("ts_sec").as("last_sec"))
+      .orderBy("user_id")
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DateType}
+import graft.sources.Tables._
+
+/** Scalar expression surface.
+  *
+  * The reference implements scalar functions behind a typed
+  * Get*Val interface with LLVM codegen
+  * (/root/reference/expr.h:36-60, scalar-fn-call.h, plus the SSE
+  * string compare in string-value.inline.h and CRC/FNV hashing in
+  * hash-util.h). The Spark analog: `org.apache.spark.sql.functions`
+  * built-ins, which Catalyst folds into whole-stage-codegen'd Java —
+  * no UDFs anywhere here, so every expression below stays inside the
+  * generated loop.
+  */
+object Exprs {
+  private val D = DecimalType(18, 2)
+
+  /** String kernel: substr/upper/lower/concat/length/LIKE. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      substring(col("p_type"), 1, 3).as("type_prefix"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).cast("bigint").as("name_len"),
+      col("p_type").like("%O%").as("has_o"),
+      trim(col("p_name")).as("name_trim"))
+      .orderBy("p_partkey")
+
+  /** Arithmetic + CASE WHEN + cast + floor/ceil. */
+  def mathCase(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
+        .cast("double").as("gross"),
+      when(col("l_discount") > 0.05, "HIGH")
+        .when(col("l_discount") === 0.0, "ZERO")
+        .otherwise("LOW").as("disc_band"),
+      floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+      ceil(col("l_discount") * 100).cast("bigint").as("disc_pct_ceil"),
+      col("l_quantity").cast("int").as("qty_int"),
+      (-col("l_tax")).as("neg_tax"),
+      abs(col("l_extendedprice") - col("l_quantity")).as("abs_diff"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date/time kernel on order dates. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).select(
+      col("o_orderkey"),
+      // bigint at the contract boundary: DuckDB's year()/month()/… are
+      // BIGINT, Spark's are INT — cast so the oracle schema matches.
+      year(col("o_orderdate")).cast("bigint").as("o_year"),
+      month(col("o_orderdate")).cast("bigint").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("bigint").as("o_day"),
+      quarter(col("o_orderdate")).cast("bigint").as("o_quarter"),
+      date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+      datediff(lit(java.sql.Date.valueOf("2000-01-01")),
+        col("o_orderdate").cast(DateType)).cast("bigint").as("days_to_2000"))
+      .orderBy("o_orderkey")
+
+  /** Content digests — the hash-util.h analog (md5 / sha256 are
+    * engine-portable, unlike CRC32c/FNV). */
+  def hashDigest(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("digest_md5"),
+      sha2(col("text").cast("binary"), 256).as("digest_sha256"))
+      .orderBy("doc_id")
+
+  /** NULL semantics: nullif/coalesce/null-safe equality. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+      coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+      (col("l_discount") <=> lit(0.0)).as("is_zero_nullsafe"),
+      isnull(nullif(col("l_tax"), lit(0.0))).as("tax_is_zero"))
+      .orderBy("l_orderkey", "l_linenumber")
+}

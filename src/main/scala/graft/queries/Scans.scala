@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+
+/** Scan-level capability surface: predicate pushdown + projection
+  * pruning, the core of the reference scanner.
+  *
+  * The reference evaluates Eq/Lt/Le/Gt/Ge/In/Between predicates
+  * directly on encoded parquet data, composed with And/Or, producing
+  * row skip-bitsets (/root/reference/simple-predicates.h:37-180,
+  * hdfs-parquet-scanner.cc). In Spark the same predicates, stated on
+  * base columns, become `PushedFilters` on the vectorized parquet
+  * scan — row-group/page statistics skipping plus dictionary-filter
+  * evaluation — and the projection list becomes a pruned
+  * `ReadSchema`. `ScanSpec` asserts both appear in the physical plan.
+  */
+object Scans {
+  private val D = DecimalType(18, 2)
+
+  /** `=` predicate on a dictionary-encoded string column (EqOperate). */
+  def predEq(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Range + BETWEEN predicates (Lt/Ge/BetweenOperate). */
+  def predRange(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_quantity").between(10, 20) && col("l_extendedprice") < 10000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** IN-list predicate (InOperate). */
+  def predIn(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus").isin("F", "O"))
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** AND/OR/NOT tree (And/OrOperate + compound-predicates.h). */
+  def predCompound(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(
+        (col("l_returnflag") === "R" && col("l_quantity") < 10) ||
+          (!(col("l_linestatus") === "F") && col("l_discount") > 0.05))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Projection pruning: 2 of 11 lineitem columns read (ReadSchema). */
+  def pruneProjection(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice")
+      .orderBy("l_orderkey", "l_extendedprice")
+
+  /** Selectivity-sweep shape from the reference README (10% here):
+    * a modulus predicate + aggregate, so changing the literal sweeps
+    * selectivity exactly like the reference's 1%→100% table. */
+  def selectivitySweep(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_partkey") % 10 === 0)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+}

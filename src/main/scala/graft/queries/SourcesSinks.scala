@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables._
+
+/** Source / sink / encoding surface.
+  *
+  * - Delimited text: the reference parses '|'-delimited text with
+  *   SSE4.2 field splitting (/root/reference/delimited-text-parser.h,
+  *   .inline.h). Spark analog: the csv source with an explicit
+  *   schema and custom delimiter (codegen'd UnivocityParser).
+  * - Parquet writer: the reference writes parquet choosing dict vs
+  *   plain encoding per column (hdfs-parquet-table-writer.cc). Spark
+  *   analog: the parquet sink, dictionary + snappy on by default.
+  * - Dict encodability: the reference's DictEncoder falls back to
+  *   plain once a column's dictionary exceeds its limits
+  *   (dict-encoding.h DictEncoderBase). We surface the decision
+  *   input as a per-column NDV/row-count stats query.
+  */
+object SourcesSinks {
+  private val D = DecimalType(18, 2)
+
+  private def tmp(dir: String, tag: String): String =
+    s"/tmp/graft_io/${tag}_${math.abs(dir.hashCode)}"
+
+  /** CSV ('|'-delimited, header) roundtrip of nation, then a join
+    * back into the plan — proves the text source feeds Catalyst like
+    * any other relation (schema explicit, no inference at scale). */
+  def delimitedText(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(dir, "nation_csv")
+    nation(spark, dir).coalesce(1).write.mode("overwrite")
+      .option("sep", "|").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val nat = spark.read.schema(schema)
+      .option("sep", "|").option("header", "true").csv(path)
+    nat.join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** Parquet sink roundtrip: filtered projection written with
+    * dictionary encoding + snappy, re-read, aggregated. */
+  def parquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(dir, "lineitem_sink")
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .option("parquet.enable.dictionary", "true")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-column NDV vs row count — the dict-encodability decision
+    * input. One scan, one agg (no per-column passes). */
+  def dictCardinalityStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_returnflag")).as("ndv_l_returnflag"),
+      countDistinct(col("l_linestatus")).as("ndv_l_linestatus"),
+      countDistinct(col("l_quantity")).as("ndv_l_quantity"),
+      countDistinct(col("l_partkey")).as("ndv_l_partkey"))
+    // melt to (column_name, ndv, n_rows, dict_encodable)
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+    cols.map { c =>
+      agg.select(
+        lit(c).as("column_name"),
+        col(s"ndv_$c").as("ndv"),
+        col("n_rows"),
+        (col(s"ndv_$c") <= 4096).as("dict_encodable"))
+    }.reduce(_ unionAll _).orderBy("column_name")
+  }
+}

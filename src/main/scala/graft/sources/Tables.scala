@@ -16,8 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * load time.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    // as a BIGINT of epoch-nanos behind this legacy flag. All graft
+    // code treats `ts` as ns-since-epoch (see Analytic.tsSec); the
+    // DuckDB oracles mirror it with epoch_ns(ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

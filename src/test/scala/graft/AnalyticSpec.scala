@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnalyticSpec extends SparkSpec {
+
+  test("rank topN keeps at most 3 parts per brand, rank-ordered") {
+    val rows = queries.Analytic.rankTopN(spark, sf).collect()
+    val perBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    perBrand.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rn")).sorted.sameElements(1L to rs.length))
+      val prices = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("p_retailprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("running sum for a supplier tops out at the supplier's total revenue") {
+    val rows = queries.Analytic.runningSum(spark, sf)
+      .filter(col("l_suppkey") === 1).collect()
+    assert(rows.nonEmpty)
+    val maxRunning = rows.map(_.getAs[Double]("running_rev")).max
+    val total = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey") === 1)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(maxRunning - total) < 1e-6)
+  }
+
+  test("sessionize: session gaps exceed 30min between sessions, not within") {
+    val sess = queries.Analytic.sessionize(spark, sf).collect()
+    assert(sess.nonEmpty)
+    // within each user, sessions don't overlap and are ordered
+    sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_sec") - a.getAs[Long]("end_sec") > 1800)
+        case _ =>
+      }
+    }
+  }
+
+  test("tumbling window hours align to 3600s and event counts total correctly") {
+    val rows = queries.Analytic.tumblingWindow(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("hour_sec") % 3600 == 0))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("user stats cover every user exactly once") {
+    val df = queries.Analytic.userStats(spark, sf)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(df.count() == users)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExprSpec extends SparkSpec {
+
+  test("string funcs: upper/substr/concat_ws behave as documented") {
+    val r = queries.Exprs.stringFuncs(spark, sf).limit(1).collect()(0)
+    val nameUpper = r.getAs[String]("name_upper")
+    assert(nameUpper == nameUpper.toUpperCase)
+    assert(r.getAs[String]("type_prefix").length <= 3)
+    assert(r.getAs[String]("brand_type").contains("/"))
+  }
+
+  test("math/case: disc_band matches the discount value") {
+    val rows = queries.Exprs.mathCase(spark, sf).limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(Set("HIGH", "ZERO", "LOW")(r.getAs[String]("disc_band"))) }
+  }
+
+  test("date funcs: month in 1..12, quarter consistent with month") {
+    val rows = queries.Exprs.dateFuncs(spark, sf).limit(500).collect()
+    rows.foreach { r =>
+      val m = r.getAs[Long]("o_month"); val q = r.getAs[Long]("o_quarter")
+      assert(m >= 1 && m <= 12)
+      assert(q == (m - 1) / 3 + 1)
+    }
+  }
+
+  test("hash digests are stable hex strings") {
+    val rows = queries.Exprs.hashDigest(spark, sf).limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("digest_md5").matches("[0-9a-f]{32}"))
+      assert(r.getAs[String]("digest_sha256").matches("[0-9a-f]{64}"))
+    }
+  }
+
+  test("null semantics: nullif(0.0) is null and coalesce restores -1") {
+    val df = queries.Exprs.nullSemantics(spark, sf)
+      .filter(col("is_zero_nullsafe"))
+    val rows = df.limit(10).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("disc_or_null")))
+      assert(r.getAs[Double]("disc_coalesced") == -1.0)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class ScanSpec extends SparkSpec {
+
+  /** PushedFilters/ReadSchema of the first parquet scan in df's
+    * physical plan (descending through the AQE wrapper). */
+  private def scanInfo(df: DataFrame): (String, String) = {
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case s: FileSourceScanExec    => Seq(s)
+    }.flatten
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "expected a FileSourceScanExec in the plan")
+    val s = found.head
+    (s.metadata.getOrElse("PushedFilters", ""), s.metadata.getOrElse("ReadSchema", ""))
+  }
+
+  test("eq predicate reaches the parquet scan as a pushed filter") {
+    val (pushed, _) = scanInfo(queries.Scans.predEq(spark, sf))
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+  }
+
+  test("range predicates reach the scan") {
+    val (pushed, _) = scanInfo(queries.Scans.predRange(spark, sf))
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10.0)"), pushed)
+    assert(pushed.contains("LessThan(l_extendedprice,10000.0)"), pushed)
+  }
+
+  test("IN-list predicates reach the scan") {
+    val (pushed, _) = scanInfo(queries.Scans.predIn(spark, sf))
+    assert(pushed.contains("In(o_orderpriority"), pushed)
+  }
+
+  test("compound AND/OR/NOT tree reaches the scan") {
+    val (pushed, _) = scanInfo(queries.Scans.predCompound(spark, sf))
+    assert(pushed.contains("Or("), pushed)
+  }
+
+  test("2-column projection prunes ReadSchema to exactly those columns") {
+    val (_, readSchema) = scanInfo(queries.Scans.pruneProjection(spark, sf))
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q6 scan reads only the four columns it needs") {
+    val (_, readSchema) = scanInfo(queries.Tpch.q6(spark, sf))
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_discount"), readSchema)
+  }
+
+  test("selectivity sweep returns one row with positive counts") {
+    val r = queries.Scans.selectivitySweep(spark, sf).collect()(0)
+    assert(r.getLong(0) > 0 && r.getDouble(1) > 0)
+  }
+}
