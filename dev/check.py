@@ -11,7 +11,10 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
+import os
 for name in sorted(oracle):
+    if not os.path.isdir(f"{outdir}/{name}"):
+        continue  # subset dump (Verify with a name filter)
     try:
         exp = con.sql(oracle[name]).df()
         got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -48,7 +49,13 @@ object SparkEntry {
     "win_sessionize"   -> Analytic.sessionize _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
-    "ev_user_stats"      -> Analytic.userStats _
+    "ev_user_stats"      -> Analytic.userStats _,
+    // §2.7 dedup
+    "dedup_exact"            -> Dedup.exact _,
+    "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
+    "dedup_simhash"          -> Dedup.simhash _,
+    "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosine _
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -266,6 +273,141 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | min(epoch_ns(ts)//1000000000) AS first_sec,
         | max(epoch_ns(ts)//1000000000) AS last_sec
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // §2.7 dedup — the oracles replay the identical md5-derived
+    // integer hashing, so even the LSH candidate sets match exactly.
+    "dedup_exact" ->
+      """SELECT doc_id, digest, group_size, canonical_id, doc_id = canonical_id AS is_canonical FROM (
+        |  SELECT doc_id, digest,
+        |    count(*) OVER (PARTITION BY digest) AS group_size,
+        |    min(doc_id) OVER (PARTITION BY digest) AS canonical_id
+        |  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), post AS (
+        |  SELECT DISTINCT doc_id, unnest(hs) AS h FROM shd
+        |), nsh AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cand.doc_a, cand.doc_b,
+        |  CAST(coalesce(pc.inter, 0) AS DOUBLE) / (na.n_sh + nb.n_sh - coalesce(pc.inter, 0)) AS jaccard,
+        |  CAST(coalesce(pc.inter, 0) AS DOUBLE) / (na.n_sh + nb.n_sh - coalesce(pc.inter, 0)) >= 0.8 AS is_dup
+        |FROM cand LEFT JOIN pc ON pc.doc_a = cand.doc_a AND pc.doc_b = cand.doc_b
+        |JOIN nsh na ON na.doc_id = cand.doc_a
+        |JOIN nsh nb ON nb.doc_id = cand.doc_b
+        |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sims AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,59), j ->
+        |    CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+        |        CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id, sim,
+        |    unnest(generate_series(0,3)) AS blk,
+        |    unnest(list_transform(generate_series(0,3), b -> (sim >> (b*15)) & 32767)) AS key
+        |  FROM sims
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM expl a JOIN expl b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0,63), d ->
+        |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |), vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+        |), sigbits AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
+        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
+        |), sigs AS (
+        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), expl AS (
+        |  SELECT vec_id, vd,
+        |    unnest(generate_series(0,3)) AS band,
+        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b,
+        |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) AS cosine
+        |FROM cand
+        |WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

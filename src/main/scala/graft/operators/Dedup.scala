@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Deduplication operators over the `documents` table — the
+  * LLM-training-pipeline side of the engine.
+  *
+  * Every hot path is built from codegen'd built-ins — no Scala UDF
+  * and, deliberately, no array-lambda (higher-order) expressions on
+  * the per-shingle path: Spark evaluates array lambdas interpreted,
+  * row-at-a-time, which profiled >100× slower than the equivalent
+  * explode → project → hash-aggregate pipeline used here (which also
+  * gets map-side partial aggregation for free). This mirrors how the
+  * reference keeps its predicate kernels inside the scan loop
+  * (/root/reference/simple-predicates.h:37-120): the work rides the
+  * tight generated loop, never a per-row interpreter.
+  *
+  * Cross-engine determinism: every hash derives from md5 (identical
+  * in Spark and DuckDB), reduced to a 60-bit integer via the first
+  * 15 hex chars. The DuckDB oracles in SparkEntry replay the same
+  * arithmetic, so results hash-match exactly — including the
+  * *approximate* operators (LSH banding), whose candidate sets are
+  * deterministic given the hash.
+  *
+  * Scale design (100 TB):
+  * - exact: one hash-shuffle on digest — linear.
+  * - minhash-LSH: signatures reduce map-side (128 mins in one hash
+  *   agg); candidates form only inside (band, key) buckets; verify
+  *   touches only candidate docs' postings.
+  * - simhash: same banded shape via 15-bit blocks (a pair with
+  *   hamming ≤ 3 on 60 bits shares ≥ 1 of 4 blocks — pigeonhole).
+  * - ngram-jaccard: posting-list equi-join on shingle hash; at
+  *   100 TB add a doc-frequency cap on shingles (drop shingles in
+  *   > N docs) — a recall-neutral knob for near-dup thresholds.
+  * - embedding: random-hyperplane LSH — never a cross join.
+  */
+object Dedup {
+
+  private val normTextExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+  /** md5-derived 60-bit hash of string expression s (cross-engine stable). */
+  private def h60(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Distinct (doc_id, h) postings, one row per distinct word-trigram
+    * shingle: words are exploded, trigrams assembled with lead()
+    * windows, hashed in a codegen'd projection, de-duplicated by a
+    * hash agg. All stages whole-stage-codegen. */
+  private[operators] def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
+      .distinct()
+  }
+
+  /** per-doc distinct shingle counts (jaccard denominators). */
+  private def shingleCounts(post: DataFrame): DataFrame =
+    post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** exact |A∩B| posting-join pair counts, restricted to given docs. */
+  private def pairIntersections(post: DataFrame): DataFrame =
+    post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** Exact dedup: md5 of normalized text, group sizes, canonical id.
+    * One shuffle on the digest; at 100 TB this is the cheapest and
+    * first pass of any dedup pipeline. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("digest")
+    documents(spark, dir)
+      .withColumn("digest", expr(s"md5($normTextExpr)"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "digest", "group_size", "canonical_id", "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  /** MinHash(128) + 16-band LSH candidate pairs, verified with exact
+    * shingle-set Jaccard (posting-join over candidate docs only).
+    * Signature: per-perm universal hashing (a_i·h + b_i mod p) over
+    * the doc's 31-bit shingle hashes, computed as 128 `min` columns
+    * in one codegen'd hash agg; bands of 8 rows are md5-keyed. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2147483647L
+    def A(i: Int): Long = ((2L * i + 1) * 2654435761L) % p
+    def B(i: Int): Long = ((i + 1L) * 2246822519L) % p
+    val post = shinglePostings(spark, dir)
+    val minCols = (0 until 128).map(i =>
+      min(expr(s"(${A(i)} * (h % $p) + ${B(i)}) % $p")).as(s"m$i"))
+    val sigs = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 128).map(i => col(s"m$i")): _*).as("sig"))
+    val exploded = sigs.withColumn("bands", expr(
+        """transform(sequence(0, 15), b -> struct(b AS band,
+          |  md5(array_join(transform(slice(sig, b*8+1, 8), x -> CAST(x AS STRING)), ',')) AS key))""".stripMargin))
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // verify with exact jaccard — postings filtered to candidate docs
+    // first, so at scale the verify join is proportional to the
+    // candidate set, not the corpus
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val cpost = shinglePostings(spark, dir).join(broadcast(candDocs), "doc_id")
+    val nsh = shingleCounts(post)
+    cand
+      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 60-bit SimHash over shingle hashes + 4×15-bit block LSH; pairs
+    * verified with hamming ≤ 3 (bit_count of xor). Per-bit majority
+    * votes are plain sums in a codegen'd hash agg: bit_j is set iff
+    * 2·(count of shingles with bit j) ≥ (shingle count). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitCols = (0 until 60).map(j =>
+      sum(expr(s"shiftright(h, $j) & 1")).as(s"c$j"))
+    val aggd = shinglePostings(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+    val sim = (0 until 60)
+      .map(j => when(col(s"c$j") * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = aggd.select(col("doc_id"), sim.as("sim"))
+    val exploded = sigs
+      .withColumn("blocks", expr(
+        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(sim, b*15) & 32767 AS key))"))
+      .select(col("doc_id"), col("sim"), explode(col("blocks")).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.blk"), col("bk.key"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.sim ^ b.sim) AS BIGINT)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact 3-gram Jaccard ≥ 0.8 pairs via a posting-list equi-join on
+    * the shingle hash (pairs only form for docs sharing a shingle). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir)
+    val nsh = shingleCounts(post)
+    pairIntersections(post)
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs on the embeddings table: 16 random-hyperplane
+    * bits (md5-seeded, engine-reproducible) → 4-band LSH candidates →
+    * exact cosine ≥ 0.4 verify. Approximate-by-design: the candidate
+    * set is the LSH one, but deterministic, so the oracle replays it
+    * exactly. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Vectors.signatures(embeddings(spark, dir))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
+      .select(col("vec_id"), explode(col("bands")).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = Vectors.asDouble(embeddings(spark, dir))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -22,6 +22,9 @@ object Tables {
     // code treats `ts` as ns-since-epoch (see Analytic.tsSec); the
     // DuckDB oracles mirror it with epoch_ns(ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-scoped native functions (graft_dot); the driver hands us
+    // a pre-built session, so registration rides every table access.
+    org.apache.spark.sql.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native Catalyst expressions on a session's own
+  * function registry.
+  *
+  * Lives in the org.apache.spark.sql package because sessionState is
+  * private[sql]: the driver hands us an already-built SparkSession,
+  * so the public SparkSessionExtensions route (builder-time
+  * injectFunction) is not available — this is the session-scoped
+  * equivalent, and idempotent.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val name = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(name)) {
+      registry.registerFunction(
+        name,
+        new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1)))
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup covers every document once, canonical ids are group minima") {
+    val rows = operators.Dedup.exact(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+    }
+  }
+
+  test("minhash-LSH surfaces the high-jaccard near-dup pairs") {
+    val rows = operators.Dedup.minhashLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // candidates at >= 0.9 jaccard must also be flagged is_dup
+    rows.filter(_.getAs[Double]("jaccard") >= 0.9)
+      .foreach(r => assert(r.getAs[Boolean]("is_dup")))
+    assert(rows.exists(_.getAs[Double]("jaccard") >= 0.9),
+      "test corpus contains planted near-dups the LSH should find")
+  }
+
+  test("minhash-LSH candidates agree with exact ngram-jaccard on >=0.8 pairs") {
+    val lsh = operators.Dedup.minhashLsh(spark, sf).collect()
+      .filter(_.getAs[Boolean]("is_dup"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // LSH-confirmed dups are a subset of the exact >=0.8 pairs; with
+    // 128 perms / 16 bands recall on ~0.9+ pairs is effectively 1
+    assert(lsh.subsetOf(exact), s"lsh-only: ${lsh -- exact}")
+    assert((exact -- lsh).size <= exact.size / 4, s"missed: ${exact -- lsh}")
+  }
+
+  test("simhash pairs are within hamming 3 and include near-identical docs") {
+    val rows = operators.Dedup.simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("embedding cosine pairs are all above threshold") {
+    val rows = operators.Dedup.embeddingCosine(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
+  }
+}
