@@ -55,7 +55,17 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
     "dedup_simhash"          -> Dedup.simhash _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
-    "dedup_embedding_cosine" -> Dedup.embeddingCosine _
+    "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    // §2.8 similarity search
+    "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
+    "ann_ivf_topk"        -> Similarity.ivfTopK _,
+    // §2.9 text analysis
+    "text_langid"      -> TextAnalysis.langId _,
+    "text_quality"     -> TextAnalysis.quality _,
+    "text_tokens"      -> TextAnalysis.tokens _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    // §2.10 multimodal
+    "mm_binary_meta" -> Multimodal.binaryMeta _
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -408,6 +418,91 @@ object SparkEntry {
         |WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
         |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // §2.8 similarity search (ann_ivf_topk is rows-only checked:
+    // float centroid means are aggregation-order-sensitive)
+    "ann_bruteforce_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // §2.9 text analysis
+    "text_langid" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), counted AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','mit','ein') THEN 1 ELSE 0 END) AS BIGINT) AS hits_de,
+        |    CAST(sum(CASE WHEN w IN ('the','and','is','of','to','in','that','it') THEN 1 ELSE 0 END) AS BIGINT) AS hits_en,
+        |    CAST(sum(CASE WHEN w IN ('el','la','de','que','y','en','un','es') THEN 1 ELSE 0 END) AS BIGINT) AS hits_es,
+        |    CAST(sum(CASE WHEN w IN ('le','la','de','et','les','des','un','une') THEN 1 ELSE 0 END) AS BIGINT) AS hits_fr,
+        |    CAST(sum(CASE WHEN w IN ('的','是','不','了','在','人','有','我') THEN 1 ELSE 0 END) AS BIGINT) AS hits_zh
+        |  FROM words GROUP BY doc_id, lang
+        |)
+        |SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS correct,
+        |  hits_de, hits_en, hits_es, hits_fr, hits_zh
+        |FROM (SELECT *,
+        |  CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |       WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |       WHEN hits_es >= hits_de AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |       WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |  FROM counted)
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(norm) AS BIGINT) AS n_char,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_char, n_words, n_stop, n_digit, n_punct,
+        |  CAST(n_stop AS DOUBLE)/n_words AS stop_ratio,
+        |  CAST(n_digit AS DOUBLE)/n_char AS digit_ratio,
+        |  CAST(n_punct AS DOUBLE)/n_char AS punct_ratio,
+        |  0.4*(CAST(n_stop AS DOUBLE)/n_words) + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/n_char)
+        |   + 0.2*least(1.0, CAST(n_words AS DOUBLE)/100.0) + 0.1*(1.0 - CAST(n_digit AS DOUBLE)/n_char) AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(norm) AS DOUBLE) / len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(norm)), i -> CAST(ascii(norm[i]) AS BIGINT))),
+        |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // §2.10 multimodal (decode stub is md5-derived, so oracle-checkable)
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  hex(substring(text, 1, 4)) AS magic_hex,
+        |  1 + CAST(('0x'||substring(md5(text),1,4)) AS BIGINT) % 1920 AS fake_width,
+        |  1 + CAST(('0x'||substring(md5(text),5,4)) AS BIGINT) % 1080 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Multimodal column handling: opaque binary payloads + typed
+  * metadata, with the decode step STUBBED deterministically (no image
+  * / audio codecs ship in this environment — a real deployment swaps
+  * `stubDecode` for a codec call; every other part of the plumbing —
+  * schema, batching, partition-parallel decode — is real and tested).
+  *
+  * The test corpus has no binary media, so the payload is the
+  * document's UTF-8 bytes; the stub derives fake dimensions from the
+  * payload's md5 — engine-reproducible, so even the stub is oracle-
+  * checked (mm_binary_meta).
+  */
+object Multimodal {
+
+  /** SQL-surface metadata extraction over a binary column: byte
+    * length, content digest, leading-bytes magic, stub-decoded
+    * dimensions (md5-derived). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", expr("octet_length(payload)").cast("bigint"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .withColumn("magic_hex", hex(expr("substring(payload, 1, 4)")))
+      // STUB decode: dimensions derived from the digest, not a codec
+      .withColumn("fake_width",
+        expr("1 + CAST(conv(substring(payload_md5, 1, 4), 16, 10) AS BIGINT) % 1920"))
+      .withColumn("fake_height",
+        expr("1 + CAST(conv(substring(payload_md5, 5, 4), 16, 10) AS BIGINT) % 1080"))
+      .select("doc_id", "n_bytes", "payload_md5", "magic_hex", "fake_width", "fake_height")
+      .orderBy("doc_id")
+
+  /** typed row for the partition-parallel decode path. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** decoded metadata a real codec would produce. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Int, width: Int, height: Int, ok: Boolean)
+
+  /** STUB decoder — stands in for an image/audio codec invocation.
+    * Deterministic: dimensions from the first payload bytes. A real
+    * implementation replaces only this function; the Dataset plumbing
+    * (encoder schema, mapPartitions batch shape, per-partition
+    * parallelism) is exactly what a codec UDF needs at 100 TB. */
+  private def stubDecode(row: MediaRow): DecodedMedia = {
+    val b = row.payload
+    val w = 1 + (((b.headOption.getOrElse(0: Byte) & 0xff) << 4) % 1920)
+    val h = 1 + (((b.lift(1).getOrElse(0: Byte) & 0xff) << 4) % 1080)
+    DecodedMedia(row.doc_id, b.length, w, h, ok = b.nonEmpty)
+  }
+
+  /** Partition-parallel decode over the binary column: the
+    * mapPartitions analog of a mapInPandas decode stage — one
+    * iterator per partition so a real codec could amortize
+    * init/native-buffer cost across the batch. */
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(iter => iter.map(stubDecode))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All counting is done with codegen'd built-ins (split / length /
+  * regexp) — ratios divide late so Spark and DuckDB compute the same
+  * doubles from the same integers. The synthetic corpus carries no
+  * real language signal (its `lang` labels are assigned independently
+  * of the word distribution), so language-ID accuracy is ~chance by
+  * construction; the operator demonstrates the marker-word scoring
+  * mechanism and reports predicted vs actual honestly.
+  */
+object TextAnalysis {
+
+  private val normTextExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+  /** marker stopwords per language (tiny on-purpose lists — at scale
+    * these would be broadcast dictionaries). */
+  val Markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+  private val Langs = Markers.keys.toSeq.sorted // de, en, es, fr, zh
+
+  /** n-gram/stopword-heuristic language ID vs the labeled lang col.
+    * Ties break by the fixed de<en<es<fr<zh priority chain — the same
+    * CASE chain the oracle runs. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(expr(normTextExpr), " ")).as("w"))
+    val hitCols = Langs.map(l =>
+      sum(when(col("w").isin(Markers(l): _*), 1L).otherwise(0L)).as(s"hits_$l"))
+    val counted = words.groupBy("doc_id", "lang")
+      .agg(hitCols.head, hitCols.tail: _*)
+    val predicted = Langs.init.foldRight(lit(Langs.last): Column) { (l, rest) =>
+      val beatsAll = Langs.filter(_ != l)
+        .map(o => col(s"hits_$l") >= col(s"hits_$o"))
+        .reduce(_ && _)
+      when(beatsAll, lit(l)).otherwise(rest)
+    }
+    counted
+      .withColumn("predicted_lang", predicted)
+      .withColumn("correct", col("predicted_lang") === col("lang"))
+      .select(Seq("doc_id", "lang", "predicted_lang", "correct").map(col) ++
+        Langs.map(l => col(s"hits_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** length / punctuation / stopword / digit ratios + a weighted
+    * quality score — the classic pre-training quality filter shape. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("n_char", length(col("norm")).cast("bigint"))
+      .withColumn("n_words", size(split(col("norm"), " ")).cast("bigint"))
+      .withColumn("n_digit",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[0-9]", ""))).cast("bigint"))
+      .withColumn("n_punct",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("bigint"))
+      .withColumn("n_stop",
+        size(expr("filter(split(norm, ' '), w -> w IN ('the','and','is','of','to','in','that','it'))")).cast("bigint"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("digit_ratio", col("n_digit").cast("double") / col("n_char"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_char"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.1) * (lit(1.0) - col("digit_ratio")))
+      .select("doc_id", "n_char", "n_words", "n_stop", "n_digit", "n_punct",
+        "stop_ratio", "digit_ratio", "punct_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  /** whitespace tokens + BPE-ish subword tokens (greedy ≤4-char
+    * alpha chunks, digits, single punctuation marks). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("ws_tokens", size(split(col("norm"), " ")).cast("bigint"))
+      .withColumn("bpe_tokens",
+        size(expr("regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)")).cast("bigint"))
+      .withColumn("chars_per_token",
+        length(col("norm")).cast("double") / col("bpe_tokens"))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
+      .orderBy("doc_id")
+
+  /** polynomial rolling-hash fingerprint of the normalized text
+    * (acc·31 + codepoint mod 1e9+7 — the per-doc linear fold the
+    * reference's scan hashes rows with, hash-util.h analog). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("fingerprint",
+        expr("aggregate(split(norm, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("bigint"))
+      .select("doc_id", "fingerprint", "n_chars_norm")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream — the
+  * streaming side of §2.6 (Analytic.tumblingWindow / sessionize are
+  * the batch analogs the driver oracle-checks; these are the
+  * readStream-shaped versions, covered by StreamingSpec with a
+  * MemoryStream source and memory sink).
+  *
+  * Scale design: the watermark bounds state for the windowed agg
+  * (late data beyond 2h is dropped, closed windows are evicted); the
+  * sessionizer keeps one open session per user in the state store and
+  * closes it either by an observed gap (in-batch) or by event-time
+  * timeout once the watermark passes last-event + gap.
+  */
+object EventStream {
+
+  /** typed event for the stateful path. */
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                event_type: String, value: Double)
+
+  /** emitted closed session. */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_sec: Long, end_sec: Long, session_value: Double)
+
+  /** per-user state: sessions emitted so far + the open session. */
+  case class UserState(counter: Long, n: Long, startSec: Long, lastSec: Long, value: Double)
+
+  /** Tumbling 1-hour windowed counts with a 2h watermark — the
+    * streaming twin of Analytic.tumblingWindow. */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("win.start")).as("hour_sec"),
+        col("event_type"), col("n_events"))
+
+  /** Gap-based sessionizer (30-min inactivity) via
+    * flatMapGroupsWithState with event-time timeout — the streaming
+    * twin of Analytic.sessionize (same session numbering: sessions
+    * are indexed per user in event-time order). */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, st: UserState): SessionOut =
+      SessionOut(userId, st.counter + 1, st.n, st.startSec, st.lastSec,
+        math.round(st.value * 100.0) / 100.0)
+
+    def fn(userId: Long, evs: Iterator[Ev], state: GroupState[UserState]): Iterator[SessionOut] = {
+      if (evs.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.map(close(userId, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var open = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      for (e <- sorted) {
+        val sec = e.ts.getTime / 1000
+        open match {
+          case Some(st) if sec - st.lastSec <= gapSec =>
+            open = Some(st.copy(n = st.n + 1, lastSec = sec, value = st.value + e.value))
+          case Some(st) =>
+            closed += close(userId, st)
+            open = Some(UserState(st.counter + 1, 1, sec, sec, e.value))
+          case None =>
+            open = Some(UserState(0, 1, sec, sec, e.value))
+        }
+      }
+      open.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp((st.lastSec + gapSec) * 1000 + 1)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+/** Real readStream→watermark→window/state→memory-sink coverage for
+  * the §2.6 streaming pipelines, checked against their batch analogs
+  * on the same events. */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[Ev] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_seconds(ts div 1000000000)").as("ts"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+  }
+
+  private def sentinel(offsetHours: Int): Ev =
+    Ev(-1L, -1L, java.sql.Timestamp.valueOf(s"2030-01-01 0${offsetHours}:00:00"), "x", 0.0)
+
+  test("streaming sessionizer matches the batch sessionize analog") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(loadEvents())
+      q.processAllAvailable()
+      // two extra batches: first advances max event time, second lets
+      // the watermark (maxEventTime - 2h) pass every open session
+      input.addData(Seq(sentinel(1))); q.processAllAvailable()
+      input.addData(Seq(sentinel(2))); q.processAllAvailable()
+      val got = spark.table("sess_out").filter(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_sec", "end_sec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = queries.Analytic.sessionize(spark, sf)
+        .select("user_id", "session_id", "n_events", "start_sec", "end_sec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming hourly windowed agg matches the batch tumbling window") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.hourly(input.toDF())
+      .writeStream.format("memory").queryName("hourly_out").outputMode("append").start()
+    try {
+      input.addData(loadEvents())
+      q.processAllAvailable()
+      input.addData(Seq(sentinel(1))); q.processAllAvailable()
+      input.addData(Seq(sentinel(2))); q.processAllAvailable()
+      val got = spark.table("hourly_out").filter(col("event_type") =!= "x")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = queries.Analytic.tumblingWindow(spark, sf)
+        .select("hour_sec", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+}
