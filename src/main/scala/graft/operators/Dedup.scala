@@ -45,10 +45,13 @@ object Dedup {
   private def h60(s: String): String =
     s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Distinct (doc_id, h) postings, one row per distinct word-trigram
-    * shingle: words are exploded, trigrams assembled with lead()
-    * windows, hashed in a codegen'd projection, de-duplicated by a
-    * hash agg. All stages whole-stage-codegen. */
+  /** Distinct (doc_id, h, n_sh) postings, one row per distinct
+    * word-trigram shingle: words are exploded, trigrams assembled
+    * with lead() windows, hashed in a codegen'd projection,
+    * de-duplicated by a hash agg. The per-doc shingle count (jaccard
+    * denominator) rides along via a window count — the doc_id hash
+    * partitioning from the lead() window is reused, so neither the
+    * distinct nor the count adds a shuffle. */
   private[operators] def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     documents(spark, dir)
@@ -58,17 +61,19 @@ object Dedup {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
       .distinct()
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
-  /** per-doc distinct shingle counts (jaccard denominators). */
-  private def shingleCounts(post: DataFrame): DataFrame =
-    post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-
-  /** exact |A∩B| posting-join pair counts, restricted to given docs. */
+  /** exact |A∩B| posting-join pair counts with the denominators in
+    * the group keys. shuffle_hash on purpose: both join sides then
+    * end in identical exchanges, so ReuseExchange computes the
+    * posting pipeline once — and a broadcast of the full posting set
+    * would be impossible at 100 TB anyway. */
   private def pairIntersections(post: DataFrame): DataFrame =
-    post.as("a").join(post.as("b"),
+    post.as("a").join(post.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
 
   /** Exact dedup: md5 of normalized text, group sizes, canonical id.
@@ -104,7 +109,7 @@ object Dedup {
           |  md5(array_join(transform(slice(sig, b*8+1, 8), x -> CAST(x AS STRING)), ',')) AS key))""".stripMargin))
       .select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = exploded.as("a").join(exploded.as("b"),
+    val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -115,12 +120,11 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val cpost = shinglePostings(spark, dir).join(broadcast(candDocs), "doc_id")
-    val nsh = shingleCounts(post)
     cand
-      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"), "left")
+      .join(pairIntersections(cpost).drop("na", "nb"), Seq("doc_a", "doc_b"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(cpost.select(col("doc_id").as("doc_a"), col("n_sh").as("na")).distinct(), "doc_a")
+      .join(cpost.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")).distinct(), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= 0.8)
@@ -145,7 +149,7 @@ object Dedup {
         "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(sim, b*15) & 32767 AS key))"))
       .select(col("doc_id"), col("sim"), explode(col("blocks")).as("bk"))
       .select(col("doc_id"), col("sim"), col("bk.blk"), col("bk.key"))
-    exploded.as("a").join(exploded.as("b"),
+    exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -157,17 +161,12 @@ object Dedup {
 
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a posting-list equi-join on
     * the shingle hash (pairs only form for docs sharing a shingle). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val post = shinglePostings(spark, dir)
-    val nsh = shingleCounts(post)
-    pairIntersections(post)
-      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    pairIntersections(shinglePostings(spark, dir))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Near-dup pairs on the embeddings table: 16 random-hyperplane
     * bits (md5-seeded, engine-reproducible) → 4-band LSH candidates →
@@ -180,7 +179,7 @@ object Dedup {
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
       .select(col("vec_id"), explode(col("bands")).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
-    val cand = exploded.as("a").join(exploded.as("b"),
+    val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
