@@ -65,7 +65,15 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     // §2.10 multimodal
-    "mm_binary_meta" -> Multimodal.binaryMeta _
+    "mm_binary_meta" -> Multimodal.binaryMeta _,
+    // §2.11 wider SQL surface
+    "sql_earliest_order"     -> SqlSurface.earliestOrder _,
+    "sql_rollup"             -> SqlSurface.rollupAgg _,
+    "sql_setops"             -> SqlSurface.setOps _,
+    "sql_pivot"              -> SqlSurface.pivotRevenue _,
+    "ev_json_props"          -> SqlSurface.jsonProps _,
+    "expr_regex"             -> SqlSurface.regexFuncs _,
+    "sink_partitioned_prune" -> SqlSurface.partitionedSink _
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -503,6 +511,50 @@ object SparkEntry {
         |  hex(substring(text, 1, 4)) AS magic_hex,
         |  1 + CAST(('0x'||substring(md5(text),1,4)) AS BIGINT) % 1920 AS fake_width,
         |  1 + CAST(('0x'||substring(md5(text),5,4)) AS BIGINT) % 1080 AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // §2.11 wider SQL surface
+    "sql_earliest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "sql_setops" ->
+      """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |     b97 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+        |UNION ALL
+        |SELECT 'only_1996' AS segment, o_custkey FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+        |ORDER BY segment, o_custkey""".stripMargin,
+    "sql_pivot" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_a,
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_n,
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "ev_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "expr_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  regexp_matches(p_name, '^(red|blue|green)') AS is_color_named
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sink_partitioned_prune" ->
+      """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY hour_sec""".stripMargin
   )
 }

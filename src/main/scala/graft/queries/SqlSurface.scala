@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+
+/** Wider Impala-class SQL surface beyond the TPC-H set: correlated
+  * min (argmin-per-group), ROLLUP, set operations, pivot-style
+  * conditional aggregation, JSON extraction, regex kernels, and a
+  * partitioned parquet sink with partition pruning.
+  *
+  * Being an Impala slice, the reference's implied surface is the full
+  * SQL dialect (expr.h / scalar-fn-call.cc evaluate arbitrary exprs
+  * inside scans); these queries pin the Spark analogs to DuckDB
+  * oracles like everything else.
+  */
+object SqlSurface {
+  private val D = DecimalType(18, 2)
+
+  /** Correlated-min / argmin pattern (TPC-H Q2's shape adapted to the
+    * available schema): each customer's earliest order, dedup by
+    * (orderdate, orderkey) window rank — the scalable form of a
+    * correlated subquery. */
+  def earliestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** ROLLUP aggregation over returnflag × linestatus (subtotals +
+    * grand total — the OLAP cube surface). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Set operations: customers buying in both 1996 and 1997
+    * (INTERSECT) vs only in 1996 (EXCEPT), tagged and unioned. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int): DataFrame =
+      orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+        .select("o_custkey").distinct()
+    val both = buyers(1996).intersect(buyers(1997)).withColumn("segment", lit("both"))
+    val only96 = buyers(1996).except(buyers(1997)).withColumn("segment", lit("only_1996"))
+    both.unionAll(only96)
+      .select("segment", "o_custkey")
+      .orderBy("segment", "o_custkey")
+  }
+
+  /** Pivot-style conditional aggregation: revenue per linestatus with
+    * one column per returnflag (engine-portable pivot). */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def rev(flag: String) =
+      sum(when(col("l_returnflag") === flag,
+        col("l_extendedprice").cast(D)).otherwise(lit(BigDecimal(0)).cast(D)))
+        .cast("double").as(s"rev_${flag.toLowerCase}")
+    lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(rev("A"), rev("N"), rev("R"))
+      .orderBy("l_linestatus")
+  }
+
+  /** JSON extraction from the events props column + per-type stats —
+    * the semi-structured column surface. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Regex kernel: capture groups, global replace, rlike. */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+      col("p_name").rlike("^(red|blue|green)").as("is_color_named"))
+      .orderBy("p_partkey")
+
+  /** Partitioned parquet sink + partition-pruned re-read: events
+    * written partitioned by event_type, then one partition's hourly
+    * stats — the scan shows PartitionFilters, the 100 TB analog of
+    * directory-level pruning. */
+  def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_io/events_parts_${math.abs(dir.hashCode)}"
+    events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"),
+        col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    partitionPrunedRead(spark, path)
+  }
+
+  /** the pruned read half (separable so ScanSpec can inspect it). */
+  private[graft] def partitionPrunedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+      .groupBy("hour_sec")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("hour_sec")
+}
