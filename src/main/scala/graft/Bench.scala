@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR at local[cpus] and prints ONE JSON line.
+  *
+  * Methodology: each query runs twice and the second run is reported
+  * — the first run pays one-off JVM/whole-stage-codegen compilation
+  * and broadcast warmup, which a long-lived cluster amortizes to
+  * zero; steady-state is the number comparable to a native engine's
+  * throughput. Both timings are emitted (queries = steady,
+  * cold_queries = first run) so either view is available.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +21,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = once(fn)
+      val warm = if (cold < 0) -1.0 else once(fn)
+      (name, warm, cold)
+    }
+    def js(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val coldTotal = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -339,9 +339,9 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT cand.doc_a, cand.doc_b,
-        |  CAST(coalesce(pc.inter, 0) AS DOUBLE) / (na.n_sh + nb.n_sh - coalesce(pc.inter, 0)) AS jaccard,
-        |  CAST(coalesce(pc.inter, 0) AS DOUBLE) / (na.n_sh + nb.n_sh - coalesce(pc.inter, 0)) >= 0.8 AS is_dup
-        |FROM cand LEFT JOIN pc ON pc.doc_a = cand.doc_a AND pc.doc_b = cand.doc_b
+        |  CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter) AS jaccard,
+        |  CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter) >= 0.8 AS is_dup
+        |FROM cand JOIN pc ON pc.doc_a = cand.doc_a AND pc.doc_b = cand.doc_b
         |JOIN nsh na ON na.doc_id = cand.doc_a
         |JOIN nsh nb ON nb.doc_id = cand.doc_b
         |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,

@@ -52,7 +52,7 @@ object Dedup {
     * denominator) rides along via a window count — the doc_id hash
     * partitioning from the lead() window is reused, so neither the
     * distinct nor the count adds a shuffle. */
-  private[operators] def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
@@ -116,15 +116,14 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // verify with exact jaccard — postings filtered to candidate docs
     // first, so at scale the verify join is proportional to the
-    // candidate set, not the corpus
+    // candidate set, not the corpus. Inner join: a band collision
+    // between docs sharing zero shingles is a hash fluke, not a
+    // near-dup candidate — it drops out here.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val cpost = shinglePostings(spark, dir).join(broadcast(candDocs), "doc_id")
     cand
-      .join(pairIntersections(cpost).drop("na", "nb"), Seq("doc_a", "doc_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(cpost.select(col("doc_id").as("doc_a"), col("n_sh").as("na")).distinct(), "doc_a")
-      .join(cpost.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")).distinct(), "doc_b")
+      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= 0.8)
