@@ -73,7 +73,13 @@ object SparkEntry {
     "sql_pivot"              -> SqlSurface.pivotRevenue _,
     "ev_json_props"          -> SqlSurface.jsonProps _,
     "expr_regex"             -> SqlSurface.regexFuncs _,
-    "sink_partitioned_prune" -> SqlSurface.partitionedSink _
+    "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
+    // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
+    "win_topk_native" -> ((s: SparkSession, d: String) =>
+      graft.plans.TopK.perKey(
+          graft.sources.Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice"),
+          Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 3)
+        .orderBy("p_brand", "rank"))
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
@@ -555,6 +561,14 @@ object SparkEntry {
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'click'
-        |GROUP BY 1 ORDER BY hour_sec""".stripMargin
+        |GROUP BY 1 ORDER BY hour_sec""".stripMargin,
+
+    // §2.12 native TopKPerKey — exactly row_number ≤ k semantics
+    "win_topk_native" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+        |  FROM part) t
+        |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin
   )
 }

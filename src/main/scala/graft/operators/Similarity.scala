@@ -35,15 +35,19 @@ object Similarity {
     vecs(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("vd").as("pv"))
 
-  /** Exact top-k cosine neighbors for the 5 probe vectors. */
+  /** Exact top-k cosine neighbors for the 5 probe vectors. The
+    * per-probe top-k runs on the native TopKPerKey operator
+    * (graft.plans) — bounded k-heaps per key instead of WindowExec's
+    * full partition sort; at 100 TB that is the difference between
+    * sorting every probe's full candidate set and one O(n·log k)
+    * pass. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val scored = vecs(spark, dir)
       .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         Vectors.cosine(col("pv"), col("vd")).as("cosine"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= K)
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cosine" -> false, "vec_id" -> true), K)
       .orderBy("probe_id", "rank")
   }
 
@@ -82,14 +86,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= NProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
-    // search only vectors in probed cells
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), Seq("cell"))
+    // search only vectors in probed cells; native bounded-heap top-k
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cell"),
         Vectors.cosine(col("pv"), col("vd")).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= K)
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cosine" -> false, "vec_id" -> true), K)
       .orderBy("probe_id", "rank")
   }
 }

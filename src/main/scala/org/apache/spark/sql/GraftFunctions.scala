@@ -13,6 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * equivalent, and idempotent.
   */
 object GraftFunctions {
+  /** DataFrame from a (resolved) custom logical plan. */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** the catalyst expression behind a Column. */
+  def expression(spark: SparkSession, c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val name = FunctionIdentifier("graft_dot")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopK
+
+/** TopKPerKey (custom LogicalPlan + Strategy + SparkPlan) must agree
+  * exactly with the window row_number ≤ k formulation for a total
+  * ordering. */
+class TopKSpec extends SparkSpec {
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    graft.sources.Tables.part(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  private def viaTopK(k: Int) =
+    TopK.perKey(graft.sources.Tables.part(spark, sf),
+      Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), k)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("p_brand", "p_partkey", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("topk operator matches window row_number for k=3 and k=1") {
+    for (k <- Seq(1, 3)) {
+      val want = rows(viaWindow(k))
+      val got = rows(viaTopK(k))
+      assert(got == want,
+        s"k=$k missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("topk plan contains the custom exec and no window sort") {
+    val plan = viaTopK(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("topk works for global top-k (no keys)") {
+    val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
+      Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
+      .collect()
+    assert(got.length == 5)
+    val prices = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("p_retailprice"))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+}
