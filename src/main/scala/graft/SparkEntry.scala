@@ -19,6 +19,9 @@ object SparkEntry {
     "q4_order_priority"         -> Tpch.q4 _,
     "q5_local_supplier"         -> Tpch.q5 _,
     "q6_forecast_revenue"       -> Tpch.q6 _,
+    "q7_volume_shipping"        -> Tpch.q7 _,
+    "q8_market_share"           -> Tpch.q8 _,
+    "q17_small_quantity"        -> Tpch.q17 _,
     "q10_returned_items"        -> Tpch.q10 _,
     "q12_priority_shipping"     -> Tpch.q12 _,
     "q13_customer_distribution" -> Tpch.q13 _,
@@ -47,9 +50,11 @@ object SparkEntry {
     "win_rank_topn"    -> Analytic.rankTopN _,
     "win_running_sum"  -> Analytic.runningSum _,
     "win_sessionize"   -> Analytic.sessionize _,
+    "win_lag_ntile"    -> Analytic.lagNtile _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
+    "ev_funnel"          -> Analytic.funnel _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -64,6 +69,7 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.quality _,
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     // §2.10 multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     // §2.11 wider SQL surface
@@ -121,6 +127,45 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         | AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year, n3.n_name AS supp_nation, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n3 ON s_nationkey = n3.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#7'
+        |  AND l_quantity < CAST(0.2 AS DOUBLE) * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -284,6 +329,27 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
+    "win_lag_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  o_totalprice - lag(o_totalprice) OVER w AS delta_prev,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "ev_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |v AS (SELECT user_id, min(ts_sec) AS first_sec FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_sec) AS first_sec FROM ev e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts_sec > v.first_sec
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_sec) AS first_sec FROM ev e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts_sec > c.first_sec
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
@@ -500,6 +566,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(norm) AS DOUBLE) / len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), tg AS (
+        |  SELECT unnest(CASE WHEN len(words) >= 3 THEN
+        |    list_transform(generate_series(1, len(words)-2), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+        |    ELSE [] END) AS trigram FROM docs
+        |)
+        |SELECT trigram, count(*) AS n_occurrences FROM tg GROUP BY trigram
+        |ORDER BY n_occurrences DESC, trigram LIMIT 40""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
         |SELECT doc_id,

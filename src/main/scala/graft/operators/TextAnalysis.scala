@@ -90,6 +90,24 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
+  /** corpus-wide top-40 word trigrams by raw occurrence count (the
+    * n-gram frequency table a tokenizer/contamination check starts
+    * from). Same explode + lead() shingling as Dedup, without the
+    * per-doc distinct; one codegen'd hash agg + TakeOrdered. */
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("trigram"))
+      .limit(40)
+  }
+
   /** polynomial rolling-hash fingerprint of the normalized text
     * (acc·31 + codepoint mod 1e9+7 — the per-doc linear fold the
     * reference's scan hashes rows with, hash-util.h analog). */

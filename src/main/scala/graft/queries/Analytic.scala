@@ -81,6 +81,43 @@ object Analytic {
         sum(col("value").cast(D)).cast("double").as("sum_value"))
       .orderBy("hour_sec", "event_type")
 
+  /** Conversion funnel: users reaching view → view-then-click →
+    * view-click-then-purchase, each stage ordered after the previous
+    * stage's first event (classic product-analytics shape; the min-
+    * per-stage formulation is all hash aggs + small joins). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_sec", tsSec)
+      .select("user_id", "event_type", "ts_sec")
+    def firstAfter(typ: String, prev: DataFrame): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("first_sec").as("prev_sec")), "user_id")
+        .filter(col("ts_sec") > col("prev_sec"))
+        .groupBy("user_id").agg(min("ts_sec").as("first_sec"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_sec").as("first_sec"))
+    val clicked = firstAfter("click", viewed)
+    val purchased = firstAfter("purchase", clicked)
+    viewed.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionAll(clicked.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionAll(purchased.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select("stage", "n_users")
+      .orderBy("stage")
+  }
+
+  /** lag / lead deltas + ntile quartiles over each customer's order
+    * history (the remaining analytic-function surface). */
+  def lagNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(spark, dir)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("delta_prev", col("o_totalprice") - col("prev_price"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "prev_price", "next_price", "delta_prev", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Per-user event profile (stateful-agg batch analog). */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

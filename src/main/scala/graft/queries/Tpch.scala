@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DateType}
 import graft.sources.Tables._
@@ -231,5 +232,69 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
       .orderBy("c_nationkey")
+  }
+
+  /** Q7 volume shipping (adapted: synthetic nation names): revenue
+    * between the NATION_1/NATION_2 supplier-customer pairs by ship
+    * year, both directions. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 market share (adapted): NATION_3's share of AMERICA-customer
+    * ECONOMY-part revenue by order year. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val amNations = nation(spark, dir)
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("am_nk"))
+    val suppNation = nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir)
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amNations), col("c_nationkey") === col("am_nk"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3",
+            discPrice(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(BigDecimal(0)).cast(D))).cast("double") /
+         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double"))
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q17 small-quantity-order revenue (correlated avg as a window):
+    * parts of Brand#7 whose lineitems fall under 20% of the part's
+    * average quantity. Quantities are small integers, so the double
+    * average is an exact sum / count — engine-order-free. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#7")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
   }
 }
