@@ -36,6 +36,9 @@ object SparkEntry {
     "scan_pred_compound"    -> Scans.predCompound _,
     "scan_prune_projection" -> Scans.pruneProjection _,
     "scan_selectivity_sweep" -> Scans.selectivitySweep _,
+    "scan_selectivity_1pct"  -> Scans.sweep1 _,
+    "scan_selectivity_50pct" -> Scans.sweep50 _,
+    "scan_selectivity_full"  -> Scans.sweep100 _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
     "expr_math_case"      -> Exprs.mathCase _,
@@ -245,6 +248,18 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey % 10 = 0""".stripMargin,
+    "scan_selectivity_1pct" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 100 = 0""".stripMargin,
+    "scan_selectivity_50pct" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 2 = 0""".stripMargin,
+    "scan_selectivity_full" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin,
 
     // §2.3 expressions
     "expr_string_funcs" ->
@@ -315,7 +330,7 @@ object SparkEntry {
     "win_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
-        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "win_sessionize" ->

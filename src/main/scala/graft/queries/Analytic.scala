@@ -38,10 +38,14 @@ object Analytic {
       .orderBy("p_brand", "rn")
   }
 
-  /** Running revenue per supplier (rows unbounded preceding → current). */
+  /** Running revenue per supplier (rows unbounded preceding → current).
+    * The ordering ends in l_extendedprice: the synthetic data has
+    * duplicate (orderkey, linenumber) pairs at sf≥0.1, and rows tying
+    * on every ordering column (incl. the summed value) produce the
+    * same output multiset regardless of their relative order. */
   def runningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(spark, dir)
       .withColumn("running_rev",

@@ -57,12 +57,18 @@ object Scans {
       .select("l_orderkey", "l_extendedprice")
       .orderBy("l_orderkey", "l_extendedprice")
 
-  /** Selectivity-sweep shape from the reference README (10% here):
-    * a modulus predicate + aggregate, so changing the literal sweeps
-    * selectivity exactly like the reference's 1%→100% table. */
-  def selectivitySweep(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .filter(col("l_partkey") % 10 === 0)
+  /** Selectivity-sweep shape from the reference README: a modulus
+    * predicate + aggregate; the four points (1%/10%/50%/100%) mirror
+    * the reference's 1%→100% selectivity table. */
+  private def sweepAt(spark: SparkSession, dir: String, modulus: Int): DataFrame = {
+    val li = lineitem(spark, dir)
+    (if (modulus <= 1) li else li.filter(col("l_partkey") % modulus === 0))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+  }
+
+  def selectivitySweep(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 10)
+  def sweep1(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 100)
+  def sweep50(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 2)
+  def sweep100(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 1)
 }
