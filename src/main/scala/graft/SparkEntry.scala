@@ -22,6 +22,7 @@ object SparkEntry {
     "q7_volume_shipping"        -> Tpch.q7 _,
     "q8_market_share"           -> Tpch.q8 _,
     "q17_small_quantity"        -> Tpch.q17 _,
+    "q21_waiting_supplier"      -> Tpch.q21 _,
     "q10_returned_items"        -> Tpch.q10 _,
     "q12_priority_shipping"     -> Tpch.q12 _,
     "q13_customer_distribution" -> Tpch.q13 _,
@@ -58,6 +59,7 @@ object SparkEntry {
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
     "ev_funnel"          -> Analytic.funnel _,
+    "ev_retention"       -> Analytic.retention _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -83,6 +85,7 @@ object SparkEntry {
     "ev_json_props"          -> SqlSurface.jsonProps _,
     "expr_regex"             -> SqlSurface.regexFuncs _,
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
+    "agg_approx_stats"       -> SqlSurface.approxStats _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_native" -> ((s: SparkSession, d: String) =>
       graft.plans.TopK.perKey(
@@ -169,6 +172,24 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#7'
         |  AND l_quantity < CAST(0.2 AS DOUBLE) * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), os AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_sups,
+        |    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_sups
+        |  FROM li GROUP BY 1
+        |), d AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM d
+        |JOIN os ON os.l_orderkey = d.l_orderkey AND os.n_sups >= 2 AND os.n_late_sups = 1
+        |JOIN supplier ON s_suppkey = d.l_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -365,6 +386,14 @@ object SparkEntry {
         |UNION ALL SELECT '2_click', count(*) FROM c
         |UNION ALL SELECT '3_purchase', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "ev_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//604800 AS week FROM events
+        |), coh AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset, count(*) AS n_users
+        |FROM weeks JOIN coh USING (user_id)
+        |WHERE week - cohort_week <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,

@@ -122,6 +122,22 @@ object Analytic {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted per week-offset 0..3 (the product-analytics retention
+    * matrix; two hash aggs + one join, no windows). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 604800").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") <= 3)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Per-user event profile (stateful-agg batch analog). */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

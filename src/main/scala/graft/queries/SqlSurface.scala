@@ -89,6 +89,17 @@ object SqlSurface {
       col("p_name").rlike("^(red|blue|green)").as("is_color_named"))
       .orderBy("p_partkey")
 
+  /** Approximate aggregates (HLL++ NDV, quantile sketch) — the
+    * sketch surface every 100 TB profiler leans on. Rows-only
+    * checked (sketch internals are engine-specific); SqlSurfaceSpec
+    * bounds the error against exact answers. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_ndv_partkey"),
+      approx_count_distinct(col("l_orderkey")).as("approx_ndv_orderkey"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx_median_price"))
+
   /** Partitioned parquet sink + partition-pruned re-read: events
     * written partitioned by event_type, then one partition's hourly
     * stats — the scan shows PartitionFilters, the 100 TB analog of

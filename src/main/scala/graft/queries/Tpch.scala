@@ -297,4 +297,29 @@ object Tpch {
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
   }
+
+  /** Q21 suppliers-who-kept-orders-waiting (adapted: no receiptdate —
+    * "late" = shipped >60 days after order date; and expressed as one
+    * aggregation instead of double EXISTS/NOT EXISTS, the scalable
+    * form): orders with ≥2 suppliers where exactly one supplier
+    * shipped late, counted per that supplier. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .join(orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val ordStats = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_sups"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_sups"))
+    li.filter(col("is_late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(ordStats.filter(col("n_sups") >= 2 && col("n_late_sups") === 1), "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(50)
+  }
 }

@@ -41,6 +41,39 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(plan.contains("event_type"), plan)
   }
 
+  test("approx aggregates land within 10% of exact answers") {
+    val r = queries.SqlSurface.approxStats(spark, sf).collect()(0)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val exactParts = li.select("l_partkey").distinct().count()
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    def close(approx: Long, exact: Long) =
+      math.abs(approx - exact).toDouble / exact < 0.10
+    assert(close(r.getAs[Long]("approx_ndv_partkey"), exactParts))
+    assert(close(r.getAs[Long]("approx_ndv_orderkey"), exactOrders))
+    assert(r.getAs[Double]("approx_median_price") > 0)
+  }
+
+  test("retention: every user appears in their cohort's offset-0 cell") {
+    val rows = queries.Analytic.retention(spark, sf).collect()
+    val offset0 = rows.filter(_.getAs[Long]("week_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(offset0 == users)
+    // retention never exceeds the cohort size
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (_, rs) =>
+      val base = rs.find(_.getAs[Long]("week_offset") == 0).get.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= base))
+    }
+  }
+
+  test("q21: sole-late suppliers have positive wait counts") {
+    val rows = queries.Tpch.q21(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("numwait") >= 1))
+  }
+
   test("json props stats cover every event type") {
     val rows = queries.SqlSurface.jsonProps(spark, sf).collect()
     assert(rows.map(_.getAs[String]("event_type")).toSet ==
