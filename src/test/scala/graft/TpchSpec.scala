@@ -52,6 +52,10 @@ class TpchSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
 
+  test("entry() returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every SparkEntry query runs and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
