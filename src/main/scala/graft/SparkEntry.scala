@@ -60,6 +60,7 @@ object SparkEntry {
     "ev_user_stats"      -> Analytic.userStats _,
     "ev_funnel"          -> Analytic.funnel _,
     "ev_retention"       -> Analytic.retention _,
+    "ev_asof_attribution" -> Analytic.asofAttribution _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -394,6 +395,19 @@ object SparkEntry {
         |FROM weeks JOIN coh USING (user_id)
         |WHERE week - cohort_week <= 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_sec END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec, event_type, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_sec
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, ts_sec, last_click_sec,
+        |  ts_sec - last_click_sec AS gap_sec
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,

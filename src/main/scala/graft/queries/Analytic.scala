@@ -138,6 +138,28 @@ object Analytic {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** As-of join (attribution): each purchase matched to the same
+    * user's latest click at-or-before it. Spark lacks a native as-of
+    * join; the scalable composition is one pass — union the two
+    * event streams, sort per user by (ts, type) ('click' sorts before
+    * 'purchase' on ties so equal-time clicks count), and carry the
+    * running max click time. No per-pair join ever materializes. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_sec", "event_type", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("ts_sec"))
+      .withColumn("last_click_sec",
+        max(when(col("event_type") === "click", col("ts_sec"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        col("last_click_sec"),
+        (col("ts_sec") - col("last_click_sec")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** Per-user event profile (stateful-agg batch analog). */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

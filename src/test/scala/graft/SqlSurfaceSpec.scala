@@ -80,4 +80,20 @@ class SqlSurfaceSpec extends SparkSpec {
       Set("click", "error", "purchase", "signup", "view"))
     rows.foreach(r => assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k")))
   }
+
+  test("as-of attribution matches a brute-force per-purchase lookup") {
+    val got = queries.Analytic.asofAttribution(spark, sf).limit(20).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("ts_sec")).collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .groupBy(_.getAs[Long]("user_id"))
+    got.foreach { r =>
+      val want = clicks.getOrElse(r.getAs[Long]("user_id"), Array.empty)
+        .map(_.getAs[Long]("ts_sec")).filter(_ <= r.getAs[Long]("ts_sec"))
+      if (want.nonEmpty)
+        assert(r.getAs[Long]("last_click_sec") == want.max)
+      else assert(r.isNullAt(r.fieldIndex("last_click_sec")))
+    }
+  }
 }
