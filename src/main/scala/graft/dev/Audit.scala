@@ -1,0 +1,28 @@
+package graft.dev
+// scratch audit main: flags plan anti-patterns across every query
+import org.apache.spark.sql.SparkSession
+
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    // intentional BNLJs: ANN broadcasts a handful of probe rows;
+    // q22 broadcasts a 1-row scalar aggregate (scalar-subquery shape)
+    val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "q22_anti_join")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BNLJ" -> (plan.contains("BroadcastNestedLoopJoin") && !allowBnlj(name)),
+          "InMemoryTableScan" -> plan.contains("InMemoryTableScan")
+        ).collect { case (f, true) => f }
+        println(s"[audit] $name ${if (flags.isEmpty) "clean" else "FLAGS: " + flags.mkString(",")}")
+      } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
