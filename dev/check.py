@@ -29,7 +29,15 @@ for name in sorted(oracle):
         ok = True
         for c in exp.columns:
             e, g = exp[c], got[c]
-            if e.dtype.kind == 'f' or g.dtype.kind == 'f':
+            # The driver hashes value representations, so a dtype
+            # divergence (e.g. DuckDB HUGEINT->float64 vs Spark BIGINT
+            # ->int64) is a hash FAIL even when values compare equal
+            # numerically. Round 1's q1/q12 failures were masked here
+            # by the lenient float==int path; be strict.
+            if e.dtype.kind != g.dtype.kind:
+                print(f"FAIL {name}: col {c} dtype kind differs: exp={e.dtype} got={g.dtype}")
+                ok = False; fail += 1; break
+            if e.dtype.kind == 'f':
                 same = ((e.isna() & g.isna()) | (e == g)).all()
             else:
                 same = (e.astype(str).fillna('<NA>') == g.astype(str).fillna('<NA>')).all()

@@ -49,10 +49,13 @@ object Tpch {
         sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
         sum(discPrice(col("l_extendedprice"), col("l_discount")).cast(DecimalType(18, 6)) *
           (lit(BigDecimal(1)).cast(D) + dec(col("l_tax"))))
-          // stays DECIMAL: at scale 8 a double cast can differ by 1 ulp
-          // across engines, and rounding to a smaller scale hits
-          // half-up-vs-half-even on exact .5 digits. Exact decimal out.
-          .cast(DecimalType(38, 8)).as("sum_charge"),
+          // Exact-decimal sum, emitted as a fixed-scale STRING: a
+          // double cast can differ by 1 ulp across engines at >15
+          // significant digits, and rounding to a smaller scale hits
+          // half-up-vs-half-even on exact .5 digits. Both engines
+          // render DECIMAL(38,8) with all 8 fraction digits, so the
+          // string boundary is bit-exact and order-free.
+          .cast(DecimalType(38, 8)).cast("string").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
