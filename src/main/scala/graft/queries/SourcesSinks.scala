@@ -22,14 +22,17 @@ import graft.sources.Tables._
 object SourcesSinks {
   private val D = DecimalType(18, 2)
 
-  private def tmp(dir: String, tag: String): String =
-    s"/tmp/graft_io/${tag}_${math.abs(dir.hashCode)}"
+  /** Scratch sink path, unique per (sf dir, Spark app): two concurrent
+    * sessions (e.g. tests and Verify) must not race overwrite-writes
+    * on the same directory. */
+  private[queries] def tmp(spark: SparkSession, dir: String, tag: String): String =
+    s"/tmp/graft_io/${spark.sparkContext.applicationId}/${tag}_${math.abs(dir.hashCode)}"
 
   /** CSV ('|'-delimited, header) roundtrip of nation, then a join
     * back into the plan — proves the text source feeds Catalyst like
     * any other relation (schema explicit, no inference at scale). */
   def delimitedText(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp(dir, "nation_csv")
+    val path = tmp(spark, dir, "nation_csv")
     nation(spark, dir).coalesce(1).write.mode("overwrite")
       .option("sep", "|").option("header", "true").csv(path)
     val schema = StructType(Seq(
@@ -46,7 +49,7 @@ object SourcesSinks {
   /** Parquet sink roundtrip: filtered projection written with
     * dictionary encoding + snappy, re-read, aggregated. */
   def parquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp(dir, "lineitem_sink")
+    val path = tmp(spark, dir, "lineitem_sink")
     lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))

@@ -105,7 +105,7 @@ object SqlSurface {
     * stats — the scan shows PartitionFilters, the 100 TB analog of
     * directory-level pruning. */
   def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_io/events_parts_${math.abs(dir.hashCode)}"
+    val path = SourcesSinks.tmp(spark, dir, "events_parts")
     events(spark, dir)
       .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"),
         col("value"))

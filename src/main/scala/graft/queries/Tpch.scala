@@ -187,7 +187,11 @@ object Tpch {
   }
 
   /** Q18 large-volume customers: HAVING on a grouped fact, then join
-    * back. The qualifying-orderkey set is tiny → broadcast back. */
+    * back. The qualifying set is an aggregate OVER THE FACT TABLE, so
+    * its size grows with the data — a forced broadcast would OOM the
+    * driver at 100× scale. shuffle_hash keeps the join hash-based
+    * (no sort of the orders side) while letting AQE downgrade to a
+    * broadcast at runtime only if the set really is tiny. */
   def q18(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     val big = li.groupBy("l_orderkey")
@@ -195,7 +199,7 @@ object Tpch {
       .filter(col("sum_qty_d") > 150)
     val ord = orders(spark, dir)
     val cust = customer(spark, dir)
-    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    ord.join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast(DateType).as("o_orderdate"),

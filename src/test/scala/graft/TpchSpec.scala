@@ -52,6 +52,19 @@ class TpchSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
 
+  test("q18 never broadcasts the fact-side aggregate and avoids BNLJ") {
+    // AQE may pick its own joins only after execution; force a pass
+    // so the final plan is the one asserted on.
+    val df = queries.Tpch.q18(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan.take(2000))
+    // The HAVING aggregate over lineitem must reach the orders join
+    // via shuffle (hash join), not a forced broadcast of an
+    // unbounded set.
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("entry() returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
