@@ -40,6 +40,8 @@ object SparkEntry {
     "scan_selectivity_1pct"  -> Scans.sweep1 _,
     "scan_selectivity_50pct" -> Scans.sweep50 _,
     "scan_selectivity_full"  -> Scans.sweep100 _,
+    "scan_runtime_dpp"   -> Scans.dppPrunedJoin _,
+    "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
     "expr_math_case"      -> Exprs.mathCase _,
@@ -282,6 +284,21 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem""".stripMargin,
+    // runtime filters prune the same rows static pushdown can't see;
+    // results are identical to the plain joins, which is the point.
+    "scan_runtime_dpp" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "scan_runtime_bloom" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // §2.3 expressions
     "expr_string_funcs" ->
@@ -558,8 +575,56 @@ object SparkEntry {
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // §2.8 similarity search (ann_ivf_topk is rows-only checked:
-    // float centroid means are aggregation-order-sensitive)
+    // §2.8 similarity search. ann_ivf_topk is exactly replayable:
+    // centroid means run on an integer quantization grid
+    // (floor(x*1e9) summed as BIGINT — order-free), so assignment,
+    // probing and scoring are deterministic in both engines.
+    "ann_ivf_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |dims AS (
+        |  SELECT vec_id % 16 AS cell,
+        |    unnest(generate_series(1, 64)) AS d,
+        |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+        |  FROM vecs
+        |), cdims AS (
+        |  SELECT cell, d,
+        |    CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+        |  FROM dims GROUP BY cell, d
+        |), cents AS (
+        |  SELECT cell, list(cx ORDER BY d) AS cv FROM cdims GROUP BY cell
+        |), assigned AS (
+        |  SELECT vec_id, vd, cell FROM (
+        |    SELECT v.vec_id, v.vd, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM vecs v CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), probe_cells AS (
+        |  SELECT probe_id, pv, cell FROM (
+        |    SELECT p.probe_id, p.pv, c.cell,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM probes p CROSS JOIN cents c)
+        |  WHERE rn <= 4
+        |), scored AS (
+        |  SELECT pc.probe_id, av.vec_id, av.cell,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM assigned av JOIN probe_cells pc ON av.cell = pc.cell AND av.vec_id <> pc.probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cell, cosine,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cell, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
@@ -696,6 +761,17 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY hour_sec""".stripMargin,
+
+    // Sketch surface: exact NDVs are engine-exact; the booleans are
+    // Spark-side sketch-vs-exact error checks that the oracle pins to
+    // TRUE (a sketch outside its error bound fails the hash).
+    "agg_approx_stats" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndv_partkey,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv_orderkey,
+        |  TRUE AS ndv_partkey_within_bound,
+        |  TRUE AS ndv_orderkey_within_bound,
+        |  TRUE AS median_within_bound
+        |FROM lineitem""".stripMargin,
 
     // §2.12 native TopKPerKey — exactly row_number ≤ k semantics
     "win_topk_native" ->

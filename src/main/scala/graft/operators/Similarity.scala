@@ -19,9 +19,10 @@ import graft.sources.Tables._
   *   centroid (16-way broadcast compare, map-side); probes search the
   *   nProbe=4 nearest buckets only — at scale this cuts the scored
   *   candidates ~4/16 while the bucket assignment is a one-off
-  *   map-side pass. Float mean aggregation is order-sensitive, so
-  *   this operator is checked rows-only (the driver contract's R
-  *   path) plus structural ScalaTest assertions.
+  *   map-side pass. Centroid means are computed over an integer
+  *   quantization grid (see centroids), so the whole search is
+  *   deterministic and replayed exactly by the DuckDB oracle;
+  *   SimilaritySpec additionally asserts recall@10 vs brute force.
   */
 object Similarity {
   val K = 10
@@ -53,12 +54,22 @@ object Similarity {
 
   /** (cell, centroid array<double>) — deterministic means over the
     * vec_id-mod sample, assembled per-dimension then re-packed to an
-    * array so graft_dot can consume it. */
+    * array so graft_dot can consume it.
+    *
+    * Engine-exact: a plain avg(double) depends on partial-sum order,
+    * so it can't be replayed by an oracle. Instead each component is
+    * quantized to an exact integer grid (floor(x·1e9) — one IEEE
+    * multiply + floor, identical in any engine), summed exactly as
+    * BIGINT (order-free), and divided back once. The ~1e-9 centroid
+    * perturbation is irrelevant to clustering quality, and the whole
+    * operator becomes deterministic end-to-end. */
   private def centroids(spark: SparkSession, dir: String): DataFrame = {
     val dims = vecs(spark, dir)
       .select(col("vec_id") % NumCells, posexplode(col("vd")))
       .toDF("cell", "d", "x")
-    dims.groupBy("cell", "d").agg(avg("x").as("cx"))
+    dims.groupBy("cell", "d")
+      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("cx"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("packed"))
       .select(col("cell"), expr("transform(packed, s -> s.cx)").as("cv"))

@@ -71,4 +71,59 @@ object Scans {
   def sweep1(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 100)
   def sweep50(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 2)
   def sweep100(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 1)
+
+  /** Dynamic partition pruning: a nationkey-partitioned copy of
+    * customer joined to a region-filtered nation dim. The dim filter
+    * is only known at runtime (it sits behind a join), so static
+    * pushdown can't prune — Spark inserts a dynamicpruning subquery
+    * on the partition column and the scan skips 20 of 25 partitions.
+    * This is the Spark analog of the reference's runtime skip
+    * bitsets (/root/reference/simple-predicates.h:37-80): predicates
+    * discovered during execution cutting scan work, not just
+    * statically-known ones. ScanSpec asserts `dynamicpruning#`
+    * appears in the scan's PartitionFilters. */
+  def dppPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = SourcesSinks.tmp(spark, dir, "customer_by_nation")
+    customer(spark, dir).write.mode("overwrite")
+      .partitionBy("c_nationkey").parquet(path)
+    val dim = broadcast(
+      nation(spark, dir).join(
+        region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey")))
+    spark.read.parquet(path)
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(D)).cast("double").as("sum_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** Runtime bloom-filter join pruning on a fact⋈fact join: the
+    * selective predicate lives on the orders side, so Spark builds a
+    * bloom filter over the qualifying orderkeys at runtime and
+    * applies `might_contain` on the lineitem side BEFORE the shuffle
+    * — rows for non-urgent orders never leave the scan stage. At
+    * 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~20% that can match.
+    *
+    * Runs in its own child session: the demo lowers the
+    * application-side size threshold (the data here is far below the
+    * 10 GB production default) and pins a shuffle join, and those
+    * knobs must not leak into other queries' planning. */
+  def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "256MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    lineitem(s, dir)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice").cast(D)) *
+          (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
 }

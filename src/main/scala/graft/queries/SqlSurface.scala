@@ -90,15 +90,29 @@ object SqlSurface {
       .orderBy("p_partkey")
 
   /** Approximate aggregates (HLL++ NDV, quantile sketch) — the
-    * sketch surface every 100 TB profiler leans on. Rows-only
-    * checked (sketch internals are engine-specific); SqlSurfaceSpec
-    * bounds the error against exact answers. */
+    * sketch surface every 100 TB profiler leans on. Sketch internals
+    * are engine-specific, so the contract row carries what IS
+    * engine-exact: the exact NDVs, plus within-bounds booleans that
+    * compare Spark's sketches to the exact answers computed in the
+    * same pass. The oracle pins the booleans to TRUE — a sketch
+    * regression beyond its error bound fails the driver's hash.
+    * Bounds: HLL++ runs at the default rsd=0.05 (asserted at 3σ =
+    * 15%); percentile_approx at accuracy 10000 (asserted at 1%). */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_ndv_partkey"),
-      approx_count_distinct(col("l_orderkey")).as("approx_ndv_orderkey"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-        .as("approx_median_price"))
+      countDistinct(col("l_partkey")).as("exact_ndv_partkey"),
+      countDistinct(col("l_orderkey")).as("exact_ndv_orderkey"),
+      approx_count_distinct(col("l_partkey")).as("a_p"),
+      approx_count_distinct(col("l_orderkey")).as("a_o"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_m"),
+      expr("percentile(l_extendedprice, 0.5)").as("e_m"))
+    .select(
+      col("exact_ndv_partkey"), col("exact_ndv_orderkey"),
+      (abs(col("a_p") - col("exact_ndv_partkey")).cast("double") /
+        col("exact_ndv_partkey") <= 0.15).as("ndv_partkey_within_bound"),
+      (abs(col("a_o") - col("exact_ndv_orderkey")).cast("double") /
+        col("exact_ndv_orderkey") <= 0.15).as("ndv_orderkey_within_bound"),
+      (abs(col("a_m") - col("e_m")) / col("e_m") <= 0.01).as("median_within_bound"))
 
   /** Partitioned parquet sink + partition-pruned re-read: events
     * written partitioned by event_type, then one partition's hourly

