@@ -93,26 +93,49 @@ object SqlSurface {
     * sketch surface every 100 TB profiler leans on. Sketch internals
     * are engine-specific, so the contract row carries what IS
     * engine-exact: the exact NDVs, plus within-bounds booleans that
-    * compare Spark's sketches to the exact answers computed in the
-    * same pass. The oracle pins the booleans to TRUE — a sketch
-    * regression beyond its error bound fails the driver's hash.
-    * Bounds: HLL++ runs at the default rsd=0.05 (asserted at 3σ =
-    * 15%); percentile_approx at accuracy 10000 (asserted at 1%). */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).agg(
-      countDistinct(col("l_partkey")).as("exact_ndv_partkey"),
-      countDistinct(col("l_orderkey")).as("exact_ndv_orderkey"),
+    * compare Spark's sketches to exact answers. The oracle pins the
+    * booleans to TRUE — a sketch regression beyond its error bound
+    * fails the driver's hash.
+    *
+    * Shapes chosen for scale:
+    * - Each exact NDV is its own distinct→count (a column-pruned scan
+    *   + two-phase hash agg). Two countDistinct in ONE agg would plan
+    *   an Expand that multiplies every row by the number of distinct
+    *   groups AND drags the sketch buffers through the widened
+    *   shuffle (measured 10.5 s vs ~3 s split, sf0.1).
+    * - The quantile sketch is validated by RANK, not value: G-K
+    *   percentile_approx(accuracy=10000) guarantees rank error
+    *   ≤ N/10000, so we count rows below/at the sketch's median (one
+    *   codegen pass) and assert the rank lands within 10× that bound
+    *   (±0.1%·N). An exact median would need a full sort or a
+    *   value histogram — l_extendedprice is near-unique, so at 100 TB
+    *   both are off the table, while the rank check stays O(N).
+    * - HLL++ runs at default rsd=0.05, asserted at 3σ = 15%. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val ndvP = li.select("l_partkey").distinct()
+      .agg(count(lit(1)).as("exact_ndv_partkey"))
+    val ndvO = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("exact_ndv_orderkey"))
+    val sk = li.agg(
       approx_count_distinct(col("l_partkey")).as("a_p"),
       approx_count_distinct(col("l_orderkey")).as("a_o"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_m"),
-      expr("percentile(l_extendedprice, 0.5)").as("e_m"))
-    .select(
+      count(lit(1)).as("n"))
+    val medianRank = li.crossJoin(broadcast(sk.select("a_m")))
+      .agg(sum(when(col("l_extendedprice") < col("a_m"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("l_extendedprice") <= col("a_m"), 1L).otherwise(0L)).as("cnt_le"))
+    val margin = greatest(lit(1.0), col("n").cast("double") * 0.001)
+    ndvP.crossJoin(ndvO).crossJoin(sk).crossJoin(medianRank).select(
       col("exact_ndv_partkey"), col("exact_ndv_orderkey"),
       (abs(col("a_p") - col("exact_ndv_partkey")).cast("double") /
         col("exact_ndv_partkey") <= 0.15).as("ndv_partkey_within_bound"),
       (abs(col("a_o") - col("exact_ndv_orderkey")).cast("double") /
         col("exact_ndv_orderkey") <= 0.15).as("ndv_orderkey_within_bound"),
-      (abs(col("a_m") - col("e_m")) / col("e_m") <= 0.01).as("median_within_bound"))
+      (col("cnt_lt").cast("double") <= col("n").cast("double") / 2 + margin &&
+        col("cnt_le").cast("double") >= col("n").cast("double") / 2 - margin)
+        .as("median_within_bound"))
+  }
 
   /** Partitioned parquet sink + partition-pruned re-read: events
     * written partitioned by event_type, then one partition's hourly
