@@ -21,6 +21,7 @@ object SparkEntry {
     "q6_forecast_revenue"       -> Tpch.q6 _,
     "q7_volume_shipping"        -> Tpch.q7 _,
     "q8_market_share"           -> Tpch.q8 _,
+    "q15_top_supplier"          -> Tpch.q15 _,
     "q17_small_quantity"        -> Tpch.q17 _,
     "q21_waiting_supplier"      -> Tpch.q21 _,
     "q10_returned_items"        -> Tpch.q10 _,
@@ -51,6 +52,7 @@ object SparkEntry {
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
+    "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     // §2.5 window / analytic
     "win_rank_topn"    -> Analytic.rankTopN _,
@@ -175,6 +177,18 @@ object SparkEntry {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#7'
         |  AND l_quantity < CAST(0.2 AS DOUBLE) * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_suppkey,
@@ -350,6 +364,13 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_encoded_v2" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dict_cardinality_stats" ->
       """SELECT column_name, ndv, n_rows, ndv <= 4096 AS dict_encodable FROM (

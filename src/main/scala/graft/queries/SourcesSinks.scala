@@ -66,6 +66,41 @@ object SourcesSinks {
       .orderBy("l_returnflag")
   }
 
+  /** Parquet v2 writer with per-column encoding choice — the Spark
+    * analog of the reference's encoder selection (fle-encoding.h:1
+    * fixed-length bit-packed encoder; dict-encoding.h DictEncoder
+    * with plain fallback; hdfs-parquet-table-writer.cc picking an
+    * encoding per column). The writer keeps dictionary encoding for
+    * the low-NDV columns (l_returnflag: 3 values) and disables it for
+    * the high-NDV key column, which under the v2 page format lands on
+    * DELTA_BINARY_PACKED — the direct analog of the reference's FLE
+    * bit-packing (values are bit-packed against a per-block frame of
+    * reference). SourcesSpec opens the footer with ParquetFileReader
+    * and asserts the chosen encodings are actually on disk; the
+    * contract row proves the roundtrip preserves values exactly. */
+  def encodedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "lineitem_v2")
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite")
+      .option("parquet.writer.version", "v2")
+      .option("parquet.enable.dictionary", "true")
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .option("parquet.enable.dictionary#l_partkey", "false")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** the written path, separable so SourcesSpec can inspect footers. */
+  private[graft] def encodedSinkPath(spark: SparkSession, dir: String): String =
+    tmp(spark, dir, "lineitem_v2")
+
   /** Per-column NDV vs row count — the dict-encodability decision
     * input. One scan, one agg (no per-column passes). */
   def dictCardinalityStats(spark: SparkSession, dir: String): DataFrame = {

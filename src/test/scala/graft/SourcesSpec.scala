@@ -20,6 +20,38 @@ class SourcesSpec extends SparkSpec {
     assert(viaSink == direct)
   }
 
+  test("v2 encoded sink: delta encodings for keys, dictionary for low-NDV, exact roundtrip") {
+    import org.apache.spark.sql.functions._
+    // run the query first (writes the files), check the aggregate matches
+    val viaSink = queries.SourcesSinks.encodedSink(spark, sf).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("sum_okey"))).toMap
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_orderkey").as("s")).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("s"))).toMap
+    assert(viaSink == direct)
+    // then open a footer and assert the per-column encoding choices landed
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dirPath = new java.io.File(queries.SourcesSinks.encodedSinkPath(spark, sf))
+    val part = dirPath.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      def encodings(col: String): Set[String] =
+        chunks.find(_.getPath.toDotString == col).get
+          .getEncodings.asScala.map(_.name()).toSet
+      // dict disabled per-column => v2 delta bit-packing (the FLE analog)
+      assert(encodings("l_orderkey").contains("DELTA_BINARY_PACKED"), encodings("l_orderkey"))
+      assert(encodings("l_partkey").contains("DELTA_BINARY_PACKED"), encodings("l_partkey"))
+      // low-NDV string keeps dictionary encoding
+      assert(encodings("l_returnflag").exists(e => e.contains("DICTIONARY")), encodings("l_returnflag"))
+    } finally reader.close()
+  }
+
   test("dict cardinality stats: low-NDV flags encodable, high-NDV key is not at scale") {
     val rows = queries.SourcesSinks.dictCardinalityStats(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") ->

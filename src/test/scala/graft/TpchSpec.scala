@@ -35,6 +35,21 @@ class TpchSpec extends SparkSpec {
     assert(math.abs(got - exp.toDouble) < 1e-6)
   }
 
+  test("q15 returns the max-revenue supplier(s), revenue consistent with a direct sum") {
+    val rows = queries.Tpch.q15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val top = rows.map(_.getAs[Double]("total_revenue")).toSet
+    assert(top.size == 1) // all returned suppliers tie on the max
+    // the max must dominate every supplier's revenue computed directly
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .agg(max("r")).collect()(0).getDouble(0)
+    assert(math.abs(top.head - direct) < 1e-4)
+  }
+
   test("q13 distribution covers every customer exactly once") {
     val rows = queries.Tpch.q13(spark, sf).collect()
     val totalCust = rows.map(_.getLong(1)).sum
