@@ -43,6 +43,7 @@ object SparkEntry {
     "scan_selectivity_full"  -> Scans.sweep100 _,
     "scan_runtime_dpp"   -> Scans.dppPrunedJoin _,
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
+    "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
     "expr_math_case"      -> Exprs.mathCase _,
@@ -313,6 +314,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // salting must be invisible in the output: the oracle is unsalted.
+    "join_salted_skew" ->
+      """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)
+        |SELECT e.event_type, d.type_label, count(*) AS n_events,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.type_label
+        |ORDER BY e.event_type""".stripMargin,
 
     // §2.3 expressions
     "expr_string_funcs" ->

@@ -10,8 +10,10 @@ object Audit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     // intentional BNLJs: ANN broadcasts a handful of probe rows;
-    // q22 broadcasts a 1-row scalar aggregate (scalar-subquery shape)
-    val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "q22_anti_join")
+    // q22 and agg_approx_stats broadcast 1-row scalar aggregates
+    // (scalar-subquery shape — bounded by construction)
+    val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "q22_anti_join",
+      "agg_approx_stats")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

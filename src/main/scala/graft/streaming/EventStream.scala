@@ -29,6 +29,28 @@ object EventStream {
   /** per-user state: sessions emitted so far + the open session. */
   case class UserState(counter: Long, n: Long, startSec: Long, lastSec: Long, value: Double)
 
+  /** Watermarked streaming exact dedup on event_id — the streaming
+    * twin of Dedup.exactDedup. Duplicates arriving within the
+    * watermark horizon are dropped; dedup state is evicted once the
+    * watermark passes, so state stays bounded by (arrival rate ×
+    * horizon) no matter how long the stream runs — the property that
+    * makes exact dedup feasible on an unbounded 100 TB/day feed,
+    * where an unwatermarked dropDuplicates would grow state forever. */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's attributes from a static (batch) dimension. Stateless —
+    * the static side is broadcast to every task and re-read per
+    * micro-batch; the stream side never buffers, so this costs the
+    * same as a map regardless of stream length. */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("event_type"), col("value"))
+
   /** Tumbling 1-hour windowed counts with a 2h watermark — the
     * streaming twin of Analytic.tumblingWindow. */
   def hourly(events: DataFrame): DataFrame =

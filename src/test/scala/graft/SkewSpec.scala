@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join result is identical to the plain unsalted join") {
+    val got = queries.SkewJoin.saltedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(0).toUpperCase, r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+  }
+
+  test("salted join shuffles on (event_type, salt), spreading each hot key") {
+    val plan = queries.SkewJoin.saltedJoin(spark, sf).queryExecution.executedPlan.toString
+    // the pre-join exchange must hash-partition on both join keys
+    val exchangeLines = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l => l.contains("event_type") && l.contains("salt")),
+      exchangeLines.mkString("\n"))
+    // and it must be a real shuffle join, not a broadcast of the dim
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}

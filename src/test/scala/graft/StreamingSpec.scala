@@ -50,6 +50,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids and keeps each event once") {
+    import spark.implicits._
+    val events = loadEvents().take(2000)
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.dedupe(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // feed every event twice (same batch) plus a re-delivery batch
+      input.addData(events ++ events)
+      q.processAllAvailable()
+      input.addData(events.take(500)) // late re-delivery within watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+      assert(got.length == got.distinct.length, "emitted a duplicate event_id")
+      assert(got.toSet == events.map(_.event_id).toSet)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment matches the batch join") {
+    import spark.implicits._
+    val dim = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 4))
+    val events = loadEvents().take(2000)
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.enrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "segment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == events.length)
+      assert(events.forall(e => got(e.event_id) == s"seg_${e.user_id % 4}"))
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
