@@ -66,6 +66,7 @@ object SparkEntry {
     "ev_funnel"          -> Analytic.funnel _,
     "ev_retention"       -> Analytic.retention _,
     "ev_asof_attribution" -> Analytic.asofAttribution _,
+    "ev_range_join"       -> Analytic.rangeJoin _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -81,6 +82,9 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
+    "text_gopher_rules" -> TextAnalysis.gopherRules _,
+    "sample_stratified" -> TextAnalysis.stratifiedSample _,
+    "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     // §2.10 multimodal
     "mm_binary_meta" -> Multimodal.binaryMeta _,
     // §2.11 wider SQL surface
@@ -455,6 +459,17 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_sec, last_click_sec,
         |  ts_sec - last_click_sec AS gap_sec
         |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // the oracle runs the naive inequality join — the Spark side's
+    // bucketed equi-join must produce identical results.
+    "ev_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |c AS (SELECT user_id, sec AS c_sec FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec FROM ev WHERE event_type = 'purchase')
+        |SELECT purchase_id, count(*) AS n_clicks_1h,
+        |  min(c_sec) AS first_click_sec, max(c_sec) AS last_click_sec
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
@@ -737,6 +752,55 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_distinct_words,
+        |    CAST(length(norm) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |  CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+        |  stop_hits,
+        |  CAST(n_distinct_words AS DOUBLE) / n_words AS frac_distinct,
+        |  (n_words >= 20 AND n_words <= 100000
+        |   AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) >= 2.0
+        |   AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) <= 12.0
+        |   AND stop_hits >= 1
+        |   AND (CAST(n_distinct_words AS DOUBLE) / n_words) >= 0.2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |  CAST(CASE WHEN lang = 'en' THEN 5 ELSE 20 END AS BIGINT) AS rate
+        |FROM documents
+        |WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH t AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, norm,
+        |    CAST(length(norm) AS BIGINT) AS n_char,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, lang, norm, n_words,
+        |    0.4*(CAST(n_stop AS DOUBLE)/n_words) + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/n_char)
+        |     + 0.2*least(1.0, CAST(n_words AS DOUBLE)/100.0) + 0.1*(1.0 - CAST(n_digit AS DOUBLE)/n_char) AS quality_score
+        |  FROM c),
+        |kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        |canon AS (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM kept)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  min(quality_score) AS min_quality, max(quality_score) AS max_quality
+        |FROM canon WHERE rn = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // §2.10 multimodal (decode stub is md5-derived, so oracle-checkable)
     "mm_binary_meta" ->

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** End-to-end corpus-cleaning composition — the shape a 100 TB
+  * pre-training pipeline actually runs, in one declarative plan:
+  *
+  *   quality gate → exact dedup (md5-canonical) → per-language
+  *   corpus accounting
+  *
+  * One normalized-text projection feeds every stage (Catalyst
+  * collapses the shared projections into the scan stage), the dedup
+  * is a single digest-partitioned window, and the final accounting is
+  * a partial→final hash agg on the ~handful of languages. Nothing
+  * here is driver-side; the whole pipeline is one job whose only
+  * shuffles are the digest window and the tiny final agg. Aggregates
+  * are chosen order-free (counts, integer sums, min/max) so the
+  * result is engine-exact for the oracle.
+  */
+object Pipeline {
+
+  private val normTextExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+  def cleanCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("n_char", length(col("norm")).cast("bigint"))
+      .withColumn("n_words", size(split(col("norm"), " ")).cast("bigint"))
+      .withColumn("n_digit",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[0-9]", ""))).cast("bigint"))
+      .withColumn("n_punct",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("bigint"))
+      .withColumn("n_stop",
+        size(expr("filter(split(norm, ' '), w -> w IN ('the','and','is','of','to','in','that','it'))")).cast("bigint"))
+      .withColumn("quality_score",
+        lit(0.4) * (col("n_stop").cast("double") / col("n_words")) +
+          lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_char")) +
+          lit(0.2) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.1) * (lit(1.0) - col("n_digit").cast("double") / col("n_char")))
+    val kept = scored.filter(col("quality_score") >= 0.5)
+    val w = Window.partitionBy("digest").orderBy("doc_id")
+    val canonical = kept
+      .withColumn("digest", md5(col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    canonical.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        min("quality_score").as("min_quality"),
+        max("quality_score").as("max_quality"))
+      .orderBy("lang")
+  }
+}

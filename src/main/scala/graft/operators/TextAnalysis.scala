@@ -108,6 +108,51 @@ object TextAnalysis {
       .limit(40)
   }
 
+  /** Gopher/C4-class document filter rules — the per-document
+    * pre-training gate (word-count window, mean word length window,
+    * stopword presence, distinct-word fraction against boilerplate
+    * repetition). Every rule is a codegen'd expression over one
+    * normalized pass; the `keep` conjunction is what a 100 TB corpus
+    * pipeline would filter on before tokenization. Thresholds follow
+    * the published Gopher ranges, tightened to the synthetic corpus
+    * so both branches are exercised. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("words", split(col("norm"), " "))
+      .withColumn("n_words", size(col("words")).cast("bigint"))
+      .withColumn("n_distinct_words", size(array_distinct(col("words"))).cast("bigint"))
+      // norm is single-spaced, so word chars = length - (n_words - 1)
+      .withColumn("mean_word_len",
+        (length(col("norm")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_hits",
+        size(expr("filter(words, w -> w IN ('the','and','is','of','to','in','that','it'))")).cast("bigint"))
+      .withColumn("frac_distinct", col("n_distinct_words").cast("double") / col("n_words"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+          col("stop_hits") >= 1 && col("frac_distinct") >= 0.2)
+      .select("doc_id", "n_words", "n_distinct_words", "mean_word_len",
+        "stop_hits", "frac_distinct", "keep")
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling — downsample the dominant
+    * language, keep more of the rare ones (the corpus-balancing move
+    * every multilingual training mix needs). The sample decision is a
+    * pure function of doc_id (60-bit integer from md5, mod 100 — the
+    * same engine-exact hash rule as the corpus digests), so the
+    * sample is reproducible on any engine and any cluster layout, and
+    * re-running over grown data keeps previously-sampled docs stable.
+    * No shuffle at all: the filter runs map-side in the scan stage. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate", when(col("lang") === "en", lit(5L)).otherwise(lit(20L)))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket", "rate")
+      .orderBy("doc_id")
+
   /** polynomial rolling-hash fingerprint of the normalized text
     * (acc·31 + codepoint mod 1e9+7 — the per-doc linear fold the
     * reference's scan hashes rows with, hash-util.h analog). */

@@ -160,6 +160,37 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** Time-range join via bucketing: each purchase counts the same
+    * user's clicks in the preceding hour. The naive formulation — an
+    * inequality join on `c.ts BETWEEN p.ts-1h AND p.ts` — has no
+    * equi-key, so Spark would plan a broadcast-nested-loop over the
+    * fact table: O(clicks × purchases) per user and a scale killer.
+    * The bucketed form recovers an equi-join: clicks land in their
+    * hour bucket, purchases are exploded to the 2 buckets that can
+    * cover a trailing 1h window, the join runs on
+    * (user_id, bucket) through a normal shuffled hash join, and the
+    * exact range predicate filters after. Each click is in exactly
+    * one bucket, so no dedup is needed. RangeJoinSpec asserts the
+    * plan is hash-joined, not BNLJ. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("c_sec"),
+        expr("sec div 3600").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("p_sec"))
+      .withColumn("bucket",
+        explode(array(expr("p_sec div 3600 - 1"), expr("p_sec div 3600"))))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_sec") >= col("p_sec") - 3600 && col("c_sec") < col("p_sec"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        min("c_sec").as("first_click_sec"),
+        max("c_sec").as("last_click_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** Per-user event profile (stateful-agg batch analog). */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -54,4 +54,27 @@ class AnalyticSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(df.count() == users)
   }
+
+  test("range join matches the naive per-pair computation and avoids BNLJ") {
+    import org.apache.spark.sql.functions._
+    val df = queries.Analytic.rangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    // naive reference computed driver-side on the small test sf
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("sec")).collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+    val want = ev.filter(_.getString(2) == "purchase").flatMap { p =>
+      val inWin = clicks.getOrElse(p.getLong(0), Array.empty[(Long, Long)])
+        .map(_._2).filter(c => c >= p.getLong(3) - 3600 && c < p.getLong(3))
+      if (inWin.isEmpty) None
+      else Some((p.getLong(1), (inWin.length.toLong, inWin.min, inWin.max)))
+    }.toMap
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"diff=${(want.toSet diff got.toSet).take(3)}")
+  }
 }

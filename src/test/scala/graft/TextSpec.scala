@@ -34,6 +34,37 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules compute consistent ratios and exercise both keep branches") {
+    val rows = operators.TextAnalysis.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words"); val nd = r.getAs[Long]("n_distinct_words")
+      assert(nd <= nw && nd > 0)
+      val mwl = r.getAs[Double]("mean_word_len")
+      assert(mwl > 0 && mwl < 50)
+      val fd = r.getAs[Double]("frac_distinct")
+      assert(math.abs(fd - nd.toDouble / nw) < 1e-12)
+    }
+    val keeps = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(keeps == Set(true, false), s"filter is vacuous: $keeps")
+  }
+
+  test("stratified sample is deterministic and rarer languages keep a higher rate") {
+    val a = operators.TextAnalysis.stratifiedSample(spark, sf).collect()
+    val b = operators.TextAnalysis.stratifiedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // reproducible
+    val byLang = a.groupBy(_.getAs[String]("lang"))
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at ~5%, others at ~20%: compare realized rates
+    val enRate = byLang.get("en").map(_.length.toDouble).getOrElse(0.0) / total("en")
+    val otherSampled = a.count(_.getAs[String]("lang") != "en").toDouble
+    val otherTotal = total.filterNot(_._1 == "en").values.sum.toDouble
+    assert(enRate < otherSampled / otherTotal,
+      s"en rate $enRate should be below non-en rate ${otherSampled / otherTotal}")
+  }
+
   test("fingerprint is deterministic and within the modulus") {
     val a = operators.TextAnalysis.fingerprint(spark, sf).collect()
     val b = operators.TextAnalysis.fingerprint(spark, sf).collect()
