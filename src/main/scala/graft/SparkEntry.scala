@@ -54,12 +54,14 @@ object SparkEntry {
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
     "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
+    "sink_bucketed_join"     -> SourcesSinks.bucketedJoin _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     // §2.5 window / analytic
     "win_rank_topn"    -> Analytic.rankTopN _,
     "win_running_sum"  -> Analytic.runningSum _,
     "win_sessionize"   -> Analytic.sessionize _,
     "win_lag_ntile"    -> Analytic.lagNtile _,
+    "win_range_frame"  -> Analytic.rangeFrame _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -76,6 +78,7 @@ object SparkEntry {
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
+    "ann_filtered_topk"   -> Similarity.filteredTopK _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -86,10 +89,12 @@ object SparkEntry {
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     // §2.10 multimodal
-    "mm_binary_meta" -> Multimodal.binaryMeta _,
+    "mm_binary_meta"  -> Multimodal.binaryMeta _,
+    "mm_frame_sample" -> Multimodal.frameSample _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
+    "sql_grouping_sets"      -> SqlSurface.groupingSets _,
     "sql_setops"             -> SqlSurface.setOps _,
     "sql_pivot"              -> SqlSurface.pivotRevenue _,
     "ev_json_props"          -> SqlSurface.jsonProps _,
@@ -378,6 +383,11 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sink_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "sink_encoded_v2" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
@@ -425,6 +435,16 @@ object SparkEntry {
         |  ntile(4) OVER w AS quartile
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(day AS BIGINT) AS day,
+        |  CAST(day_rev AS DOUBLE) AS day_rev,
+        |  CAST(sum(day_rev) OVER (PARTITION BY l_suppkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM daily ORDER BY l_suppkey, day""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
         |v AS (SELECT user_id, min(ts_sec) AS first_sec FROM ev WHERE event_type = 'view' GROUP BY 1),
@@ -685,6 +705,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |keep AS (SELECT doc_id FROM documents WHERE lang <> 'en'),
+        |cand AS (SELECT vec_id, vd FROM vecs JOIN keep ON vec_id = doc_id),
+        |scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN cand v WHERE v.vec_id <> probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // §2.9 text analysis
     "text_langid" ->
@@ -811,6 +849,18 @@ object SparkEntry {
         |  1 + CAST(('0x'||substring(md5(text),1,4)) AS BIGINT) % 1920 AS fake_width,
         |  1 + CAST(('0x'||substring(md5(text),5,4)) AS BIGINT) % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame offsets are byte offsets; the corpus is pure ASCII so
+    // DuckDB's character substring equals Spark's binary substring.
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) >= 32),
+        |f AS (
+        |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx, text
+        |  FROM d)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // §2.11 wider SQL surface
     "sql_earliest_order" ->
@@ -823,6 +873,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

@@ -34,6 +34,26 @@ object Multimodal {
       .select("doc_id", "n_bytes", "payload_md5", "magic_hex", "fake_width", "fake_height")
       .orderBy("doc_id")
 
+  /** Frame sampling over a binary "video" column: the payload is
+    * treated as fixed 32-byte frames and every 4th frame is sampled
+    * and fingerprinted. The explode(sequence(...)) fan-out is exactly
+    * how a real frame sampler turns one media row into per-frame
+    * rows — the per-frame decode here is a digest stub (no codecs in
+    * this environment), but the row-multiplying shape, the byte
+    * offsets, and the downstream schema are the real thing. Sampling
+    * happens before any decode, which is the 100 TB-correct order:
+    * never decode frames you won't keep. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames", expr("octet_length(payload) div 32").cast("bigint"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 4)")).as("frame_idx"))
+      .withColumn("frame_md5", md5(expr("substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)")))
+      .select("doc_id", "n_frames", "frame_idx", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+
   /** typed row for the partition-parallel decode path. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 

@@ -52,6 +52,28 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Filtered vector search: relational predicate first, ANN second —
+    * the retrieval shape every RAG/curation pipeline needs ("nearest
+    * neighbors among documents WHERE ..."). The document filter runs
+    * as a plain pushed-down scan, joins the embedding table on the
+    * shared id (vec_id = doc_id in this corpus), and only the
+    * surviving vectors are scored — at 100 TB the filter prunes the
+    * candidate set before any distance math, and the bounded-heap
+    * TopKPerKey keeps the per-probe cost at O(n·log k). */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val keep = documents(spark, dir)
+      .filter(col("lang") =!= "en")
+      .select(col("doc_id"))
+    val scored = vecs(spark, dir)
+      .join(keep, col("vec_id") === col("doc_id"))
+      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Vectors.cosine(col("pv"), col("vd")).as("cosine"))
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cosine" -> false, "vec_id" -> true), K)
+      .orderBy("probe_id", "rank")
+  }
+
   /** (cell, centroid array<double>) — deterministic means over the
     * vec_id-mod sample, assembled per-dimension then re-packed to an
     * array so graft_dot can consume it.

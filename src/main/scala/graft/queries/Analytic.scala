@@ -191,6 +191,27 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** RANGE-frame window: per-supplier trailing-30-day revenue. Unlike
+    * the ROWS frames elsewhere, the frame is defined on the ORDER BY
+    * *value* (epoch day), so gaps in the calendar are handled
+    * correctly — a supplier with no shipments for a week still gets a
+    * true 30-day trailing sum. Revenue accumulates as exact DECIMAL
+    * inside the frame (order-free) and lands on DOUBLE only at the
+    * boundary. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(spark, dir)
+      .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01")).cast("bigint"))
+      .groupBy("l_suppkey", "day")
+      .agg(sum(col("l_extendedprice").cast(D)).as("day_rev"))
+    val w = Window.partitionBy("l_suppkey").orderBy("day").rangeBetween(-29, 0)
+    daily
+      .withColumn("trailing_30d", sum(col("day_rev")).over(w))
+      .select(col("l_suppkey"), col("day"),
+        col("day_rev").cast("double").as("day_rev"),
+        col("trailing_30d").cast("double").as("trailing_30d"))
+      .orderBy("l_suppkey", "day")
+  }
+
   /** Per-user event profile (stateful-agg batch analog). */
   def userStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -101,6 +101,38 @@ object SourcesSinks {
   private[graft] def encodedSinkPath(spark: SparkSession, dir: String): String =
     tmp(spark, dir, "lineitem_v2")
 
+  /** Bucketed tables + shuffle-free co-located join. Both sides are
+    * written bucketed (and per-bucket sorted) on the join key into
+    * the session catalog; the join then runs as a sort-merge join
+    * whose inputs need NO exchange and NO sort — each task zips
+    * bucket i with bucket i. At 100 TB this converts the dominant
+    * fact⋈dim-fact shuffle (TBs over the network, repeated every
+    * query) into a one-off layout decision at write time, exactly the
+    * trade the reference makes with its clustered-on-disk layouts.
+    * The only exchanges left in the plan are the tiny post-join agg
+    * and the final sort — SourcesSpec counts them. Runs in a child
+    * session with broadcast disabled so the demo can't degrade into
+    * a broadcast join silently. */
+  def bucketedJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + math.abs(dir.hashCode)
+    val custT = s"graft_cust_b_$tag"
+    val ordT = s"graft_ord_b_$tag"
+    customer(s, dir).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", tmp(s, dir, "cust_bucketed")).saveAsTable(custT)
+    orders(s, dir).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", tmp(s, dir, "ord_bucketed")).saveAsTable(ordT)
+    s.table(ordT).join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Per-column NDV vs row count — the dict-encodability decision
     * input. One scan, one agg (no per-column passes). */
   def dictCardinalityStats(spark: SparkSession, dir: String): DataFrame = {

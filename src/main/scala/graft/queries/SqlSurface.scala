@@ -42,6 +42,27 @@ object SqlSurface {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS with grouping() markers — the generalized form of
+    * rollup/cube: per-returnflag totals, per-linestatus totals, and
+    * the grand total in ONE pass (a single Expand + hash agg, not
+    * three scans of the fact table). The grouping() bits disambiguate
+    * a NULL group key from a subtotal row — the contract every BI
+    * layer on top of a 100 TB store depends on. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_gs_${math.abs(dir.hashCode)}"
+    lineitem(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_status,
+         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** Set operations: customers buying in both 1996 and 1997
     * (INTERSECT) vs only in 1996 (EXCEPT), tagged and unioned. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -55,6 +55,19 @@ class AnalyticSpec extends SparkSpec {
     assert(df.count() == users)
   }
 
+  test("range frame: trailing 30d sum >= day revenue and respects the value window") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.rangeFrame(spark, sf)
+      .filter(col("l_suppkey") === 7).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dayRev, trailing) =>
+      assert(trailing >= dayRev - 1e-9)
+      val expected = rows.filter(x => x._1 >= day - 29 && x._1 <= day).map(_._2).sum
+      assert(math.abs(trailing - expected) < 1e-6, s"day $day: $trailing vs $expected")
+    }
+  }
+
   test("range join matches the naive per-pair computation and avoids BNLJ") {
     import org.apache.spark.sql.functions._
     val df = queries.Analytic.rangeJoin(spark, sf)

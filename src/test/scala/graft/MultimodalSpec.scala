@@ -13,6 +13,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sample: every 4th frame, md5 matches a direct slice") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 4 == 0)
+      assert(r.getAs[Long]("frame_idx") < r.getAs[Long]("n_frames"))
+    }
+    // cross-check one document's frame digests driver-side
+    val docId = rows.head.getAs[Long]("doc_id")
+    val text = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") === docId).collect()(0).getAs[String]("text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.filter(_.getAs[Long]("doc_id") == docId).foreach { r =>
+      val off = r.getAs[Long]("frame_idx").toInt * 32
+      val slice = text.getBytes("UTF-8").slice(off, off + 32)
+      val hex = md.digest(slice).map("%02x".format(_)).mkString
+      md.reset()
+      assert(r.getAs[String]("frame_md5") == hex)
+    }
+  }
+
   test("partition-parallel decode stub: one decoded row per document, deterministic") {
     val a = operators.Multimodal.decodeBatch(spark, sf).collect().sortBy(_.doc_id)
     val b = operators.Multimodal.decodeBatch(spark, sf).collect().sortBy(_.doc_id)

@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, f"ivf recall@10 $recall%.2f below floor 0.15")
   }
 
+  test("filtered topk only returns non-en documents and k per probe") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Similarity.filteredTopK(spark, sf).collect()
+    val nonEn = graft.sources.Tables.documents(spark, sf)
+      .filter(col("lang") =!= "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => nonEn.contains(r.getAs[Long]("vec_id"))))
+    val perProbe = rows.groupBy(_.getAs[Long]("probe_id")).values.map(_.length).toSet
+    assert(perProbe == Set(10))
+  }
+
   test("graft_dot matches a manual dot product") {
     import spark.implicits._
     graft.sources.Tables.events(spark, sf) // registers graft_dot

@@ -52,6 +52,27 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("bucketed join: no exchange or sort on the join inputs, result matches plain join") {
+    import org.apache.spark.sql.functions._
+    val df = queries.SourcesSinks.bucketedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // bucketed scans: the only exchanges are the post-join agg and the
+    // final sort; an un-bucketed SMJ would add two more + two sorts
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges <= 2, s"expected <=2 exchanges, got $nExchanges:\n${plan.take(3000)}")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      "join inputs are not bucketed scans")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
   test("dict cardinality stats: low-NDV flags encodable, high-NDV key is not at scale") {
     val rows = queries.SourcesSinks.dictCardinalityStats(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") ->

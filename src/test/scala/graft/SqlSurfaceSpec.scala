@@ -21,6 +21,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(flagSubs.map(_.getAs[Long]("n_rows")).sum == liCount)
   }
 
+  test("grouping sets: per-flag, per-status, and grand-total rows with correct markers") {
+    val rows = queries.SqlSurface.groupingSets(spark, sf).collect()
+    val byMarker = rows.groupBy(r => (r.getAs[Long]("g_flag"), r.getAs[Long]("g_status")))
+    // (0,1): per-returnflag rows; (1,0): per-linestatus; (1,1): grand total
+    assert(byMarker((0L, 1L)).length == 3)
+    assert(byMarker((1L, 0L)).length == 2)
+    assert(byMarker((1L, 1L)).length == 1)
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(byMarker((1L, 1L)).head.getAs[Long]("n_rows") == total)
+    assert(byMarker((0L, 1L)).map(_.getAs[Long]("n_rows")).sum == total)
+  }
+
   test("set ops partition 1996 buyers into both/only segments") {
     val rows = queries.SqlSurface.setOps(spark, sf).collect()
     val seg = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
