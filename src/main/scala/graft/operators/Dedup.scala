@@ -206,12 +206,17 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    // norm cached per vector (not per candidate pair) — same IEEE
+    // value, 3× less kernel work in the verify join
     val vecs = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
     cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb")), "vec_b")
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+        col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        Vectors.cosine(col("va"), col("vb")).as("cosine"))
+        Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }

@@ -29,12 +29,16 @@ object Similarity {
   val NumCells = 16
   val NProbe = 4
 
+  /** corpus vectors with a cached L2 norm — self-dots are computed
+    * once per vector here, never per candidate pair. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Vectors.asDouble(embeddings(spark, dir)).select("vec_id", "vd")
+    Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("vnrm"))
 
   private def probes(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("vd").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+        col("vnrm").as("pnrm"))
 
   /** Exact top-k cosine neighbors for the 5 probe vectors. The
     * per-probe top-k runs on the native TopKPerKey operator
@@ -46,7 +50,7 @@ object Similarity {
     val scored = vecs(spark, dir)
       .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        Vectors.cosine(col("pv"), col("vd")).as("cosine"))
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
     graft.plans.TopK.perKey(scored, Seq("probe_id"),
         Seq("cosine" -> false, "vec_id" -> true), K)
       .orderBy("probe_id", "rank")
@@ -68,7 +72,7 @@ object Similarity {
       .join(keep, col("vec_id") === col("doc_id"))
       .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        Vectors.cosine(col("pv"), col("vd")).as("cosine"))
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
     graft.plans.TopK.perKey(scored, Seq("probe_id"),
         Seq("cosine" -> false, "vec_id" -> true), K)
       .orderBy("probe_id", "rank")
@@ -95,6 +99,7 @@ object Similarity {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("packed"))
       .select(col("cell"), expr("transform(packed, s -> s.cx)").as("cv"))
+      .withColumn("cnrm", Vectors.norm(col("cv")))
   }
 
   /** IVF search: assign every vector to its nearest centroid, then
@@ -105,25 +110,25 @@ object Similarity {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("cell"))
     val assigned = vecs(spark, dir).join(broadcast(cents))
-      .select(col("vec_id"), col("vd"), col("cell"),
-        Vectors.cosine(col("vd"), col("cv")).as("sim"))
+      .select(col("vec_id"), col("vd"), col("vnrm"), col("cell"),
+        Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")).as("sim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vd"), col("cell"))
+      .select(col("vec_id"), col("vd"), col("vnrm"), col("cell"))
     // probe → its NProbe nearest cells
     val wProbe = Window.partitionBy("probe_id")
       .orderBy(col("psim").desc, col("cell"))
     val probeCells = probes(spark, dir).join(broadcast(cents))
-      .select(col("probe_id"), col("pv"), col("cell"),
-        Vectors.cosine(col("pv"), col("cv")).as("psim"))
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"),
+        Vectors.cosinePre(col("pv"), col("cv"), col("pnrm"), col("cnrm")).as("psim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= NProbe)
-      .select(col("probe_id"), col("pv"), col("cell"))
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"))
     // search only vectors in probed cells; native bounded-heap top-k
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cell"),
-        Vectors.cosine(col("pv"), col("vd")).as("cosine"))
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
     graft.plans.TopK.perKey(scored, Seq("probe_id"),
         Seq("cosine" -> false, "vec_id" -> true), K)
       .orderBy("probe_id", "rank")

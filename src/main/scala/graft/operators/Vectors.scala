@@ -40,6 +40,17 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** L2 norm — the sqrt(self-dot) subterm of cosine. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from precomputed norms: bit-identical to cosine() (the
+    * norm subexpressions are the same values, the division tree is
+    * the same shape) but the self-dots are computed once per ROW
+    * instead of once per PAIR — the standard ANN norm cache, cutting
+    * the pair-path kernel work 3×. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** embedding cast to array<double> (floats widen exactly). */
   def asDouble(df: DataFrame): DataFrame =
     df.withColumn("vd", transform(col("embedding"), x => x.cast("double")))
