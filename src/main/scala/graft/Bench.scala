@@ -5,12 +5,14 @@ import scala.util.control.NonFatal
 /** Benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR at local[cpus] and prints ONE JSON line.
   *
-  * Methodology: each query runs twice and the second run is reported
-  * — the first run pays one-off JVM/whole-stage-codegen compilation
-  * and broadcast warmup, which a long-lived cluster amortizes to
-  * zero; steady-state is the number comparable to a native engine's
-  * throughput. Both timings are emitted (queries = steady,
-  * cold_queries = first run) so either view is available.
+  * Methodology: each query runs three times; the reported steady
+  * number is the MIN of the two post-warmup runs. The first run pays
+  * one-off JVM/whole-stage-codegen compilation and broadcast warmup,
+  * which a long-lived cluster amortizes to zero — and background JIT
+  * compilation can still stall a single post-warmup run by seconds
+  * (observed: a normally-0.7 s query reading 10 s once), so one
+  * sample is not a stable steady-state estimator. Both timings are
+  * emitted (queries = steady, cold_queries = first run).
   *
   * Each run drives the plan through a noop sink
   * (`format("noop")`), which materializes EVERY output column —
@@ -38,7 +40,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
-      val warm = if (cold < 0) -1.0 else once(fn)
+      val warm = if (cold < 0) -1.0 else {
+        val a = once(fn); val b = once(fn)
+        if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      }
       (name, warm, cold)
     }
     def js(xs: Seq[(String, Double)]): String =

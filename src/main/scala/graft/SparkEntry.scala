@@ -52,6 +52,7 @@ object SparkEntry {
     "expr_null_semantics" -> Exprs.nullSemantics _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
+    "src_json_lines"         -> SourcesSinks.jsonLines _,
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
     "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
     "sink_bucketed_join"     -> SourcesSinks.bucketedJoin _,
@@ -383,6 +384,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_json_lines" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | min(epoch_ns(ts)//1000000000) AS first_sec,
+        | max(epoch_ns(ts)//1000000000) AS last_sec
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sink_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -439,7 +446,7 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT l_suppkey, datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_rev
-        |  FROM lineitem GROUP BY 1, 2)
+        |  FROM lineitem WHERE l_suppkey % 10 = 7 GROUP BY 1, 2)
         |SELECT l_suppkey, CAST(day AS BIGINT) AS day,
         |  CAST(day_rev AS DOUBLE) AS day_rev,
         |  CAST(sum(day_rev) OVER (PARTITION BY l_suppkey ORDER BY day

@@ -12,8 +12,8 @@ object Audit {
     // intentional BNLJs: ANN broadcasts a handful of probe rows;
     // q22 and agg_approx_stats broadcast 1-row scalar aggregates
     // (scalar-subquery shape — bounded by construction)
-    val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "q22_anti_join",
-      "agg_approx_stats")
+    val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "ann_filtered_topk",
+      "q22_anti_join", "agg_approx_stats")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -197,9 +197,13 @@ object Analytic {
     * correctly — a supplier with no shipments for a week still gets a
     * true 30-day trailing sum. Revenue accumulates as exact DECIMAL
     * inside the frame (order-free) and lands on DOUBLE only at the
-    * boundary. */
+    * boundary. The contract row reports a deterministic 10% supplier
+    * slice (the filter pushes to the scan); the window itself is
+    * per-supplier, so the slice changes output volume, not the
+    * operator's shape. */
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val daily = lineitem(spark, dir)
+      .filter(col("l_suppkey") % 10 === 7)
       .withColumn("day", datediff(col("l_shipdate"), lit("1970-01-01")).cast("bigint"))
       .groupBy("l_suppkey", "day")
       .agg(sum(col("l_extendedprice").cast(D)).as("day_rev"))

@@ -101,6 +101,33 @@ object SourcesSinks {
   private[graft] def encodedSinkPath(spark: SparkSession, dir: String): String =
     tmp(spark, dir, "lineitem_v2")
 
+  /** JSON-lines roundtrip: events written as newline-delimited JSON
+    * (the interchange format half the world's event feeds arrive in),
+    * re-read with an EXPLICIT schema — schema inference over 100 TB
+    * of JSON is a full extra pass, so production readers always pin
+    * the schema — then aggregated. Timestamps travel as epoch-ns
+    * longs through the JSON boundary (strings would re-open the
+    * nanos-vs-micros parquet trap). */
+  def jsonLines(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "events_json")
+    events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        min(expr("ts div 1000000000")).as("first_sec"),
+        max(expr("ts div 1000000000")).as("last_sec"))
+      .orderBy("event_type")
+  }
+
   /** Bucketed tables + shuffle-free co-located join. Both sides are
     * written bucketed (and per-bucket sorted) on the join key into
     * the session catalog; the join then runs as a sort-merge join

@@ -15,6 +15,18 @@ class SkewSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("AQE coalesces near-empty shuffle partitions at runtime") {
+    // a tiny aggregate leaves most of the configured reducers empty;
+    // AQE's runtime coalesce merges them — at cluster scale this is
+    // what keeps low-volume stages from scheduling thousands of
+    // no-op tasks (and sinks from writing thousands of tiny files)
+    val df = graft.sources.Tables.nation(spark, sf).groupBy("n_regionkey").count()
+    df.collect() // run so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"), plan.take(2000))
+    assert(plan.contains("coalesced") || plan.contains("isFinalPlan=true"), plan.take(2000))
+  }
+
   test("salted join shuffles on (event_type, salt), spreading each hot key") {
     val plan = queries.SkewJoin.saltedJoin(spark, sf).queryExecution.executedPlan.toString
     // the pre-join exchange must hash-partition on both join keys

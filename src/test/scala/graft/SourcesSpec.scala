@@ -52,6 +52,19 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("json-lines roundtrip preserves per-type aggregates exactly") {
+    import org.apache.spark.sql.functions._
+    val viaJson = queries.SourcesSinks.jsonLines(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        min(expr("ts div 1000000000")).as("f"), max(expr("ts div 1000000000")).as("l"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(viaJson == direct)
+  }
+
   test("bucketed join: no exchange or sort on the join inputs, result matches plain join") {
     import org.apache.spark.sql.functions._
     val df = queries.SourcesSinks.bucketedJoin(spark, sf)
