@@ -50,6 +50,7 @@ object SparkEntry {
     "expr_date_funcs"     -> Exprs.dateFuncs _,
     "expr_hash_digest"    -> Exprs.hashDigest _,
     "expr_null_semantics" -> Exprs.nullSemantics _,
+    "expr_bitwise"        -> Exprs.bitwise _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "src_json_lines"         -> SourcesSinks.jsonLines _,
@@ -369,6 +370,15 @@ object SparkEntry {
         | l_discount IS NOT DISTINCT FROM 0.0 AS is_zero_nullsafe,
         | nullif(l_tax, 0.0) IS NULL AS tax_is_zero
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // DuckDB ^ is power — xor() and <<, & are the bitwise forms
+    "expr_bitwise" ->
+      """SELECT l_returnflag,
+        | bit_and(l_orderkey) AS and_okey,
+        | bit_or(l_orderkey) AS or_okey,
+        | bit_xor(l_orderkey) AS xor_okey,
+        | CAST(sum(CAST(bit_count(l_orderkey & 255) AS BIGINT)) AS BIGINT) AS sum_pop_low,
+        | CAST(sum(CAST(l_linenumber AS BIGINT) << 2) AS BIGINT) AS sum_shl
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // §2.4 sources / sinks / encodings (oracle states the semantics
     // over the ORIGINAL parquet tables; the Spark side proves the

@@ -81,4 +81,17 @@ object Exprs {
       (col("l_discount") <=> lit(0.0)).as("is_zero_nullsafe"),
       isnull(nullif(col("l_tax"), lit(0.0))).as("tax_is_zero"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** Bitwise kernel (bit-util.h analog): shifts, masks, popcount,
+    * and the bit_and/or/xor aggregates — all codegen built-ins. */
+  def bitwise(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bit_and(l_orderkey)").as("and_okey"),
+        expr("bit_or(l_orderkey)").as("or_okey"),
+        expr("bit_xor(l_orderkey)").as("xor_okey"),
+        sum(expr("CAST(bit_count(l_orderkey & 255) AS BIGINT)")).as("sum_pop_low"),
+        sum(expr("CAST(shiftleft(l_linenumber, 2) AS BIGINT)")).as("sum_shl"))
+      .orderBy("l_returnflag")
 }

@@ -147,10 +147,15 @@ object SourcesSinks {
       "_" + math.abs(dir.hashCode)
     val custT = s"graft_cust_b_$tag"
     val ordT = s"graft_ord_b_$tag"
-    customer(s, dir).write.mode("overwrite")
+    // bucket the served projection, not every column — the layout
+    // exists for this join, and the narrower write is itself the
+    // point of column-oriented sinks
+    customer(s, dir).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", tmp(s, dir, "cust_bucketed")).saveAsTable(custT)
-    orders(s, dir).write.mode("overwrite")
+    orders(s, dir).select("o_custkey", "o_totalprice")
+      .write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", tmp(s, dir, "ord_bucketed")).saveAsTable(ordT)
     s.table(ordT).join(s.table(custT), col("o_custkey") === col("c_custkey"))

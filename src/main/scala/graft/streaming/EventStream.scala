@@ -51,6 +51,32 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("segment"),
         col("event_type"), col("value"))
 
+  /** Stream-stream interval join: purchases joined to the same
+    * user's clicks in the preceding hour, BOTH sides unbounded
+    * streams — the streaming twin of Analytic.rangeJoin. The
+    * watermarks plus the two-sided time constraint are what make
+    * this feasible at scale: they bound how long each side's rows
+    * stay in the join state store (a click older than the watermark
+    * + 1h can never match a future purchase and is evicted), so
+    * state stays proportional to the time horizon, not the stream
+    * length. */
+  def streamAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_sec"))
+  }
+
   /** Tumbling 1-hour windowed counts with a 2h watermark — the
     * streaming twin of Analytic.tumblingWindow. */
   def hourly(events: DataFrame): DataFrame =

@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    val events = loadEvents()
+    val clicksIn = MemoryStream[Ev](spark)
+    val purchasesIn = MemoryStream[Ev](spark)
+    val q = EventStream.streamAttribution(clicksIn.toDF(), purchasesIn.toDF())
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      clicksIn.addData(events.filter(_.event_type == "click"))
+      purchasesIn.addData(events.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .groupBy("purchase_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = queries.Analytic.rangeJoin(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
