@@ -88,11 +88,13 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
+    "text_contamination" -> TextAnalysis.contamination _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     // §2.10 multimodal
-    "mm_binary_meta"  -> Multimodal.binaryMeta _,
-    "mm_frame_sample" -> Multimodal.frameSample _,
+    "mm_binary_meta"     -> Multimodal.binaryMeta _,
+    "mm_frame_sample"    -> Multimodal.frameSample _,
+    "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
@@ -826,6 +828,19 @@ object SparkEntry {
         |   AND stop_hits >= 1
         |   AND (CAST(n_distinct_words AS DOUBLE) / n_words) >= 0.2) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), tri AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(words) >= 3 THEN
+        |    list_transform(generate_series(1, len(words)-2), i -> words[i]||' '||words[i+1]||' '||words[i+2])
+        |    ELSE [] END) AS trigram FROM docs
+        |), block AS (
+        |  SELECT trigram FROM (SELECT trigram, count(*) AS n FROM tri GROUP BY trigram)
+        |  ORDER BY n DESC, trigram LIMIT 5)
+        |SELECT doc_id, count(*) AS n_hits, count(DISTINCT t.trigram) AS n_distinct_hits
+        |FROM tri t JOIN block b ON t.trigram = b.trigram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
@@ -866,6 +881,21 @@ object SparkEntry {
         |  1 + CAST(('0x'||substring(md5(text),1,4)) AS BIGINT) % 1920 AS fake_width,
         |  1 + CAST(('0x'||substring(md5(text),5,4)) AS BIGINT) % 1080 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |d AS (
+        |  SELECT doc_id, h,
+        |    1 + CAST(('0x'||substring(h, 1, 4)) AS BIGINT) % 1920 AS fake_width,
+        |    1 + CAST(('0x'||substring(h, 5, 4)) AS BIGINT) % 1080 AS fake_height
+        |  FROM m)
+        |SELECT doc_id, fake_width, fake_height,
+        |  greatest(1, fake_width * 224 // greatest(fake_width, fake_height)) AS out_w,
+        |  greatest(1, fake_height * 224 // greatest(fake_width, fake_height)) AS out_h,
+        |  CAST(('0x'||substring(h,  9, 4)) AS BIGINT) / 65535.0 AS f0,
+        |  CAST(('0x'||substring(h, 13, 4)) AS BIGINT) / 65535.0 AS f1,
+        |  CAST(('0x'||substring(h, 17, 4)) AS BIGINT) / 65535.0 AS f2,
+        |  CAST(('0x'||substring(h, 21, 4)) AS BIGINT) / 65535.0 AS f3
+        |FROM d ORDER BY doc_id""".stripMargin,
     // frame offsets are byte offsets; the corpus is pure ASCII so
     // DuckDB's character substring equals Spark's binary substring.
     "mm_frame_sample" ->

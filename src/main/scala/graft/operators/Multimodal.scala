@@ -54,6 +54,35 @@ object Multimodal {
       .select("doc_id", "n_frames", "frame_idx", "frame_md5")
       .orderBy("doc_id", "frame_idx")
 
+  /** Feature-extract + resize planning over the binary column. The
+    * per-payload feature vector is a codec stand-in (md5-derived
+    * floats in [0,1] — deterministic, oracle-checkable, emitted as
+    * scalar columns); the resize arithmetic is real: fit the
+    * stub-decoded dimensions into 224×224 preserving aspect ratio
+    * with integer math (no doubles — cross-engine exact and what a
+    * batch image pipeline computes BEFORE decoding, so the decoder
+    * can target the output size directly). */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("payload_md5", md5(col("payload")))
+      .withColumn("fake_width",
+        expr("1 + CAST(conv(substring(payload_md5, 1, 4), 16, 10) AS BIGINT) % 1920"))
+      .withColumn("fake_height",
+        expr("1 + CAST(conv(substring(payload_md5, 5, 4), 16, 10) AS BIGINT) % 1080"))
+      // clamp the short side to >= 1: an extreme aspect ratio (say
+      // 1900x5) floors to 0 otherwise, and no resizer emits 0-px dims
+      .withColumn("out_w",
+        expr("greatest(CAST(1 AS BIGINT), fake_width * 224 div greatest(fake_width, fake_height))"))
+      .withColumn("out_h",
+        expr("greatest(CAST(1 AS BIGINT), fake_height * 224 div greatest(fake_width, fake_height))"))
+      .withColumn("f0", expr("CAST(conv(substring(payload_md5,  9, 4), 16, 10) AS DOUBLE) / 65535.0"))
+      .withColumn("f1", expr("CAST(conv(substring(payload_md5, 13, 4), 16, 10) AS DOUBLE) / 65535.0"))
+      .withColumn("f2", expr("CAST(conv(substring(payload_md5, 17, 4), 16, 10) AS DOUBLE) / 65535.0"))
+      .withColumn("f3", expr("CAST(conv(substring(payload_md5, 21, 4), 16, 10) AS DOUBLE) / 65535.0"))
+      .select("doc_id", "fake_width", "fake_height", "out_w", "out_h", "f0", "f1", "f2", "f3")
+      .orderBy("doc_id")
+
   /** typed row for the partition-parallel decode path. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 

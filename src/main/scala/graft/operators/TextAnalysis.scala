@@ -153,6 +153,33 @@ object TextAnalysis {
       .select("doc_id", "lang", "bucket", "rate")
       .orderBy("doc_id")
 
+  /** Benchmark-contamination check: which documents contain any
+    * trigram from a blocklist. The blocklist here is derived from the
+    * corpus itself (top-5 trigrams — deterministic, so the oracle
+    * replays it); in production it is the benchmark suite's n-grams.
+    * Shape: explode doc trigrams once, broadcast-join the (small)
+    * blocklist, count hits per doc — the decontamination semi-join
+    * every training-data pipeline runs before a release. A blocklist
+    * too big to broadcast becomes the same plan minus the hint. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tri = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+    val block = tri.groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram")).limit(5)
+      .select("trigram")
+    tri.join(broadcast(block), "trigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("trigram")).as("n_distinct_hits"))
+      .orderBy("doc_id")
+  }
+
   /** polynomial rolling-hash fingerprint of the normalized text
     * (acc·31 + codepoint mod 1e9+7 — the per-doc linear fold the
     * reference's scan hashes rows with, hash-util.h analog). */

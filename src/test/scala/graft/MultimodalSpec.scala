@@ -35,6 +35,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("feature extract: resize fits 224 box preserving aspect, features in [0,1]") {
+    val rows = operators.Multimodal.featureExtract(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("fake_width"), r.getAs[Long]("fake_height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(ow <= 224 && oh <= 224 && ow >= 1 && oh >= 1)
+      // the long side always lands exactly on 224; the short side is
+      // floor-scaled (clamped to 1)
+      assert(math.max(ow, oh) == 224)
+      val short = math.min(w, h) * 224 / math.max(w, h)
+      assert(math.min(ow, oh) == math.max(1L, short))
+      Seq("f0", "f1", "f2", "f3").foreach { f =>
+        val v = r.getAs[Double](f); assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+  }
+
   test("partition-parallel decode stub: one decoded row per document, deterministic") {
     val a = operators.Multimodal.decodeBatch(spark, sf).collect().sortBy(_.doc_id)
     val b = operators.Multimodal.decodeBatch(spark, sf).collect().sortBy(_.doc_id)

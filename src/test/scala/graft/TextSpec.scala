@@ -49,6 +49,22 @@ class TextSpec extends SparkSpec {
     assert(keeps == Set(true, false), s"filter is vacuous: $keeps")
   }
 
+  test("contamination: flagged docs actually contain a blocklisted trigram") {
+    import org.apache.spark.sql.functions._
+    val flagged = operators.TextAnalysis.contamination(spark, sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= r.getAs[Long]("n_distinct_hits"))
+      assert(r.getAs[Long]("n_distinct_hits") >= 1)
+    }
+    // the most frequent trigram must flag at least one document
+    val top = operators.TextAnalysis.ngramFreq(spark, sf).collect().head.getString(0)
+    val docsWithTop = graft.sources.Tables.documents(spark, sf)
+      .filter(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))").contains(top))
+      .count()
+    assert(docsWithTop > 0 && flagged.length.toLong >= docsWithTop.min(flagged.length.toLong))
+  }
+
   test("stratified sample is deterministic and rarer languages keep a higher rate") {
     val a = operators.TextAnalysis.stratifiedSample(spark, sf).collect()
     val b = operators.TextAnalysis.stratifiedSample(spark, sf).collect()
