@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
     "dedup_simhash"          -> Dedup.simhash _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
+    "dedup_components"       -> Dedup.components _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
@@ -626,6 +627,41 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // transitive closure via recursive reachability; component id =
+    // min reachable doc id, identical to min-label propagation fixpoint
+    "dedup_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+        |)
+        |SELECT doc_id, component_id,
+        |  count(*) OVER (PARTITION BY component_id) AS component_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->

@@ -190,6 +190,52 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** Connected components over the near-dup pair graph. Pairs are
+    * only half the dedup story: a release keeps ONE document per
+    * duplicate GROUP, and groups are the transitive closure of pairs
+    * (a~b, b~c ⇒ {a,b,c} even when a and c never collide directly).
+    *
+    * Iterative min-label propagation: every node adopts the smallest
+    * label among itself and its neighbors, repeated to fixpoint.
+    * Iterations are bounded by cluster diameter — near-dup clusters
+    * are shallow, so a handful of rounds converge — and each round is
+    * one distributed join + hash agg over the pair graph (tiny
+    * relative to the corpus). The driver loop only reads the
+    * convergence counter; rows never leave the executors.
+    * localCheckpoint per round keeps the lineage flat (the iterative-
+    * algorithm analog of the postings staging above). Output: every
+    * clustered doc with its canonical (minimum) doc id and the
+    * cluster size. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val fromNeighbors = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old_label"), "node")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component_id")
+    labels
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup pairs on the embeddings table: 16 random-hyperplane
     * bits (md5-seeded, engine-reproducible) → 4-band LSH candidates →
     * exact cosine ≥ 0.4 verify. Approximate-by-design: the candidate

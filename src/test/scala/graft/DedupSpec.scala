@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
 
+  test("components: labels are transitive closures of the pair graph") {
+    val pairs = operators.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = operators.Dedup.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    // every paired doc is labeled, both ends share a component
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // driver-side union-find reference on the tiny test graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    comp.foreach { case (doc, label) => assert(label == find(doc)) }
+  }
+
   test("embedding cosine pairs are all above threshold") {
     val rows = operators.Dedup.embeddingCosine(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
