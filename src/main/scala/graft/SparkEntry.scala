@@ -51,6 +51,7 @@ object SparkEntry {
     "expr_hash_digest"    -> Exprs.hashDigest _,
     "expr_null_semantics" -> Exprs.nullSemantics _,
     "expr_bitwise"        -> Exprs.bitwise _,
+    "expr_array_ops"      -> Exprs.arrayOps _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "src_json_lines"         -> SourcesSinks.jsonLines _,
@@ -64,6 +65,7 @@ object SparkEntry {
     "win_sessionize"   -> Analytic.sessionize _,
     "win_lag_ntile"    -> Analytic.lagNtile _,
     "win_range_frame"  -> Analytic.rangeFrame _,
+    "win_first_last"   -> Analytic.firstLast _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -382,6 +384,14 @@ object SparkEntry {
         | CAST(sum(CAST(bit_count(l_orderkey & 255) AS BIGINT)) AS BIGINT) AS sum_pop_low,
         | CAST(sum(CAST(l_linenumber AS BIGINT) << 2) AS BIGINT) AS sum_shl
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "expr_array_ops" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS BIGINT) AS n_dims,
+        | CAST(embedding[1] AS DOUBLE) AS first_dim,
+        | CAST(embedding[-1] AS DOUBLE) AS last_dim,
+        | CAST(list_min(embedding) AS DOUBLE) AS min_dim,
+        | CAST(list_max(embedding) AS DOUBLE) AS max_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // §2.4 sources / sinks / encodings (oracle states the semantics
     // over the ORIGINAL parquet tables; the Spark side proves the
@@ -465,6 +475,15 @@ object SparkEntry {
         |  CAST(sum(day_rev) OVER (PARTITION BY l_suppkey ORDER BY day
         |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM daily ORDER BY l_suppkey, day""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS latest_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
         |v AS (SELECT user_id, min(ts_sec) AS first_sec FROM ev WHERE event_type = 'view' GROUP BY 1),

@@ -191,6 +191,22 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** first/last/nth_value frame surface: each order alongside its
+    * customer's first, latest, and second order price (full-partition
+    * frame). first/last need the explicit unbounded frame — the
+    * default frame ends at CURRENT ROW, where last_value degenerates
+    * to the current row's value. */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      first(col("o_totalprice")).over(wAll).as("first_price"),
+      last(col("o_totalprice")).over(wAll).as("latest_price"),
+      nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** RANGE-frame window: per-supplier trailing-30-day revenue. Unlike
     * the ROWS frames elsewhere, the frame is defined on the ORDER BY
     * *value* (epoch day), so gaps in the calendar are handled

@@ -82,6 +82,21 @@ object Exprs {
       isnull(nullif(col("l_tax"), lit(0.0))).as("tax_is_zero"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Nested-type surface: arrays as first-class scan columns —
+    * length, element access (front/back), and order-free element
+    * extremes, all reduced to scalar outputs. float→double casts
+    * happen after the exact min/max selection, so both engines pick
+    * the same element. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("bigint").as("n_dims"),
+      element_at(col("embedding"), 1).cast("double").as("first_dim"),
+      element_at(col("embedding"), -1).cast("double").as("last_dim"),
+      array_min(col("embedding")).cast("double").as("min_dim"),
+      array_max(col("embedding")).cast("double").as("max_dim"))
+      .orderBy("vec_id")
+
   /** Bitwise kernel (bit-util.h analog): shifts, masks, popcount,
     * and the bit_and/or/xor aggregates — all codegen built-ins. */
   def bitwise(spark: SparkSession, dir: String): DataFrame =
