@@ -216,7 +216,12 @@ object Dedup {
       .withColumn("label", col("node"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    // cap >> any real cluster diameter (convergence exits early; a
+    // graph that needs 64 rounds means 64-hop near-dup chains) — the
+    // cap exists so a pathological input can't loop forever, and a
+    // capped-out result would fail the oracle gate loudly rather
+    // than ship silently
+    while (!converged && iter < 64) {
       val fromNeighbors = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
       val next = labels.unionByName(fromNeighbors)

@@ -57,6 +57,19 @@ class ScanSpec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getDouble(1) > 0)
   }
 
+  test("q3 top-N plans TakeOrderedAndProject, not a global sort") {
+    val plan = queries.Tpch.q3(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("stratified sample pushes nothing to the driver and scans only needed columns") {
+    val df = operators.TextAnalysis.stratifiedSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // map-side filter over a pruned scan: no shuffle before the sort
+    assert(plan.contains("ReadSchema"), plan.take(2000))
+    assert(!plan.contains("text"), "sample should not read the text column:\n" + plan.take(2000))
+  }
+
   test("dpp query: partitioned scan carries a dynamicpruning filter") {
     val df = queries.Scans.dppPrunedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
