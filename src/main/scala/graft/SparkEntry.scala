@@ -66,6 +66,7 @@ object SparkEntry {
     "win_lag_ntile"    -> Analytic.lagNtile _,
     "win_range_frame"  -> Analytic.rangeFrame _,
     "win_first_last"   -> Analytic.firstLast _,
+    "win_percent_rank" -> Analytic.percentRank _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -102,6 +103,7 @@ object SparkEntry {
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
     "sql_grouping_sets"      -> SqlSurface.groupingSets _,
+    "sql_limit_offset"       -> SqlSurface.limitOffset _,
     "sql_setops"             -> SqlSurface.setOps _,
     "sql_pivot"              -> SqlSurface.pivotRevenue _,
     "ev_json_props"          -> SqlSurface.jsonProps _,
@@ -483,6 +485,13 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
@@ -985,6 +994,11 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status,
         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "sql_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

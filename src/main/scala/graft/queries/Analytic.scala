@@ -191,6 +191,18 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** Relative-rank surface: percent_rank and cume_dist per customer.
+    * The unique (totalprice, orderkey) order means no ties, so both
+    * are exact small-integer ratios — engine-identical doubles. */
+  def percentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** first/last/nth_value frame surface: each order alongside its
     * customer's first, latest, and second order price (full-partition
     * frame). first/last need the explicit unbounded frame — the

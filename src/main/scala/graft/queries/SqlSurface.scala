@@ -63,6 +63,21 @@ object SqlSurface {
          |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  /** LIMIT/OFFSET paging over a total order — the result-paging
+    * contract every SQL frontend leans on. Only correct with a
+    * UNIQUE total order (the o_orderkey tiebreaker): paging over a
+    * non-deterministic sort returns overlapping/missing rows across
+    * pages at any scale. */
+  def limitOffset(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"orders_lo_${math.abs(dir.hashCode)}"
+    orders(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $v
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 20 OFFSET 40""".stripMargin)
+  }
+
   /** Set operations: customers buying in both 1996 and 1997
     * (INTERSECT) vs only in 1996 (EXCEPT), tagged and unioned. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
