@@ -93,6 +93,7 @@ object SparkEntry {
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_contamination" -> TextAnalysis.contamination _,
+    "text_bm25"          -> TextAnalysis.bm25 _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     // §2.10 multimodal
@@ -892,6 +893,31 @@ object SparkEntry {
         |   AND stop_hits >= 1
         |   AND (CAST(n_distinct_words AS DOUBLE) / n_words) >= 0.2) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // log-free idf ratio: ln() differs across engines by ulps; the
+    // arithmetic tree below mirrors the Spark column expression shape
+    // exactly, and the final score fixes the term addition order.
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |words AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM t),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('spark', 'table', 'scan') GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+        |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, s0, s1, s2, s0 + s1 + s2 AS score FROM (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w = 'spark' THEN term_score ELSE 0.0 END) AS s0,
+        |    sum(CASE WHEN w = 'table' THEN term_score ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN w = 'scan'  THEN term_score ELSE 0.0 END) AS s2
+        |  FROM sc GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

@@ -153,6 +153,49 @@ object TextAnalysis {
       .select("doc_id", "lang", "bucket", "rate")
       .orderBy("doc_id")
 
+  /** BM25 retrieval scoring of the corpus against a fixed term query
+    * — the ranking half of retrieval-based curation (near-match
+    * lookup, quality-weighted sampling, RAG indexing). Classic BM25
+    * with k1=1.2, b=0.75, except the idf uses the LOG-FREE ratio
+    * (N-df+0.5)/(df+0.5): ln() implementations differ across engines
+    * by ulps, which would break the exact oracle, and for a fixed
+    * query the log is a monotone transform per term — ranking-
+    * equivalent per term and deterministic everywhere. Doc-length
+    * stats come from one corpus pass; term frequencies only for the
+    * query terms (the filter prunes before the aggregation, so the
+    * cost is O(matching postings), not O(corpus vocabulary)). The
+    * final score fixes the term addition order (t1+t2+t3 as columns,
+    * not a float sum over rows). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "table", "scan")
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = words.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("term_score")).otherwise(lit(0.0))).as(s"s$i")
+    }
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", col("s0") + col("s1") + col("s2"))
+      .select("doc_id", "s0", "s1", "s2", "score")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: which documents contain any
     * trigram from a blocklist. The blocklist here is derived from the
     * corpus itself (top-5 trigrams — deterministic, so the oracle

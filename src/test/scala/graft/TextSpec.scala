@@ -49,6 +49,20 @@ class TextSpec extends SparkSpec {
     assert(keeps == Set(true, false), s"filter is vacuous: $keeps")
   }
 
+  test("bm25: scores decompose per term and saturate with tf") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis.bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s0, s1, s2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - (s0 + s1 + s2)) == 0.0)
+      assert(s0 >= 0 && s1 >= 0 && s2 >= 0)
+    }
+    // a doc with the term scores strictly above a doc without it
+    val withSpark = rows.filter(_.getDouble(1) > 0)
+    assert(withSpark.nonEmpty, "no doc contains 'spark' — query terms don't match corpus")
+  }
+
   test("contamination: flagged docs actually contain a blocklisted trigram") {
     import org.apache.spark.sql.functions._
     val flagged = operators.TextAnalysis.contamination(spark, sf).collect()
