@@ -41,8 +41,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warm = if (cold < 0) -1.0 else {
-        val a = once(fn); val b = once(fn)
-        if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        // min of THREE post-warmup samples: on a contended host a
+        // single noisy-neighbor stall can inflate two consecutive
+        // samples (observed in a driver run: a locally-1.1 s query
+        // reported 27 s as the min of two), so two samples are not a
+        // stable steady-state estimator
+        val xs = Seq(once(fn), once(fn), once(fn))
+        if (xs.exists(_ < 0)) -1.0 else xs.min
       }
       (name, warm, cold)
     }

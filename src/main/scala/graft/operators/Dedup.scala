@@ -234,6 +234,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // a capped-out fixpoint is WRONG labels (some nodes still carry a
+    // non-minimal label); library callers outside the oracle gate must
+    // never receive them silently
+    require(converged,
+      s"components: min-label propagation did not converge within $iter rounds — " +
+        "input pair graph has a pathological (>64-hop) near-dup chain")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component_id")
     labels
       .select(col("node").as("doc_id"), col("label").as("component_id"))

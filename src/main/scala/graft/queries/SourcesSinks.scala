@@ -24,9 +24,24 @@ object SourcesSinks {
 
   /** Scratch sink path, unique per (sf dir, Spark app): two concurrent
     * sessions (e.g. tests and Verify) must not race overwrite-writes
-    * on the same directory. */
-  private[queries] def tmp(spark: SparkSession, dir: String, tag: String): String =
-    s"/tmp/graft_io/${spark.sparkContext.applicationId}/${tag}_${math.abs(dir.hashCode)}"
+    * on the same directory. The per-app root is deleted on JVM exit —
+    * without that, every Bench/Verify/test run would leave its sink
+    * data behind and /tmp/graft_io would grow without bound. */
+  private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[queries] def tmp(spark: SparkSession, dir: String, tag: String): String = {
+    val root = s"/tmp/graft_io/${spark.sparkContext.applicationId}"
+    if (cleanupRegistered.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    }
+    s"$root/${tag}_${math.abs(dir.hashCode)}"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** CSV ('|'-delimited, header) roundtrip of nation, then a join
     * back into the plan — proves the text source feeds Catalyst like

@@ -189,9 +189,11 @@ object Tpch {
   /** Q18 large-volume customers: HAVING on a grouped fact, then join
     * back. The qualifying set is an aggregate OVER THE FACT TABLE, so
     * its size grows with the data — a forced broadcast would OOM the
-    * driver at 100× scale. shuffle_hash keeps the join hash-based
-    * (no sort of the orders side) while letting AQE downgrade to a
-    * broadcast at runtime only if the set really is tiny. */
+    * driver at 100× scale. shuffle_hash PINS a shuffled hash join
+    * (no sort of the orders side, and AQE will not convert a hinted
+    * join to broadcast — TpchSpec asserts ShuffledHashJoin), which is
+    * the right fixed choice for a build side that is small relative
+    * to orders but unbounded in absolute size. */
   def q18(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     val big = li.groupBy("l_orderkey")
@@ -333,18 +335,27 @@ object Tpch {
     * "late" = shipped >60 days after order date; and expressed as one
     * aggregation instead of double EXISTS/NOT EXISTS, the scalable
     * form): orders with ≥2 suppliers where exactly one supplier
-    * shipped late, counted per that supplier. */
+    * shipped late, counted per that supplier.
+    *
+    * Shape: lineitem⋈orders is reduced ONCE to per-(order, supplier)
+    * grain; both the order-stats branch and the late-supplier branch
+    * consume that same aggregate, so ReuseExchange computes the
+    * expensive fact join a single time — and the two countDistincts
+    * this replaces become a plain count/sum (no Expand
+    * row-multiplication, which doubled every fact row in the previous
+    * formulation). */
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .join(orders(spark, dir).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("is_late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val ordStats = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_sups"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_sups"))
-    li.filter(col("is_late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("is_late"), 1L).otherwise(0L)).as("late"))
+    val ordStats = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_sups"), sum("late").as("n_late_sups"))
+    perSupp.filter(col("late") === 1L)
+      .select(col("l_orderkey"), col("l_suppkey"))
       .join(ordStats.filter(col("n_sups") >= 2 && col("n_late_sups") === 1), "l_orderkey")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
