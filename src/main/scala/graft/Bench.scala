@@ -57,7 +57,47 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"sf":"$sfDir"}""")
+
+    // ---- scale trend: headline queries across every available SF ----
+    // The 100×-scale claims rest on plan shape ("identical plan at any
+    // sf"); this measures them: time vs data across the sf0.001 →
+    // sf0.1 span (100× rows). A super-linear curve would expose a
+    // hidden driver-side or quadratic cost. min-of-2 per point (the
+    // main loop above already warmed each query's codegen).
+    val trendNames = Seq("q1_pricing_summary", "q6_forecast_revenue",
+      "q13_customer_distribution", "dedup_minhash_lsh", "ann_ivf_topk")
+    val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+    val trendSfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(n => n -> new java.io.File(parent, n))
+      .filter(_._2.isDirectory)
+    val trendJs = trendNames.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      val points = trendSfs.map { case (sfName, f) =>
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, f.getAbsolutePath).write.format("noop").mode("overwrite").save()
+          catch { case NonFatal(_) => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = run(); val b = if (a < 0) -1.0 else run()
+        (sfName, if (b < 0) -1.0 else math.min(a, b))
+      }
+      "\"" + name + "\":" + js(points)
+    }.mkString("{", ",", "}")
+
+    // ---- encoding micro-bench (fle-benchmark.cc analog) ----
+    val encJs =
+      try {
+        queries.EncodingLab.compare(spark, sfDir).map { v =>
+          val cols = v.bytesByCol.toSeq.sortBy(_._1)
+            .map { case (c, b) => "\"" + c + "_bytes\":" + b }
+          ("\"" + v.name + "\":{" + (cols ++ Seq(
+            "\"file_bytes\":" + v.fileBytes,
+            "\"scan_sec\":" + v.scanSec)).mkString(",") + "}")
+        }.mkString("{", ",", "}")
+      } catch { case NonFatal(_) => "{}" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"trend":$trendJs,"encodings":$encJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,12 +74,14 @@ object SparkEntry {
     "ev_retention"       -> Analytic.retention _,
     "ev_asof_attribution" -> Analytic.asofAttribution _,
     "ev_range_join"       -> Analytic.rangeJoin _,
+    "ev_histogram"        -> Analytic.valueHistogram _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
     "dedup_simhash"          -> Dedup.simhash _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
     "dedup_components"       -> Dedup.components _,
+    "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
@@ -96,6 +98,7 @@ object SparkEntry {
     "text_bm25"          -> TextAnalysis.bm25 _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
+    "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -539,6 +542,23 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // integer bucket math (cents via DECIMAL(18,2)) so boundaries are
+    // engine-exact; both engines floor-divide non-negative bigints
+    "ev_histogram" ->
+      """WITH ev AS (
+        |  SELECT value, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM events),
+        |b AS (SELECT min(vc) AS min_c, max(vc) AS max_c FROM ev),
+        |w AS (SELECT min_c, ((max_c - min_c) // 20) + 1 AS width FROM b),
+        |g AS (
+        |  SELECT (vc - min_c) // width AS bucket, min_c, width,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev CROSS JOIN w GROUP BY 1, 2, 3)
+        |SELECT bucket,
+        |  CAST(min_c + bucket * width AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_value,
+        |  CAST(min_c + (bucket + 1) * width AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_value,
+        |  n_events, sum_value
+        |FROM g ORDER BY bucket""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
@@ -691,6 +711,60 @@ object SparkEntry {
         |SELECT doc_id, component_id,
         |  count(*) OVER (PARTITION BY component_id) AS component_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    // components closure + quality score; keeper = best quality per
+    // component (ties by doc_id), docs outside any cluster are
+    // singleton components
+    "dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+        |), t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(norm) AS BIGINT) AS n_char,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    0.4*(CAST(n_stop AS DOUBLE)/n_words) + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/n_char)
+        |     + 0.2*least(1.0, CAST(n_words AS DOUBLE)/100.0) + 0.1*(1.0 - CAST(n_digit AS DOUBLE)/n_char) AS quality_score
+        |  FROM c),
+        |f AS (
+        |  SELECT d.doc_id, coalesce(comp.component_id, d.doc_id) AS component_id, q.quality_score
+        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id JOIN q ON q.doc_id = d.doc_id)
+        |SELECT doc_id, component_id,
+        |  count(*) OVER (PARTITION BY component_id) AS component_size,
+        |  quality_score,
+        |  (row_number() OVER (PARTITION BY component_id ORDER BY quality_score DESC, doc_id) = 1) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->
@@ -961,6 +1035,22 @@ object SparkEntry {
         |  min(quality_score) AS min_quality, max(quality_score) AS max_quality
         |FROM canon WHERE rn = 1
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "pipeline_mix_weights" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |by_lang AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY lang),
+        |tot AS (
+        |  SELECT count(*) AS n_langs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM by_lang)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_langs * n_tokens AS DOUBLE) AS mix_weight,
+        |  least(CAST(total_tokens AS DOUBLE) / CAST(n_langs * n_tokens AS DOUBLE), 4.0) AS oversample_capped
+        |FROM by_lang CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     // §2.10 multimodal (decode stub is md5-derived, so oracle-checkable)
     "mm_binary_meta" ->

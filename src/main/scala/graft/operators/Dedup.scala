@@ -224,13 +224,20 @@ object Dedup {
     while (!converged && iter < 64) {
       val fromNeighbors = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
+      // carry the previous label through the SAME min-aggregation that
+      // produces the new one (every node has exactly one old label, so
+      // min(label where is_old) recovers it) — the convergence check
+      // then needs no join back against the previous round. The eager
+      // localCheckpoint is the round's one distributed job; the change
+      // count after it is a filter-count over the already-materialized
+      // partitions, not a recompute.
+      val next = labels.withColumn("is_old", lit(true))
+        .unionByName(fromNeighbors.withColumn("is_old", lit(false)))
+        .groupBy("node").agg(min("label").as("label"),
+          min(when(col("is_old"), col("label"))).as("old_label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old_label"), "node")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
     }
@@ -244,6 +251,39 @@ object Dedup {
     labels
       .select(col("node").as("doc_id"), col("label").as("component_id"))
       .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** The release-set selection a dedup pipeline actually ships: ONE
+    * document per near-dup group, chosen by QUALITY rather than by
+    * arbitrary minimum id. Composes components() (transitive closure
+    * of near-dup pairs) with the quality score: docs outside any
+    * cluster are their own singleton component (component_id =
+    * doc_id); within a component the keeper is the highest
+    * quality_score, ties broken by smallest doc_id (a total order, so
+    * the choice is deterministic and engine-exact — the score
+    * arithmetic is the same integer-ratio formula the quality oracle
+    * already matches bitwise).
+    *
+    * Shape: the pair-graph closure runs over the (tiny) duplicate
+    * subgraph; the quality pass is one corpus scan; the final pick is
+    * a row_number window partitioned by component — at 100 TB the
+    * window partitions are near-dup groups (bounded), never the
+    * corpus. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(spark, dir).select("doc_id", "component_id")
+    val quality = TextAnalysis.quality(spark, dir).select("doc_id", "quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    documents(spark, dir).select("doc_id", "lang")
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
+      .join(quality, "doc_id")
+      .withColumn("component_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "component_id", "component_size", "quality_score", "keep")
       .orderBy("doc_id")
   }
 

@@ -53,4 +53,34 @@ object Pipeline {
         max("quality_score").as("max_quality"))
       .orderBy("lang")
   }
+
+  /** Training-mix weights: per-language token accounting → the
+    * sampling weight that rebalances the corpus to a UNIFORM language
+    * mix (the multilingual-curation step between cleaning and
+    * tokenization). mix_weight = target_share / actual_share — a
+    * language holding half the tokens gets weight 1/(n_langs·0.5),
+    * a rare one gets > 1 (upsample). `oversample_capped` applies the
+    * standard ≤4× repetition cap (diminishing returns past ~4 epochs
+    * of a subset).
+    *
+    * Shape: one corpus pass → per-lang hash agg (a handful of rows)
+    * → 1-row broadcast of the totals. Both divisions are single
+    * double ops over exact integer sums, so the oracle matches
+    * bitwise. Scales: the only shuffle is the tiny per-lang agg. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = documents(spark, dir)
+      .withColumn("n_words", size(split(expr(normTextExpr), " ")).cast("bigint"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+    val totals = byLang.agg(
+      count(lit(1)).as("n_langs"), sum("n_tokens").as("total_tokens"))
+    byLang.crossJoin(broadcast(totals))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("mix_weight",
+        col("total_tokens").cast("double") / (col("n_langs") * col("n_tokens")).cast("double"))
+      .withColumn("oversample_capped", least(col("mix_weight"), lit(4.0)))
+      .select("lang", "n_docs", "n_tokens", "token_share", "mix_weight", "oversample_capped")
+      .orderBy("lang")
+  }
 }

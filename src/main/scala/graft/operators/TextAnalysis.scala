@@ -203,7 +203,15 @@ object TextAnalysis {
     * Shape: explode doc trigrams once, broadcast-join the (small)
     * blocklist, count hits per doc — the decontamination semi-join
     * every training-data pipeline runs before a release. A blocklist
-    * too big to broadcast becomes the same plan minus the hint. */
+    * too big to broadcast becomes the same plan minus the hint.
+    *
+    * `tri` feeds BOTH the blocklist derivation and the hit join, and
+    * the limit(5) on the blocklist side breaks exchange-subtree
+    * identity, so ReuseExchange can't collapse the two shingle
+    * pipelines — stage the trigram relation once with an eager
+    * localCheckpoint (the minhash postings pattern, Dedup.scala). At
+    * 100 TB the same shape stages trigrams to a temp table, then
+    * fans out. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -213,6 +221,7 @@ object TextAnalysis {
       .withColumn("w2", lead("w", 2).over(byDoc))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+      .localCheckpoint()
     val block = tri.groupBy("trigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("trigram")).limit(5)
       .select("trigram")

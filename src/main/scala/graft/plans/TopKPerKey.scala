@@ -29,6 +29,7 @@ case class TopKPerKeyPlan(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    maxKeysPerPartition: Int,
     rankAttr: AttributeReference,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -40,8 +41,8 @@ case class TopKPerKeyPlan(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(group, order, k, rank, child) =>
-      TopKPerKeyExec(group, order, k, rank, planLater(child)) :: Nil
+    case TopKPerKeyPlan(group, order, k, maxKeys, rank, child) =>
+      TopKPerKeyExec(group, order, k, maxKeys, rank, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -50,6 +51,7 @@ case class TopKPerKeyExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    maxKeysPerPartition: Int,
     rankAttr: AttributeReference,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -63,6 +65,7 @@ case class TopKPerKeyExec(
     val group = groupExprs
     val order = orderExprs
     val limit = k
+    val maxKeys = maxKeysPerPartition
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
@@ -78,6 +81,17 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // bounded-keys contract, ENFORCED: the heap map is plain
+          // on-heap (no TaskMemoryManager accounting, no spill), so an
+          // unbounded key domain must fail fast with a clear message,
+          // not degrade into an executor OOM mid-task.
+          if (heaps.size() >= maxKeys) {
+            throw new IllegalStateException(
+              s"TopKPerKey: partition exceeded maxKeysPerPartition=$maxKeys distinct keys. " +
+                "The per-key heap map is on-heap and not spill-tracked — for unbounded " +
+                "high-cardinality keys use the row_number() window formulation (sorts but " +
+                "spills), or raise maxKeysPerPartition if the domain is genuinely bounded.")
+          }
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reverse)
           heaps.put(key.copy(), heap)
         }
@@ -119,9 +133,16 @@ object TopK {
     * Memory: O(distinct keys per partition × k) on-heap, NOT spill-
     * tracked — suited to bounded key domains (brands, probe ids,
     * shards). For unbounded high-cardinality keys prefer the
-    * row_number window formulation, which sorts but spills. */
+    * row_number window formulation, which sorts but spills. The
+    * contract is enforced: a partition that sees more than
+    * `maxKeysPerPartition` distinct keys fails the task with a clear
+    * error instead of OOMing the executor. The default (1M keys ×
+    * k rows ≈ low hundreds of MB at k≤10) leaves comfortable headroom
+    * under a normal executor heap while catching genuinely unbounded
+    * domains long before they exhaust it. */
   def perKey(df: DataFrame, keys: Seq[String],
-             order: Seq[(String, Boolean)], k: Int): DataFrame = {
+             order: Seq[(String, Boolean)], k: Int,
+             maxKeysPerPartition: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     // register the strategy once per session (public hook); synchronized
     // — extraStrategies read-modify-write is not atomic and two threads
@@ -140,6 +161,6 @@ object TopK {
     }
     val rank = AttributeReference("rank", LongType, nullable = false)()
     org.apache.spark.sql.GraftFunctions.ofRows(spark,
-      TopKPerKeyPlan(groupExprs, orderExprs, k, rank, analyzed))
+      TopKPerKeyPlan(groupExprs, orderExprs, k, maxKeysPerPartition, rank, analyzed))
   }
 }

@@ -256,4 +256,33 @@ object Analytic {
         min("ts_sec").as("first_sec"),
         max("ts_sec").as("last_sec"))
       .orderBy("user_id")
+
+  /** 20-bucket equi-width value histogram — the distribution profile
+    * behind outlier caps and bucket pruning decisions. All bucket
+    * math is INTEGER: values become exact cents through DECIMAL(18,2)
+    * (the data is 2-decimal), the width is an integer ceil-div, and
+    * the bucket index an integer div — so bucket boundaries are
+    * engine-exact (double-based width_bucket() would put boundary
+    * values in different buckets per engine's rounding). The min/max
+    * pre-pass is a 1-row broadcast; the histogram itself is one
+    * map-side-combined hash agg on ≤20 groups. Scales: two linear
+    * passes, no wide shuffle. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 20
+    val ev = events(spark, dir)
+      .withColumn("vc", (col("value").cast(D) * 100).cast("bigint"))
+    val bounds = ev.agg(min("vc").as("min_c"), max("vc").as("max_c"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("width", expr(s"((max_c - min_c) div $nb) + 1"))
+      .withColumn("bucket", expr("(vc - min_c) div width"))
+      .groupBy("bucket", "min_c", "width")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      // CAST to DOUBLE before the division: a bare `/ 100.0` would be
+      // DECIMAL division in Spark but DOUBLE division in DuckDB
+      .withColumn("lo_value", expr("CAST(min_c + bucket * width AS DOUBLE) / CAST(100 AS DOUBLE)"))
+      .withColumn("hi_value", expr("CAST(min_c + (bucket + 1) * width AS DOUBLE) / CAST(100 AS DOUBLE)"))
+      .select("bucket", "lo_value", "hi_value", "n_events", "sum_value")
+      .orderBy("bucket")
+  }
 }

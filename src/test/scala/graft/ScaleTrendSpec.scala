@@ -1,0 +1,39 @@
+package graft
+
+/** Converts the "identical plan at any sf" scale claim into measured
+  * evidence: across the 100× row span from sf0.001 to sf0.1, steady
+  * query time must grow far SLOWER than the data (fixed per-query
+  * overhead dominates at these sizes; a healthy distributed plan is
+  * at worst linear). A super-linear curve — time ratio exceeding the
+  * 100× data ratio — would expose a hidden driver-side loop or
+  * quadratic join, which is exactly the regression this guards
+  * against. The bound is generous (50× = half the data growth) so
+  * host noise cannot flake the suite while a genuinely quadratic
+  * plan (≫100×) still fails loudly. */
+class ScaleTrendSpec extends SparkSpec {
+
+  private val small = "/root/testdata/sf0.001"
+  private val large = "/root/testdata/sf0.1"
+
+  private def steady(name: String, dir: String): Double = {
+    val fn = SparkEntry.queries(name)
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm codegen/broadcast for this (query, sf)
+    math.min(run(), run())
+  }
+
+  for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary")) {
+    test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
+      assume(new java.io.File(large).isDirectory)
+      val tSmall = steady(name, small)
+      val tLarge = steady(name, large)
+      info(f"$name: sf0.001 $tSmall%.3f s -> sf0.1 $tLarge%.3f s (ratio ${tLarge / tSmall}%.1f x over 100x rows)")
+      assert(tLarge < tSmall * 50,
+        f"super-linear growth: $tSmall%.3f s -> $tLarge%.3f s over 100x data")
+    }
+  }
+}

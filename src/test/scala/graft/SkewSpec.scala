@@ -35,7 +35,7 @@ class SkewSpec extends SparkSpec {
       }.flatten
     val reads = shuffleReads(adaptive.executedPlan)
     assert(reads.nonEmpty, adaptive.executedPlan.toString.take(2000))
-    // the REAL assertion: the runtime read must coalesce the 32
+    // the REAL assertion: the runtime read must coalesce the
     // configured reducers down to fewer partitions (a plan-string
     // match on isFinalPlan=true is vacuously true for any executed
     // adaptive plan)

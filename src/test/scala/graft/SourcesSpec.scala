@@ -94,4 +94,14 @@ class SourcesSpec extends SparkSpec {
     assert(rows("l_linestatus")._1 == 2 && rows("l_linestatus")._2)
     assert(rows("l_partkey")._1 > rows("l_quantity")._1)
   }
+
+  test("dict cardinality stats plans per-column distinct branches, no Expand") {
+    // N countDistinct in one agg would plan an Expand multiplying every
+    // row ×N before the partial agg — the measured 100 TB anti-pattern
+    val plan = queries.SourcesSinks.dictCardinalityStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(3000))
+    // each branch must be a pruned single-column scan
+    assert("ReadSchema: struct<l_partkey".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
 }

@@ -40,6 +40,22 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("topk fails fast with a clear error when keys exceed the bounded-domain contract") {
+    // p_partkey is effectively unique per row — far more than 10 keys
+    // per partition. The operator must refuse loudly, not OOM.
+    val e = intercept[Exception] {
+      TopK.perKey(graft.sources.Tables.part(spark, sf),
+        Seq("p_partkey"), Seq("p_retailprice" -> false, "p_partkey" -> true),
+        k = 2, maxKeysPerPartition = 10)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("maxKeysPerPartition"), all.take(2000))
+    assert(all.contains("window formulation"), all.take(2000))
+  }
+
   test("topk works for global top-k (no keys)") {
     val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
       Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
