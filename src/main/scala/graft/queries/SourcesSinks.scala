@@ -28,7 +28,7 @@ object SourcesSinks {
     * without that, every Bench/Verify/test run would leave its sink
     * data behind and /tmp/graft_io would grow without bound. */
   private val cleanupRegistered = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private[queries] def tmp(spark: SparkSession, dir: String, tag: String): String = {
+  private[graft] def tmp(spark: SparkSession, dir: String, tag: String): String = {
     val root = s"/tmp/graft_io/${spark.sparkContext.applicationId}"
     if (cleanupRegistered.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

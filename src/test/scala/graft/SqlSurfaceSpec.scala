@@ -46,7 +46,7 @@ class SqlSurfaceSpec extends SparkSpec {
   test("partitioned sink read prunes partitions in the plan") {
     // materialize the partitioned layout, then inspect the read plan
     queries.SqlSurface.partitionedSink(spark, sf).count()
-    val path = s"/tmp/graft_io/events_parts_${math.abs(sf.hashCode)}"
+    val path = queries.SourcesSinks.tmp(spark, sf, "events_parts")
     val plan = queries.SqlSurface.partitionPrunedRead(spark, path)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
