@@ -96,9 +96,12 @@ object SparkEntry {
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_contamination" -> TextAnalysis.contamination _,
     "text_bm25"          -> TextAnalysis.bm25 _,
+    "text_dup_ngram"     -> TextAnalysis.dupNgram _,
+    "doc_chunk_overlap"  -> TextAnalysis.chunkOverlap _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
+    "pipeline_pack_sequences" -> Pipeline.packSequences _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -1005,6 +1008,47 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits, count(DISTINCT t.trigram) AS n_distinct_hits
         |FROM tri t JOIN block b ON t.trigram = b.trigram
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_dup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1), i -> words[i]||' '||words[i+1])) AS bigram
+        |       FROM t WHERE len(words) >= 2),
+        |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-2), i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS trigram
+        |       FROM t WHERE len(words) >= 3),
+        |bi AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, count(*) AS nd_bi, max(n) AS mx_bi
+        |       FROM (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tri AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams, count(*) AS nd_tri
+        |        FROM (SELECT doc_id, trigram, count(*) AS n FROM tg GROUP BY 1, 2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(n_bigrams - nd_bi AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+        |  CAST(mx_bi AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  n_trigrams,
+        |  CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+        |  (CAST(n_bigrams - nd_bi AS DOUBLE) / n_bigrams <= 0.1
+        |   AND CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams <= 0.05) AS keep
+        |FROM bi JOIN tri USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "doc_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, words, len(words) AS n,
+        |        unnest(generate_series(0, len(words)-1, 48)) AS chunk_start FROM t)
+        |SELECT doc_id,
+        |  CAST(chunk_start // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(words[chunk_start+1:least(chunk_start+64, n)], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT *, COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before FROM t)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
+        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,

@@ -67,6 +67,39 @@ object Pipeline {
     * → 1-row broadcast of the totals. Both divisions are single
     * double ops over exact integer sums, so the oracle matches
     * bitwise. Scales: the only shuffle is the tiny per-lang agg. */
+  /** Sequence packing — the batch-assembly step that turns variable-
+    * length documents into fixed token-budget training bins (budget
+    * 2048 here). Docs are packed greedily in doc_id order: a doc
+    * lands in bin floor(cum_tokens_before / budget), so bins fill to
+    * ~budget and a straddling doc stays in the bin where it started —
+    * deterministic, single-pass, and engine-exact (pure integer
+    * window arithmetic).
+    *
+    * The packing key is (lang, shard): packing is inherently
+    * sequential WITHIN a stream, so scale comes from sharding the
+    * corpus first (shard = doc_id % 8 here; at 100 TB, % n_tasks) and
+    * packing each shard independently — window partitions stay
+    * bounded and the cluster fans out across shards. Output is
+    * per-bin accounting (doc count, token fill, doc-id span) — what a
+    * training-data loader consumes as its manifest. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .withColumn("n_tokens", size(split(expr(normTextExpr), " ")).cast("bigint"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $budget"))
+      .groupBy("lang", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / budget)
+      .select("lang", "shard", "bin_id", "n_docs", "n_tokens",
+        "first_doc", "last_doc", "fill_ratio")
+      .orderBy("lang", "shard", "bin_id")
+  }
+
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     val byLang = documents(spark, dir)
       .withColumn("n_words", size(split(expr(normTextExpr), " ")).cast("bigint"))

@@ -232,6 +232,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals — the Gopher repetition-
+    * removal family (duplicate n-gram fractions, n = 2 and 3, plus
+    * the share held by the single most common bigram). Boilerplate
+    * and template spam show up as a high duplicate-gram fraction long
+    * before any cross-document dedup runs, so this gate is the
+    * cheapest filter in the pipeline: it needs no join at all, only
+    * per-document aggregation.
+    *
+    * Shape: ONE shingle pass (the same explode + lead() pipeline as
+    * ngramFreq — see §4 of SURVEY.md for why HOF shingling is >100×
+    * slower) staged with an eager localCheckpoint because it feeds
+    * both the bigram and the trigram branch (the contamination
+    * pattern); each branch is a two-level hash agg keyed by
+    * (doc_id, gram) then doc_id — partial-agg friendly, and the
+    * (doc_id, gram) key space is per-document so no key is ever hot.
+    * At 100 TB this is embarrassingly parallel: every stage is keyed
+    * by doc_id. */
+  def dupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1")).as("bigram"),
+        when(col("w2").isNotNull,
+          concat_ws(" ", col("w"), col("w1"), col("w2"))).as("trigram"))
+      .localCheckpoint()
+    val bi = grams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), count(lit(1)).as("nd_bi"), max("n").as("mx_bi"))
+    val tri = grams.filter(col("trigram").isNotNull)
+      .groupBy("doc_id", "trigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_trigrams"), count(lit(1)).as("nd_tri"))
+    bi.join(tri, "doc_id")
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("nd_bi")).cast("double") / col("n_bigrams"))
+      .withColumn("top_bigram_frac", col("mx_bi").cast("double") / col("n_bigrams"))
+      .withColumn("dup_trigram_frac",
+        (col("n_trigrams") - col("nd_tri")).cast("double") / col("n_trigrams"))
+      // thresholds tuned to the synthetic corpus so both branches are
+      // exercised (9 of 500 docs at sf0.01 exceed the bigram gate)
+      .withColumn("keep",
+        col("dup_bigram_frac") <= 0.1 && col("dup_trigram_frac") <= 0.05)
+      .select("doc_id", "n_bigrams", "dup_bigram_frac", "top_bigram_frac",
+        "n_trigrams", "dup_trigram_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Strided word-window chunking — the document → context-window
+    * step between cleaning and tokenization: 64-word chunks on a
+    * 48-word stride (16 words of overlap so no boundary context is
+    * lost), each chunk carrying its md5 so downstream chunk-level
+    * dedup / indexing can run without re-reading text. Chunk starts
+    * come from `sequence()` + explode (codegen'd, no HOF lambda on
+    * the hot path); the slice/digest arithmetic is integer-only so
+    * the oracle replays it bitwise. Scales: chunking is per-document
+    * map-side work — the explode multiplies rows by ~n_words/48, and
+    * there is no shuffle at all before the output sort. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val chunkLen = 64
+    val stride = 48
+    documents(spark, dir)
+      .withColumn("words", split(expr(normTextExpr), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), col("n_words") - 1, lit(stride))))
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("bigint").as("chunk_idx"),
+        col("chunk_start").cast("bigint").as("chunk_start"),
+        least(lit(chunkLen), col("n_words") - col("chunk_start"))
+          .cast("bigint").as("n_chunk_words"),
+        md5(concat_ws(" ", slice(col("words"), col("chunk_start") + 1, lit(chunkLen))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** polynomial rolling-hash fingerprint of the normalized text
     * (acc·31 + codepoint mod 1e9+7 — the per-doc linear fold the
     * reference's scan hashes rows with, hash-util.h analog). */

@@ -21,4 +21,29 @@ class PipelineSpec extends SparkSpec {
       .select(md5(col("norm"))).distinct().count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
   }
+
+  test("sequence packing conserves docs and fills every non-final bin past its boundary") {
+    val rows = operators.Pipeline.packSequences(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"))).foreach {
+      case ((lang, shard), rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("bin_id"))
+        // contiguous bin ids from 0 (holds because every doc here is
+        // far below the 2048-token budget; a doc > 2×budget would
+        // legitimately skip a bin)
+        sorted.zipWithIndex.foreach { case (r, i) =>
+          assert(r.getAs[Long]("bin_id") == i, s"$lang/$shard bins not contiguous")
+          assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+        }
+        // greedy rule: cumulative tokens through bin b reach the
+        // b+1'th budget boundary for every bin except the last
+        var cum = 0L
+        sorted.dropRight(1).foreach { r =>
+          cum += r.getAs[Long]("n_tokens")
+          assert(cum >= 2048L * (r.getAs[Long]("bin_id") + 1),
+            s"$lang/$shard bin ${r.getAs[Long]("bin_id")} closed before its boundary")
+        }
+    }
+  }
 }

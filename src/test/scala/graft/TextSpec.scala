@@ -95,6 +95,48 @@ class TextSpec extends SparkSpec {
       s"en rate $enRate should be below non-en rate ${otherSampled / otherTotal}")
   }
 
+  test("dup-ngram fractions are internally consistent and both keep branches fire") {
+    val rows = operators.TextAnalysis.dupNgram(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_bigrams")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(nb >= 1)
+      assert(dup >= 0.0 && dup < 1.0)
+      // the most common bigram contributes at least one occurrence and
+      // at most (all duplicates + its first occurrence)
+      assert(top >= 1.0 / nb && top <= dup + 1.0 / nb + 1e-12)
+      val dupTri = r.getAs[Double]("dup_trigram_frac")
+      assert(dupTri >= 0.0 && dupTri < 1.0)
+      assert(r.getAs[Boolean]("keep") == (dup <= 0.1 && dupTri <= 0.05))
+    }
+    assert(rows.map(_.getAs[Boolean]("keep")).toSet == Set(true, false),
+      "repetition gate is vacuous on this corpus")
+  }
+
+  test("chunking tiles every document with 48-stride 64-word windows") {
+    import org.apache.spark.sql.functions._
+    val chunks = operators.TextAnalysis.chunkOverlap(spark, sf).collect()
+    val nWords = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nWords.keySet)
+    byDoc.foreach { case (doc, rs) =>
+      val n = nWords(doc)
+      assert(rs.length == (n + 47) / 48) // ceil(n / stride) windows
+      rs.sortBy(_.getAs[Long]("chunk_idx")).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i)
+        assert(r.getAs[Long]("chunk_start") == 48L * i)
+        assert(r.getAs[Long]("n_chunk_words") == math.min(64L, n - 48L * i))
+      }
+    }
+    // md5 digests are content-bearing, not constant
+    assert(chunks.map(_.getAs[String]("chunk_md5")).distinct.length > chunks.length / 2)
+  }
+
   test("fingerprint is deterministic and within the modulus") {
     val a = operators.TextAnalysis.fingerprint(spark, sf).collect()
     val b = operators.TextAnalysis.fingerprint(spark, sf).collect()
