@@ -58,6 +58,8 @@ object SparkEntry {
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
     "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
     "sink_bucketed_join"     -> SourcesSinks.bucketedJoin _,
+    "src_orc_roundtrip"      -> SourcesSinks.orcRoundtrip _,
+    "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     // §2.5 window / analytic
     "win_rank_topn"    -> Analytic.rankTopN _,
@@ -434,6 +436,22 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // ORC roundtrip is lossless, so the oracle reads the same rows
+    // from the parquet table directly
+    "src_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | min(CAST(o_orderdate AS DATE)) AS first_date,
+        | max(CAST(o_orderdate AS DATE)) AS last_date
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_sorted_skipping" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'""".stripMargin,
     "dict_cardinality_stats" ->
       """SELECT column_name, ndv, n_rows, ndv <= 4096 AS dict_encodable FROM (
         |  SELECT 'l_returnflag' AS column_name, count(DISTINCT l_returnflag) AS ndv, count(*) AS n_rows FROM lineitem

@@ -185,6 +185,76 @@ object SourcesSinks {
       .orderBy("c_mktsegment")
   }
 
+  /** ORC roundtrip — the second columnar container every warehouse
+    * speaks (Impala itself reads ORC alongside Parquet). Orders are
+    * written as zlib ORC and re-read with a pushed-down predicate;
+    * ORC carries its own stripe-level min/max indexes, so the same
+    * pushdown machinery the parquet scans assert (SourcesSpec checks
+    * PushedFilters on this read too) maps to stripe skips at 100 TB.
+    * The aggregate proves the roundtrip is value-exact across the
+    * container boundary (timestamps included). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "orders_orc")
+    orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").option("compression", "zlib").orc(path)
+    orcPrunedRead(spark, path)
+  }
+
+  /** the pruned-read half, separable so SourcesSpec can inspect it. */
+  private[graft] def orcPrunedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"),
+        min(col("o_orderdate").cast("date")).as("first_date"),
+        max(col("o_orderdate").cast("date")).as("last_date"))
+      .orderBy("o_orderstatus")
+
+  /** Sort-clustered parquet layout + range-predicate read — the
+    * data-skipping half of the reference's scanner: its per-row-group
+    * skip bitsets (hdfs-parquet-scanner.cc late materialization) are
+    * only effective when the layout clusters the filter column, which
+    * is exactly what a range repartition + within-partition sort
+    * buys. The writer range-partitions lineitem by l_shipdate and
+    * sorts within partitions with a small row-group size, so each row
+    * group covers a narrow shipdate band; the one-month range read
+    * then skips almost every row group via parquet column stats.
+    * SourcesSpec executes the same read against an UNSORTED copy of
+    * the identical rows and asserts the sorted scan materializes a
+    * fraction of the rows the unsorted one does — measured skipping,
+    * not a plan-shape claim. At 100 TB the sort is a one-off layout
+    * cost (the same trade as sink_bucketed_join) that every
+    * subsequent range query amortizes. */
+  def sortedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "lineitem_sorted")
+    lineitem(spark, dir)
+      // the sort key is written as DATE, not TIMESTAMP_NTZ: measured on
+      // Spark 4.1, ntz range predicates reach PushedFilters but never
+      // eliminate row groups (the bigint/date control skips fine), so
+      // an ntz-keyed layout silently loses ALL stats skipping — a
+      // date-typed key is both smaller and actually skippable
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(4, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(path)
+    sortedRangeRead(spark, path)
+  }
+
+  /** the range-read half, reusable against any layout of the same
+    * projection (SourcesSpec runs it on sorted vs unsorted copies). */
+  private[graft] def sortedRangeRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("l_shipdate") >= lit(java.sql.Date.valueOf("1997-03-01")) &&
+        col("l_shipdate") < lit(java.sql.Date.valueOf("1997-04-01")))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+
   /** Per-column NDV vs row count — the dict-encodability decision
     * input. Each NDV is its own distinct→count branch (a column-pruned
     * scan + two-phase hash agg), unioned; N countDistinct in ONE agg

@@ -86,6 +86,61 @@ class SourcesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** rows materialized by every parquet/orc file scan in the executed
+    * plan — AFTER row-group/page stats skipping, so it measures what
+    * the layout let the reader avoid. */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def find(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      case other => other.children.map(find).sum
+    }
+    find(df.queryExecution.executedPlan)
+  }
+
+  test("orc roundtrip matches the parquet table and pushes its predicate") {
+    import org.apache.spark.sql.functions._
+    val viaOrc = queries.SourcesSinks.orcRoundtrip(spark, sf)
+    val plan = viaOrc.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"), plan.take(2000))
+    val got = viaOrc.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+  }
+
+  test("sort-clustered layout skips row groups the unsorted control must read") {
+    import org.apache.spark.sql.functions._
+    val sorted = queries.SourcesSinks.sortedSink(spark, sf) // writes the clustered layout
+    // control: identical rows and row-group size, no clustering
+    val unsortedPath = queries.SourcesSinks.tmp(spark, sf, "lineitem_unsorted")
+    graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(4)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString).parquet(unsortedPath)
+    val control = queries.SourcesSinks.sortedRangeRead(spark, unsortedPath)
+    // both layouts return the identical aggregate...
+    val a = sorted.collect()(0); val b = control.collect()(0)
+    assert(a.getLong(0) == b.getLong(0) && a.getDouble(1) == b.getDouble(1))
+    // ...but the clustered one materializes a fraction of the rows
+    val sortedRows = scanRows(queries.SourcesSinks.sortedRangeRead(spark,
+      queries.SourcesSinks.tmp(spark, sf, "lineitem_sorted")))
+    val unsortedRows = scanRows(control)
+    assert(sortedRows * 3 <= unsortedRows,
+      s"layout skipped nothing: sorted=$sortedRows unsorted=$unsortedRows")
+  }
+
   test("dict cardinality stats: low-NDV flags encodable, high-NDV key is not at scale") {
     val rows = queries.SourcesSinks.dictCardinalityStats(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") ->
