@@ -119,6 +119,7 @@ object SparkEntry {
     "expr_regex"             -> SqlSurface.regexFuncs _,
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
     "agg_approx_stats"       -> SqlSurface.approxStats _,
+    "agg_sketch_merge"       -> SqlSurface.sketchMerge _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_native" -> ((s: SparkSession, d: String) =>
       graft.plans.TopK.perKey(
@@ -1219,6 +1220,12 @@ object SparkEntry {
         |  TRUE AS ndv_partkey_within_bound,
         |  TRUE AS ndv_orderkey_within_bound,
         |  TRUE AS median_within_bound
+        |FROM lineitem""".stripMargin,
+    "agg_sketch_merge" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv,
+        |  TRUE AS merged_within_bound,
+        |  TRUE AS direct_within_bound,
+        |  TRUE AS merge_consistent
         |FROM lineitem""".stripMargin,
 
     // §2.12 native TopKPerKey — exactly row_number ≤ k semantics

@@ -63,6 +63,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Boolean]("median_within_bound"))
   }
 
+  test("sketch merge: sharded partial sketches union to the global estimate") {
+    val r = queries.SqlSurface.sketchMerge(spark, sf).collect()(0)
+    assert(r.getAs[Long]("exact_ndv") ==
+      graft.sources.Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
+    assert(r.getAs[Boolean]("merged_within_bound"))
+    assert(r.getAs[Boolean]("direct_within_bound"))
+    assert(r.getAs[Boolean]("merge_consistent"))
+  }
+
   test("retention: every user appears in their cohort's offset-0 cell") {
     val rows = queries.Analytic.retention(spark, sf).collect()
     val offset0 = rows.filter(_.getAs[Long]("week_offset") == 0)
