@@ -59,6 +59,7 @@ object SparkEntry {
     "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
     "sink_bucketed_join"     -> SourcesSinks.bucketedJoin _,
     "src_orc_roundtrip"      -> SourcesSinks.orcRoundtrip _,
+    "src_schema_evolution"   -> SourcesSinks.schemaEvolution _,
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     // §2.5 window / analytic
@@ -77,6 +78,7 @@ object SparkEntry {
     "ev_asof_attribution" -> Analytic.asofAttribution _,
     "ev_range_join"       -> Analytic.rangeJoin _,
     "ev_histogram"        -> Analytic.valueHistogram _,
+    "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -99,6 +101,7 @@ object SparkEntry {
     "text_contamination" -> TextAnalysis.contamination _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "text_dup_ngram"     -> TextAnalysis.dupNgram _,
+    "text_tfidf_topterms" -> TextAnalysis.tfidfTopTerms _,
     "doc_chunk_overlap"  -> TextAnalysis.chunkOverlap _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
@@ -437,6 +440,13 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // schema evolution: batch 1 (even keys) lacks the status column,
+    // so the merged read reports those rows under '(legacy)'
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(legacy)' ELSE o_orderstatus END AS status,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
     // ORC roundtrip is lossless, so the oracle reads the same rows
     // from the parquet table directly
     "src_orc_roundtrip" ->
@@ -581,6 +591,19 @@ object SparkEntry {
         |  CAST(min_c + (bucket + 1) * width AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_value,
         |  n_events, sum_value
         |FROM g ORDER BY bucket""".stripMargin,
+    // integer z-score: |n - T/H| > 2σ  ⇔  (nH - T)² > 4(HΣn² - T²)
+    "ev_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//3600*3600 AS hour_sec,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS nh, CAST(sum(n_events) AS BIGINT) AS t,
+        |        CAST(sum(n_events * n_events) AS BIGINT) AS sq
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, hour_sec, n_events,
+        |  (n_events * nh - t) * (n_events * nh - t) > 4 * (nh * sq - t * t) AS is_anomaly
+        |FROM h JOIN s USING (event_type)
+        |ORDER BY event_type, hour_sec""".stripMargin,
     // §2.6 events
     "ev_tumbling_window" ->
       """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
@@ -1068,6 +1091,22 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(sum(n_tokens) AS DOUBLE) / 2048 AS fill_ratio
         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, bin_id""".stripMargin,
+    // log-free idf as in text_bm25; the multiply binds before the
+    // divide exactly as the Spark column tree does
+    "text_tfidf_topterms" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |words AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    (CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5))
+        |      / (CAST(df AS DOUBLE) + 0.5) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,

@@ -196,6 +196,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 tf-idf terms — the keyword/topic extraction
+    * pass feeding corpus exploration and topic-balanced sampling. The
+    * idf is the same LOG-FREE ratio as bm25 ((N−df+0.5)/(df+0.5) —
+    * monotone in df, so ranking-identical to log idf and engine-exact
+    * for the oracle); ties break on the term string so the top-3 is a
+    * total order.
+    *
+    * Shape: tf = (doc, term) hash agg over one exploded pass; df is a
+    * term-keyed agg of that same relation, broadcast back (vocabulary
+    * ≪ corpus — at 100 TB the df table is millions of rows against
+    * billions of docs, still broadcastable or a plain shuffle join).
+    * The per-doc top-3 is a window row_number over doc partitions —
+    * the documented fallback shape for unbounded key domains, where
+    * TopKPerKeyExec's per-key heaps would violate the bounded-keys
+    * contract (plans/TopKPerKey.scala). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf").cast("double") *
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Benchmark-contamination check: which documents contain any
     * trigram from a blocklist. The blocklist here is derived from the
     * corpus itself (top-5 trigrams — deterministic, so the oracle

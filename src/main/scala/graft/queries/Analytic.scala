@@ -285,4 +285,33 @@ object Analytic {
       .select("bucket", "lo_value", "hi_value", "n_events", "sum_value")
       .orderBy("bucket")
   }
+
+  /** Per-type hourly volume anomalies — the monitoring query every
+    * event pipeline runs (traffic spikes/drops vs the type's own
+    * baseline). Flags hours where |n − mean| > 2σ, but the entire
+    * test is INTEGER arithmetic so the oracle matches bitwise:
+    * with H hours, total T and Σn², the condition
+    * |n − T/H| > 2σ  ⇔  (n·H − T)² > 4·(H·Σn² − T²)
+    * (both sides multiplied by H² — variance as the computational
+    * formula over exact integer sums; no float mean, no float stddev,
+    * no engine-specific Welford accumulation order).
+    *
+    * Shape: one hourly hash agg (map-side combined), a ~5-row stats
+    * agg broadcast back, a codegen'd comparison — two linear passes,
+    * no wide shuffle, no window. Scales to any hour count. */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"))
+      .groupBy("event_type", "hour_sec").agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("n_events").as("total"),
+        sum(col("n_events") * col("n_events")).as("sum_sq"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n_events") * col("n_hours") - col("total"))
+      .withColumn("is_anomaly",
+        col("dev") * col("dev") >
+          lit(4L) * (col("n_hours") * col("sum_sq") - col("total") * col("total")))
+      .select("event_type", "hour_sec", "n_events", "is_anomaly")
+      .orderBy("event_type", "hour_sec")
+  }
 }

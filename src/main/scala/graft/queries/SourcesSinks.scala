@@ -255,6 +255,31 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** Parquet schema evolution — a corpus written over months grows
+    * columns; readers must union old and new footers without a
+    * rewrite. Batch 1 (even order keys) predates the status column,
+    * batch 2 carries it; a mergeSchema read reconciles the footers
+    * and surfaces the missing column as NULL for legacy files. At
+    * 100 TB mergeSchema's footer listing is the cost knob — pin the
+    * merged schema in a table catalog once instead of re-deriving it
+    * per query; the read path is otherwise identical. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "orders_evolve")
+    val o = orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/batch1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$path/batch2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch1", s"$path/batch2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("(legacy)")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("status")
+  }
+
   /** Per-column NDV vs row count — the dict-encodability decision
     * input. Each NDV is its own distinct→count branch (a column-pruned
     * scan + two-phase hash agg), unioned; N countDistinct in ONE agg

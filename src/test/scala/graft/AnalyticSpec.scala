@@ -90,4 +90,23 @@ class AnalyticSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"diff=${(want.toSet diff got.toSet).take(3)}")
   }
+
+  test("hourly anomalies agree with a float z-score recomputation") {
+    val rows = queries.Analytic.hourlyAnomaly(spark, sf).collect()
+    assert(rows.map(_.getAs[Boolean]("is_anomaly")).toSet == Set(true, false),
+      "anomaly gate is vacuous on this corpus")
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ns = rs.map(_.getAs[Long]("n_events").toDouble)
+      val mean = ns.sum / ns.length
+      val sigma = math.sqrt(ns.map(n => (n - mean) * (n - mean)).sum / ns.length)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("n_events").toDouble
+        // integer test and float test agree away from the boundary;
+        // on the boundary the integer form is the defined semantics
+        if (math.abs(math.abs(n - mean) - 2 * sigma) > 1e-6)
+          assert(r.getAs[Boolean]("is_anomaly") == (math.abs(n - mean) > 2 * sigma),
+            s"type=${r.getString(0)} hour=${r.getLong(1)} n=$n mean=$mean sigma=$sigma")
+      }
+    }
+  }
 }

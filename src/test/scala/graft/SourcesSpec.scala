@@ -141,6 +141,16 @@ class SourcesSpec extends SparkSpec {
       s"layout skipped nothing: sorted=$sortedRows unsorted=$unsortedRows")
   }
 
+  test("schema evolution: legacy rows surface with NULL status under mergeSchema") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SourcesSinks.schemaEvolution(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(rows("(legacy)") == o.filter(col("o_orderkey") % 2 === 0).count())
+    assert(rows.filterNot(_._1 == "(legacy)").values.sum ==
+      o.filter(col("o_orderkey") % 2 =!= 0).count())
+  }
+
   test("dict cardinality stats: low-NDV flags encodable, high-NDV key is not at scale") {
     val rows = queries.SourcesSinks.dictCardinalityStats(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") ->

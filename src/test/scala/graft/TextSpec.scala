@@ -137,6 +137,27 @@ class TextSpec extends SparkSpec {
     assert(chunks.map(_.getAs[String]("chunk_md5")).distinct.length > chunks.length / 2)
   }
 
+  test("tf-idf top terms: exactly ranked, df-consistent, rare terms outrank common ones") {
+    val rows = operators.TextAnalysis.tfidfTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == graft.sources.Tables.documents(spark, sf).count())
+    byDoc.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      assert(sorted.length <= 3)
+      // scores weakly decrease down the ranking
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+    // df is global: the same term reports the same df everywhere
+    rows.groupBy(_.getAs[String]("term")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("df")).distinct.length == 1)
+    }
+  }
+
   test("fingerprint is deterministic and within the modulus") {
     val a = operators.TextAnalysis.fingerprint(spark, sf).collect()
     val b = operators.TextAnalysis.fingerprint(spark, sf).collect()
