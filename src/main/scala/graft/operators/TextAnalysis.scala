@@ -212,9 +212,14 @@ object TextAnalysis {
     * TopKPerKeyExec's per-key heaps would violate the bounded-keys
     * contract (plans/TopKPerKey.scala). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    // tf feeds BOTH the df derivation and the scored join; staged once
+    // (the contamination/minhash pattern — the two consumers otherwise
+    // each re-run the explode + (doc,term) aggregation from a fresh
+    // scan, and (doc,term) is corpus-scale work)
     val tf = documents(spark, dir)
       .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

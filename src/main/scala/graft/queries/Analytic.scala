@@ -300,9 +300,13 @@ object Analytic {
     * agg broadcast back, a codegen'd comparison — two linear passes,
     * no wide shuffle, no window. Scales to any hour count. */
   def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // hourly feeds BOTH the stats derivation and the flag join —
+    // staged once so events is scanned once (at (type, hour)
+    // granularity the staged relation is tiny at any corpus size)
     val hourly = events(spark, dir)
       .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"))
       .groupBy("event_type", "hour_sec").agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum("n_events").as("total"),
         sum(col("n_events") * col("n_events")).as("sum_sq"))
