@@ -124,6 +124,7 @@ object SparkEntry {
     "agg_approx_stats"       -> SqlSurface.approxStats _,
     "agg_sketch_merge"       -> SqlSurface.sketchMerge _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
+    "win_topk_rewrite" -> Analytic.topkRewrite _,
     "win_topk_native" -> ((s: SparkSession, d: String) =>
       graft.plans.TopK.perKey(
           graft.sources.Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice"),
@@ -1267,6 +1268,14 @@ object SparkEntry {
         |  TRUE AS merge_consistent
         |FROM lineitem""".stripMargin,
 
+    // §2.12 the optimizer-rewritten window formulation — same
+    // row_number ≤ k semantics, planned onto TopKPerKeyExec
+    "win_topk_rewrite" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
     // §2.12 native TopKPerKey — exactly row_number ≤ k semantics
     "win_topk_native" ->
       """SELECT p_brand, p_partkey, p_retailprice, rank FROM (

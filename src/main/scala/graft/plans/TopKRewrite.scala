@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rewrite: `row_number() OVER (PARTITION BY … ORDER BY …)`
+  * followed by a `rn <= k` filter — the idiomatic Spark top-N-per-key
+  * — becomes the native [[TopKPerKeyPlan]], replacing WindowExec's
+  * full per-partition sort with bounded k-heaps (O(n·log k) instead
+  * of O(n·log n), no sort spill for the keep-k case).
+  *
+  * This closes the custom-operator ladder the library ships:
+  * logical node → Strategy → physical operator, now driven by a
+  * `Rule[LogicalPlan]` so EXISTING window-formulated code benefits
+  * without being rewritten by hand.
+  *
+  * Deliberately opt-in via [[GraftOptimizations.install]] rather than
+  * always-on: TopKPerKeyExec's per-key heap map is bounded-keys by
+  * contract (it fails fast past `maxKeysPerPartition` instead of
+  * spilling — plans/TopKPerKey.scala), and an optimizer cannot know
+  * key cardinality; the session owner opts in where the domain is
+  * known bounded. The rewrite fires only on the exact safe shape:
+  * a single row_number window expression whose rank is filtered by a
+  * literal bound (`<= k`, `< k`, `= 1`), with the rank attribute
+  * preserved (cast back to its original int type and exprId) so
+  * downstream references resolve unchanged. A WindowGroupLimit the
+  * main optimizer already inserted below the Window is stripped —
+  * its pre-filtering is subsumed by the heaps.
+  */
+class TopKRewrite(maxKeysPerPartition: Int) extends Rule[LogicalPlan] {
+
+  private def limitFor(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if v == 1 && a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
+      w.windowExpressions.head match {
+        case alias @ Alias(WindowExpression(RowNumber(), _), _) =>
+          limitFor(cond, alias.toAttribute) match {
+            case Some(k) if k >= 1 =>
+              // the main optimizer may already have inserted its
+              // rank-limit pre-filter; the heaps subsume it
+              val inner = w.child match {
+                case WindowGroupLimit(_, _, _, _, gchild) => gchild
+                case c => c
+              }
+              val rank = AttributeReference("graft_rank", LongType, nullable = false)()
+              Project(
+                inner.output :+ Alias(Cast(rank, IntegerType), alias.name)(alias.exprId),
+                TopKPerKeyPlan(w.partitionSpec, w.orderSpec, k,
+                  maxKeysPerPartition, rank, inner))
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
+/** Session-level opt-in for graft's optimizer extensions. */
+object GraftOptimizations {
+  /** Installs the top-N-per-key rewrite (and the strategy that plans
+    * its logical node) into `spark`'s experimental hooks. Per-session:
+    * a `newSession()` starts clean. `maxKeysPerPartition` is the
+    * bounded-keys contract bound passed through to the physical
+    * operator. */
+  def install(spark: SparkSession, maxKeysPerPartition: Int = 1 << 20): Unit =
+    GraftOptimizations.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
+      if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[TopKRewrite])) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ new TopKRewrite(maxKeysPerPartition)
+      }
+    }
+}

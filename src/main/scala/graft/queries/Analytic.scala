@@ -286,6 +286,31 @@ object Analytic {
       .orderBy("bucket")
   }
 
+  /** The top-N-per-key REWRITE demo: this is deliberately the plain
+    * row_number window formulation — the code any Spark user already
+    * has — run in a child session where
+    * [[graft.plans.GraftOptimizations.install]] has injected the
+    * `Rule[LogicalPlan]` that rewrites it onto the native bounded-heap
+    * TopKPerKeyExec (no per-partition sort). TopKSpec asserts the
+    * rewritten physical plan and that an uninstalled session still
+    * plans the window; the oracle checks the semantics are exactly
+    * row_number ≤ k. Keys here are the handful of order statuses —
+    * inside the operator's bounded-keys contract. */
+  def topkRewrite(spark0: SparkSession, dir: String): DataFrame = {
+    val s = spark0.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("bigint").as("rn"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
   /** Per-type hourly volume anomalies — the monitoring query every
     * event pipeline runs (traffic spikes/drops vs the type's own
     * baseline). Flags hours where |n − mean| > 2σ, but the entire

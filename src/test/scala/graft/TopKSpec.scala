@@ -56,6 +56,31 @@ class TopKSpec extends SparkSpec {
     assert(all.contains("window formulation"), all.take(2000))
   }
 
+  test("optimizer rule rewrites the plain window formulation onto the native exec") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    def windowed(session: org.apache.spark.sql.SparkSession) =
+      graft.sources.Tables.part(session, sf)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    val rewritten = windowed(s)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // an uninstalled session keeps the window plan
+    val vanilla = windowed(spark)
+    assert(vanilla.queryExecution.executedPlan.toString.contains("Window"))
+    // identical results, schema preserved (rank stays the int the
+    // window produced, same column name)
+    assert(rewritten.schema == vanilla.schema)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_brand", "p_partkey", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(asSet(rewritten) == asSet(vanilla))
+  }
+
   test("topk works for global top-k (no keys)") {
     val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
       Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
