@@ -32,12 +32,38 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 class TopKRewrite(maxKeysPerPartition: Int) extends Rule[LogicalPlan] {
 
-  private def limitFor(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
-    case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if v == 1 && a.semanticEquals(rn) => Some(1)
-    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
-    case _ => None
+  /** the rank side: the bare attribute, or the implicit widening cast
+    * analysis inserts when the literal bound is a Long (`rn <= 3L`). */
+  private object RankRef {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(a: Attribute, LongType, _, _) => Some(a)
+      case _ => None
+    }
+  }
+
+  private object Bound {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** The bound as a Long first (no Int underflow/overflow on the ±1
+    * arithmetic: `rn < Int.MinValue` must not wrap to k=Int.MaxValue),
+    * then accepted only if it lands in [1, Int.MaxValue] — outside
+    * that range the filter is degenerate (always-false or cheaper as
+    * a no-op) and the window plan is left alone. */
+  private def limitFor(cond: Expression, rn: Attribute): Option[Int] = {
+    val k: Option[Long] = cond match {
+      case LessThanOrEqual(RankRef(a), Bound(v)) if a.semanticEquals(rn) => Some(v)
+      case LessThan(RankRef(a), Bound(v)) if a.semanticEquals(rn) && v > Long.MinValue => Some(v - 1)
+      case EqualTo(RankRef(a), Bound(v)) if v == 1 && a.semanticEquals(rn) => Some(1L)
+      case GreaterThanOrEqual(Bound(v), RankRef(a)) if a.semanticEquals(rn) => Some(v)
+      case _ => None
+    }
+    k.collect { case v if v >= 1 && v <= Int.MaxValue => v.toInt }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -70,16 +96,17 @@ object GraftOptimizations {
     * its logical node) into `spark`'s experimental hooks. Per-session:
     * a `newSession()` starts clean. `maxKeysPerPartition` is the
     * bounded-keys contract bound passed through to the physical
-    * operator. */
+    * operator; re-installing with a different bound REPLACES the
+    * installed rule (last call wins — previously a differing bound
+    * was silently ignored). */
   def install(spark: SparkSession, maxKeysPerPartition: Int = 1 << 20): Unit =
     GraftOptimizations.synchronized {
       if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ TopKStrategy
       }
-      if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[TopKRewrite])) {
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ new TopKRewrite(maxKeysPerPartition)
-      }
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[TopKRewrite]) :+
+          new TopKRewrite(maxKeysPerPartition)
     }
 }

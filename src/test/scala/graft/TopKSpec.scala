@@ -81,6 +81,65 @@ class TopKSpec extends SparkSpec {
     assert(asSet(rewritten) == asSet(vanilla))
   }
 
+  test("optimizer rule matches Long bounds and the cast the analyzer inserts") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    // rn <= 3L compares int row_number to a bigint literal, so the
+    // analyzer wraps rn in Cast(LongType) — the rule must see through it
+    val rewritten = graft.sources.Tables.part(s, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(3L))
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    val vanilla = graft.sources.Tables.part(spark, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(3L))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_brand", "p_partkey", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(asSet(rewritten) == asSet(vanilla))
+  }
+
+  test("optimizer rule leaves degenerate bounds alone (no Int underflow to k=MaxValue)") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    // rn < Int.MinValue is always false; v-1 wrapping would plan a
+    // k=Int.MaxValue heap. The rule must not fire, and the result is empty.
+    val df = graft.sources.Tables.part(s, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") < lit(Int.MinValue))
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.count() == 0)
+    // bounds past Int.MaxValue (trivially-true filter) also stay on the
+    // window plan rather than overflowing the Int k
+    val wide = graft.sources.Tables.part(s, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(Long.MaxValue))
+    assert(!wide.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
+  test("re-install with a different bound replaces the rule (last call wins)") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s, maxKeysPerPartition = 2)
+    val w = Window.partitionBy("p_partkey").orderBy(col("p_retailprice").desc)
+    def topk() = graft.sources.Tables.part(s, sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 1)
+    // bound=2 must fail fast: p_partkey has far more than 2 keys/partition
+    val e = intercept[Exception] { topk().collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString("\n").contains("maxKeysPerPartition"))
+    // re-install with a workable bound — previously silently ignored
+    graft.plans.GraftOptimizations.install(s, maxKeysPerPartition = 1 << 20)
+    assert(topk().count() == graft.sources.Tables.part(s, sf).count())
+  }
+
   test("topk works for global top-k (no keys)") {
     val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
       Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
