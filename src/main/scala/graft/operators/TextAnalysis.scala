@@ -204,9 +204,10 @@ object TextAnalysis {
     * total order.
     *
     * Shape: tf = (doc, term) hash agg over one exploded pass; df is a
-    * term-keyed agg of that same relation, broadcast back (vocabulary
-    * ≪ corpus — at 100 TB the df table is millions of rows against
-    * billions of docs, still broadcastable or a plain shuffle join).
+    * term-keyed agg of that same relation joined back UNHINTED —
+    * Catalyst broadcasts it while the vocabulary fits (millions of
+    * rows against billions of docs) and falls back to a shuffle join
+    * past the threshold, a choice a hard broadcast() would foreclose.
     * The per-doc top-3 is a window row_number over doc partitions —
     * the documented fallback shape for unbounded key domains, where
     * TopKPerKeyExec's per-key heaps would violate the bounded-keys
@@ -224,7 +225,12 @@ object TextAnalysis {
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    // no broadcast hint on dfreq: a hard hint would FORCE a broadcast
+    // even when the vocabulary outgrows executor memory, foreclosing
+    // the shuffle-join fallback 100 TB needs. Unhinted, Catalyst/AQE
+    // broadcasts while dfreq is below the threshold and degrades to a
+    // shuffle join past it — both plans are correct.
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf").cast("double") *
@@ -309,12 +315,19 @@ object TextAnalysis {
       .groupBy("doc_id", "trigram").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_trigrams"), count(lit(1)).as("nd_tri"))
-    bi.join(tri, "doc_id")
+    // LEFT join: a 2-word doc has bigrams but no trigram, and must
+    // still reach the gate verdict (an inner join silently dropped it
+    // from the output). No trigrams ⇒ no repeated trigrams ⇒ the
+    // trigram axis contributes 0 and the verdict rests on bigrams.
+    bi.join(tri, Seq("doc_id"), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
       .withColumn("dup_bigram_frac",
         (col("n_bigrams") - col("nd_bi")).cast("double") / col("n_bigrams"))
       .withColumn("top_bigram_frac", col("mx_bi").cast("double") / col("n_bigrams"))
       .withColumn("dup_trigram_frac",
-        (col("n_trigrams") - col("nd_tri")).cast("double") / col("n_trigrams"))
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("nd_tri")).cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0)))
       // thresholds tuned to the synthetic corpus so both branches are
       // exercised (9 of 500 docs at sf0.01 exceed the bigram gate)
       .withColumn("keep",

@@ -115,6 +115,40 @@ class TextSpec extends SparkSpec {
       "repetition gate is vacuous on this corpus")
   }
 
+  test("dup-ngram keeps short docs: a 2-word doc reaches the verdict with a zero trigram axis") {
+    import org.apache.spark.sql.functions._
+    // synthetic corpus in the documents.parquet layout: one 2-word doc
+    // (bigram but NO trigram — an inner tri-join drops it), one normal
+    val dir = queries.SourcesSinks.tmp(spark, sf, "docs_short")
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta", "en", "unit", 10L),
+      (2L, "one two three four five six seven", "en", "unit", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.TextAnalysis.dupNgram(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L), s"short doc dropped: ${rows.keySet}")
+    val short = rows(1L)
+    assert(short.getAs[Long]("n_trigrams") == 0L)
+    assert(short.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(short.getAs[Boolean]("keep"), "unique-bigram short doc must pass the gate")
+  }
+
+  test("tf-idf df join degrades to a shuffle join when broadcast is unavailable") {
+    // the df join must carry NO hard broadcast hint: with the
+    // threshold off, the planner has to be free to pick a shuffle
+    // join (at 100 TB the vocabulary can outgrow executor memory)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = operators.TextAnalysis.tfidfTopTerms(s, sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only broadcast left is the 1-row n_docs scalar (NestedLoop);
+    // no BroadcastHashJoin may survive a disabled threshold
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("chunking tiles every document with 48-stride 64-word windows") {
     import org.apache.spark.sql.functions._
     val chunks = operators.TextAnalysis.chunkOverlap(spark, sf).collect()
