@@ -39,7 +39,10 @@ object SparkEntry {
     "scan_prune_projection" -> Scans.pruneProjection _,
     "scan_selectivity_sweep" -> Scans.selectivitySweep _,
     "scan_selectivity_1pct"  -> Scans.sweep1 _,
+    "scan_selectivity_20pct" -> Scans.sweep20 _,
+    "scan_selectivity_30pct" -> Scans.sweep30 _,
     "scan_selectivity_50pct" -> Scans.sweep50 _,
+    "scan_selectivity_80pct" -> Scans.sweep80 _,
     "scan_selectivity_full"  -> Scans.sweep100 _,
     "scan_runtime_dpp"   -> Scans.dppPrunedJoin _,
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
@@ -54,6 +57,9 @@ object SparkEntry {
     "expr_array_ops"      -> Exprs.arrayOps _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
+    "src_csv_quoted"         -> SourcesSinks.csvQuoted _,
+    "src_csv_gzip"           -> SourcesSinks.csvGzip _,
+    "src_json_corrupt"       -> SourcesSinks.jsonCorrupt _,
     "src_json_lines"         -> SourcesSinks.jsonLines _,
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
     "sink_encoded_v2"        -> SourcesSinks.encodedSink _,
@@ -323,10 +329,22 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey % 100 = 0""".stripMargin,
+    "scan_selectivity_20pct" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 10 < 2""".stripMargin,
+    "scan_selectivity_30pct" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 10 < 3""".stripMargin,
     "scan_selectivity_50pct" ->
       """SELECT count(*) AS n_rows,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey % 2 = 0""".stripMargin,
+    "scan_selectivity_80pct" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey % 10 < 8""".stripMargin,
     "scan_selectivity_full" ->
       """SELECT count(*) AS n_rows,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -416,6 +434,28 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    // the gzip roundtrip is lossless, so the oracle aggregates the
+    // original parquet table directly
+    "src_csv_gzip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // three deterministic garbage lines ride along with the feed; the
+    // PERMISSIVE reader must quarantine exactly those three
+    "src_json_corrupt" ->
+      """SELECT event_type, n_events FROM (
+        |  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+        |  UNION ALL SELECT '_corrupt', 3
+        |) ORDER BY event_type""".stripMargin,
+    // the oracle builds the hostile payload (delimiter + quotes +
+    // newline) directly from nation; the Spark side must survive the
+    // CSV write/read roundtrip to reproduce it byte-for-byte
+    "src_csv_quoted" ->
+      """SELECT n_nationkey,
+        | n_name || ',"quoted"' || chr(10) || 'line2|tail' AS tricky,
+        | length(n_name || ',"quoted"' || chr(10) || 'line2|tail') AS tricky_len,
+        | n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "sink_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1064,11 +1104,13 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  CAST(n_bigrams - nd_bi AS DOUBLE) / n_bigrams AS dup_bigram_frac,
         |  CAST(mx_bi AS DOUBLE) / n_bigrams AS top_bigram_frac,
-        |  n_trigrams,
-        |  CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams AS dup_trigram_frac,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  CASE WHEN COALESCE(n_trigrams, 0) > 0
+        |    THEN CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams ELSE 0.0 END AS dup_trigram_frac,
         |  (CAST(n_bigrams - nd_bi AS DOUBLE) / n_bigrams <= 0.1
-        |   AND CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams <= 0.05) AS keep
-        |FROM bi JOIN tri USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |   AND CASE WHEN COALESCE(n_trigrams, 0) > 0
+        |     THEN CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams ELSE 0.0 END <= 0.05) AS keep
+        |FROM bi LEFT JOIN tri USING (doc_id) ORDER BY doc_id""".stripMargin,
     "doc_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, words, len(words) AS n,

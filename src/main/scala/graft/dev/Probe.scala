@@ -6,18 +6,14 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val df = spark.sql(
-        """WITH RECURSIVE t(n) AS (
-          |  SELECT 1
-          |  UNION ALL
-          |  SELECT n + 1 FROM t WHERE n < 5
-          |) SELECT * FROM t ORDER BY n""".stripMargin)
-      println("[probe] recursive CTE rows: " + df.collect().map(_.getInt(0)).mkString(","))
-    } catch {
-      case e: Throwable => println("[probe] recursive CTE unsupported: " + e.toString.take(300))
+    val dir = args.headOption.getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    for (name <- Seq("src_csv_quoted", "scan_selectivity_20pct",
+        "scan_selectivity_30pct", "scan_selectivity_80pct")) {
+      val rows = graft.SparkEntry.queries(name)(spark, dir).collect()
+      println(s"[probe] $name rows=${rows.length} head=${rows.take(3).mkString(" | ")}")
     }
     spark.stop()
   }

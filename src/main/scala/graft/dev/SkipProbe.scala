@@ -23,7 +23,8 @@ object SkipProbe {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.001"
+    val sf = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     val sorted = graft.queries.SourcesSinks.sortedSink(spark, sf)
     println("[probe] sorted scan rows: " + scanRows(sorted))
     val unsortedPath = graft.queries.SourcesSinks.tmp(spark, sf, "lineitem_unsorted")

@@ -13,7 +13,7 @@ import graft.sources.Tables._
   * on disk per column (from the footers' column-chunk metadata) and
   * wall time to scan-and-decode back (via a full-column aggregate).
   *
-  * All three variants write UNCOMPRESSED — general-purpose
+  * The three encoding variants write UNCOMPRESSED — general-purpose
   * compression on top would smear the encoding signal (snappy over
   * PLAIN recovers much of what the encoding saves, at decode-CPU
   * cost the reference's benchmarks are precisely about avoiding).
@@ -28,6 +28,14 @@ import graft.sources.Tables._
   *  - delta: v2 writer, dictionary off → DELTA_BINARY_PACKED for the
   *    key (the FLE analog: values bit-packed against a per-block
   *    frame of reference) and DELTA_BYTE_ARRAY for the string.
+  *
+  * The codec axis (the reference writer picks per-column encodings
+  * under a compressed-size objective — hdfs-parquet-table-writer.cc)
+  * then crosses the best encoding config with the two codecs every
+  * warehouse actually deploys:
+  *  - dict_snappy / dict_zstd: the dict variant + page compression.
+  *    zstd compresses tighter than snappy at higher decode cost —
+  *    the size/CPU trade the scan times surface.
   */
 object EncodingLab {
 
@@ -42,13 +50,15 @@ object EncodingLab {
   def compare(spark: SparkSession, dir: String): Seq[Variant] = {
     val src = lineitem(spark, dir).select("l_orderkey", "l_returnflag")
     val variants = Seq(
-      ("plain", "v1", "false"),
-      ("dict", "v1", "true"),
-      ("delta", "v2", "false"))
-    variants.map { case (name, version, dict) =>
+      ("plain", "v1", "false", "uncompressed"),
+      ("dict", "v1", "true", "uncompressed"),
+      ("delta", "v2", "false", "uncompressed"),
+      ("dict_snappy", "v1", "true", "snappy"),
+      ("dict_zstd", "v1", "true", "zstd"))
+    variants.map { case (name, version, dict, codec) =>
       val path = SourcesSinks.tmp(spark, dir, s"enclab_$name")
       src.write.mode("overwrite")
-        .option("compression", "uncompressed")
+        .option("compression", codec)
         .option("parquet.writer.version", version)
         .option("parquet.enable.dictionary", dict)
         .parquet(path)

@@ -72,6 +72,20 @@ object Scans {
   def sweep50(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 2)
   def sweep100(spark: SparkSession, dir: String): DataFrame = sweepAt(spark, dir, 1)
 
+  /** The 20/30/80% points (reference README.md:15-22 publishes a
+    * 1/10/20/30/50/80/100% grid) come from a decile predicate
+    * (`l_partkey % 10 < k` keeps k deciles) — same scan + agg shape
+    * as the modulus points, completing the point-for-point table. */
+  private def sweepDeciles(spark: SparkSession, dir: String, k: Int): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_partkey") % 10 < k)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+
+  def sweep20(spark: SparkSession, dir: String): DataFrame = sweepDeciles(spark, dir, 2)
+  def sweep30(spark: SparkSession, dir: String): DataFrame = sweepDeciles(spark, dir, 3)
+  def sweep80(spark: SparkSession, dir: String): DataFrame = sweepDeciles(spark, dir, 8)
+
   /** Dynamic partition pruning: a nationkey-partitioned copy of
     * customer joined to a region-filtered nation dim. The dim filter
     * is only known at runtime (it sits behind a join), so static

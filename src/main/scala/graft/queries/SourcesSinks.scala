@@ -66,6 +66,110 @@ object SourcesSinks {
       .orderBy("n_nationkey")
   }
 
+  /** Quoted/escaped CSV roundtrip — the hostile half of the text
+    * surface the reference's parser handles byte-by-byte
+    * (delimited-text-parser.cc:69-140 `process_escape_`,
+    * delimited-text-parser.inline.h): field values containing the
+    * delimiter itself, embedded double quotes, and embedded newlines.
+    * Naive split-on-delimiter (what src_delimited_text's clean data
+    * never exercises) corrupts all three. The writer quotes every
+    * affected field and doubles inner quotes (RFC 4180 via
+    * escape = quote char); the reader runs the same dialect with
+    * multiLine on, so records may span physical lines.
+    *
+    * multiLine is the one scan knob with a real 100 TB cost: records
+    * crossing line boundaries make the file non-splittable-by-newline,
+    * so each CSV file parses as one unit — at scale you keep such
+    * files to a few hundred MB (many files = parallelism), or stage
+    * hostile CSV into parquet once, which is exactly what this
+    * roundtrip demonstrates end-to-end. */
+  def csvQuoted(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "nation_csv_quoted")
+    // deterministic hostile payload derived from n_name: contains the
+    // delimiter, a quoted word, and an embedded newline
+    val tricky = concat(col("n_name"), lit(",\"quoted\"\nline2|tail"))
+    nation(spark, dir)
+      .select(col("n_nationkey"), tricky.as("tricky"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("tricky", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+      .select(col("n_nationkey"), col("tricky"),
+        length(col("tricky")).as("tricky_len"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Gzip-compressed CSV ingestion — most real corpora arrive as
+    * `.csv.gz`/`.tsv.gz` drops. The decompress-then-parse pipeline is
+    * the reference's scanner stage that wraps a codec decompressor
+    * around the text parser (hdfs-parquet-scanner.cc:157-159
+    * `Codec::CreateDecompressor`, delimited-text-parser.cc). The
+    * 100 TB caveat is intrinsic to gzip, not to Spark: a gzip stream
+    * is NOT splittable, so one file = one task regardless of size —
+    * ingest keeps files to a few hundred MB (file count = the
+    * parallelism knob) and stages to parquet once, which this
+    * roundtrip demonstrates (the aggregate after re-read is the
+    * "stage into columnar" step). */
+  def csvGzip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "orders_csv_gz")
+    orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true")
+      .csv(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Malformed-record tolerance — at 100 TB some fraction of any JSON
+    * feed is garbage (truncated writes, interleaved logs), and an
+    * ingest that aborts on the first bad byte never finishes. The
+    * PERMISSIVE reader quarantines unparseable lines into a corrupt-
+    * record column instead of failing the job, so bad data is
+    * COUNTED and auditable rather than silently dropped or fatal.
+    * Three deterministic garbage lines ride along with the real
+    * events feed; they must surface as exactly three `_corrupt` rows
+    * while every valid record parses normally. */
+  def jsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "events_json_dirty")
+    import spark.implicits._
+    val good = events(spark, dir)
+      .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("line"))
+    val bad = Seq("""{"event_id": 99, "event_type": """, // truncated write
+      "not json at all", // stray log line
+      "[1,2,").toDF("line") // truncated array
+    good.unionAll(bad).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .select(when(col("_corrupt").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Parquet sink roundtrip: filtered projection written with
     * dictionary encoding + snappy, re-read, aggregated. */
   def parquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -25,4 +25,19 @@ class EncodingLabSpec extends SparkSpec {
     assert(dict.bytesByCol("l_orderkey") <= plain.bytesByCol("l_orderkey") * 11 / 10,
       "dict-overflow fallback should not cost >10% over plain")
   }
+
+  test("codec axis: zstd compresses the key column at least as tight as snappy") {
+    val byName = queries.EncodingLab.compare(spark, sf).map(v => v.name -> v).toMap
+    val dict = byName("dict"); val snappy = byName("dict_snappy"); val zstd = byName("dict_zstd")
+    for (v <- Seq(dict, snappy, zstd))
+      info(f"${v.name}%-11s l_orderkey=${v.bytesByCol("l_orderkey")}%8d B  " +
+        f"file=${v.fileBytes}%8d B  scan=${v.scanSec}%.3f s")
+    // the key column fell back to plain under dict, so the codec does
+    // real work there; zstd's entropy stage beats snappy's LZ-only pass
+    assert(zstd.bytesByCol("l_orderkey") <= snappy.bytesByCol("l_orderkey"),
+      s"zstd ${zstd.bytesByCol("l_orderkey")} !<= snappy ${snappy.bytesByCol("l_orderkey")}")
+    // and both compress vs the uncompressed dict baseline
+    assert(snappy.bytesByCol("l_orderkey") < dict.bytesByCol("l_orderkey"))
+    assert(zstd.fileBytes < dict.fileBytes)
+  }
 }
