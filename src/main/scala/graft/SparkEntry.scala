@@ -108,6 +108,7 @@ object SparkEntry {
     "text_bm25"          -> TextAnalysis.bm25 _,
     "text_dup_ngram"     -> TextAnalysis.dupNgram _,
     "text_tfidf_topterms" -> TextAnalysis.tfidfTopTerms _,
+    "text_pii_redact"    -> TextAnalysis.piiRedact _,
     "doc_chunk_overlap"  -> TextAnalysis.chunkOverlap _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
@@ -1150,6 +1151,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
         |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // the oracle plants the identical doc_id-derived email/phone and
+    // replays the same scrub; md5 of the redacted text pins every byte
+    "text_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM s)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  length(red) AS redacted_len,
+        |  md5(red) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,

@@ -337,6 +337,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing — the redaction pass every training-data release
+    * runs before anything ships: emails and phone numbers are
+    * replaced with typed placeholder tokens and the hit counts are
+    * kept for audit (a spike in PII density flags a bad source). The
+    * synthetic corpus contains no real PII, so a deterministic
+    * email + phone derived from doc_id is appended first and the
+    * scrubber must find and remove exactly what was planted — the
+    * oracle replays both halves.
+    *
+    * Shape: a pure per-row projection over one scan (regexp_count +
+    * regexp_replace, all codegen'd) — no shuffle before the output
+    * sort, embarrassingly parallel at any scale. The regexes stay in
+    * the portable character-class dialect both engines (and RE2-class
+    * matchers generally) agree on. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val salted = documents(spark, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+    salted.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      length(redacted).as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Strided word-window chunking — the document → context-window
     * step between cleaning and tokenization: 64-word chunks on a
     * 48-word stride (16 words of overlap so no boundary context is

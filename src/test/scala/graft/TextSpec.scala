@@ -149,6 +149,21 @@ class TextSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("pii redact finds every planted email/phone and leaves no match behind") {
+    import org.apache.spark.sql.functions._
+    val df = operators.TextAnalysis.piiRedact(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1, "planted email not counted")
+      assert(r.getAs[Int]("n_phones") >= 1, "planted phone not counted")
+    }
+    // the operator is a pure projection: no shuffle before the sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.replaceFirst("rangepartitioning", "").contains("Exchange hashpartitioning"),
+      plan.take(2000))
+  }
+
   test("chunking tiles every document with 48-stride 64-word windows") {
     import org.apache.spark.sql.functions._
     val chunks = operators.TextAnalysis.chunkOverlap(spark, sf).collect()
