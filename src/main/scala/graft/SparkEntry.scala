@@ -68,6 +68,7 @@ object SparkEntry {
     "src_schema_evolution"   -> SourcesSinks.schemaEvolution _,
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
+    "sink_nested_types"      -> SourcesSinks.nestedSink _,
     // §2.5 window / analytic
     "win_rank_topn"    -> Analytic.rankTopN _,
     "win_running_sum"  -> Analytic.runningSum _,
@@ -121,6 +122,9 @@ object SparkEntry {
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
+    "sql_cube"               -> SqlSurface.cubeAgg _,
+    "sql_full_outer"         -> SqlSurface.fullOuter _,
+    "agg_percentile_exact"   -> SqlSurface.percentileExact _,
     "sql_grouping_sets"      -> SqlSurface.groupingSets _,
     "sql_limit_offset"       -> SqlSurface.limitOffset _,
     "sql_setops"             -> SqlSurface.setOps _,
@@ -1266,6 +1270,40 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "sql_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "sql_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_mktsegment, '(no-customer)') AS segment,
+        |  coalesce(cnt, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    // quantities are small integers stored as DOUBLE; both engines
+    // interpolate lower + d*(upper-lower), so the doubles match bitwise
+    "agg_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the nested roundtrip is lossless, so the oracle aggregates the
+    // flat table; first_qty = qty of the (linenumber, qty)-least line,
+    // the entry the rank-keyed map stores under key 1
+    "sink_nested_types" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  max(l_linenumber) AS max_ln,
+        |  CAST((array_agg(l_quantity ORDER BY l_linenumber, l_quantity))[1] AS DOUBLE) AS first_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,

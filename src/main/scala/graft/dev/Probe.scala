@@ -10,8 +10,8 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
-    for (name <- Seq("src_csv_quoted", "scan_selectivity_20pct",
-        "scan_selectivity_30pct", "scan_selectivity_80pct")) {
+    for (name <- Seq("sql_cube", "sql_full_outer",
+        "agg_percentile_exact", "sink_nested_types")) {
       val rows = graft.SparkEntry.queries(name)(spark, dir).collect()
       println(s"[probe] $name rows=${rows.length} head=${rows.take(3).mkString(" | ")}")
     }

@@ -384,6 +384,43 @@ object SourcesSinks {
       .orderBy("status")
   }
 
+  /** Nested-types parquet roundtrip — arrays, structs, and maps are
+    * where a parquet scanner earns its repetition/definition-level
+    * handling (parquet.thrift's nested schema model; the reference
+    * scanner walks rep/def levels in hdfs-parquet-scanner.cc). Each
+    * order's lineitems collapse into an array<struct> plus a
+    * linenumber-keyed map, roundtrip through parquet, and are
+    * re-flattened; the aggregate must be identical to computing
+    * directly off the flat table. At 100 TB nesting is a layout
+    * choice: co-locating child rows with their parent removes the
+    * order⋈lineitem join entirely for parent-scoped queries, the
+    * same denormalization trade the reference's clustered layouts
+    * make. */
+  def nestedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "lineitem_nested")
+    lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("lines"))
+      // the map is keyed by within-order rank (1..n), not linenumber —
+      // linenumbers repeat within an order in this data and map keys
+      // must be unique
+      .withColumn("qty_by_rank",
+        expr("map_from_entries(transform(lines, (x, i) -> struct(i + 1, x.qty)))"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        explode(col("lines")).as("line"),
+        element_at(col("qty_by_rank"), 1).as("first_qty"))
+      .groupBy("l_orderkey")
+      .agg(first(col("n_lines")).as("n_lines"),
+        sum(col("line.qty").cast(D)).cast("double").as("sum_qty"),
+        max(col("line.ln")).as("max_ln"),
+        first(col("first_qty")).as("first_qty"))
+      .orderBy("l_orderkey")
+  }
+
   /** Per-column NDV vs row count — the dict-encodability decision
     * input. Each NDV is its own distinct→count branch (a column-pruned
     * scan + two-phase hash agg), unioned; N countDistinct in ONE agg

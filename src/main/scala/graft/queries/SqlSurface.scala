@@ -42,6 +42,58 @@ object SqlSurface {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over status × priority — all four grouping-set combinations
+    * (detail, two subtotal axes, grand total) in one Expand + hash
+    * agg. Completes the rollup/grouping-sets/cube trio. Neither group
+    * column is nullable in the data, so a NULL group key always means
+    * "subtotal" here; the grouping() bits are still emitted as the
+    * disambiguation contract. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping("o_orderstatus").cast("bigint").as("g_status"),
+        grouping("o_orderpriority").cast("bigint").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** FULL OUTER join — both dangling sides must survive: customers
+    * with no orders (the filter manufactures order-less custkeys on
+    * the right-side too by dropping every third customer) AND order
+    * groups whose customer was dropped. The 100 TB shape is the same
+    * shuffle join as inner; only the null-padding differs, so the
+    * plan scales identically. */
+  def fullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select("c_custkey", "c_mktsegment")
+    val ords = orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("(no-customer)")).as("segment"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Exact percentiles per group (Impala ships APPX_MEDIAN; the exact
+    * form is the calibration baseline the sketch is judged against —
+    * agg_approx_stats already rank-validates the approx side). Exact
+    * percentile requires a full sort of each group's values, which is
+    * why it stays a calibration/audit tool at 100 TB while the sketch
+    * serves queries. Quantities are small integers and both engines
+    * interpolate lower + d·(upper−lower), so the doubles are
+    * engine-exact. */
+  def percentileExact(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
   /** GROUPING SETS with grouping() markers — the generalized form of
     * rollup/cube: per-returnflag totals, per-linestatus totals, and
     * the grand total in ONE pass (a single Expand + hash agg, not
