@@ -1284,7 +1284,8 @@ object SparkEntry {
         |  coalesce(c_mktsegment, '(no-customer)') AS segment,
         |  coalesce(cnt, 0) AS n_orders
         |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
-        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+        |                 WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
         |  ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
     // quantities are small integers stored as DOUBLE; both engines

@@ -58,17 +58,19 @@ object SqlSurface {
       .orderBy(col("g_status"), col("g_priority"),
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
-  /** FULL OUTER join — both dangling sides must survive: customers
-    * with no orders (the filter manufactures order-less custkeys on
-    * the right-side too by dropping every third customer) AND order
-    * groups whose customer was dropped. The 100 TB shape is the same
-    * shuffle join as inner; only the null-padding differs, so the
-    * plan scales identically. */
+  /** FULL OUTER join — both dangling sides must survive: kept
+    * customers with no URGENT order (every customer has orders in
+    * this data, so the urgent filter manufactures the left-dangling
+    * side) AND urgent-order groups whose customer was dropped (every
+    * third custkey). The 100 TB shape is the same shuffle join as
+    * inner; only the null-padding differs, so the plan scales
+    * identically. */
   def fullOuter(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir)
       .filter(col("c_custkey") % 3 =!= 0)
       .select("c_custkey", "c_mktsegment")
     val ords = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
       .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
     cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(

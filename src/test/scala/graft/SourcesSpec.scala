@@ -234,6 +234,37 @@ class SourcesSpec extends SparkSpec {
       o.filter(col("o_orderkey") % 2 =!= 0).count())
   }
 
+  test("nested-types roundtrip: flattened aggregates match the flat table exactly") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SourcesSinks.nestedSink(spark, sf).collect()
+      .map(r => r.getAs[Long]("l_orderkey") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Double]("sum_qty"), r.getAs[Double]("first_qty"))).toMap
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("int").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+        min(struct(col("l_linenumber"), col("l_quantity"))).getField("l_quantity").as("f"))
+      .collect()
+      .map(r => r.getAs[Long]("l_orderkey") ->
+        (r.getAs[Int]("n"), r.getAs[Double]("s"), r.getAs[Double]("f"))).toMap
+    assert(got == want)
+    // the written footer really carries nested groups (rep/def levels),
+    // not flattened columns
+    val d = new java.io.File(queries.SourcesSinks.tmp(spark, sf, "lineitem_nested"))
+    val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema.toString
+      assert(schema.contains("repeated"), schema)
+      assert(schema.contains("key_value") || schema.contains("MAP"), schema)
+    } finally reader.close()
+  }
+
   test("dict cardinality stats: low-NDV flags encodable, high-NDV key is not at scale") {
     val rows = queries.SourcesSinks.dictCardinalityStats(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") ->

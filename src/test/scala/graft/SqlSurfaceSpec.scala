@@ -33,6 +33,47 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byMarker((0L, 1L)).map(_.getAs[Long]("n_rows")).sum == total)
   }
 
+  test("cube emits all four grouping-set combinations that reconcile to the total") {
+    val rows = queries.SqlSurface.cubeAgg(spark, sf).collect()
+    val byMarker = rows.groupBy(r => (r.getAs[Long]("g_status"), r.getAs[Long]("g_priority")))
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    // (0,0) detail, (0,1) per-status, (1,0) per-priority, (1,1) grand
+    assert(byMarker.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(byMarker((1L, 1L)).head.getAs[Long]("n_orders") == total)
+    assert(byMarker((0L, 1L)).map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byMarker((1L, 0L)).map(_.getAs[Long]("n_orders")).sum == total)
+    assert(byMarker((0L, 0L)).map(_.getAs[Long]("n_orders")).sum == total)
+  }
+
+  test("full outer join surfaces dangling rows on BOTH sides") {
+    val rows = queries.SqlSurface.fullOuter(spark, sf).collect()
+    // right-dangling: dropped customers whose orders survive
+    val noCust = rows.filter(_.getAs[String]("segment") == "(no-customer)")
+    assert(noCust.nonEmpty && noCust.forall(_.getAs[Long]("n_orders") > 0))
+    // left-dangling: kept customers with no orders at all
+    assert(rows.exists(r =>
+      r.getAs[String]("segment") != "(no-customer)" && r.getAs[Long]("n_orders") == 0))
+    // nothing lost: every surviving customer and every order group appears
+    import org.apache.spark.sql.functions._
+    val keptCusts = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 =!= 0).count()
+    val droppedWithUrgent = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 3 === 0 && col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(rows.length == keptCusts + droppedWithUrgent)
+  }
+
+  test("exact percentiles are ordered and bounded by the group's min/max") {
+    val rows = queries.SqlSurface.percentileExact(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (p25, p50, p90) = (r.getAs[Double]("p25_qty"),
+        r.getAs[Double]("p50_qty"), r.getAs[Double]("p90_qty"))
+      assert(p25 <= p50 && p50 <= p90, s"$p25 $p50 $p90")
+      assert(p25 >= 1.0 && p90 <= 50.0)
+    }
+  }
+
   test("set ops partition 1996 buyers into both/only segments") {
     val rows = queries.SqlSurface.setOps(spark, sf).collect()
     val seg = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
