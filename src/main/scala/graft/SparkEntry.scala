@@ -77,6 +77,7 @@ object SparkEntry {
     "win_range_frame"  -> Analytic.rangeFrame _,
     "win_first_last"   -> Analytic.firstLast _,
     "win_percent_rank" -> Analytic.percentRank _,
+    "win_dense_rank"   -> Analytic.denseRank _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -86,6 +87,7 @@ object SparkEntry {
     "ev_range_join"       -> Analytic.rangeJoin _,
     "ev_histogram"        -> Analytic.valueHistogram _,
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
+    "ev_gap_fill"         -> Analytic.gapFill _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -575,6 +577,32 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_dense_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    // spine hours between each type's min and max; missing hours
+    // zero-fill + flag, carried_value = LOCF of the hourly sum
+    "ev_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//3600*3600 AS hour_sec,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_sec) AS mn, max(hour_sec) AS mx FROM h GROUP BY 1),
+        |s AS (SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS hour_sec FROM b)
+        |SELECT s.event_type, s.hour_sec,
+        |  coalesce(h.n_events, 0) AS n_events,
+        |  coalesce(h.sum_value, 0.0) AS sum_value,
+        |  h.n_events IS NULL AS is_gap,
+        |  last_value(h.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour_sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+        |FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour_sec = h.hour_sec
+        |ORDER BY s.event_type, s.hour_sec""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
         |v AS (SELECT user_id, min(ts_sec) AS first_sec FROM ev WHERE event_type = 'view' GROUP BY 1),

@@ -343,4 +343,54 @@ object Analytic {
       .select("event_type", "hour_sec", "n_events", "is_anomaly")
       .orderBy("event_type", "hour_sec")
   }
+
+  /** rank() vs dense_rank() over heavy ties — the two rank functions
+    * the top-N family still lacked (row_number/percent_rank/cume_dist
+    * are covered elsewhere). Quantities repeat constantly, so ranks
+    * jump (rank) or stay dense (dense_rank); both are deterministic
+    * under ties because they depend only on the ORDER BY key, not on
+    * row order within a tie. Output keeps a unique total order for
+    * the hash compare. */
+  def denseRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_quantity")
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .withColumn("rnk", rank().over(w).cast("bigint"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("bigint"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
+  /** Time-series gap filling — the spine-join every monitoring /
+    * feature-engineering pipeline needs before windowed models: a
+    * complete hourly spine per event type (generated with sequence +
+    * explode, distributed, never a driver loop), left-joined to the
+    * observed hourly aggregate. Missing hours zero-fill and flag
+    * `is_gap`; `carried_value` is the last observed hourly sum
+    * carried forward (LOCF) via last_value(IGNORE NULLS). At 100 TB
+    * the spine is ~rows_per_group × groups — trivially small next to
+    * the event scan, and the join shuffles on the same (type, hour)
+    * key the aggregate already produced. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"),
+        col("value"))
+      .groupBy("event_type", "hour_sec")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hour_sec").as("mn"), max("hour_sec").as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(3600L))).as("hour_sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_sec")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "hour_sec"), "left")
+      .withColumn("is_gap", col("n_events").isNull)
+      .withColumn("carried_value", last(col("sum_value"), ignoreNulls = true).over(w))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("sum_value", coalesce(col("sum_value"), lit(0.0)))
+      .select("event_type", "hour_sec", "n_events", "sum_value", "is_gap", "carried_value")
+      .orderBy("event_type", "hour_sec")
+  }
 }

@@ -41,6 +41,51 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("dense_rank never jumps and rank jumps exactly by tie-group sizes") {
+    val rows = queries.Analytic.denseRank(spark, sf).collect()
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("l_returnflag"))) {
+      val byQty = rs.groupBy(_.getAs[Double]("l_quantity")).toSeq
+        .sortBy(_._1).map { case (q, g) => (q, g.head.getAs[Long]("rnk"),
+          g.head.getAs[Long]("dense_rnk"), g.length) }
+      // dense ranks are 1,2,3,... per distinct quantity
+      assert(byQty.map(_._3) == (1L to byQty.length))
+      // rank = 1 + number of rows with a strictly smaller quantity
+      var seen = 0L
+      for ((_, rnk, _, n) <- byQty) {
+        assert(rnk == seen + 1, s"rank $rnk != ${seen + 1}")
+        seen += n
+      }
+      // all rows within a tie share both ranks
+      rs.groupBy(_.getAs[Double]("l_quantity")).values.foreach { g =>
+        assert(g.map(_.getAs[Long]("rnk")).distinct.length == 1)
+        assert(g.map(_.getAs[Long]("dense_rnk")).distinct.length == 1)
+      }
+    }
+  }
+
+  test("gap fill produces a complete hourly spine with zero-filled flagged gaps and LOCF") {
+    val rows = queries.Analytic.gapFill(spark, sf).collect()
+    for ((_, rs0) <- rows.groupBy(_.getAs[String]("event_type"))) {
+      val rs = rs0.sortBy(_.getAs[Long]("hour_sec"))
+      // spine is contiguous: every hour between min and max present once
+      val hours = rs.map(_.getAs[Long]("hour_sec"))
+      assert(hours.sameElements(hours.head to hours.last by 3600L))
+      // gaps are flagged, zero-filled, and carry the last observed value
+      var lastObserved: Option[Double] = None
+      rs.foreach { r =>
+        if (r.getAs[Boolean]("is_gap")) {
+          assert(r.getAs[Long]("n_events") == 0 && r.getAs[Double]("sum_value") == 0.0)
+          assert(lastObserved.contains(r.getAs[Double]("carried_value")))
+        } else {
+          lastObserved = Some(r.getAs[Double]("sum_value"))
+          assert(r.getAs[Double]("carried_value") == lastObserved.get)
+        }
+      }
+    }
+    // the fill is real: at least one gap exists in the synthetic feed
+    assert(rows.exists(_.getAs[Boolean]("is_gap")), "no gaps — the spine test is vacuous")
+  }
+
   test("tumbling window hours align to 3600s and event counts total correctly") {
     val rows = queries.Analytic.tumblingWindow(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Long]("hour_sec") % 3600 == 0))
