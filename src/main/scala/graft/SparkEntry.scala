@@ -578,12 +578,12 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_dense_rank" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     // spine hours between each type's min and max; missing hours
     // zero-fill + flag, carried_value = LOCF of the hourly sum
     "ev_gap_fill" ->

@@ -346,19 +346,22 @@ object Analytic {
 
   /** rank() vs dense_rank() over heavy ties — the two rank functions
     * the top-N family still lacked (row_number/percent_rank/cume_dist
-    * are covered elsewhere). Quantities repeat constantly, so ranks
-    * jump (rank) or stay dense (dense_rank); both are deterministic
-    * under ties because they depend only on the ORDER BY key, not on
-    * row order within a tie. Output keeps a unique total order for
-    * the hash compare. */
+    * are covered elsewhere). Quantities repeat constantly inside a
+    * supplier's lineitems, so ranks jump (rank) or stay dense
+    * (dense_rank); both are deterministic under ties because they
+    * depend only on the ORDER BY key, not on row order within a tie.
+    * Partitioned by l_suppkey — window partition count grows with the
+    * data (a low-cardinality key like returnflag would serialize the
+    * whole table through a handful of partitions at 100 TB). Output
+    * keeps a unique total order for the hash compare. */
   def denseRank(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("l_quantity")
+      .partitionBy("l_suppkey").orderBy("l_quantity")
     lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
       .withColumn("rnk", rank().over(w).cast("bigint"))
       .withColumn("dense_rnk", dense_rank().over(w).cast("bigint"))
-      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   /** Time-series gap filling — the spine-join every monitoring /

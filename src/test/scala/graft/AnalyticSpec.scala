@@ -43,7 +43,7 @@ class AnalyticSpec extends SparkSpec {
 
   test("dense_rank never jumps and rank jumps exactly by tie-group sizes") {
     val rows = queries.Analytic.denseRank(spark, sf).collect()
-    for ((_, rs) <- rows.groupBy(_.getAs[String]("l_returnflag"))) {
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("l_suppkey"))) {
       val byQty = rs.groupBy(_.getAs[Double]("l_quantity")).toSeq
         .sortBy(_._1).map { case (q, g) => (q, g.head.getAs[Long]("rnk"),
           g.head.getAs[Long]("dense_rnk"), g.length) }
