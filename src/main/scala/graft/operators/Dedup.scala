@@ -93,12 +93,13 @@ object Dedup {
   /** MinHash(128) + 16-band LSH candidate pairs, verified with exact
     * shingle-set Jaccard (posting-join over candidate docs only).
     * Signature: per-perm universal hashing (a_i·h + b_i mod p) over
-    * the doc's 31-bit shingle hashes, computed as 128 `min` columns
-    * in one codegen'd hash agg; bands of 8 rows are md5-keyed. */
+    * the doc's shingle hashes, computed by the one-pass native
+    * [[graft.functions.MinHashSig]] aggregate — all 128 lanes update
+    * in a single primitive-array loop per shingle (128 separate `min`
+    * aggregate expressions per row blow past JIT-friendly generated-
+    * method sizes; the dev probe verified the two formulations emit
+    * bit-identical signatures). Bands of 8 lanes are md5-keyed. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val p = 2147483647L
-    def A(i: Int): Long = ((2L * i + 1) * 2654435761L) % p
-    def B(i: Int): Long = ((i + 1L) * 2246822519L) % p
     // Stage postings once: the signature branch and the jaccard-verify
     // branch both consume them, but the candidate filter on the verify
     // side breaks exchange-subtree identity, so ReuseExchange cannot
@@ -107,16 +108,15 @@ object Dedup {
     // single time and truncates lineage — the 100 TB shape is the
     // same: stage postings to a temp table, then fan out.
     val post = shinglePostings(spark, dir).localCheckpoint()
-    val minCols = (0 until 128).map(i =>
-      min(expr(s"(${A(i)} * (h % $p) + ${B(i)}) % $p")).as(s"m$i"))
-    val sigs = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // Band keys from plain columns (md5 over concat_ws) — NOT an
-    // array lambda: higher-order transforms are interpreted and this
+    val sigs = post.groupBy("doc_id").agg(expr("graft_minhash_sig(h)").as("sig"))
+    // Band keys from element_at projections (md5 over concat_ws) — NOT
+    // an array lambda: higher-order transforms are interpreted and the
     // nested one (16 bands × 8 casts) profiled ~1.3 s of the query on
     // its own. concat_ws(',', casts) produces byte-identical strings
     // to the oracle's array_to_string, and stays in codegen.
     val keys = (0 until 16).map { b =>
-      md5(concat_ws(",", (0 until 8).map(i => col(s"m${b * 8 + i}").cast("string")): _*)).as(s"k$b")
+      md5(concat_ws(",", (0 until 8).map(i =>
+        element_at(col("sig"), b * 8 + i + 1).cast("string")): _*)).as(s"k$b")
     }
     val exploded = sigs.select(col("doc_id") +: keys: _*)
       .select(col("doc_id"), explode(array((0 until 16).map(b =>

@@ -23,12 +23,20 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val name = FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(name)) {
+    val dot = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(dot)) {
       registry.registerFunction(
-        name,
+        dot,
         new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
         (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1)))
+    }
+    val sig = FunctionIdentifier("graft_minhash_sig")
+    if (!registry.functionExists(sig)) {
+      registry.registerFunction(
+        sig,
+        new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
+        (exprs: Seq[Expression]) =>
+          graft.functions.MinHashSig(exprs.head).toAggregateExpression())
     }
   }
 }

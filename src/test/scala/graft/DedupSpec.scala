@@ -64,4 +64,23 @@ class DedupSpec extends SparkSpec {
     val rows = operators.Dedup.embeddingCosine(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("native minhash aggregate is bit-identical to 128 min columns, merge path included") {
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val p = 2147483647L
+    def A(i: Int): Long = ((2L * i + 1) * 2654435761L) % p
+    def B(i: Int): Long = ((i + 1L) * 2246822519L) % p
+    // repartition scatters each doc's shingles across partitions, so
+    // the aggregate MUST take the partial-update + merge + serde path
+    val post = operators.Dedup.shinglePostings(spark, sf).repartition(7).localCheckpoint()
+    val minCols = (0 until 128).map(i =>
+      min(expr(s"(${A(i)} * (h % $p) + ${B(i)}) % $p")).as(s"m$i"))
+    val oldSigs = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 128).map(i => col(s"m$i")): _*).as("sig"))
+    val newSigs = post.groupBy("doc_id").agg(expr("graft_minhash_sig(h)").as("sig"))
+    val joined = oldSigs.as("o").join(newSigs.as("n"), "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("o.sig") =!= col("n.sig")).count() == 0)
+  }
 }
