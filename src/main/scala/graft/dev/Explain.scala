@@ -1,5 +1,5 @@
 package graft.dev
-// scratch plan-audit main — prints the formatted physical plan
+// scratch plan-audit main — not part of the library surface
 import org.apache.spark.sql.SparkSession
 
 object Explain {
@@ -7,11 +7,18 @@ object Explain {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    for (name <- args) {
-      println(s"===== $name =====")
-      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("sql_full_outer", "ev_gap_fill", "sink_nested_types", "dedup_minhash_lsh")
+    for (name <- names) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val smells = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+        .filter(plan.contains)
+      val joins = "(\\w*Join\\w*)".r.findAllIn(plan).toSeq.distinct
+      println(s"[explain] $name joins=${joins.mkString(",")} smells=${smells.mkString(",")}")
     }
     spark.stop()
   }
