@@ -51,6 +51,7 @@ object SparkEntry {
     "expr_string_funcs"   -> Exprs.stringFuncs _,
     "expr_math_case"      -> Exprs.mathCase _,
     "expr_date_funcs"     -> Exprs.dateFuncs _,
+    "expr_date_parse"     -> Exprs.dateParse _,
     "expr_hash_digest"    -> Exprs.hashDigest _,
     "expr_null_semantics" -> Exprs.nullSemantics _,
     "expr_bitwise"        -> Exprs.bitwise _,
@@ -409,6 +410,15 @@ object SparkEntry {
     "expr_hash_digest" ->
       """SELECT doc_id, md5(text) AS digest_md5, sha256(text) AS digest_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday — shift by one
+    "expr_date_parse" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y%m%d') AS ymd,
+        |  CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS parsed,
+        |  CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)) AS BIGINT) AS epoch_day,
+        |  CAST(dayofweek(CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE)) + 1 AS BIGINT) AS weekday
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "expr_null_semantics" ->
       """SELECT l_orderkey, l_linenumber,
         | nullif(l_discount, 0.0) AS disc_or_null,

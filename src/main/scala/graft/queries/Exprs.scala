@@ -63,6 +63,23 @@ object Exprs {
         col("o_orderdate").cast(DateType)).cast("bigint").as("days_to_2000"))
       .orderBy("o_orderkey")
 
+  /** String-date parsing — the direction every text ingest needs:
+    * dates arrive as formatted strings and must parse back into
+    * typed DATE (to_date with an explicit pattern — inference-free,
+    * like every schema decision at scale), then feed date arithmetic.
+    * Roundtrips through 'yyyyMMdd' so the parse is value-exact;
+    * weekday bridges the engines' offset conventions (Spark
+    * dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the oracle
+    * shifts). */
+  def dateParse(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"))
+      .withColumn("parsed", to_date(col("ymd"), "yyyyMMdd"))
+      .withColumn("epoch_day", unix_date(col("parsed")).cast("bigint"))
+      .withColumn("weekday", dayofweek(col("parsed")).cast("bigint"))
+      .orderBy("o_orderkey")
+
   /** Content digests — the hash-util.h analog (md5 / sha256 are
     * engine-portable, unlike CRC32c/FNV). */
   def hashDigest(spark: SparkSession, dir: String): DataFrame =

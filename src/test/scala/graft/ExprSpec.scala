@@ -27,6 +27,20 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("date parse: string roundtrip recovers the original date exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Exprs.dateParse(spark, sf).limit(500).collect()
+    rows.foreach { r =>
+      val ymd = r.getAs[String]("ymd")
+      val parsed = r.getAs[java.sql.Date]("parsed")
+      assert(ymd == parsed.toLocalDate.format(
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE), s"$ymd != $parsed")
+      assert(r.getAs[Long]("epoch_day") == parsed.toLocalDate.toEpochDay)
+      val wd = r.getAs[Long]("weekday")
+      assert(wd >= 1 && wd <= 7)
+    }
+  }
+
   test("hash digests are stable hex strings") {
     val rows = queries.Exprs.hashDigest(spark, sf).limit(5).collect()
     rows.foreach { r =>
