@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_components"       -> Dedup.components _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "dedup_incremental"      -> Dedup.incremental _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
+    "pipeline_token_budget"   -> Pipeline.tokenBudget _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -712,6 +714,20 @@ object SparkEntry {
         |    min(doc_id) OVER (PARTITION BY digest) AS canonical_id
         |  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // previous release = doc_id % 4 != 3; the incoming batch carries
+    // re-crawled old docs (new ids, same text) the anti-join must drop
+    "dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 0),
+        |incd AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM inc),
+        |prev AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |  FROM documents WHERE doc_id % 4 <> 3)
+        |SELECT doc_id, digest FROM incd
+        |WHERE digest NOT IN (SELECT digest FROM prev)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
@@ -1164,6 +1180,18 @@ object SparkEntry {
         |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_chunk_words,
         |  md5(array_to_string(words[chunk_start+1:least(chunk_start+64, n)], ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) <= 2000 AS selected
+        |FROM t
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -146,6 +146,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental-ingest dedup — the delta form every recurring crawl
+    * runs: only documents whose content digest is NOT in the previous
+    * release ship in the new batch. The previous release is a
+    * deterministic snapshot (doc_id % 4 != 3); the synthetic corpus
+    * has no repeated texts, so the incoming batch additionally
+    * carries RE-CRAWLS (old docs under new ids — exactly what a
+    * recurring crawl produces) which the anti-join must drop. In
+    * production the previous side is the prior manifest's digest
+    * table. One left_anti join on the digest — the same
+    * single-shuffle shape as exact dedup, and the anti side only
+    * carries digests, never text. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val recrawl = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+      .unionAll(recrawl)
+      .withColumn("digest", expr(s"md5($normTextExpr)"))
+      .select("doc_id", "digest")
+    val prev = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(expr(s"md5($normTextExpr)").as("digest")).distinct()
+    incoming.join(prev, Seq("digest"), "left_anti")
+      .select("doc_id", "digest")
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash over shingle hashes + 4×15-bit block LSH; pairs
     * verified with hamming ≤ 3 (bit_count of xor). Per-bit majority
     * votes are plain sums in a codegen'd hash agg: bit_j is set iff

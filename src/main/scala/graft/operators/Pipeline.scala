@@ -116,4 +116,25 @@ object Pipeline {
       .select("lang", "n_docs", "n_tokens", "token_share", "mix_weight", "oversample_capped")
       .orderBy("lang")
   }
+
+  /** Token-budget selection — the "cut the corpus to N tokens per
+    * language" step between mixing and packing: docs are taken
+    * greedily in arrival order (doc_id) within each language until
+    * the running token total exceeds the budget. One running-sum
+    * window per language partition; at 100 TB the partitions are
+    * languages × whatever sub-sharding the arrival key carries, and
+    * the selection is a pure projection off the cumsum — no second
+    * pass, no driver loop. The budget is a constant of the contract
+    * row (2000 tokens/lang — both kept and cut branches are exercised
+    * at every test SF). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(expr(normTextExpr), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
 }

@@ -65,6 +65,26 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
   }
 
+  test("incremental dedup ships unseen docs and drops every re-crawl") {
+    import org.apache.spark.sql.functions._
+    val delta = operators.Dedup.incremental(spark, sf).collect()
+    // every re-crawl (doc_id >= 1000000 marks them) was anti-joined away
+    delta.foreach(r => assert(r.getAs[Long]("doc_id") < 1000000L, r.toString))
+    // shipped docs are exactly the genuinely-new quarter
+    delta.foreach(r => assert(r.getAs[Long]("doc_id") % 4 == 3))
+    // none of the shipped digests exists in the previous release
+    val prevDigests = operators.Dedup.exact(spark, sf)
+      .filter(col("doc_id") % 4 =!= 3).select("digest").collect()
+      .map(_.getString(0)).toSet
+    delta.foreach(r => assert(!prevDigests(r.getAs[String]("digest"))))
+    // the anti-join did real work: the incoming batch (new + re-crawls)
+    // is strictly larger than the delta
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val incoming = docs.filter(col("doc_id") % 4 === 3).count() +
+      docs.filter(col("doc_id") % 8 === 0).count()
+    assert(delta.length > 0 && delta.length < incoming)
+  }
+
   test("native minhash aggregate is bit-identical to 128 min columns, merge path included") {
     import org.apache.spark.sql.functions._
     org.apache.spark.sql.GraftFunctions.register(spark)

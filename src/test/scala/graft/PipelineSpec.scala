@@ -22,6 +22,25 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
   }
 
+  test("token budget: selection is a prefix per language and stops at the budget") {
+    val rows = operators.Pipeline.tokenBudget(spark, sf).collect()
+    for ((_, rs0) <- rows.groupBy(_.getAs[String]("lang"))) {
+      val rs = rs0.sortBy(_.getAs[Long]("doc_id"))
+      // cumsum is monotone and selection is a contiguous prefix
+      val cums = rs.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.sameElements(cums.sorted))
+      val sel = rs.map(_.getAs[Boolean]("selected"))
+      assert(!sel.dropWhile(identity).contains(true), "selection is not a prefix")
+      // kept prefix stays within budget; first cut doc overflows it
+      rs.filter(_.getAs[Boolean]("selected"))
+        .foreach(r => assert(r.getAs[Long]("cum_tokens") <= 2000L))
+      rs.find(!_.getAs[Boolean]("selected"))
+        .foreach(r => assert(r.getAs[Long]("cum_tokens") > 2000L))
+      // both branches fire at every test SF
+      assert(sel.contains(true) && sel.contains(false), "budget never binds")
+    }
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()
