@@ -26,7 +26,10 @@ class ScaleTrendSpec extends SparkSpec {
     math.min(run(), run())
   }
 
-  for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary")) {
+  // q6/q1: scan+agg staples; pii_redact: the map-only text path;
+  // minhash: the native-aggregate signature pipeline
+  for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
+      "text_pii_redact", "dedup_minhash_lsh")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
