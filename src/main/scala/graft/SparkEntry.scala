@@ -89,6 +89,7 @@ object SparkEntry {
     "ev_histogram"        -> Analytic.valueHistogram _,
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
+    "ev_sliding_window"   -> Analytic.slidingWindow _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -615,6 +616,15 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
         |FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour_sec = h.hour_sec
         |ORDER BY s.event_type, s.hour_sec""".stripMargin,
+    // every event lands in exactly 2 overlapping windows (width 3600,
+    // slide 1800, epoch-aligned starts — same alignment Spark uses)
+    "ev_sliding_window" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS s, event_type, value FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([(s//1800)*1800 - 1800, (s//1800)*1800]) AS win_start FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
         |v AS (SELECT user_id, min(ts_sec) AS first_sec FROM ev WHERE event_type = 'view' GROUP BY 1),

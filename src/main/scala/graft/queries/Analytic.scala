@@ -344,6 +344,23 @@ object Analytic {
       .orderBy("event_type", "hour_sec")
   }
 
+  /** Sliding 1-hour windows on a 30-minute slide — the overlapping
+    * windowing mode (tumbling is the slide == width special case):
+    * every event lands in exactly width/slide = 2 windows, which the
+    * built-in `window()` generator expands BEFORE the aggregation, so
+    * the whole thing is still one partial-agg-friendly hash agg over
+    * 2× the rows — no self-join, no window function. The streaming
+    * form is the identical expression under readStream. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+      .groupBy(window(col("ts_sec"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** rank() vs dense_rank() over heavy ties — the two rank functions
     * the top-N family still lacked (row_number/percent_rank/cume_dist
     * are covered elsewhere). Quantities repeat constantly inside a

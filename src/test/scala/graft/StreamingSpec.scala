@@ -151,6 +151,33 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("foreachBatch lands the stream in parquet with no lost or duplicated events") {
+    val base = queries.SourcesSinks.tmp(spark, sf, "stream_feb")
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("timestamp_seconds(ts div 1000000000)").as("ts"))
+    evs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // maxFilesPerTrigger=1 forces multiple micro-batches, so the sink
+    // must be exactly-once ACROSS batches, not just within one
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(outDir)
+    assert(landed.select("batch_id").distinct().count() > 1, "only one micro-batch ran")
+    val got = landed.select("event_id").collect().map(_.getLong(0)).sorted
+    val want = evs.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.length == want.length, s"${got.length} != ${want.length}")
+    assert(got.sameElements(want))
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
