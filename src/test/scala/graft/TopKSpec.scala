@@ -140,6 +140,47 @@ class TopKSpec extends SparkSpec {
     assert(topk().count() == graft.sources.Tables.part(s, sf).count())
   }
 
+  test("optimizer rule leaves rank()/dense_rank() windows alone — tie semantics differ") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    // rank() can emit MORE than k rows per key under ties; rewriting it
+    // onto row_number-semantics heaps would silently drop tied rows
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    for (fn <- Seq(rank(), dense_rank())) {
+      val df = graft.sources.Tables.part(s, sf)
+        .withColumn("rank", fn.over(w))
+        .filter(col("rank") <= 3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"), plan.take(1500))
+      assert(plan.contains("Window"), plan.take(1500))
+    }
+  }
+
+  test("MinHashSig buffer algebra: split-and-merge equals one-shot update, serde roundtrips") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.MinHashSig(BoundReference(0, LongType, nullable = true))
+    val rnd = new scala.util.Random(42)
+    val hashes = Array.fill(200)(rnd.nextLong().abs % (1L << 60))
+    def updated(hs: Seq[Long]): Array[Long] =
+      hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        agg.update(b, InternalRow(h))
+      }
+    val oneShot = updated(hashes.toSeq)
+    val (l, r) = hashes.splitAt(73)
+    // merge of partials == one pass over everything (the shuffle contract)
+    val merged = agg.merge(updated(l.toSeq), updated(r.toSeq))
+    assert(merged.sameElements(oneShot))
+    // serde roundtrip is lossless (partial buffers cross the wire)
+    assert(agg.deserialize(agg.serialize(oneShot)).sameElements(oneShot))
+    // null inputs are ignored, not crashes
+    val withNull = agg.update(updated(hashes.toSeq), InternalRow(null))
+    assert(withNull.sameElements(oneShot))
+    // every lane moved off the empty-buffer sentinel
+    assert(oneShot.forall(_ != Long.MaxValue))
+  }
+
   test("topk works for global top-k (no keys)") {
     val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
       Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
