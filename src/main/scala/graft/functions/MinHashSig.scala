@@ -64,7 +64,12 @@ case class MinHashSig(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long] % P
+      // floorMod, not %: the function is registered for arbitrary
+      // BIGINT inputs, and a sign-of-dividend % on a negative hash
+      // would produce negative signature lanes. For the non-negative
+      // hashes Dedup feeds (h60), floorMod == %, so oracle parity
+      // with the 128-min-column formulation is unchanged.
+      val h = Math.floorMod(v.asInstanceOf[Long], P)
       var i = 0
       while (i < nPerms) {
         val x = (as(i) * h + bs(i)) % P

@@ -120,21 +120,52 @@ object Pipeline {
   /** Token-budget selection — the "cut the corpus to N tokens per
     * language" step between mixing and packing: docs are taken
     * greedily in arrival order (doc_id) within each language until
-    * the running token total exceeds the budget. One running-sum
-    * window per language partition; at 100 TB the partitions are
-    * languages × whatever sub-sharding the arrival key carries, and
-    * the selection is a pure projection off the cumsum — no second
-    * pass, no driver loop. The budget is a constant of the contract
-    * row (2000 tokens/lang — both kept and cut branches are exercised
-    * at every test SF). */
+    * the running token total exceeds the budget, and the selection is
+    * a pure projection off the cumsum — no second pass, no driver
+    * loop.
+    *
+    * Scale shape: a naive `Window.partitionBy(lang)` serializes each
+    * language's ENTIRE doc stream through one task (~5 partitions at
+    * any corpus size — the low-cardinality-window anti-pattern). The
+    * cumsum is instead computed by the classic two-level prefix-sum
+    * decomposition: shard the arrival axis into contiguous doc_id
+    * RANGES (shard = doc_id div width — ranges, not doc_id % N, so
+    * concatenating shards in shard order IS doc_id order and the
+    * global cumsum is recovered EXACTLY, not under a permuted
+    * arrival key), cumsum within each (lang, shard) window, then add
+    * each shard's per-language prefix — a second cumsum over the
+    * per-shard TOTALS (a ~n_shards×n_langs-row relation) broadcast
+    * back onto the data. Window partitions stay bounded at `width`
+    * docs regardless of corpus size; `width` is the deployment knob
+    * (≈2^20 at 100 TB keeps the totals relation tiny while shards
+    * fan out across the cluster; 16 here so every test SF exercises
+    * multiple shards per language). Both branches hash-partition on
+    * (lang, shard), so the totals branch reuses the window's
+    * exchange instead of re-scanning the corpus. The budget is a
+    * constant of the contract row (2000 tokens/lang — both kept and
+    * cut branches are exercised at every test SF). */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    documents(spark, dir)
+    val shardWidth = 16L
+    val wShard = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    val wPrefix = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShard = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(expr(normTextExpr), " ")).cast("bigint").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+      .withColumn("cum_in_shard", sum("n_tokens").over(wShard))
+    // per-(lang, shard) totals are the max running sum — computed off
+    // the already-partitioned window output, then prefix-summed over
+    // the tiny shard axis
+    val prefixes = inShard.groupBy("lang", "shard")
+      .agg(max("cum_in_shard").as("shard_total"))
+      .withColumn("prefix", coalesce(sum("shard_total").over(wPrefix), lit(0L)))
+      .select("lang", "shard", "prefix")
+    inShard.join(broadcast(prefixes), Seq("lang", "shard"))
+      .withColumn("cum_tokens", col("prefix") + col("cum_in_shard"))
       .withColumn("selected", col("cum_tokens") <= budget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "selected")
       .orderBy("doc_id")
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -106,23 +105,29 @@ object Similarity {
     * score only the NProbe nearest cells per probe. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroids(spark, dir)
-    // nearest-centroid assignment: 16-way broadcast compare, keep max dot
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("cell"))
+    // nearest-centroid assignment: 16-way broadcast compare folded by
+    // ONE hash aggregate — max_by over (sim, -cell) keeps the
+    // highest-similarity cell and breaks ties toward the LOWER cell,
+    // exactly the old `ORDER BY sim DESC, cell` but with no window
+    // sort: partial max_by merges map-side, so the 16-row fan-out per
+    // vector collapses to one row before it ever reaches a shuffle —
+    // the map-side pass every vector pays at 100 TB is now sort-free.
     val assigned = vecs(spark, dir).join(broadcast(cents))
       .select(col("vec_id"), col("vd"), col("vnrm"), col("cell"),
         Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")).as("sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vd"), col("vnrm"), col("cell"))
-    // probe → its NProbe nearest cells
-    val wProbe = Window.partitionBy("probe_id")
-      .orderBy(col("psim").desc, col("cell"))
-    val probeCells = probes(spark, dir).join(broadcast(cents))
-      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"),
-        Vectors.cosinePre(col("pv"), col("cv"), col("pnrm"), col("cnrm")).as("psim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell"), col("vd"), col("vnrm")),
+        struct(col("sim"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.vd").as("vd"),
+        col("best.vnrm").as("vnrm"), col("best.cell").as("cell"))
+    // probe → its NProbe nearest cells, on the native bounded-heap
+    // top-k (5 probes × 16 cells — tiny, but it keeps the whole IVF
+    // plan window-free)
+    val probeCells = graft.plans.TopK.perKey(
+        probes(spark, dir).join(broadcast(cents))
+          .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"),
+            Vectors.cosinePre(col("pv"), col("cv"), col("pnrm"), col("cnrm")).as("psim")),
+        Seq("probe_id"), Seq("psim" -> false, "cell" -> true), NProbe)
       .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"))
     // search only vectors in probed cells; native bounded-heap top-k
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))

@@ -364,8 +364,8 @@ object TextAnalysis {
       lit(phoneRe), lit("<PHONE>"))
     salted.select(
       col("doc_id"),
-      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
-      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(emailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("bigint").as("n_phones"),
       length(redacted).as("redacted_len"),
       md5(redacted).as("redacted_md5"))
       .orderBy("doc_id")

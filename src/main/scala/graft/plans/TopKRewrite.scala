@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -60,7 +60,10 @@ class TopKRewrite(maxKeysPerPartition: Int) extends Rule[LogicalPlan] {
       case LessThanOrEqual(RankRef(a), Bound(v)) if a.semanticEquals(rn) => Some(v)
       case LessThan(RankRef(a), Bound(v)) if a.semanticEquals(rn) && v > Long.MinValue => Some(v - 1)
       case EqualTo(RankRef(a), Bound(v)) if v == 1 && a.semanticEquals(rn) => Some(1L)
+      // the reversed (literal-first) spellings of the same predicates
       case GreaterThanOrEqual(Bound(v), RankRef(a)) if a.semanticEquals(rn) => Some(v)
+      case GreaterThan(Bound(v), RankRef(a)) if a.semanticEquals(rn) && v > Long.MinValue => Some(v - 1)
+      case EqualTo(Bound(v), RankRef(a)) if v == 1 && a.semanticEquals(rn) => Some(1L)
       case _ => None
     }
     k.collect { case v if v >= 1 && v <= Int.MaxValue => v.toInt }

@@ -21,6 +21,12 @@ object GraftFunctions {
   def expression(spark: SparkSession, c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** builders run at analysis time: a wrong argument count must fail
+    * analysis loudly, never silently drop extra arguments. */
+  private def requireArity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn expects exactly $n argument(s), got ${exprs.length}")
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val dot = FunctionIdentifier("graft_dot")
@@ -28,15 +34,20 @@ object GraftFunctions {
       registry.registerFunction(
         dot,
         new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => graft.functions.ArrayDot(exprs(0), exprs(1)))
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_dot", exprs, 2)
+          graft.functions.ArrayDot(exprs(0), exprs(1))
+        })
     }
     val sig = FunctionIdentifier("graft_minhash_sig")
     if (!registry.functionExists(sig)) {
       registry.registerFunction(
         sig,
         new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
-        (exprs: Seq[Expression]) =>
-          graft.functions.MinHashSig(exprs.head).toAggregateExpression())
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_minhash_sig", exprs, 1)
+          graft.functions.MinHashSig(exprs.head).toAggregateExpression()
+        })
     }
   }
 }

@@ -41,6 +41,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("token budget: sharded cumsum equals the naive per-language window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // the two-level prefix-sum decomposition must be invisible in the
+    // output: same cum_tokens as one window over the whole language
+    val naive = {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"),
+          size(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "))
+            .cast("bigint").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("selected", col("cum_tokens") <= 2000L)
+    }
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "cum_tokens", "selected").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+    assert(asSet(operators.Pipeline.tokenBudget(spark, sf)) == asSet(naive))
+  }
+
+  test("token budget: the doc-level window is sharded, not per-language") {
+    // a lang-only window serializes each language through ONE task at
+    // any scale; the doc-level cumsum must partition by (lang, shard)
+    val plan = operators.Pipeline.tokenBudget(spark, sf)
+      .queryExecution.executedPlan.toString
+    val docWin = """windowspecdefinition\(lang#\d+, shard#\d+L?, doc_id""".r
+    assert(docWin.findFirstIn(plan).isDefined,
+      s"doc-level cumsum window is not sharded:\n${plan.take(3000)}")
+    // multiple shards actually exist per language at test SF
+    val nShards = operators.Pipeline.tokenBudget(spark, sf)
+      .selectExpr("doc_id div 16 AS shard").distinct().count()
+    assert(nShards > 1, s"only $nShards shard(s) — width too wide for this SF")
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()

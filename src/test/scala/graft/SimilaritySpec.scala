@@ -28,6 +28,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf plan is window-free: assignment folds through a hash agg, not a sort") {
+    // the per-vector nearest-centroid pick and the probe-cell pick
+    // must not plan a WindowExec (per-partition sort); assignment is
+    // a max_by hash aggregate, probe cells ride the native TopKPerKey
+    val plan = operators.Similarity.ivfTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("max_by"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("ivf recall@10 vs brute force meets the floor") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet

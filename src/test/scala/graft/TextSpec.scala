@@ -155,8 +155,8 @@ class TextSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
     rows.foreach { r =>
-      assert(r.getAs[Int]("n_emails") >= 1, "planted email not counted")
-      assert(r.getAs[Int]("n_phones") >= 1, "planted phone not counted")
+      assert(r.getAs[Long]("n_emails") >= 1L, "planted email not counted")
+      assert(r.getAs[Long]("n_phones") >= 1L, "planted phone not counted")
     }
     // the operator is a pure projection: no shuffle before the sort
     val plan = df.queryExecution.executedPlan.toString

@@ -103,6 +103,29 @@ class TopKSpec extends SparkSpec {
     assert(asSet(rewritten) == asSet(vanilla))
   }
 
+  test("optimizer rule matches the reversed literal-first predicate spellings") {
+    val s = spark.newSession()
+    graft.plans.GraftOptimizations.install(s)
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    def windowed(session: org.apache.spark.sql.SparkSession) =
+      graft.sources.Tables.part(session, sf)
+        .withColumn("rank", row_number().over(w))
+    // 4 > rank (strict, literal first) ≡ rank <= 3; 1 = rank ≡ rank = 1
+    for ((pred, want) <- Seq(
+        (lit(4) > col("rank"), windowed(spark).filter(col("rank") <= 3)),
+        (lit(1) === col("rank"), windowed(spark).filter(col("rank") === 1)))) {
+      val rewritten = windowed(s).filter(pred)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan.take(2000))
+      assert(!plan.contains("Window"), plan.take(2000))
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("p_brand", "p_partkey", "rank").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(asSet(rewritten) == asSet(want))
+    }
+  }
+
   test("optimizer rule leaves degenerate bounds alone (no Int underflow to k=MaxValue)") {
     val s = spark.newSession()
     graft.plans.GraftOptimizations.install(s)
@@ -179,6 +202,10 @@ class TopKSpec extends SparkSpec {
     assert(withNull.sameElements(oneShot))
     // every lane moved off the empty-buffer sentinel
     assert(oneShot.forall(_ != Long.MaxValue))
+    // negative inputs (the function is registered for arbitrary
+    // BIGINTs) still land every lane in [0, 2^31-1) via floorMod
+    val negged = updated(Seq(-1L, Long.MinValue, -2147483647L))
+    assert(negged.forall(x => x >= 0 && x < 2147483647L), negged.take(5).mkString(","))
   }
 
   test("topk works for global top-k (no keys)") {
