@@ -46,6 +46,7 @@ object SparkEntry {
     "scan_selectivity_full"  -> Scans.sweep100 _,
     "scan_runtime_dpp"   -> Scans.dppPrunedJoin _,
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
+    "scan_bloom_pointlookup" -> SourcesSinks.bloomPointLookup _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
@@ -375,6 +376,16 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the on-disk bloom filter must be invisible in the values: the
+    // oracle replays the md5-surrogate point lookup on the base table
+    "scan_bloom_pointlookup" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS okey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE CAST(('0x'||substring(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT)
+        |      = 886263699231969848""".stripMargin,
     // salting must be invisible in the output: the oracle is unsalted.
     "join_salted_skew" ->
       """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)

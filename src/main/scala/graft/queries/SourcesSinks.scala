@@ -359,6 +359,59 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** On-disk parquet bloom filter → point-lookup row-group skipping —
+    * the third skipping granularity after row-group min/max
+    * (sink_sorted_skipping) and page column indexes, and the Spark
+    * analog of the reference evaluating point predicates on ENCODED
+    * data via its hash utilities (hdfs-parquet-scanner.cc dict
+    * predicate evaluation; /root/reference/hash-util.h:1).
+    *
+    * Min/max stats are useless for a point `=` on a high-NDV UNSORTED
+    * column — every row group's range spans ~the whole domain — and
+    * the dictionary is deliberately disabled on the lookup column, so
+    * the per-chunk bloom filter is the ONLY structure that can rule
+    * row groups out. The lookup key is an md5-derived surrogate of
+    * l_orderkey (high NDV, value order uncorrelated with file order,
+    * replayable bit-exactly by the DuckDB oracle); the probe constant
+    * is orderkey 1's surrogate, present at every test SF. Small row
+    * groups make the measurement meaningful at test scale (SourcesSpec
+    * runs the same read against a bloom-less control and asserts the
+    * bloom read materializes a fraction of the rows); at 100 TB the
+    * default 128 MB groups + a few KB of bloom bits per chunk buy the
+    * same skip rate for needle-in-a-haystack id lookups and audit
+    * pulls. `expected.ndv` sizes the filter to the bounded per-group
+    * key count instead of the 1 MB default cap. */
+  private[graft] val bloomLookupKey = 886263699231969848L // md5-surrogate of l_orderkey = 1
+
+  private[graft] def bloomWrite(spark: SparkSession, dir: String, tag: String,
+      bloom: Boolean): String = {
+    val path = tmp(spark, dir, tag)
+    lineitem(spark, dir)
+      .select(
+        expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("l_lookup_key"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .option("parquet.enable.dictionary#l_lookup_key", "false")
+      .option("parquet.block.row.count.limit", "512")
+      .option("parquet.bloom.filter.enabled#l_lookup_key", bloom.toString)
+      .option("parquet.bloom.filter.expected.ndv#l_lookup_key", "1024")
+      .parquet(path)
+    path
+  }
+
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame =
+    bloomPointRead(spark, bloomWrite(spark, dir, "lineitem_bloom", bloom = true))
+
+  /** the point-read half, reusable against the bloom-less control. */
+  private[graft] def bloomPointRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("l_lookup_key") === bloomLookupKey)
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("okey"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+
   /** Parquet schema evolution — a corpus written over months grows
     * columns; readers must union old and new footers without a
     * rewrite. Batch 1 (even order keys) predates the status column,

@@ -188,6 +188,43 @@ class SourcesSpec extends SparkSpec {
       s"layout skipped nothing: sorted=$sortedRows unsorted=$unsortedRows")
   }
 
+  test("bloom filter point lookup skips row groups that min/max stats cannot") {
+    import org.apache.spark.sql.functions._
+    val bloomPath = queries.SourcesSinks.bloomWrite(spark, sf, "lineitem_bloom", bloom = true)
+    val controlPath = queries.SourcesSinks.bloomWrite(spark, sf, "lineitem_nobloom", bloom = false)
+    // the footers really differ only in the bloom filter's presence
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def bloomOffsets(dir: String): Seq[Long] = {
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+      try reader.getFooter.getBlocks.asScala.toSeq
+        .map(_.getColumns.asScala.find(_.getPath.toDotString == "l_lookup_key").get
+          .getBloomFilterOffset)
+      finally reader.close()
+    }
+    assert(bloomOffsets(bloomPath).forall(_ >= 0), "bloom filter missing from footer")
+    assert(bloomOffsets(controlPath).forall(_ < 0), "control unexpectedly carries a bloom filter")
+    // identical answers either way...
+    val a = queries.SourcesSinks.bloomPointRead(spark, bloomPath).collect()(0)
+    val b = queries.SourcesSinks.bloomPointRead(spark, controlPath).collect()(0)
+    assert(a == b, s"$a != $b")
+    assert(a.getLong(0) > 0, "point lookup matched nothing — the measurement is vacuous")
+    // ...but the bloom-filtered read materializes a fraction of the
+    // rows: min/max cannot skip (the surrogate key is unsorted and
+    // spans ~the full domain in every group) and the dictionary is
+    // disabled, so every skipped group is the bloom's doing
+    val bloomRows = scanRows(queries.SourcesSinks.bloomPointRead(spark, bloomPath))
+    val controlRows = scanRows(queries.SourcesSinks.bloomPointRead(spark, controlPath))
+    assert(bloomRows * 3 <= controlRows,
+      s"bloom skipped nothing: bloom=$bloomRows control=$controlRows")
+  }
+
   test("column-index page-level skipping beats row-group-only stats on the same file") {
     import org.apache.spark.sql.functions._
     // one big row group (its min/max spans the whole key range, so
