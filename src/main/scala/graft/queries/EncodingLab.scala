@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -13,29 +13,51 @@ import graft.sources.Tables._
   * on disk per column (from the footers' column-chunk metadata) and
   * wall time to scan-and-decode back (via a full-column aggregate).
   *
-  * The three encoding variants write UNCOMPRESSED — general-purpose
+  * The encoding variants write UNCOMPRESSED — general-purpose
   * compression on top would smear the encoding signal (snappy over
   * PLAIN recovers much of what the encoding saves, at decode-CPU
   * cost the reference's benchmarks are precisely about avoiding).
   *
-  * Variants over (l_orderkey BIGINT monotone-ish key, l_returnflag
-  * 3-value string):
-  *  - plain: v1 writer, dictionary off → PLAIN for both columns.
-  *  - dict:  v1 writer, dictionary on → RLE_DICTIONARY where the
-  *    dictionary fits (l_returnflag; l_orderkey overflows the page
-  *    dictionary and falls back to plain — the same fallback the
-  *    reference's DictEncoderBase implements).
-  *  - delta: v2 writer, dictionary off → DELTA_BINARY_PACKED for the
-  *    key (the FLE analog: values bit-packed against a per-block
-  *    frame of reference) and DELTA_BYTE_ARRAY for the string.
+  * Columns cover the four encoding decisions a real writer makes
+  * (hdfs-parquet-table-writer.cc picks per column):
+  * l_orderkey (BIGINT monotone-ish key), l_returnflag (3-value
+  * string), l_okey_str (high-NDV prefix-sharing string — the
+  * DELTA_BYTE_ARRAY front-coding case), l_price (DOUBLE — the
+  * BYTE_STREAM_SPLIT case).
   *
-  * The codec axis (the reference writer picks per-column encodings
-  * under a compressed-size objective — hdfs-parquet-table-writer.cc)
-  * then crosses the best encoding config with the two codecs every
-  * warehouse actually deploys:
-  *  - dict_snappy / dict_zstd: the dict variant + page compression.
-  *    zstd compresses tighter than snappy at higher decode cost —
-  *    the size/CPU trade the scan times surface.
+  *  - plain: v1 writer, dictionary off → PLAIN everywhere.
+  *  - dict:  v1 writer, dictionary on → RLE_DICTIONARY where the
+  *    dictionary fits (l_returnflag; the high-NDV columns overflow
+  *    the page dictionary and fall back to plain — the same fallback
+  *    the reference's DictEncoderBase implements).
+  *  - delta: v2 writer, dictionary off → DELTA_BINARY_PACKED for the
+  *    key (the FLE analog) and DELTA_BYTE_ARRAY (shared-prefix front
+  *    coding) for the strings. Footer-asserted in EncodingLabSpec.
+  *  - bss / bss_zstd: dictionary off + BYTE_STREAM_SPLIT for the
+  *    floating-point columns (bytes of each value transposed into
+  *    per-position streams, so the near-constant exponent and high
+  *    mantissa bytes run together). Uncompressed BSS is a no-op on
+  *    size — it is a codec PREPARATION transform — so the measured
+  *    pair is bss_zstd vs plain_zstd. The measured finding the
+  *    per-column-choice story rests on: BSS+zstd WINS on the float32
+  *    column (the constant exponent byte becomes a whole run-length
+  *    stream) but LOSES on the discrete 2-decimal doubles, where
+  *    zstd's match-finder exploits the 8-byte value periodicity that
+  *    transposition destroys — exactly why the reference writer picks
+  *    encodings per column by measured compressed size rather than
+  *    globally (hdfs-parquet-table-writer.cc). EncodingLabSpec
+  *    asserts the float win and records both. parquet-mr 1.16 exposes BSS
+  *    only through the writer-properties API — there is NO
+  *    hadoop-conf key for it — so these variants are written through
+  *    a parquet-mr ParquetWriter directly (same rows, same codecs).
+  *    Spark 4.1's VECTORIZED reader has no BSS decoder, so the bss
+  *    scans run under the row-based parquet-mr reader;
+  *    `plain_rowbased` re-times the plain layout under that SAME
+  *    reader so the decode comparison is apples-to-apples rather
+  *    than vectorized-vs-interpreted.
+  *  - dict_snappy / dict_zstd: the dict variant + page compression —
+  *    the codec axis (zstd compresses tighter than snappy at higher
+  *    decode cost; the size/CPU trade the scan times surface).
   */
 object EncodingLab {
 
@@ -47,55 +69,165 @@ object EncodingLab {
       fileBytes: Long,
       scanSec: Double)
 
+  private def srcOf(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_returnflag"),
+      concat(lit("ord-"), col("l_orderkey")).as("l_okey_str"),
+      col("l_extendedprice").cast("double").as("l_price"),
+      col("l_extendedprice").cast("float").as("l_price_f"))
+
   def compare(spark: SparkSession, dir: String): Seq[Variant] = {
-    val src = lineitem(spark, dir).select("l_orderkey", "l_returnflag")
-    val variants = Seq(
+    val src = srcOf(spark, dir)
+    val sparkVariants = Seq(
       ("plain", "v1", "false", "uncompressed"),
       ("dict", "v1", "true", "uncompressed"),
       ("delta", "v2", "false", "uncompressed"),
+      ("plain_zstd", "v1", "false", "zstd"),
       ("dict_snappy", "v1", "true", "snappy"),
       ("dict_zstd", "v1", "true", "zstd"))
-    variants.map { case (name, version, dict, codec) =>
+    val written = sparkVariants.map { case (name, version, dict, codec) =>
       val path = SourcesSinks.tmp(spark, dir, s"enclab_$name")
       src.write.mode("overwrite")
         .option("compression", codec)
         .option("parquet.writer.version", version)
         .option("parquet.enable.dictionary", dict)
         .parquet(path)
-      val files = new java.io.File(path).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-      val byCol = files.map(columnBytes).reduce { (a, b) =>
-        (a.keySet ++ b.keySet).map(k =>
-          k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      val (byCol, fileBytes) = dirColumnBytes(path)
+      Variant(name, byCol, fileBytes, timeScan(spark, path, vectorized = true))
+    }
+    val bssVariants = Seq(
+      ("bss", org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED),
+      ("bss_zstd", org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD))
+      .map { case (name, codec) =>
+        val path = SourcesSinks.tmp(spark, dir, s"enclab_$name")
+        writeBss(src, path, codec)
+        val (byCol, fileBytes) = dirColumnBytes(path)
+        Variant(name, byCol, fileBytes, timeScan(spark, path, vectorized = false))
       }
-      // scan-and-decode both columns end to end; min of two runs
-      // (first pays file-open/footers, both pay full decode)
-      def scanOnce(): Double = {
+    val plainPath = SourcesSinks.tmp(spark, dir, "enclab_plain")
+    val (plainCols, plainBytes) = dirColumnBytes(plainPath)
+    val plainRowbased = Variant("plain_rowbased", plainCols, plainBytes,
+      timeScan(spark, plainPath, vectorized = false))
+    written ++ bssVariants :+ plainRowbased
+  }
+
+  /** scan-and-decode every column end to end; min of two runs (first
+    * pays file-open/footers, both pay full decode). The vectorized
+    * toggle exists for the BSS pair only — see the class doc. */
+  private def timeScan(spark: SparkSession, path: String, vectorized: Boolean): Double = {
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, vectorized.toString)
+    try {
+      def once(): Double = {
         val t0 = System.nanoTime()
         spark.read.parquet(path)
-          .agg(sum("l_orderkey"), max("l_returnflag"), count(lit(1)))
+          .agg(sum("l_orderkey"), max("l_returnflag"), max("l_okey_str"),
+            sum("l_price"), sum("l_price_f"), count(lit(1)))
           .collect(): Unit
         (System.nanoTime() - t0) / 1e9
       }
-      Variant(name, byCol, files.map(_.length).sum, math.min(scanOnce(), scanOnce()))
+      math.min(once(), once())
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** the one non-Spark write in the repo: parquet-mr's ParquetWriter,
+    * because BSS has no hadoop-conf key to reach it through the Spark
+    * sink (see class doc). Driver-side single file — this is control-
+    * variant generation for a measurement lab, not a data path. */
+  private def writeBss(src: DataFrame, path: String,
+      codec: org.apache.parquet.hadoop.metadata.CompressionCodecName): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
     }
+    val d = new java.io.File(path)
+    rm(d); d.mkdirs()
+    val schema = MessageTypeParser.parseMessageType(
+      """message lab {
+        |  required int64 l_orderkey;
+        |  required binary l_returnflag (UTF8);
+        |  required binary l_okey_str (UTF8);
+        |  required double l_price;
+        |  required float l_price_f;
+        |}""".stripMargin)
+    val writer = ExampleParquetWriter.builder(new Path(s"$path/part-00000-bss.parquet"))
+      .withType(schema)
+      .withConf(new Configuration())
+      .withDictionaryEncoding(false)
+      .withByteStreamSplitEncoding(true)
+      .withCompressionCodec(codec)
+      .build()
+    val fac = new SimpleGroupFactory(schema)
+    val it = src.toLocalIterator()
+    try while (it.hasNext) {
+      val r = it.next()
+      val g = fac.newGroup()
+      g.add("l_orderkey", r.getLong(0))
+      g.add("l_returnflag", r.getString(1))
+      g.add("l_okey_str", r.getString(2))
+      g.add("l_price", r.getDouble(3))
+      g.add("l_price_f", r.getFloat(4))
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  private def dirColumnBytes(path: String): (Map[String, Long], Long) = {
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val byCol = files.map(columnBytes).reduce { (a, b) =>
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    }
+    (byCol, files.map(_.length).sum)
   }
 
   /** per-column on-disk bytes from the parquet footer (sum of
     * column-chunk compressed sizes over all row groups). */
   private def columnBytes(f: java.io.File): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    withFooter(f) { footer =>
+      footer.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+        .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
+    }
+  }
+
+  /** per-column encoding names actually in the footers of `path` —
+    * the spec's proof that a variant's intended encoding landed. */
+  private[graft] def columnEncodings(path: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        withFooter(f) { footer =>
+          footer.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .groupBy(_.getPath.toDotString)
+            .map { case (c, chunks) =>
+              c -> chunks.flatMap(_.getEncodings.asScala.map(_.name())).toSet
+            }: Map[String, Set[String]]
+        }
+      }
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, Set.empty[String]) ++ b.getOrElse(k, Set.empty[String]))).toMap
+      }
+  }
+
+  private def withFooter[A](f: java.io.File)(
+      fn: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
-    try {
-      reader.getFooter.getBlocks.asScala
-        .flatMap(_.getColumns.asScala)
-        .groupBy(_.getPath.toDotString)
-        .map { case (c, chunks) => c -> chunks.map(_.getTotalSize).sum }
-    } finally reader.close()
+    try fn(reader.getFooter) finally reader.close()
   }
 }
