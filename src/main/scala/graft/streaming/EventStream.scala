@@ -87,6 +87,20 @@ object EventStream {
       .select(unix_timestamp(col("win.start")).as("hour_sec"),
         col("event_type"), col("n_events"))
 
+  /** Sliding 1-hour windows on a 30-minute slide with a 2h
+    * watermark — the streaming twin of Analytic.slidingWindow (the
+    * identical window() expression under readStream: each event
+    * expands into width/slide = 2 windows BEFORE the agg, state is
+    * per open window and evicted once the watermark passes). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionizer (30-min inactivity) via
     * flatMapGroupsWithState with event-time timeout — the streaming
     * twin of Analytic.sessionize (same session numbering: sessions

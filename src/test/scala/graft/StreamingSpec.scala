@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streaming sliding windows match the batch sliding-window analog") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.sliding(input.toDF())
+      .writeStream.format("memory").queryName("sliding_out").outputMode("append").start()
+    try {
+      input.addData(loadEvents())
+      q.processAllAvailable()
+      // sentinels advance the watermark so every overlapping window closes
+      input.addData(Seq(sentinel(1))); q.processAllAvailable()
+      input.addData(Seq(sentinel(2))); q.processAllAvailable()
+      val got = spark.table("sliding_out").filter(col("event_type") =!= "x")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val want = queries.Analytic.slidingWindow(spark, sf)
+        .select("win_start", "event_type", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(5)} extra=${(got.toSet -- want.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
