@@ -20,8 +20,58 @@ import scala.util.control.NonFatal
   * projection-heavy queries as little more than scan+count.
   * Failed queries report -1 and are listed in `"failed"` so a
   * degraded run is distinguishable from a clean one.
+  *
+  * Contention robustness: a noisy-neighbor stall can inflate a query
+  * 3-8x in a way even min-of-3 does not filter (observed: two queries
+  * reported 3-8x their stable steady state in one round with zero
+  * code change to either). Each run min-merges its steady numbers
+  * into a per-SF baseline file (`BENCH_BASELINE_<sf>.json` next to
+  * the working directory — per SF because a smaller dataset's steady
+  * state would flag every larger-SF run; min-merge because contention
+  * only ever inflates, so the best-ever steady state IS the
+  * reference). Any query whose steady value exceeds 3x its baseline
+  * is re-measured with two more samples and the min is reported; the
+  * `outliers` field records every correction (first measurement,
+  * final value, baseline), so a contaminated run self-identifies
+  * instead of needing a reader to adjudicate against history.
   */
 object Bench {
+
+  private[graft] def baselineFile(sfDir: String, dir: java.io.File): java.io.File =
+    new java.io.File(dir, s"BENCH_BASELINE_${new java.io.File(sfDir).getName}.json")
+
+  /** best-known steady numbers for this SF from the baseline file. */
+  private[graft] def prevSteady(sfDir: String,
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+    try {
+      val f = baselineFile(sfDir, dir)
+      if (!f.isFile) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val q = node.get("queries")
+        if (q == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          q.properties().iterator().asScala
+            .map(e => e.getKey -> e.getValue.asDouble(-1.0))
+            .filter(_._2 > 0).toMap
+        }
+      }
+    } catch { case NonFatal(_) => Map.empty }
+
+  /** min-merge this run's steady numbers into the baseline file. */
+  private[graft] def saveBaseline(sfDir: String, dir: java.io.File,
+      steady: Map[String, Double]): Unit =
+    try {
+      val old = prevSteady(sfDir, dir)
+      val merged = (old.keySet ++ steady.keySet).toSeq.sorted.flatMap { k =>
+        val vs = Seq(old.get(k), steady.get(k)).flatten.filter(_ > 0)
+        if (vs.isEmpty) None else Some(k -> vs.min)
+      }
+      val js = merged.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{\"queries\":{", ",", "}}")
+      java.nio.file.Files.writeString(baselineFile(sfDir, dir).toPath, js): Unit
+    } catch { case NonFatal(_) => () }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,9 +88,11 @@ object Bench {
       } catch { case NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    val prev = prevSteady(sfDir)
+    val outliers = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
-      val warm = if (cold < 0) -1.0 else {
+      val warm0 = if (cold < 0) -1.0 else {
         // min of THREE post-warmup samples: on a contended host a
         // single noisy-neighbor stall can inflate two consecutive
         // samples (observed in a driver run: a locally-1.1 s query
@@ -48,6 +100,15 @@ object Bench {
         // stable steady-state estimator
         val xs = Seq(once(fn), once(fn), once(fn))
         if (xs.exists(_ < 0)) -1.0 else xs.min
+      }
+      // previous-round outlier gate (see class doc)
+      val warm = prev.get(name) match {
+        case Some(b) if warm0 > 3 * b =>
+          val re = Seq(once(fn), once(fn)).filter(_ >= 0)
+          val fin = if (re.isEmpty) warm0 else math.min(warm0, re.min)
+          outliers += ((name, warm0, fin, b))
+          fin
+        case _ => warm0
       }
       (name, warm, cold)
     }
@@ -97,7 +158,12 @@ object Bench {
         }.mkString("{", ",", "}")
       } catch { case NonFatal(_) => "{}" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"trend":$trendJs,"encodings":$encJs,"sf":"$sfDir"}""")
+    val outliersJs = outliers.map { case (n, first, fin, b) =>
+      "\"" + n + "\":{\"first\":" + first + ",\"final\":" + fin + ",\"prev\":" + b + "}"
+    }.mkString("{", ",", "}")
+    saveBaseline(sfDir, new java.io.File("."),
+      results.collect { case (n, w, _) if w > 0 => n -> w }.toMap)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"trend":$trendJs,"encodings":$encJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
