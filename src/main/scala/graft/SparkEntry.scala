@@ -122,6 +122,7 @@ object SparkEntry {
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_token_budget"   -> Pipeline.tokenBudget _,
+    "pipeline_source_stats"   -> Pipeline.sourceStats _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -1213,6 +1214,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_source_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, lang, md5(norm) AS digest,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+        |  FROM t),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY digest) AS dcnt FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN dcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(sum(CASE WHEN dcnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_share
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -117,6 +117,35 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Per-source provenance scorecard — the accounting a corpus build
+    * runs before setting source quotas: per ingestion source, doc and
+    * language counts, token mass, and exact-duplicate pressure (how
+    * many of the source's docs share their normalized digest with ANY
+    * doc corpus-wide — a source that mostly re-crawls what other
+    * sources already contributed gets its quota cut first).
+    *
+    * One plan: normalized-text projection → corpus-wide digest-count
+    * window (digest is effectively unique per distinct text, so the
+    * window partitions by a HIGH-cardinality key and scales like the
+    * dedup digests) → one per-source hash agg (~thousands of rows at
+    * any scale). The dup share is a single double division of exact
+    * integer counts, so the oracle matches bitwise. */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val wDigest = Window.partitionBy("digest")
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .select(col("source"), col("lang"), md5(col("norm")).as("digest"),
+        size(split(col("norm"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("is_dup", count(lit(1)).over(wDigest) > 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_share", col("dup_docs").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** Token-budget selection — the "cut the corpus to N tokens per
     * language" step between mixing and packing: docs are taken
     * greedily in arrival order (doc_id) within each language until

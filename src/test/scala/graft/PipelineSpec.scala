@@ -41,6 +41,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("source stats: dup pressure and totals match independent computations") {
+    val rows = operators.Pipeline.sourceStats(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("norm", expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
+      .select(col("source"), md5(col("norm")).as("digest"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // dup_docs re-derived: digests appearing more than once corpus-wide
+    val dupDigests = docs.groupBy("digest").count().filter(col("count") > 1)
+      .select("digest").collect().map(_.getString(0)).toSet
+    val wantDups = docs.collect()
+      .filter(r => dupDigests.contains(r.getString(1)))
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("dup_docs") == wantDups.getOrElse(src, 0L), src)
+      assert(r.getAs[Double]("dup_share") ==
+        r.getAs[Long]("dup_docs").toDouble / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[Long]("n_langs") <= 5)
+    }
+  }
+
   test("token budget: sharded cumsum equals the naive per-language window exactly") {
     import org.apache.spark.sql.expressions.Window
     // the two-level prefix-sum decomposition must be invisible in the
