@@ -7,7 +7,10 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The hardcoded path is the DRIVER CONTRACT for this
+    * entrypoint (unlike every `queries` entry, which takes the data
+    * dir as a parameter and runs at any SF). */
   def entry(spark: SparkSession): DataFrame =
     Tpch.q1(spark, "/root/testdata/sf0.001")
 
@@ -123,6 +126,7 @@ object SparkEntry {
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_token_budget"   -> Pipeline.tokenBudget _,
     "pipeline_source_stats"   -> Pipeline.sourceStats _,
+    "pipeline_leakage_split"  -> Pipeline.leakageSplit _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -1214,6 +1218,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_leakage_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |  FROM documents)
+        |SELECT doc_id, lang, digest,
+        |  CAST(('0x'||substring(md5(digest),1,15)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x'||substring(md5(digest),1,15)) AS BIGINT) % 100 < 90
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM t ORDER BY doc_id""".stripMargin,
     "pipeline_source_stats" ->
       """WITH t AS (
         |  SELECT source, lang,

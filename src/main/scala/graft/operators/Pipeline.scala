@@ -146,6 +146,26 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Leakage-proof train/eval split — the assignment step before
+    * packing: the split is a deterministic hash of the CONTENT digest
+    * (md5 of normalized text), not of the doc id, so exact duplicates
+    * land on the same side by construction — the guard against
+    * train→eval leakage that an id-hash split (sample_stratified's
+    * shape) cannot give, because duplicate content arrives under
+    * different ids. 90/10 by digest-hash mod 100; shuffle-free, pure
+    * projection (embarrassingly parallel at any scale), and the
+    * md5-derived bucket replays bitwise in the oracle. PipelineSpec
+    * asserts no digest ever spans both splits. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .select(col("doc_id"), col("lang"), md5(col("norm")).as("digest"))
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(digest), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("eval"))
+      .select("doc_id", "lang", "digest", "bucket", "split")
+      .orderBy("doc_id")
+
   /** Token-budget selection — the "cut the corpus to N tokens per
     * language" step between mixing and packing: docs are taken
     * greedily in arrival order (doc_id) within each language until

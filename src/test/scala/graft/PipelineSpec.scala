@@ -62,6 +62,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("leakage split: exact duplicates never span train and eval; both sides populated") {
+    val rows = operators.Pipeline.leakageSplit(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet == Set("train", "eval"), bySplit.keySet)
+    assert(bySplit("eval").length > 0 && bySplit("train").length > bySplit("eval").length)
+    // shuffle-free: a pure projection + final sort only
+    val plan = operators.Pipeline.leakageSplit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    // the leakage guard, exercised for real: this SF's corpus has no
+    // exact duplicates, so simulate the re-crawl case — the same
+    // content arriving again under NEW doc_ids — and run the operator
+    // on the augmented corpus. Every duplicated pair must land on one
+    // side; an id-hash split would scatter them ~10% of the time.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val recrawled = docs.limit(40)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+    val augDir = queries.SourcesSinks.tmp(spark, sf, "leakage_aug")
+    docs.unionByName(recrawled).write.mode("overwrite")
+      .parquet(s"$augDir/documents.parquet")
+    val aug = operators.Pipeline.leakageSplit(spark, augDir).collect()
+    val dupGroups = aug.groupBy(_.getAs[String]("digest")).filter(_._2.length > 1)
+    assert(dupGroups.nonEmpty, "augmented corpus lost its duplicates")
+    dupGroups.foreach { case (d, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"digest $d spans both splits")
+    }
+  }
+
   test("token budget: sharded cumsum equals the naive per-language window exactly") {
     import org.apache.spark.sql.expressions.Window
     // the two-level prefix-sum decomposition must be invisible in the

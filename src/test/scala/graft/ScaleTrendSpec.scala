@@ -27,9 +27,11 @@ class ScaleTrendSpec extends SparkSpec {
   }
 
   // q6/q1: scan+agg staples; pii_redact: the map-only text path;
-  // minhash: the native-aggregate signature pipeline
+  // minhash: the native-aggregate signature pipeline; token_budget:
+  // the range-sharded two-level prefix sum (its partition count must
+  // GROW with the data — a lang-only window would trend linear here)
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
-      "text_pii_redact", "dedup_minhash_lsh")) {
+      "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
