@@ -107,6 +107,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
+    "emb_label_stats"     -> Similarity.labelStats _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -1218,6 +1219,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    // centroid means on the floor(x·1e9) integer grid and the mean
+    // cosine over floor(cos·1e9) — order-free integral-double sums,
+    // and the dot/norm folds run left-to-right exactly like graft_dot
+    "emb_label_stats" ->
+      """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims AS (SELECT label, i AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
+        |cent AS (SELECT label, d, CAST(sum(floor(x * 1e9)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS cx
+        |         FROM dims GROUP BY 1, 2),
+        |cvs AS (SELECT label, list(cx ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT v.label,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) AS cos
+        |  FROM vecs v JOIN cvs USING (label))
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS mean_cos,
+        |  min(cos) AS min_cos, max(cos) AS max_cos
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "pipeline_leakage_split" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -101,6 +101,46 @@ object Similarity {
       .withColumn("cnrm", Vectors.norm(col("cv")))
   }
 
+  /** Per-label embedding quality stats — the monitoring pass an
+    * embedding pipeline runs per ingest batch: for every label, the
+    * member count and the cosine of each member to its label centroid
+    * (mean / min / max) — a collapsing mean or a low min flags
+    * mislabeled or degenerate clusters before they poison retrieval.
+    *
+    * Engine-exact like the IVF centroids: per-dimension centroid
+    * means are computed on the floor(x·1e9) integer grid (integral
+    * doubles sum exactly in any order below 2^53, so the partial-agg
+    * order cannot change the result), and the per-label MEAN cosine
+    * quantizes each cosine the same way before the order-free integer
+    * sum; min/max of doubles are order-free as-is. Scale shape: one
+    * explode→hash-agg for the centroids (n_labels×64 rows), a
+    * broadcast of the tiny centroid table, one map-side cosine pass,
+    * and a final n_labels-row agg — no window, no shuffle of the
+    * vectors themselves beyond the centroid agg. */
+  def labelStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("vd"))
+    val dims = v.select(col("label"), posexplode(col("vd"))).toDF("label", "d", "x")
+    val cents = dims.groupBy("label", "d")
+      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("packed"))
+      .select(col("label"), expr("transform(packed, s -> s.cx)").as("cv"))
+      .withColumn("cnrm", Vectors.norm(col("cv")))
+    v.withColumn("vnrm", Vectors.norm(col("vd")))
+      .join(broadcast(cents), "label")
+      .withColumn("cos", Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")))
+      .withColumn("cos_q", floor(col("cos") * lit(1e9)).cast("bigint"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cos_q")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("mean_cos"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"))
+      .orderBy("label")
+  }
+
   /** IVF search: assign every vector to its nearest centroid, then
     * score only the NProbe nearest cells per probe. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(perProbe == Set(10))
   }
 
+  test("label stats: counts match, cosine bounds ordered, centroid join broadcasts") {
+    val df = operators.Similarity.labelStats(spark, sf)
+    val rows = df.collect()
+    val want = graft.sources.Tables.embeddings(spark, sf)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Int]("label")).toSet == want.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == want(r.getAs[Int]("label")))
+      val (mn, mean, mx) = (r.getAs[Double]("min_cos"),
+        r.getAs[Double]("mean_cos"), r.getAs[Double]("max_cos"))
+      // quantization shifts the mean by <1e-9 — keep the bound honest
+      assert(mn - 1e-9 <= mean && mean <= mx + 1e-9, s"$mn / $mean / $mx")
+      assert(mx <= 1.0000001 && mn >= -1.0000001)
+    }
+    // the per-vector cosine pass is map-side: centroids broadcast,
+    // no window, no shuffle of the vectors before the final tiny agg
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("graft_dot matches a manual dot product") {
     import spark.implicits._
     graft.sources.Tables.events(spark, sf) // registers graft_dot
