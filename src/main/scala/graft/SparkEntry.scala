@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_components"       -> Dedup.components _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "dedup_chunks"           -> Dedup.chunkDedup _,
     "dedup_incremental"      -> Dedup.incremental _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
@@ -1197,6 +1198,18 @@ object SparkEntry {
         |   AND CASE WHEN COALESCE(n_trigrams, 0) > 0
         |     THEN CAST(n_trigrams - nd_tri AS DOUBLE) / n_trigrams ELSE 0.0 END <= 0.05) AS keep
         |FROM bi LEFT JOIN tri USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, words, len(words) AS n,
+        |        unnest(generate_series(0, len(words)-1, 48)) AS chunk_start FROM t),
+        |c AS (SELECT doc_id,
+        |        md5(array_to_string(words[chunk_start+1:least(chunk_start+64, n)], ' ')) AS chunk_md5
+        |      FROM s),
+        |w AS (SELECT doc_id, count(*) OVER (PARTITION BY chunk_md5) AS n_same FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, words, len(words) AS n,

@@ -343,4 +343,27 @@ object Dedup {
       .filter(col("cosine") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Chunk-granularity dedup — boilerplate detection at the
+    * context-window level: document-level dedup misses the repeated
+    * paragraph (headers, license blocks, templated intros) that
+    * inflates loss on every copy, so the release pipeline also scores
+    * each doc's share of chunks whose content appears ANYWHERE else
+    * in the corpus. Built on the same 64-word/48-stride chunking as
+    * doc_chunk_overlap; a chunk-md5 count window (high-cardinality
+    * key — scales like the digest windows) feeds one per-doc agg.
+    * A high dup_chunk_frac with a unique doc digest is exactly the
+    * "templated but not duplicate" doc that per-doc dedup keeps and
+    * chunk accounting flags. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("chunk_md5")
+    TextAnalysis.chunkOverlap(spark, dir)
+      .withColumn("n_same", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+      .orderBy("doc_id")
+  }
 }

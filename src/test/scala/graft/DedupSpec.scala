@@ -103,4 +103,27 @@ class DedupSpec extends SparkSpec {
     assert(joined.count() > 0)
     assert(joined.filter(col("o.sig") =!= col("n.sig")).count() == 0)
   }
+
+  test("chunk dedup: fractions consistent, dup chunks re-derived independently") {
+    val rows = operators.Dedup.chunkDedup(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))
+      assert(n >= 1 && d >= 0 && d <= n)
+      assert(r.getAs[Double]("dup_chunk_frac") == d.toDouble / n)
+    }
+    // the dup counts match an independent chunk-md5 frequency pass
+    val chunks = operators.TextAnalysis.chunkOverlap(spark, sf)
+      .select("doc_id", "chunk_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val freq = chunks.groupBy(_._2).view.mapValues(_.length).toMap
+    val wantDups = chunks.groupBy(_._1).view
+      .mapValues(_.count { case (_, m) => freq(m) > 1 }.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") == wantDups(r.getAs[Long]("doc_id")))
+    }
+    // the property does real work at this SF
+    assert(rows.exists(_.getAs[Long]("n_dup_chunks") > 0),
+      "no duplicate chunks anywhere — the fraction is vacuous")
+  }
 }

@@ -94,4 +94,27 @@ class SimilaritySpec extends SparkSpec {
     val got = df.select(call_function("graft_dot", col("a"), col("b"))).collect()(0).getDouble(0)
     assert(got == 32.0)
   }
+
+  test("registered graft_* functions reject wrong arities at analysis, not silently") {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, sf) // registers the functions
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // graft_dot(a) and graft_dot(a, b, a) must fail loudly
+    for (cols <- Seq(Seq(col("a")), Seq(col("a"), col("b"), col("a")))) {
+      val e = intercept[Exception] {
+        df.select(call_function("graft_dot", cols: _*)).collect()
+      }
+      assert(messages(e).mkString("\n").contains("graft_dot expects exactly 2"),
+        messages(e).mkString("\n").take(500))
+    }
+    // graft_minhash_sig(a, b) previously dropped the extra argument silently
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("h", "x")
+        .agg(call_function("graft_minhash_sig", col("h"), col("x"))).collect()
+    }
+    assert(messages(e).mkString("\n").contains("graft_minhash_sig expects exactly 1"),
+      messages(e).mkString("\n").take(500))
+  }
 }
