@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming pipelines over the events stream — the
   * streaming side of §2.6 (Analytic.tumblingWindow / sessionize are
@@ -100,6 +100,53 @@ object EventStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(unix_timestamp(col("win.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** per-user lifetime profile emitted by the transformWithState
+    * processor; value travels as exact CENTS so the final /100.0 is
+    * the same IEEE double the batch DECIMAL(18,2) sum casts to. */
+  case class UserTotals(user_id: Long, n_events: Long, n_purchases: Long,
+      types: List[String], total_cents: Long, first_sec: Long, last_sec: Long)
+
+  /** Arbitrary-state v2 (`transformWithState`, the Spark 4 successor
+    * to mapGroupsWithState): one ValueState slot per user holds the
+    * running profile; every micro-batch folds its rows in and emits
+    * the updated totals (Update mode — downstream keeps the latest).
+    * State is per-key in the state store (RocksDB provider — the
+    * backend this API requires — keeps it off-heap and spillable), so
+    * lifetime profiles over an unbounded stream cost O(active users),
+    * not O(events). The streaming twin of Analytic.userStats;
+    * StreamingSpec proves the final emissions equal the batch
+    * profile exactly. */
+  class UserStatsProcessor extends StatefulProcessor[Long, Ev, UserTotals] {
+    @transient private var state: ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      var st = if (state.exists()) state.get()
+        else UserTotals(key, 0L, 0L, Nil, 0L, Long.MaxValue, Long.MinValue)
+      for (e <- rows) {
+        val sec = e.ts.getTime / 1000
+        st = UserTotals(key,
+          st.n_events + 1,
+          st.n_purchases + (if (e.event_type == "purchase") 1L else 0L),
+          if (st.types.contains(e.event_type)) st.types else e.event_type :: st.types,
+          st.total_cents + math.round(e.value * 100),
+          math.min(st.first_sec, sec),
+          math.max(st.last_sec, sec))
+      }
+      state.update(st)
+      Iterator.single(st)
+    }
+  }
+
+  /** per-user lifetime profile stream (see [[UserStatsProcessor]]). */
+  def userTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 
   /** Gap-based sessionizer (30-min inactivity) via
     * flatMapGroupsWithState with event-time timeout — the streaming

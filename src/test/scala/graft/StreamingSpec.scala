@@ -202,6 +202,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState user profiles match the batch user stats") {
+    // arbitrary-state v2 requires the RocksDB state store; run on a
+    // child session so the provider conf cannot leak into other tests
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val events = loadEvents()
+    val input = MemoryStream[Ev](s)
+    val q = EventStream.userTotals(input.toDS())
+      .writeStream.format("memory").queryName("tws_out").outputMode("update").start()
+    try {
+      // two batches force the state to survive a micro-batch boundary
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("tws_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_purchases"),
+          size(col("types")).as("n_types"), col("total_cents"),
+          col("first_sec"), col("last_sec"))).as("s"))
+        .select(col("user_id"), col("s.*")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getLong(4) / 100.0, r.getLong(5), r.getLong(6)))).toMap
+      val want = queries.Analytic.userStats(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3).toInt,
+          r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
