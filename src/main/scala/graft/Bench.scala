@@ -126,7 +126,8 @@ object Bench {
     // hidden driver-side or quadratic cost. min-of-2 per point (the
     // main loop above already warmed each query's codegen).
     val trendNames = Seq("q1_pricing_summary", "q6_forecast_revenue",
-      "q13_customer_distribution", "dedup_minhash_lsh", "ann_ivf_topk")
+      "q13_customer_distribution", "dedup_minhash_lsh", "ann_ivf_topk",
+      "pipeline_token_budget")
     val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
     val trendSfs = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(n => n -> new java.io.File(parent, n))

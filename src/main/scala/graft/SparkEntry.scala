@@ -94,6 +94,7 @@ object SparkEntry {
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
+    "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
@@ -563,6 +564,19 @@ object SparkEntry {
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // session_window end is exclusive: the island rule is >= gap
+    // (win_sessionize's lag form below uses > gap — one-instant
+    // boundary difference between the two operators, both exact)
+    "ev_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+        | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_sec""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),

@@ -361,6 +361,30 @@ object Analytic {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Native session windows — the same 30-minute-gap sessionization
+    * as win_sessionize, but through Spark's built-in session_window()
+    * operator (SessionWindow + merging session aggregation) instead
+    * of the lag+cumsum window formulation: sessions are built by a
+    * partial-agg-friendly merging aggregate, no per-user window sort.
+    * This is also the expression that runs unchanged under
+    * readStream with a watermark at scale. Boundary semantics differ
+    * from the lag form by one instant: session_window's end is
+    * EXCLUSIVE (an event exactly gap seconds after the last one
+    * starts a NEW session), so the oracle's island rule is `>= gap`
+    * where win_sessionize's is `> gap`. Output end_sec is the
+    * window's end = last event + gap. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts_ts", expr("timestamp_seconds(ts div 1000000000)"))
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("session_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_sec"),
+        unix_timestamp(col("sw.end")).as("end_sec"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_sec")
+
   /** rank() vs dense_rank() over heavy ties — the two rank functions
     * the top-N family still lacked (row_number/percent_rank/cume_dist
     * are covered elsewhere). Quantities repeat constantly inside a

@@ -93,6 +93,31 @@ class AnalyticSpec extends SparkSpec {
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("native session_window agrees with the lag+cumsum sessionizer") {
+    import org.apache.spark.sql.functions._
+    val native = queries.Analytic.sessionWindowAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val lagForm = queries.Analytic.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_sec")) ->
+        ((r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value")))).toMap
+    assert(native.nonEmpty)
+    // same sessions keyed by (user, start); session_window's end is
+    // last event + gap, the lag form's is the last event itself
+    assert(native.keySet == lagForm.keySet,
+      s"extra=${(native.keySet -- lagForm.keySet).take(3)} missing=${(lagForm.keySet -- native.keySet).take(3)}")
+    native.foreach { case (k, (end, n, v)) =>
+      val (lend, ln, lv) = lagForm(k)
+      assert(end == lend + 1800 && n == ln && v == lv, s"$k: $end/$n/$v vs $lend/$ln/$lv")
+    }
+    // the native operator builds sessions in the aggregate — no
+    // per-user WindowExec sort in the plan
+    val plan = queries.Analytic.sessionWindowAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
   test("user stats cover every user exactly once") {
     val df = queries.Analytic.userStats(spark, sf)
     val users = graft.sources.Tables.events(spark, sf)
