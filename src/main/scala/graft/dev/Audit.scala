@@ -9,11 +9,13 @@ object Audit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    // intentional BNLJs: ANN broadcasts a handful of probe rows;
-    // q22 and agg_approx_stats broadcast 1-row scalar aggregates
-    // (scalar-subquery shape — bounded by construction)
+    // intentional BNLJs: ANN broadcasts a handful of probe rows; the
+    // rest broadcast 1-row scalar aggregates (corpus totals / value
+    // bounds — scalar-subquery shape, bounded by construction)
     val allowBnlj = Set("ann_bruteforce_topk", "ann_ivf_topk", "ann_filtered_topk",
-      "q22_anti_join", "agg_approx_stats")
+      "q22_anti_join", "agg_approx_stats", "agg_sketch_merge",
+      "dict_cardinality_stats", "ev_histogram", "pipeline_mix_weights",
+      "text_bm25", "text_tfidf_topterms")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
