@@ -15,10 +15,14 @@ object PlanReuse {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
+      // NOTE: AQE plan strings print initial + final plans, so raw
+      // node counts read ~2x the real plan; "ReusedExchange" also
+      // substring-matches "Exchange" and must be subtracted
       val scans = "FileScan parquet".r.findAllIn(plan).length
       val reused = "ReusedExchange".r.findAllIn(plan).length +
         "ReusedSubquery".r.findAllIn(plan).length
-      val exchanges = "Exchange".r.findAllIn(plan).length
+      val exchanges = "Exchange".r.findAllIn(plan).length -
+        "ReusedExchange".r.findAllIn(plan).length
       println(s"[reuse] $name scans=$scans exchanges=$exchanges reused=$reused")
       if (sys.env.contains("SPARK_GRAFT_VERBOSE")) println(plan)
     }

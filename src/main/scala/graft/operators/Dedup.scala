@@ -42,8 +42,7 @@ object Dedup {
   private val normTextExpr = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
   /** md5-derived 60-bit hash of string expression s (cross-engine stable). */
-  private def h60(s: String): String =
-    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+  private def h60(s: String): String = Hash60.sql(s)
 
   /** Distinct (doc_id, h, n_sh) postings, one row per distinct
     * word-trigram shingle: words are exploded, trigrams assembled
@@ -357,7 +356,7 @@ object Dedup {
     * chunk accounting flags. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("chunk_md5")
-    TextAnalysis.chunkOverlap(spark, dir)
+    TextAnalysis.chunks(spark, dir)
       .withColumn("n_same", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),

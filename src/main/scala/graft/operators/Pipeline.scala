@@ -161,7 +161,7 @@ object Pipeline {
       .withColumn("norm", expr(normTextExpr))
       .select(col("doc_id"), col("lang"), md5(col("norm")).as("digest"))
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(digest), 1, 15), 16, 10) AS BIGINT) % 100"))
+        expr(Hash60.sql("digest") + " % 100"))
       .withColumn("split", when(col("bucket") < 90, "train").otherwise("eval"))
       .select("doc_id", "lang", "digest", "bucket", "split")
       .orderBy("doc_id")
@@ -206,7 +206,10 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         size(split(expr(normTextExpr), " ")).cast("bigint").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $shardWidth"))
-      .localCheckpoint()
+      // lazy: plan construction/inspection must not run a corpus job;
+      // the stage materializes on first execution and is shared by
+      // both branches of that execution
+      .localCheckpoint(eager = false)
     val inShard = toks.withColumn("cum_in_shard", sum("n_tokens").over(wShard))
     // per-(lang, shard) totals need no window at all — a direct hash
     // agg over the stage, prefix-summed along the tiny shard axis

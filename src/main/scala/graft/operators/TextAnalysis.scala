@@ -147,7 +147,7 @@ object TextAnalysis {
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        expr(Hash60.sql("CAST(doc_id AS STRING)") + " % 100"))
       .withColumn("rate", when(col("lang") === "en", lit(5L)).otherwise(lit(20L)))
       .filter(col("bucket") < col("rate"))
       .select("doc_id", "lang", "bucket", "rate")
@@ -381,7 +381,15 @@ object TextAnalysis {
     * the oracle replays it bitwise. Scales: chunking is per-document
     * map-side work — the explode multiplies rows by ~n_words/48, and
     * there is no shuffle at all before the output sort. */
-  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  /** the unsorted chunk relation — callers add their own final sort
+    * (a global orderBy here would cost downstream consumers like
+    * Dedup.chunkDedup a range exchange + sort that their own shuffle
+    * immediately destroys; EliminateSorts does not see through a
+    * Window). */
+  private[operators] def chunks(spark: SparkSession, dir: String): DataFrame = {
     val chunkLen = 64
     val stride = 48
     documents(spark, dir)
@@ -396,7 +404,6 @@ object TextAnalysis {
           .cast("bigint").as("n_chunk_words"),
         md5(concat_ws(" ", slice(col("words"), col("chunk_start") + 1, lit(chunkLen))))
           .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** polynomial rolling-hash fingerprint of the normalized text

@@ -388,7 +388,7 @@ object SourcesSinks {
     val path = tmp(spark, dir, tag)
     lineitem(spark, dir)
       .select(
-        expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        expr(graft.operators.Hash60.sql("CAST(l_orderkey AS STRING)"))
           .as("l_lookup_key"),
         col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite")

@@ -8,8 +8,13 @@ package graft
   * on a shared host would flake). */
 class EncodingLabSpec extends SparkSpec {
 
+  // the lab writes the full 9-variant matrix (including two driver-
+  // side parquet-mr writes); deterministic per (session, sf) — pay it
+  // once for all three tests
+  private lazy val byName: Map[String, queries.EncodingLab.Variant] =
+    queries.EncodingLab.compare(spark, sf).map(v => v.name -> v).toMap
+
   test("delta beats plain for the key column; dict beats plain for low-NDV") {
-    val byName = queries.EncodingLab.compare(spark, sf).map(v => v.name -> v).toMap
     val plain = byName("plain"); val dict = byName("dict"); val delta = byName("delta")
     for (v <- Seq(plain, dict, delta))
       info(f"${v.name}%-5s l_orderkey=${v.bytesByCol("l_orderkey")}%8d B  " +
@@ -28,7 +33,6 @@ class EncodingLabSpec extends SparkSpec {
 
   test("delta front-codes the high-NDV string; bss byte-transposes the double") {
     import org.apache.spark.sql.functions._
-    val byName = queries.EncodingLab.compare(spark, sf).map(v => v.name -> v).toMap
     for (n <- Seq("plain", "delta", "bss", "bss_zstd", "plain_zstd", "plain_rowbased");
          v = byName(n))
       info(f"${v.name}%-14s l_okey_str=${v.bytesByCol("l_okey_str")}%8d B  " +
@@ -71,7 +75,6 @@ class EncodingLabSpec extends SparkSpec {
   }
 
   test("codec axis: zstd compresses the key column at least as tight as snappy") {
-    val byName = queries.EncodingLab.compare(spark, sf).map(v => v.name -> v).toMap
     val dict = byName("dict"); val snappy = byName("dict_snappy"); val zstd = byName("dict_zstd")
     for (v <- Seq(dict, snappy, zstd))
       info(f"${v.name}%-11s l_orderkey=${v.bytesByCol("l_orderkey")}%8d B  " +
