@@ -141,25 +141,43 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Nearest-centroid assignment as a PURE PROJECTION — zero
+    * shuffles. The centroid table collapses to ONE row holding all
+    * NumCells (cell, cv, cnrm) structs (cell-sorted so the layout is
+    * deterministic); that row broadcasts, and each vector computes
+    * its NumCells cosines as statically-unrolled columns (native
+    * graft_dot per cosine — no interpreted array-HOF, per the repo's
+    * profiling) folded by `greatest` over (sim, -cell) structs:
+    * highest similarity wins, ties break toward the LOWER cell —
+    * exactly the former max_by / `ORDER BY sim DESC, cell` semantics,
+    * but the nearest-centroid pick now depends only on the row
+    * itself, so NO exchange of the vector payload happens at all.
+    * At 100 TB this is the difference between a map-side pass and a
+    * full-corpus shuffle to merge per-partition partials that were
+    * already complete. try_element_at guards the (impossible at any
+    * real SF) short-centroid-list case: a null-sim struct sorts
+    * below every real candidate. */
+  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val centsRow = centroids(spark, dir)
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("cnrm"))))
+        .as("cents"))
+    val cands = (1 to NumCells).map { i =>
+      val c = try_element_at(col("cents"), lit(i))
+      struct(
+        Vectors.cosinePre(col("vd"), c.getField("cv"), col("vnrm"),
+          c.getField("cnrm")).as("sim"),
+        (-c.getField("cell")).as("negcell"))
+    }
+    vecs(spark, dir).crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("vd"), col("vnrm"),
+        (-greatest(cands: _*).getField("negcell")).as("cell"))
+  }
+
   /** IVF search: assign every vector to its nearest centroid, then
     * score only the NProbe nearest cells per probe. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroids(spark, dir)
-    // nearest-centroid assignment: 16-way broadcast compare folded by
-    // ONE hash aggregate — max_by over (sim, -cell) keeps the
-    // highest-similarity cell and breaks ties toward the LOWER cell,
-    // exactly the old `ORDER BY sim DESC, cell` but with no window
-    // sort: partial max_by merges map-side, so the 16-row fan-out per
-    // vector collapses to one row before it ever reaches a shuffle —
-    // the map-side pass every vector pays at 100 TB is now sort-free.
-    val assigned = vecs(spark, dir).join(broadcast(cents))
-      .select(col("vec_id"), col("vd"), col("vnrm"), col("cell"),
-        Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")).as("sim"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell"), col("vd"), col("vnrm")),
-        struct(col("sim"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.vd").as("vd"),
-        col("best.vnrm").as("vnrm"), col("best.cell").as("cell"))
+    val assigned = assignedVectors(spark, dir)
     // probe → its NProbe nearest cells, on the native bounded-heap
     // top-k (5 probes × 16 cells — tiny, but it keeps the whole IVF
     // plan window-free)

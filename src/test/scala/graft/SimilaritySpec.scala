@@ -31,12 +31,36 @@ class SimilaritySpec extends SparkSpec {
   test("ivf plan is window-free: assignment folds through a hash agg, not a sort") {
     // the per-vector nearest-centroid pick and the probe-cell pick
     // must not plan a WindowExec (per-partition sort); assignment is
-    // a max_by hash aggregate, probe cells ride the native TopKPerKey
+    // a per-row greatest() projection, probe cells ride TopKPerKey
     val plan = operators.Similarity.ivfTopK(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(3000))
-    assert(plan.contains("max_by"), plan.take(3000))
     assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
+  test("ivf assignment is shuffle-free: zero exchanges before the probe-cell join") {
+    // the nearest-centroid pick depends only on the row itself, so the
+    // streamed (corpus) side of the probe-cell join must carry NO
+    // shuffle exchange at all — the only exchanges allowed anywhere in
+    // the assignment plan live under broadcast subtrees (the one-row
+    // centroid build side)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def streamedShuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => streamedShuffles(a.executedPlan)
+      case _: BroadcastExchangeLike => 0
+      case s: ShuffleExchangeLike => 1 + s.children.map(streamedShuffles).sum
+      case other => other.children.map(streamedShuffles).sum
+    }
+    val df = operators.Similarity.assignedVectors(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(streamedShuffles(plan) == 0, plan.toString.take(3000))
+    // and the assignment output is exactly one row per corpus vector
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(df.count() == n)
+    val cells = df.select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < operators.Similarity.NumCells))
   }
 
   test("ivf recall@10 vs brute force meets the floor") {
