@@ -108,6 +108,7 @@ object SparkEntry {
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
+    "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
     // §2.9 text analysis
@@ -159,8 +160,17 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
-    * names, same ORDER BY — the driver hash-compares values). */
-  def oracleSql: Map[String, String] = Map(
+    * names, same ORDER BY — the driver hash-compares values).
+    * ann_ivf_indexed serves from the staged parquet index but must
+    * produce byte-identical results to the direct ann_ivf_topk plan,
+    * so both keys share one oracle — added after the literal map so
+    * the SQL lives in exactly one place. */
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    m + ("ann_ivf_indexed" -> m("ann_ivf_topk"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -63,6 +63,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < operators.Similarity.NumCells))
   }
 
+  test("ivf indexed: staged-index query matches the direct plan and prunes cells") {
+    val direct = operators.Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val indexed = operators.Similarity.ivfIndexed(spark, sf)
+    assert(indexed.collect().map(_.toSeq).toSeq == direct)
+    // the probe-cell join key IS the on-disk partition column, so the
+    // scan over the staged inverted lists must carry a runtime
+    // partition filter (dynamic partition pruning) — only probed
+    // cells' files are read at query time
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
+
   test("ivf recall@10 vs brute force meets the floor") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
