@@ -57,12 +57,14 @@ object SparkEntry {
     "expr_date_funcs"     -> Exprs.dateFuncs _,
     "expr_date_parse"     -> Exprs.dateParse _,
     "expr_hash_digest"    -> Exprs.hashDigest _,
+    "expr_hash_crc"       -> Exprs.hashCrc _,
     "expr_null_semantics" -> Exprs.nullSemantics _,
     "expr_bitwise"        -> Exprs.bitwise _,
     "expr_array_ops"      -> Exprs.arrayOps _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "src_csv_quoted"         -> SourcesSinks.csvQuoted _,
+    "src_csv_escaped"        -> SourcesSinks.csvEscaped _,
     "src_csv_gzip"           -> SourcesSinks.csvGzip _,
     "src_json_corrupt"       -> SourcesSinks.jsonCorrupt _,
     "src_json_lines"         -> SourcesSinks.jsonLines _,
@@ -158,6 +160,13 @@ object SparkEntry {
           Seq("p_brand"), Seq("p_retailprice" -> false, "p_partkey" -> true), 3)
         .orderBy("p_brand", "rank"))
   )
+
+  /** Queries with NO DuckDB oracle — the driver records the weaker
+    * rows-only check (SURVEY §2's R class). Exactly the hash family
+    * DuckDB cannot replay (crc32/xxhash64); their values are pinned
+    * by ExprSpec instead (stock CRC check vectors + partitioning
+    * invariance). DocsSpec enforces queries = oracleSql ∪ rowsOnly. */
+  val rowsOnly: Set[String] = Set("expr_hash_crc")
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
     * names, same ORDER BY — the driver hash-compares values).
@@ -503,6 +512,17 @@ object SparkEntry {
       """SELECT n_nationkey,
         | n_name || ',"quoted"' || chr(10) || 'line2|tail' AS tricky,
         | length(n_name || ',"quoted"' || chr(10) || 'line2|tail') AS tricky_len,
+        | n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // backslash-escape dialect: the oracle rebuilds the payload (raw
+    // backslash + quotes + delimiter + newline) from nation; the
+    // Spark side must survive the \-escaped CSV roundtrip to
+    // reproduce it byte-for-byte. DuckDB non-E strings keep the
+    // backslash literal.
+    "src_csv_escaped" ->
+      """SELECT n_nationkey,
+        | n_name || '\esc"q"|d,e' || chr(10) || 'tail' AS tricky,
+        | length(n_name || '\esc"q"|d,e' || chr(10) || 'tail') AS tricky_len,
         | n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "sink_parquet_roundtrip" ->

@@ -89,6 +89,34 @@ object Exprs {
       sha2(col("text").cast("binary"), 256).as("digest_sha256"))
       .orderBy("doc_id")
 
+  /** CRC-family hashes — the hash-util.h:1 CRC32/FNV surface mapped
+    * to Spark's codegen'd crc32/xxhash64 built-ins. DuckDB has no
+    * counterpart hash, so this is the repo's one R-class entry
+    * (rows-only driver check, per the SURVEY §2 check classes):
+    * values are pinned instead by ExprSpec, which asserts the stock
+    * CRC32 check vectors (crc32("123456789") = 0xCBF43926) and that
+    * every aggregate below is IDENTICAL across repartitionings —
+    * they are order-free folds (xor / sum / min / max), so the
+    * result is a pure function of the row SET, never of partition
+    * layout or arrival order. */
+  def hashCrc(spark: SparkSession, dir: String): DataFrame =
+    crcAgg(documents(spark, dir))
+
+  /** the agg body, parameterized on the input relation so ExprSpec
+    * can feed adversarially-repartitioned copies of the same rows. */
+  private[graft] def crcAgg(docs: DataFrame): DataFrame =
+    docs.select(crc32(col("text").cast("binary")).as("c"),
+        xxhash64(col("text")).as("x"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        bit_xor(col("c")).as("crc_xor"),
+        sum(col("c")).as("crc_sum"),
+        min(col("c")).as("crc_min"),
+        max(col("c")).as("crc_max"),
+        bit_xor(col("x")).as("xx_xor"),
+        min(col("x")).as("xx_min"),
+        max(col("x")).as("xx_max"))
+
   /** NULL semantics: nullif/coalesce/null-safe equality. */
   def nullSemantics(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).select(

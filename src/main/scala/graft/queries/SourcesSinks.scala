@@ -108,6 +108,42 @@ object SourcesSinks {
       .orderBy("n_nationkey")
   }
 
+  /** Backslash-escape CSV dialect — the OTHER escape convention the
+    * reference's parser takes as a configurable escape character
+    * (delimited-text-parser.cc `process_escape_` / `escape_char_`,
+    * delimited-text-parser.inline.h): instead of RFC 4180's doubled
+    * quotes, a `\` escapes the quote (and itself) inside quoted
+    * fields — the dialect MySQL dumps and many log pipelines emit.
+    * The payload is hostile on every axis at once: a raw backslash,
+    * embedded double quotes, the delimiter, and an embedded newline.
+    * A reader running the RFC dialect on these bytes corrupts the
+    * field (SourcesSpec proves the on-disk bytes use `\"`, not `""`).
+    * Same 100 TB multiLine caveat as csvQuoted: records crossing
+    * line boundaries make a file non-splittable, so hostile CSV is
+    * staged to parquet once, which this roundtrip demonstrates. */
+  def csvEscaped(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "nation_csv_escaped")
+    val tricky = concat(col("n_name"), lit("""\esc"q"|d,e""" + "\ntail"))
+    nation(spark, dir)
+      .select(col("n_nationkey"), tricky.as("tricky"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("tricky", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\\")
+      .option("multiLine", "true")
+      .csv(path)
+      .select(col("n_nationkey"), col("tricky"),
+        length(col("tricky")).as("tricky_len"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
   /** Gzip-compressed CSV ingestion — most real corpora arrive as
     * `.csv.gz`/`.tsv.gz` drops. The decompress-then-parse pipeline is
     * the reference's scanner stage that wraps a codec decompressor

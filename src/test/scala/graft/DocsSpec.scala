@@ -15,8 +15,8 @@ class DocsSpec extends AnyFunSuite {
 
   private val docs = Seq("README.md", "SURVEY.md").map(f => f -> read(f))
 
-  test("every 'N oracle-checked queries' claim equals SparkEntry.queries.size") {
-    val n = SparkEntry.queries.size
+  test("every 'N oracle-checked queries' claim equals SparkEntry.oracleSql.size") {
+    val n = SparkEntry.oracleSql.size
     val claim = """(\d+) oracle-checked quer""".r
     var found = 0
     for ((f, text) <- docs; m <- claim.findAllMatchIn(text)) {
@@ -36,9 +36,11 @@ class DocsSpec extends AnyFunSuite {
       fail(s"$f contains drift-prone count phrasing '$hit'")
   }
 
-  test("queries and oracleSql cover exactly the same keys") {
+  test("queries = oracleSql plus the declared rows-only set, with no overlap") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q == o, s"only-in-queries=${q -- o} only-in-oracle=${o -- q}")
+    val r = SparkEntry.rowsOnly
+    assert(o ++ r == q && (o & r).isEmpty,
+      s"only-in-queries=${q -- o -- r} only-in-oracle=${o -- q} overlap=${o & r}")
   }
 }

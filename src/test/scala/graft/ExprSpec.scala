@@ -49,6 +49,31 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("crc-family hashes: stock check vectors, aggregates invariant to partitioning") {
+    import spark.implicits._
+    // the classic zlib CRC32 check value, and crc32 of empty input
+    val v = Seq("123456789", "").toDF("s")
+      .select(crc32(col("s").cast("binary")).as("c"))
+      .collect().map(_.getLong(0))
+    assert(v(0) == 0xCBF43926L, f"crc32('123456789') = ${v(0)}%x")
+    assert(v(1) == 0L)
+    // xxhash64 must be deterministic across sessions for equal input
+    val x = Seq("graft", "graft").toDF("s").select(xxhash64(col("s")))
+      .collect().map(_.getLong(0))
+    assert(x(0) == x(1))
+    // the R-class entry has no DuckDB oracle, so pin the invariant the
+    // driver can't: every aggregate is an order-free fold, identical
+    // under adversarial repartitionings of the same row set
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val base = queries.Exprs.crcAgg(docs).collect()(0).toSeq
+    val shuffled = queries.Exprs.crcAgg(
+      docs.repartition(7, col("doc_id"))).collect()(0).toSeq
+    val oneDesc = queries.Exprs.crcAgg(
+      docs.repartition(1).sortWithinPartitions(col("text").desc)).collect()(0).toSeq
+    assert(base == shuffled && base == oneDesc, s"$base / $shuffled / $oneDesc")
+    assert(base.head.asInstanceOf[Long] > 0)
+  }
+
   test("null semantics: nullif(0.0) is null and coalesce restores -1") {
     val df = queries.Exprs.nullSemantics(spark, sf)
       .filter(col("is_zero_nullsafe"))

@@ -30,6 +30,42 @@ class SourcesSpec extends SparkSpec {
     assert(naive > 25, s"naive parse should over-split, got $naive records")
   }
 
+  test("backslash-escape csv: roundtrip exact, on-disk bytes use the \\ dialect") {
+    import org.apache.spark.sql.types._
+    val rows = queries.SourcesSinks.csvEscaped(spark, sf).collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      val tricky = r.getAs[String]("tricky")
+      assert(tricky.endsWith("""\esc"q"|d,e""" + "\ntail"), tricky)
+      assert(r.getAs[Int]("tricky_len") == tricky.length)
+    }
+    // the written bytes must carry backslash-escaped quotes (\" and
+    // \\), NOT RFC 4180 doubled quotes — otherwise this is csvQuoted
+    // under another name
+    val dir = new java.io.File(queries.SourcesSinks.tmp(spark, sf, "nation_csv_escaped"))
+    val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
+    val bytes = new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(bytes.contains("\\\""), "no backslash-escaped quote on disk")
+    assert(bytes.contains("\\\\"), "raw backslash not self-escaped on disk")
+    assert(!bytes.contains("\"\"\"q\"\""), "found RFC-doubled quotes; wrong dialect")
+    // hostile-input control: reading these bytes with the RFC dialect
+    // (escape = quote) mis-parses the payload — the dialect knob is
+    // load-bearing, not cosmetic
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("tricky", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val wrongDialect = spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(dir.getAbsolutePath)
+      .collect()
+    val wanted = rows.map(_.getAs[String]("tricky")).toSet
+    assert(wrongDialect.exists(r => !wanted.contains(r.getAs[String]("tricky"))),
+      "RFC dialect parsed the backslash file cleanly — payload not hostile enough")
+  }
+
   test("gzip csv roundtrip: files are actually gzipped and aggregates are exact") {
     import org.apache.spark.sql.functions._
     val got = queries.SourcesSinks.csvGzip(spark, sf).collect()
