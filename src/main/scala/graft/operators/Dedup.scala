@@ -32,9 +32,11 @@ import graft.sources.Tables._
   *   touches only candidate docs' postings.
   * - simhash: same banded shape via 15-bit blocks (a pair with
   *   hamming ≤ 3 on 60 bits shares ≥ 1 of 4 blocks — pigeonhole).
-  * - ngram-jaccard: posting-list equi-join on shingle hash; at
-  *   100 TB add a doc-frequency cap on shingles (drop shingles in
-  *   > N docs) — a recall-neutral knob for near-dup thresholds.
+  * - ngram-jaccard: posting-list equi-join on shingle hash, with a
+  *   doc-frequency cap knob (dfCap on shinglePostings/ngramJaccard/
+  *   minhashLsh): drop shingles in > N docs — recall-neutral for
+  *   near-dup thresholds (spec-proven) and the bound on the worst
+  *   posting list's N² pair mass at 100 TB.
   * - embedding: random-hyperplane LSH — never a cross join.
   */
 object Dedup {
@@ -51,16 +53,33 @@ object Dedup {
     * denominator) rides along via a window count — the doc_id hash
     * partitioning from the lead() window is reused, so neither the
     * distinct nor the count adds a shuffle. */
-  private[graft] def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shinglePostings(spark: SparkSession, dir: String,
+      dfCap: Option[Int] = None): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    documents(spark, dir)
+    val post = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
       .distinct()
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // df-cap: drop shingles appearing in more than dfCap docs BEFORE
+    // any pairing. Boilerplate/stopword shingles are what generate
+    // the quadratic candidate mass in a posting join (a shingle in N
+    // docs yields N² candidate pairs); near-dup recall lives in the
+    // rarer shingles, so a generous cap is recall-neutral (DedupSpec
+    // proves pair-set equality at test scale) while bounding the
+    // worst posting list at 100 TB. The df count windows over the
+    // SAME h-partitioning the posting join shuffles on. The doc's
+    // jaccard denominator n_sh counts KEPT shingles, so capped runs
+    // compare documents by their kept shingle sets consistently.
+    val capped = dfCap match {
+      case Some(cap) =>
+        post.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+          .filter(col("df") <= cap).drop("df")
+      case None => post
+    }
+    capped.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
   /** exact |A∩B| posting-join pair counts with the denominators in
@@ -98,7 +117,14 @@ object Dedup {
     * aggregate expressions per row blow past JIT-friendly generated-
     * method sizes; the dev probe verified the two formulations emit
     * bit-identical signatures). Bands of 8 lanes are md5-keyed. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, None)
+
+  /** dfCap: the 100 TB shingle doc-frequency cap (see
+    * [[shinglePostings]]) — None reproduces the oracle-checked
+    * output exactly; DedupSpec proves a generous cap leaves the
+    * near-dup pair set unchanged while a tight cap prunes postings. */
+  def minhashLsh(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
     // Stage postings once: the signature branch and the jaccard-verify
     // branch both consume them, but the candidate filter on the verify
     // side breaks exchange-subtree identity, so ReuseExchange cannot
@@ -106,7 +132,7 @@ object Dedup {
     // materializes the (small relative to the corpus) posting list a
     // single time and truncates lineage — the 100 TB shape is the
     // same: stage postings to a temp table, then fan out.
-    val post = shinglePostings(spark, dir).localCheckpoint()
+    val post = shinglePostings(spark, dir, dfCap).localCheckpoint()
     val sigs = post.groupBy("doc_id").agg(expr("graft_minhash_sig(h)").as("sig"))
     // Band keys from element_at projections (md5 over concat_ws) — NOT
     // an array lambda: higher-order transforms are interpreted and the
@@ -209,7 +235,13 @@ object Dedup {
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a posting-list equi-join on
     * the shingle hash (pairs only form for docs sharing a shingle). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    pairIntersections(shinglePostings(spark, dir))
+    ngramJaccard(spark, dir, None)
+
+  /** dfCap as in [[shinglePostings]]: bounds the worst posting list
+    * (the N² pair mass of boilerplate shingles) at 100 TB; None is
+    * the oracle-exact form. */
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame =
+    pairIntersections(shinglePostings(spark, dir, dfCap))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .filter(col("jaccard") >= 0.8)

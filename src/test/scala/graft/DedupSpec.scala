@@ -126,4 +126,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_dup_chunks") > 0),
       "no duplicate chunks anywhere — the fraction is vacuous")
   }
+
+  test("shingle df-cap: a generous cap is recall-neutral, a tight cap prunes postings") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val post = operators.Dedup.shinglePostings(spark, sf)
+    val maxDf = post.groupBy("h").count()
+      .agg(max("count")).collect()(0).getLong(0).toInt
+    assert(maxDf >= 2, "no shingle shared by 2 docs — the cap test is vacuous")
+    // cap at the observed max df: nothing drops, so BOTH near-dup
+    // operators must reproduce their oracle-checked output exactly
+    // (pairs AND jaccard values AND denominators)
+    assert(rows(operators.Dedup.ngramJaccard(spark, sf, Some(maxDf)))
+      == rows(operators.Dedup.ngramJaccard(spark, sf)))
+    assert(rows(operators.Dedup.minhashLsh(spark, sf, Some(maxDf)))
+      == rows(operators.Dedup.minhashLsh(spark, sf)))
+    // a tight cap actually drops the shared-shingle mass (the knob is
+    // wired, not decorative) and only ever REMOVES candidate pairs
+    val capped1 = operators.Dedup.shinglePostings(spark, sf, Some(1))
+    assert(capped1.count() < post.count())
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(operators.Dedup.ngramJaccard(spark, sf, Some(1)))
+      .subsetOf(pairSet(operators.Dedup.ngramJaccard(spark, sf))))
+  }
 }
