@@ -205,7 +205,13 @@ object Pipeline {
     val toks = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(expr(normTextExpr), " ")).cast("bigint").as("n_tokens"))
-      .withColumn("shard", expr(s"doc_id div $shardWidth"))
+      // exact integer FLOOR division (not `div`, which truncates
+      // toward zero): ids -15..15 would otherwise collapse into one
+      // shard and break the shard-order = doc_id-order invariant the
+      // two-level cumsum recovery depends on. The corpus ships
+      // non-negative doc_ids, but the operator must not.
+      .withColumn("shard",
+        expr(s"(doc_id - pmod(doc_id, $shardWidth)) div $shardWidth"))
       // lazy: plan construction/inspection must not run a corpus job;
       // the stage materializes on first execution and is shared by
       // both branches of that execution

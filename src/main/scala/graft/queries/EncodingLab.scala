@@ -93,7 +93,8 @@ object EncodingLab {
         .option("parquet.enable.dictionary", dict)
         .parquet(path)
       val (byCol, fileBytes) = dirColumnBytes(path)
-      Variant(name, byCol, fileBytes, timeScan(spark, path, vectorized = true))
+      (name, path,
+        Variant(name, byCol, fileBytes, timeScan(spark, path, vectorized = true)))
     }
     val bssVariants = Seq(
       ("bss", org.apache.parquet.hadoop.metadata.CompressionCodecName.UNCOMPRESSED),
@@ -104,11 +105,15 @@ object EncodingLab {
         val (byCol, fileBytes) = dirColumnBytes(path)
         Variant(name, byCol, fileBytes, timeScan(spark, path, vectorized = false))
       }
-    val plainPath = SourcesSinks.tmp(spark, dir, "enclab_plain")
+    // the rowbased control re-reads the files the 'plain' variant
+    // WROTE — take its path from the loop result, not a re-derived
+    // tmp() tag that would silently desync if the list is renamed
+    val plainPath = written.collectFirst { case ("plain", p, _) => p }.getOrElse(
+      sys.error("enclab: no 'plain' variant written — plain_rowbased needs its files"))
     val (plainCols, plainBytes) = dirColumnBytes(plainPath)
     val plainRowbased = Variant("plain_rowbased", plainCols, plainBytes,
       timeScan(spark, plainPath, vectorized = false))
-    written ++ bssVariants :+ plainRowbased
+    written.map(_._3) ++ bssVariants :+ plainRowbased
   }
 
   /** scan-and-decode every column end to end; min of two runs (first
@@ -177,8 +182,10 @@ object EncodingLab {
   }
 
   private def dirColumnBytes(path: String): (Map[String, Long], Long) = {
-    val files = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
+    val listed = new java.io.File(path).listFiles()
+    require(listed != null, s"enclab: variant dir missing or unreadable: $path")
+    val files = listed.filter(_.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"enclab: no parquet files under $path")
     val byCol = files.map(columnBytes).reduce { (a, b) =>
       (a.keySet ++ b.keySet).map(k =>
         k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap

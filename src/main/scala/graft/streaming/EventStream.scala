@@ -132,7 +132,13 @@ object EventStream {
           st.n_events + 1,
           st.n_purchases + (if (e.event_type == "purchase") 1L else 0L),
           if (st.types.contains(e.event_type)) st.types else e.event_type :: st.types,
-          st.total_cents + math.round(e.value * 100),
+          // HALF_UP on the decimal string repr — the exact arithmetic
+          // of the batch twin's DECIMAL(18,2) cast (math.round would
+          // round -0.5 cents toward +Inf and break parity on negative
+          // values ending in an exact half-cent)
+          st.total_cents + java.math.BigDecimal.valueOf(e.value)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact(),
           math.min(st.first_sec, sec),
           math.max(st.last_sec, sec))
       }

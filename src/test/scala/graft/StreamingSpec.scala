@@ -256,4 +256,23 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming cents rounding equals the batch DECIMAL(18,2) cast, negatives included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial doubles: exact half-cents on both signs, values whose
+    // shortest decimal repr differs from their binary expansion
+    val vals = Seq(-0.005, -1.115, -2.675, -0.015, 0.005, 1.005, 2.675, 0.285, -0.285)
+    val batch = vals.toDF("v")
+      .select((col("v").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(_.getLong(0)).toSeq
+    // the exact arithmetic UserStatsProcessor runs per event
+    val stream = vals.map(v => java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact())
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // and math.round would have broken exactly the negative half-cents
+    assert(vals.exists(v => math.round(v * 100) !=
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()))
+  }
 }
