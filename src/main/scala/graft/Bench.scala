@@ -22,60 +22,137 @@ import scala.util.control.NonFatal
   * degraded run is distinguishable from a clean one.
   *
   * Contention robustness: a noisy-neighbor stall can inflate a query
-  * 3-8x in a way even min-of-3 does not filter (observed: two queries
-  * reported 3-8x their stable steady state in one round with zero
-  * code change to either). Each run min-merges its steady numbers
-  * into a per-SF baseline file (`BENCH_BASELINE_<sf>.json` next to
-  * the working directory — per SF because a smaller dataset's steady
-  * state would flag every larger-SF run; min-merge because contention
-  * only ever inflates, so the best-ever steady state IS the
-  * reference). Any query whose steady value exceeds 3x its baseline
-  * is re-measured with two more samples and the min is reported; the
-  * `outliers` field records every correction (first measurement,
-  * final value, baseline), so a contaminated run self-identifies
-  * instead of needing a reader to adjudicate against history.
-  * Baselines are absolute times: on a substantially slower host most
-  * of the suite would flag at once, so when more than max(5, 10%) of
-  * queries flag, the gate stands down and reports the count in
-  * `baseline_mismatch` instead of re-running everything.
+  * 3-8x in a way even min-of-3 does not filter. Each run min-merges
+  * its steady numbers into a per-SF baseline file
+  * (`BENCH_BASELINE_<sf>.json`; per SF because a smaller dataset's
+  * steady state would flag every larger-SF run; min-merge because
+  * contention only ever inflates, so the best-ever steady state IS
+  * the reference). Any query whose steady value exceeds 3x its
+  * baseline is re-measured with two more samples and the min is
+  * reported; the `outliers` field records every correction, so a
+  * contaminated run self-identifies. The TREND block applies the
+  * same gate per (query, SF) point — trend numbers were the noisiest
+  * part of the artifact two rounds running (`trend_outliers`).
+  *
+  * A min-merged best-ever must never launder a genuine regression as
+  * contention, so each baseline entry is KEYED to a canonical-plan
+  * fingerprint: when a code change alters a query's optimized plan,
+  * its stored floor is invalid — the entry resets to this run's
+  * measurement (reported in `fp_resets`) instead of gating the new
+  * plan against the old plan's best. Baselines also record the host
+  * (hostname + core count): numbers from a different host cannot
+  * gate this one, so on host change the gate stands down explicitly
+  * (`baseline_host_mismatch`) and the file restarts for the current
+  * host — not via the earlier too-many-flags heuristic, which is
+  * kept only as a last-resort stand-down. The baseline path anchors
+  * to SPARK_GRAFT_BASELINE_DIR or the enclosing sbt project root,
+  * never the incidental JVM working directory.
   */
 object Bench {
+
+  private[graft] case class Baseline(host: Option[String],
+      queries: Map[String, Double], fps: Map[String, String])
+
+  /** hostname + core count: times are only comparable within this. */
+  private[graft] def hostId(cpus: String): String = {
+    val name =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case NonFatal(_) => "unknown" }
+    name + "/" + cpus
+  }
+
+  /** Baselines anchor to an explicit env override or the enclosing
+    * sbt project root (first ancestor with build.sbt), so running
+    * Bench from another cwd reads the same history instead of
+    * silently starting an empty baseline. */
+  private[graft] def baselineDir(): java.io.File =
+    sys.env.get("SPARK_GRAFT_BASELINE_DIR").map(new java.io.File(_)).getOrElse {
+      val start = new java.io.File(".").getAbsoluteFile.getParentFile
+      Iterator.iterate(start)(_.getParentFile).takeWhile(_ != null)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+        .getOrElse(start)
+    }
 
   private[graft] def baselineFile(sfDir: String, dir: java.io.File): java.io.File =
     new java.io.File(dir, s"BENCH_BASELINE_${new java.io.File(sfDir).getName}.json")
 
-  /** best-known steady numbers for this SF from the baseline file. */
-  private[graft] def prevSteady(sfDir: String,
-      dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+  private[graft] def readBaseline(sfDir: String, dir: java.io.File): Baseline =
     try {
       val f = baselineFile(sfDir, dir)
-      if (!f.isFile) Map.empty
+      if (!f.isFile) Baseline(None, Map.empty, Map.empty)
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        val q = node.get("queries")
-        if (q == null) Map.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          q.properties().iterator().asScala
-            .map(e => e.getKey -> e.getValue.asDouble(-1.0))
-            .filter(_._2 > 0).toMap
+        import scala.jdk.CollectionConverters._
+        def obj(name: String): Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+          val o = node.get(name)
+          if (o == null) Map.empty
+          else o.properties().iterator().asScala.map(e => e.getKey -> e.getValue).toMap
         }
+        Baseline(
+          Option(node.get("host")).map(_.asText()).filter(_.nonEmpty),
+          obj("queries").view.mapValues(_.asDouble(-1.0)).filter(_._2 > 0).toMap,
+          obj("fingerprints").view.mapValues(_.asText()).toMap)
       }
-    } catch { case NonFatal(_) => Map.empty }
+    } catch { case NonFatal(_) => Baseline(None, Map.empty, Map.empty) }
 
-  /** min-merge this run's steady numbers into the baseline file. */
-  private[graft] def saveBaseline(sfDir: String, dir: java.io.File,
-      steady: Map[String, Double]): Unit =
+  /** The stored floors that may legitimately gate THIS run: none on
+    * host change; per query, none when the stored fingerprint exists
+    * and differs from this run's (the plan changed, so the old floor
+    * measures a dead plan). A missing stored fingerprint (legacy
+    * file, pre-fingerprint) is treated as matching — the one-time
+    * upgrade path; fingerprints attach on the next save. */
+  private[graft] def validFloors(old: Baseline, host: String,
+      fps: Map[String, String]): Map[String, Double] =
+    if (old.host.exists(_ != host)) Map.empty
+    else old.queries.filter { case (k, _) =>
+      old.fps.get(k).forall(ofp => fps.get(k).forall(_ == ofp))
+    }
+
+  /** Pure merge: host change restarts the file; a fingerprint change
+    * resets that query's floor to this run's value; otherwise floors
+    * min-merge (contention only inflates). Returns the merged
+    * baseline and the names whose floors were fingerprint-reset. */
+  private[graft] def mergeBaseline(old: Baseline, host: String,
+      steady: Map[String, Double], fps: Map[String, String]): (Baseline, Seq[String]) = {
+    val base = if (old.host.exists(_ != host)) Baseline(Some(host), Map.empty, Map.empty) else old
+    val resets = steady.keys.toSeq.sorted.filter { k =>
+      steady.get(k).exists(_ > 0) &&
+        (for (o <- base.fps.get(k); n <- fps.get(k)) yield o != n).getOrElse(false)
+    }
+    val keys = (base.queries.keySet ++ steady.keySet).toSeq.sorted
+    val merged = keys.flatMap { k =>
+      val nv = steady.get(k).filter(_ > 0)
+      val ov = base.queries.get(k).filter(_ > 0)
+      val v = if (resets.contains(k)) nv else Seq(ov, nv).flatten.minOption
+      v.map(k -> _)
+    }.toMap
+    val mergedFps = base.fps ++ fps
+    (Baseline(Some(host), merged, mergedFps), resets)
+  }
+
+  private[graft] def saveBaseline(sfDir: String, dir: java.io.File, b: Baseline): Unit =
     try {
-      val old = prevSteady(sfDir, dir)
-      val merged = (old.keySet ++ steady.keySet).toSeq.sorted.flatMap { k =>
-        val vs = Seq(old.get(k), steady.get(k)).flatten.filter(_ > 0)
-        if (vs.isEmpty) None else Some(k -> vs.min)
-      }
-      val js = merged.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{\"queries\":{", ",", "}}")
-      java.nio.file.Files.writeString(baselineFile(sfDir, dir).toPath, js): Unit
+      def js(m: Map[String, String]): String =
+        m.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val out = "{\"host\":\"" + b.host.getOrElse("") + "\"," +
+        "\"queries\":" + js(b.queries.view.mapValues(_.toString).toMap) + "," +
+        "\"fingerprints\":" + js(b.fps.view.mapValues("\"" + _ + "\"").toMap) + "}"
+      java.nio.file.Files.writeString(baselineFile(sfDir, dir).toPath, out): Unit
     } catch { case NonFatal(_) => () }
+
+  /** Canonical-plan fingerprint: md5 of the canonicalized optimized
+    * plan with run-varying tokens (the per-app scratch dir, object
+    * addresses) normalized out, so the same code yields the same
+    * fingerprint across JVMs and a code change that alters the plan
+    * yields a new one. */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.optimizedPlan.canonicalized.toString
+      .replaceAll("graft_io/[^/]+", "graft_io/APP")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@X")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,14 +162,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val host = hostId(cpus)
+    val blDir = baselineDir()
+    def onceAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
       } catch { case NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val prev = prevSteady(sfDir)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      onceAt(fn, sfDir)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(fn)
       val warm0 = if (cold < 0) -1.0 else {
@@ -106,12 +187,32 @@ object Bench {
       }
       (name, warm0, cold)
     }
-    // Outlier gate (see class doc). The baseline holds ABSOLUTE times
-    // from whatever machine last ran this SF: if a large share of the
-    // suite flags at once, that is a slower host (or a global change),
-    // not per-query contention — re-running everything would add ~40%
-    // runtime and drown the signal, so the gate stands down and the
-    // mismatch is reported instead.
+    // fingerprints AFTER the timed passes (construction of some
+    // queries stages scratch files eagerly — fingerprinting first
+    // would warm those and quietly change what "cold" measures), on a
+    // FRESH child session with runtime-filter injection off: those
+    // optimizer rewrites key on session conf state and file-size
+    // estimates, so hashing the main session's plans would make a
+    // fingerprint depend on suite order and scratch-file bytes
+    // rather than on code.
+    lazy val fpSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      s
+    }
+    def fpsAt(names: Seq[String], dir: String): Map[String, String] =
+      names.flatMap { n =>
+        try Some(n -> planFingerprint(SparkEntry.queries(n)(fpSession, dir)))
+        catch { case NonFatal(_) => None }
+      }.toMap
+    val fps = fpsAt(firstPass.map(_._1), sfDir)
+    val old = readBaseline(sfDir, blDir)
+    val hostMismatch = old.host.exists(_ != host)
+    val prev = validFloors(old, host, fps)
+    // Outlier gate (see class doc). A large share flagging at once is
+    // a global change, not per-query contention — stand down rather
+    // than re-running everything (~40% extra runtime).
     val flaggedNames = firstPass.collect {
       case (n, w, _) if w > 0 && prev.get(n).exists(b => w > 3 * b) => n
     }.toSet
@@ -140,7 +241,9 @@ object Bench {
     // sf"); this measures them: time vs data across the sf0.001 →
     // sf0.1 span (100× rows). A super-linear curve would expose a
     // hidden driver-side or quadratic cost. min-of-2 per point (the
-    // main loop above already warmed each query's codegen).
+    // main loop above already warmed each query's codegen), then the
+    // SAME >3×-baseline re-sample gate as the main loop, per SF —
+    // ungated trend points were the noisiest numbers in the artifact.
     val trendNames = Seq("q1_pricing_summary", "q6_forecast_revenue",
       "q13_customer_distribution", "dedup_minhash_lsh", "ann_ivf_topk",
       "pipeline_token_budget")
@@ -148,17 +251,35 @@ object Bench {
     val trendSfs = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(n => n -> new java.io.File(parent, n))
       .filter(_._2.isDirectory)
-    val trendJs = trendNames.filter(SparkEntry.queries.contains).map { name =>
+    val trendOutliers =
+      scala.collection.mutable.ArrayBuffer[(String, String, Double, Double, Double)]()
+    val trendSteady = scala.collection.mutable.Map[String, Map[String, Double]]()
+      .withDefaultValue(Map.empty)
+    val liveTrend = trendNames.filter(SparkEntry.queries.contains)
+    val trendFps = trendSfs.map { case (sfName, f) =>
+      sfName -> fpsAt(liveTrend, f.getAbsolutePath)
+    }.toMap
+    val trendFloors = trendSfs.map { case (sfName, f) =>
+      sfName -> validFloors(readBaseline(f.getAbsolutePath, blDir), host, trendFps(sfName))
+    }.toMap
+    val trendJs = liveTrend.map { name =>
       val fn = SparkEntry.queries(name)
       val points = trendSfs.map { case (sfName, f) =>
-        def run(): Double = {
-          val t0 = System.nanoTime()
-          try fn(spark, f.getAbsolutePath).write.format("noop").mode("overwrite").save()
-          catch { case NonFatal(_) => return -1.0 }
-          (System.nanoTime() - t0) / 1e9
-        }
+        def run(): Double = onceAt(fn, f.getAbsolutePath)
         val a = run(); val b = if (a < 0) -1.0 else run()
-        (sfName, if (b < 0) -1.0 else math.min(a, b))
+        var v = if (b < 0) -1.0 else math.min(a, b)
+        if (v > 0) {
+          trendFloors(sfName).get(name).foreach { base =>
+            if (v > 3 * base) {
+              val re = Seq(run(), run()).filter(_ >= 0)
+              val fin = if (re.isEmpty) v else math.min(v, re.min)
+              trendOutliers += ((name, sfName, v, fin, base))
+              v = fin
+            }
+          }
+          trendSteady(sfName) = trendSteady(sfName) + (name -> v)
+        }
+        (sfName, v)
       }
       "\"" + name + "\":" + js(points)
     }.mkString("{", ",", "}")
@@ -178,9 +299,23 @@ object Bench {
     val outliersJs = outliers.map { case (n, first, fin, b) =>
       "\"" + n + "\":{\"first\":" + first + ",\"final\":" + fin + ",\"prev\":" + b + "}"
     }.mkString("{", ",", "}")
-    saveBaseline(sfDir, new java.io.File("."),
-      results.collect { case (n, w, _) if w > 0 => n -> w }.toMap)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"trend":$trendJs,"encodings":$encJs,"sf":"$sfDir"}""")
+    val trendOutliersJs = trendOutliers.map { case (n, sfName, first, fin, b) =>
+      "\"" + n + "@" + sfName + "\":{\"first\":" + first + ",\"final\":" + fin + ",\"prev\":" + b + "}"
+    }.mkString("{", ",", "}")
+    val (merged, fpResets) = mergeBaseline(old, host,
+      results.collect { case (n, w, _) if w > 0 => n -> w }.toMap, fps)
+    saveBaseline(sfDir, blDir, merged)
+    // trend points feed the OTHER SFs' baselines so future trend gates
+    // have per-SF floors (the main sfDir already merged above)
+    val mainSf = new java.io.File(sfDir).getName
+    trendSfs.collect { case (sfName, f) if sfName != mainSf =>
+      val sfPath = f.getAbsolutePath
+      val (m, _) = mergeBaseline(readBaseline(sfPath, blDir), host,
+        trendSteady(sfName), trendFps(sfName))
+      saveBaseline(sfPath, blDir, m)
+    }
+    val fpResetsJs = fpResets.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
