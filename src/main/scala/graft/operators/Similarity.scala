@@ -226,7 +226,13 @@ object Similarity {
     * touches ~NProbe/NumCells of the index instead of scanning the
     * corpus. Output is identical to [[ivfTopK]] (same oracle). */
   def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    // integrity guard on the external index: the centroid table is by
+    // construction exactly the NumCells cells — enforcing the cell
+    // domain at read time keeps a corrupt/stale index from silently
+    // widening the probe fan-out (and states the bounded cardinality
+    // of this broadcast side in the plan itself)
     val cents = spark.read.parquet(s"$indexDir/centroids")
+      .filter(col("cell") >= 0 && col("cell") < NumCells)
     // partition-dir columns read back as INT; restore the engine type
     val assigned = spark.read.parquet(s"$indexDir/assignments")
       .withColumn("cell", col("cell").cast("bigint"))
