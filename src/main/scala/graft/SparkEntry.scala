@@ -74,6 +74,8 @@ object SparkEntry {
     "src_orc_roundtrip"      -> SourcesSinks.orcRoundtrip _,
     "src_schema_evolution"   -> SourcesSinks.schemaEvolution _,
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
+    "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
+    "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     "sink_nested_types"      -> SourcesSinks.nestedSink _,
     // §2.5 window / analytic
@@ -85,6 +87,7 @@ object SparkEntry {
     "win_first_last"   -> Analytic.firstLast _,
     "win_percent_rank" -> Analytic.percentRank _,
     "win_dense_rank"   -> Analytic.denseRank _,
+    "win_ignore_nulls" -> Analytic.ignoreNullsWindow _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -113,6 +116,8 @@ object SparkEntry {
     "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
+    "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
+    "emb_kmeans_step"     -> Similarity.kmeansStep _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -148,6 +153,12 @@ object SparkEntry {
     "sql_setops"             -> SqlSurface.setOps _,
     "sql_pivot"              -> SqlSurface.pivotRevenue _,
     "ev_json_props"          -> SqlSurface.jsonProps _,
+    "src_json_variant"       -> SqlSurface.jsonVariant _,
+    "agg_listagg"            -> SqlSurface.listAgg _,
+    "agg_multi_distinct"     -> SqlSurface.multiDistinct _,
+    "sql_unpivot"            -> SqlSurface.unpivotRevenue _,
+    "agg_corr_exact"         -> SqlSurface.corrExact _,
+    "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "expr_regex"             -> SqlSurface.regexFuncs _,
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
     "agg_approx_stats"       -> SqlSurface.approxStats _,
@@ -573,6 +584,29 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'""".stripMargin,
+    "sink_zorder_skipping" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 256 BETWEEN 64 AND 127
+        |  AND l_partkey % 256 BETWEEN 64 AND 127""".stripMargin,
+    "sink_merge_upsert" ->
+      """WITH snap AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |del AS (SELECT c_custkey AS k FROM snap WHERE c_custkey % 13 = 0),
+        |upd AS (SELECT c_custkey AS k, 'MERGED' AS seg, c_acctbal + 100.0 AS bal
+        |        FROM snap WHERE c_custkey % 10 = 0 AND c_custkey % 13 <> 0),
+        |ins AS (SELECT c_custkey + 10000000 AS k, 'NEWCOMER' AS seg, c_acctbal AS bal
+        |        FROM snap WHERE c_custkey % 37 = 0),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM snap
+        |  WHERE c_custkey % 13 <> 0 AND NOT (c_custkey % 10 = 0 AND c_custkey % 13 <> 0)
+        |  UNION ALL SELECT k, seg, bal FROM upd
+        |  UNION ALL SELECT k, seg, bal FROM ins)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "dict_cardinality_stats" ->
       """SELECT column_name, ndv, n_rows, ndv <= 4096 AS dict_encodable FROM (
         |  SELECT 'l_returnflag' AS column_name, count(DISTINCT l_returnflag) AS ndv, count(*) AS n_rows FROM lineitem
@@ -1279,6 +1313,70 @@ object SparkEntry {
     // centroid means on the floor(x·1e9) integer grid and the mean
     // cosine over floor(cos·1e9) — order-free integral-double sums,
     // and the dot/norm folds run left-to-right exactly like graft_dot
+    "emb_kmeans_step" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims AS (
+        |  SELECT vec_id % 16 AS cell,
+        |    unnest(generate_series(1, 64)) AS d,
+        |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+        |  FROM vecs
+        |), cdims AS (
+        |  SELECT cell, d,
+        |    CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+        |  FROM dims GROUP BY cell, d
+        |), cents AS (
+        |  SELECT cell, list(cx ORDER BY d) AS cv FROM cdims GROUP BY cell
+        |), assigned AS (
+        |  SELECT vec_id, vd, cell FROM (
+        |    SELECT v.vec_id, v.vd, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM vecs v CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), ndims AS (
+        |  SELECT cell,
+        |    unnest(generate_series(1, 64)) AS d,
+        |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+        |  FROM assigned
+        |), ncdims AS (
+        |  SELECT cell, d,
+        |    CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS nx
+        |  FROM ndims GROUP BY cell, d
+        |), ncents AS (
+        |  SELECT cell, list(nx ORDER BY d) AS nv FROM ncdims GROUP BY cell
+        |), stats AS (
+        |  SELECT m.cell AS cell, count(*) AS n_members,
+        |    CAST(sum(CAST(floor(
+        |      (list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |       / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |          * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b)))) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_cos_old
+        |  FROM assigned m JOIN cents c USING (cell) GROUP BY m.cell)
+        |SELECT s.cell AS cell, n_members, mean_cos_old,
+        |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*nv[i])), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> nv[i]*nv[i])), (a,b) -> a+b))) AS drift_cos
+        |FROM stats s JOIN cents USING (cell) JOIN ncents USING (cell)
+        |ORDER BY cell""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims AS (SELECT i - 1 AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
+        |rng AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
+        |q AS (
+        |  SELECT dims.d AS d, x, mn, mx,
+        |    CAST(CASE WHEN mx > mn THEN floor((x - mn) / (mx - mn) * 255.0 + 0.5) ELSE 0.0 END AS BIGINT) AS qv
+        |  FROM dims JOIN rng ON dims.d = rng.d),
+        |e AS (
+        |  SELECT d, mn, mx, qv,
+        |    CAST(floor(abs(x - (CASE WHEN mx > mn THEN mn + (CAST(qv AS DOUBLE) * (mx - mn)) / 255.0 ELSE mn END)) * 1e12) AS BIGINT) AS eq
+        |  FROM q)
+        |SELECT d, count(*) AS n_vals, min(mn) AS mn, min(mx) AS mx,
+        |  max(qv) AS q_max, min(qv) AS q_min, max(eq) AS max_err_q,
+        |  CAST(sum(eq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e12) AS mean_err
+        |FROM e GROUP BY d ORDER BY d""".stripMargin,
     "emb_label_stats" ->
       """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |dims AS (SELECT label, i AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
@@ -1536,6 +1634,82 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_json_variant" ->
+      """WITH j AS (
+        |  SELECT concat('{"e":"', event_type, '","p":', props, '}') AS js FROM events)
+        |SELECT json_extract_string(js, '$.e') AS etype, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(js, '$.p.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(try_cast(json_extract_string(js, '$.e') AS BIGINT)) AS n_badcast,
+        |  count(try_cast(json_extract_string(js, '$.missing') AS BIGINT)) AS n_absent
+        |FROM j GROUP BY etype ORDER BY etype""".stripMargin,
+    "agg_listagg" ->
+      """WITH geo AS (
+        |  SELECT n_nationkey, n_name, r_name FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (
+        |  SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |    count(*) AS n_nations
+        |  FROM geo GROUP BY r_name),
+        |seg AS (
+        |  SELECT r_name,
+        |    string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |  FROM customer JOIN geo ON c_nationkey = n_nationkey GROUP BY r_name)
+        |SELECT nat.r_name AS r_name, nations, n_nations, segments
+        |FROM nat JOIN seg ON nat.r_name = seg.r_name ORDER BY r_name""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ndv_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_part,
+        |  CAST(count(DISTINCT year(l_shipdate)) AS BIGINT) AS ndv_shipyear,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_urgent,
+        |    CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_high,
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_other
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, prio_class, revenue FROM (
+        |  SELECT o_orderstatus, 'rev_urgent' AS prio_class, rev_urgent AS revenue FROM wide
+        |  UNION ALL SELECT o_orderstatus, 'rev_high', rev_high FROM wide
+        |  UNION ALL SELECT o_orderstatus, 'rev_other', rev_other FROM wide)
+        |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    "agg_corr_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_exact,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 AS covar_pop,
+        |  sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0 AS stddev_pop_price,
+        |  TRUE AS builtin_agrees
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT root, node // 2 AS node, depth + 1 FROM chain WHERE node > 1)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_customers FROM (
+        |  SELECT root, max(depth) AS depth FROM chain GROUP BY root) t
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  last_value(pval IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+        |  lag(pval, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase,
+        |  lead(pval, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_purchase,
+        |  nth_value(pval, 2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_purchase
+        |FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS pval FROM events) t
+        |ORDER BY user_id, event_id""".stripMargin,
     "expr_regex" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,

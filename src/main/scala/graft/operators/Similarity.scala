@@ -248,4 +248,91 @@ object Similarity {
       ivfBuildIndex(spark, dir, indexDir)
     ivfTopKIndexed(spark, dir, indexDir)
   }
+
+  /** One Lloyd (k-means) refinement iteration over the IVF coarse
+    * quantizer — the index-maintenance job a deployed ANN system runs
+    * when drift degrades recall: re-assign every vector to its
+    * nearest current centroid (the same shuffle-free per-row argmax
+    * the IVF path uses), recompute each cell's centroid as the mean
+    * of its ASSIGNED members (vs the original vec_id-mod sample), and
+    * report per cell the member count, the members' mean cosine to
+    * the old centroid (cluster tightness before the move), and the
+    * old↔new centroid cosine (how far the iteration moved it — ~1.0
+    * means converged, the rebuild trigger threshold).
+    *
+    * Engine-exact by the same constructions as the IVF path: integer-
+    * grid means, order-free quantized mean cosine, deterministic
+    * argmax tie-break toward the lower cell. Scale shape: assignment
+    * is map-side (zero exchanges), the new-centroid agg is one
+    * explode→hash-agg (cells×64 rows), stats one hash agg — a full
+    * Lloyd iteration in two shuffles of tiny aggregates, never of the
+    * corpus. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val olds = centroids(spark, dir)
+    val assigned = assignedVectors(spark, dir)
+    val ndims = assigned.select(col("cell"), posexplode(col("vd"))).toDF("cell", "d", "x")
+    val newCents = ndims.groupBy("cell", "d")
+      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("nx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("nx")))).as("packed"))
+      .select(col("cell"), expr("transform(packed, s -> s.nx)").as("nv"))
+      .withColumn("nnrm", Vectors.norm(col("nv")))
+    val stats = assigned.join(broadcast(olds), "cell")
+      .withColumn("cos",
+        Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")))
+      .withColumn("cos_q", floor(col("cos") * lit(1e9)).cast("bigint"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cos_q")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("mean_cos_old"))
+    stats.join(broadcast(olds), "cell").join(broadcast(newCents), "cell")
+      .select(col("cell"), col("n_members"), col("mean_cos_old"),
+        Vectors.cosinePre(col("cv"), col("nv"), col("cnrm"), col("nnrm"))
+          .as("drift_cos"))
+      .orderBy("cell")
+  }
+
+  /** Per-dimension int8 scalar quantization audit — the embedding
+    * compression decision every 100 TB vector store makes (float32 →
+    * 1 byte = 4× less storage AND 4× less scan IO for the IVF
+    * inverted lists above): each dimension maps its [min, max] range
+    * onto the 0..255 grid, and the audit reports the per-dimension
+    * range plus the reconstruction error it would cost (max + mean
+    * absolute error), which is the evidence for choosing int8 vs
+    * float16 vs keeping float32 per column.
+    *
+    * Engine-exact: quantize/dequantize are pure per-row IEEE
+    * arithmetic written identically in both engines
+    * (floor(t·255 + 0.5), back via mn + (q·range)/255); min/max are
+    * order-free; the mean error folds on the floor(err·1e12) integer
+    * grid like every other order-free mean in this repo. A constant
+    * dimension (mx = mn) quantizes to 0 with zero error rather than
+    * dividing by zero. Scale shape: one explode → 64-row range agg →
+    * broadcast back → map-side quantize → 64-row final agg; nothing
+    * shuffles except the two 64-row aggregates. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Vectors.asDouble(embeddings(spark, dir))
+      .select(posexplode(col("vd"))).toDF("d", "x")
+      .withColumn("d", col("d").cast("bigint"))
+    val ranges = dims.groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+    dims.join(broadcast(ranges), "d")
+      .withColumn("qv",
+        when(col("mx") > col("mn"),
+          floor((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(255.0) + lit(0.5)))
+        .otherwise(lit(0.0)).cast("bigint"))
+      .withColumn("xr",
+        when(col("mx") > col("mn"),
+          col("mn") + (col("qv").cast("double") * (col("mx") - col("mn"))) / lit(255.0))
+        .otherwise(col("mn")))
+      .withColumn("eq", floor(abs(col("x") - col("xr")) * lit(1e12)).cast("bigint"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_vals"),
+        min("mn").as("mn"), min("mx").as("mx"),
+        max("qv").as("q_max"), min("qv").as("q_min"),
+        max("eq").as("max_err_q"),
+        (sum("eq").cast("double") / (count(lit(1)).cast("double") * lit(1e12)))
+          .as("mean_err"))
+      .orderBy("d")
+  }
 }

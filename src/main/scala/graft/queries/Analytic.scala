@@ -437,4 +437,30 @@ object Analytic {
       .select("event_type", "hour_sec", "n_events", "sum_value", "is_gap", "carried_value")
       .orderBy("event_type", "hour_sec")
   }
+
+  /** IGNORE NULLS across the offset/navigation window family (Impala
+    * supports IGNORE NULLS on its analytic fns; gap_fill uses only
+    * the last_value form) — the sparse-signal shape: `value` is
+    * meaningful only on purchase events, every other row is NULL, and
+    * each event must see its user's surrounding purchases without a
+    * self-join against the purchase subset. last_value gives LOCF,
+    * lag/lead the previous/next purchase amount skipping arbitrary
+    * null runs, nth_value the user's second purchase from a
+    * full-partition frame. Partitioned by user_id (high-cardinality,
+    * grows with the data); (ts, event_id) is a unique total order so
+    * ties cannot reorder under Spark vs DuckDB. */
+  def ignoreNullsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir).withColumn("pval",
+      when(col("event_type") === "purchase", col("value")))
+    val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val locf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        last(col("pval"), ignoreNulls = true).over(locf).as("last_purchase"),
+        lag(col("pval"), 1, null, ignoreNulls = true).over(w).as("prev_purchase"),
+        lead(col("pval"), 1, null, ignoreNulls = true).over(w).as("next_purchase"),
+        nth_value(col("pval"), 2, ignoreNulls = true).over(full).as("second_purchase"))
+      .orderBy("user_id", "event_id")
+  }
 }

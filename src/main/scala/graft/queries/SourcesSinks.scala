@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables._
@@ -532,5 +532,129 @@ object SourcesSinks {
       .withColumn("dict_encodable", col("ndv") <= 4096)
       .select("column_name", "ndv", "n_rows", "dict_encodable")
       .orderBy("column_name")
+  }
+
+  /** 16-bit × 16-bit Morton (Z-curve) interleave — bit i of x lands
+    * at position 2i, bit i of y at 2i+1. Statically unrolled shifts
+    * and masks (bit-util.h territory), fully codegen'd — no UDF. */
+  private[graft] def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order clustered parquet layout — MULTI-dimensional data
+    * skipping, the layout trick single-column sorting can't match:
+    * sorting by x serves x-predicates and abandons y entirely, while
+    * clustering by the Morton interleave of (x, y) gives every row
+    * group a narrow min/max box in BOTH dimensions, so a 2-D box
+    * predicate prunes row groups on both axes at once.
+    *
+    * The clustered keys are uniform 8-bit surrogates (key mod 256) so
+    * the domain is SF-independent; the box predicate [64,127]² is
+    * power-of-2 aligned, i.e. exactly one contiguous Z-segment (an
+    * unaligned box decomposes into a bounded set of such segments —
+    * the standard quadtree argument — and still prunes, just with
+    * more boundary groups). SourcesSpec runs the same box read
+    * against an x-sorted control of the identical rows: the control
+    * can only skip on x (~1/4), the Z-layout on both (~1/16), and the
+    * spec asserts the ≥2× materialization gap plus identical
+    * aggregates. At 100 TB this is the reference's skip-bitset story
+    * (hdfs-parquet-scanner.cc) lifted to two dimensions — the Delta/
+    * Iceberg OPTIMIZE ZORDER layout, done with nothing but
+    * expressions + repartitionByRange. The Z-value is a transient
+    * layout key: dropped before the write, it costs zero bytes on
+    * disk. */
+  def zorderSink(spark: SparkSession, dir: String): DataFrame =
+    zorderBoxRead(spark, zorderWrite(spark, dir, "lineitem_zorder", zorder = true))
+
+  /** writer half; `zorder = false` produces the x-sorted control
+    * layout of the SAME rows (SourcesSpec measures the gap). */
+  private[graft] def zorderWrite(spark: SparkSession, dir: String, tag: String,
+      zorder: Boolean): String = {
+    val path = tmp(spark, dir, tag)
+    val base = lineitem(spark, dir)
+      .select((col("l_orderkey") % 256).as("x"), (col("l_partkey") % 256).as("y"),
+        col("l_quantity"), col("l_extendedprice"))
+    val keyed =
+      if (zorder) base.withColumn("zv", morton16(col("x"), col("y")))
+      else base.withColumn("zv", col("x"))
+    // Split on the Z-value's TOP 4 BITS — the 16 aligned quadtree
+    // blocks — not on raw-z row quantiles: a skipping granule that
+    // straddles a block boundary carries the UNION of the blocks'
+    // (x, y) stat boxes, which matches almost any predicate box and
+    // forfeits the pruning (measured: quantile boundaries gave ~0
+    // gain at test scale, where each file is one row group and thus
+    // one granule). At 100 TB the same alignment logic applies per
+    // 128 MB row group; many groups per file make boundary granules
+    // the minority, but aligning file splits to curve blocks stays
+    // the better layout. The control (x-sorted) keeps plain range
+    // quantiles — block-alignment of a 1-D sort is just the sort.
+    keyed.repartitionByRange(16,
+        if (zorder) shiftright(col("zv"), 12) else col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(path)
+    path
+  }
+
+  /** the 2-D box read half (layout-independent result). */
+  private[graft] def zorderBoxRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("x").between(64, 127) && col("y").between(64, 127))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+
+  /** MERGE INTO on plain parquet — the copy-on-write upsert every
+    * warehouse table runs per ingest cycle (Impala-land: INSERT
+    * OVERWRITE after reconciliation; Delta/Iceberg: MERGE INTO; here
+    * the same semantics from first principles): a snapshot FULL OUTER
+    * a change batch carrying inserts, updates, and deletes, with
+    * DELETE-WINS precedence, re-written as the new snapshot. The
+    * change batch derives deterministically from the snapshot itself
+    * (custkey mod rules) so the oracle replays it exactly.
+    *
+    * Scale shape: ONE shuffle join on the merge key (both sides hash
+    * to the same exchange), then a straight parquet rewrite — cost is
+    * O(snapshot + delta), the unavoidable floor for copy-on-write;
+    * the usual deployment trims the rewrite to touched partitions via
+    * partition pruning on the delta's key ranges
+    * (sink_partitioned_prune shows that machinery). Merge-on-read
+    * (delta files + reconciling reads) trades this rewrite for read
+    * amplification — the right call only when updates vastly outrun
+    * reads. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "customer_merged")
+    val snap = customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val deletes = snap.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("seg"), lit(null).cast("double").as("bal"))
+    val updates = snap
+      .filter(col("c_custkey") % 10 === 0 && col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("k"), lit("U").as("op"),
+        lit("MERGED").as("seg"), (col("c_acctbal") + lit(100.0)).as("bal"))
+    val inserts = snap.filter(col("c_custkey") % 37 === 0)
+      .select((col("c_custkey") + lit(10000000L)).as("k"), lit("I").as("op"),
+        lit("NEWCOMER").as("seg"), col("c_acctbal").as("bal"))
+    val delta = deletes.unionByName(updates).unionByName(inserts)
+    snap.join(delta, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("k"), col("c_custkey")).as("c_custkey"),
+        when(col("op").isNotNull, col("seg")).otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"),
+        when(col("op").isNotNull, col("bal")).otherwise(col("c_acctbal"))
+          .as("c_acctbal"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast(D)).cast("double").as("sum_bal"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+      .orderBy("c_mktsegment")
   }
 }

@@ -285,4 +285,174 @@ object SqlSurface {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(D)).cast("double").as("sum_value"))
       .orderBy("hour_sec")
+
+  /** Spark 4 VariantType over semi-structured JSON — the open-schema
+    * column surface (Impala analog: the expr framework evaluating
+    * paths into complex/JSON columns at scan time). A nested document
+    * is assembled around the raw `props` payload, parsed ONCE to a
+    * variant (binary-encoded, so repeated path extraction never
+    * re-parses text — the reason variant beats get_json_object when a
+    * row is probed more than once), then probed four ways: a typed
+    * string path, a typed bigint path through the nested object, a
+    * type-MISMATCHED path (string as bigint) and a MISSING path —
+    * both of which try_variant_get must yield NULL for, pinned by the
+    * n_badcast/n_absent zero counts. Scale shape: pure per-row
+    * projection into one hash agg over 5 groups. */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val js = concat(lit("{\"e\":\""), col("event_type"),
+      lit("\",\"p\":"), col("props"), lit("}"))
+    events(spark, dir)
+      .withColumn("v", parse_json(js))
+      .select(
+        variant_get(col("v"), "$.e", "string").as("etype"),
+        variant_get(col("v"), "$.p.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.e", "bigint").as("e_as_int"),
+        try_variant_get(col("v"), "$.missing", "bigint").as("absent"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        count(col("e_as_int")).as("n_badcast"),
+        count(col("absent")).as("n_absent"))
+      .orderBy("etype")
+  }
+
+  /** LISTAGG (SQL:2016, Spark 4) — ordered string aggregation, the
+    * report-formatting surface: per region, the member nations and
+    * the distinct customer market segments present, each as one
+    * deterministic comma-joined string (WITHIN GROUP ordering makes
+    * the result a pure function of the group's row SET, never of
+    * partial-agg order). Scale contract: listagg materializes each
+    * group's values in one buffer, so it belongs on bounded groups —
+    * dims, rollup outputs, per-key top-k results — never raw facts;
+    * the unbounded-group alternative stays collect-free (agg to
+    * distinct rows first, as the segment arm does here). */
+  def listAgg(spark: SparkSession, dir: String): DataFrame = {
+    val geo = nation(spark, dir)
+      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+    val nations = geo.groupBy("r_name")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+    val segs = customer(spark, dir)
+      .join(geo.select("n_nationkey", "r_name"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name")
+      .agg(expr("listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)")
+        .as("segments"))
+    nations.join(segs, "r_name").orderBy("r_name")
+  }
+
+  /** UNPIVOT (wide → long, the inverse of sql_pivot) via the native
+    * Dataset.unpivot/melt operator — the reshape every metrics table
+    * needs before a generic per-metric pipeline can consume it.
+    * Unpivot is a pure per-row projection (each row explodes to
+    * n_metrics rows in the map phase, no shuffle beyond the upstream
+    * agg), so it scales as a constant-factor row expansion. The SQL
+    * dialect twin is `stack(n, ...)`. */
+  def unpivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wide = orders(spark, dir).groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice").cast(D)).otherwise(lit(0).cast(D)))
+          .cast("double").as("rev_urgent"),
+        sum(when(col("o_orderpriority") === "2-HIGH",
+          col("o_totalprice").cast(D)).otherwise(lit(0).cast(D)))
+          .cast("double").as("rev_high"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("o_totalprice").cast(D)).otherwise(lit(0).cast(D)))
+          .cast("double").as("rev_other"))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("rev_urgent"), col("rev_high"), col("rev_other")),
+        "prio_class", "revenue")
+      .orderBy("o_orderstatus", "prio_class")
+  }
+
+  /** Numerically-EXACT distributed correlation/covariance — the
+    * profiling statistics every feature store publishes. A naive
+    * streaming corr over doubles is partial-sum-order dependent
+    * (non-deterministic on a cluster and unreplayable by an oracle);
+    * instead both moments' inputs are exact integers (quantity is
+    * integral, price in cents via the DECIMAL cast), the five
+    * power sums fold as order-free BIGINTs, and the closed-form
+    * corr/covar/stddev evaluate once per group in doubles from those
+    * exact sums — bit-identical on any partitioning, any engine.
+    * Overflow budget: sxy ≤ 50·10^7 per row ⇒ the BIGINT sum holds
+    * past 10^10 rows per group; beyond that, split sums by subkey and
+    * re-add (or move the two largest sums to DECIMAL(38,0)).
+    * The built-in corr() is asserted against the exact value within
+    * 1e-9 as a pinned boolean, the same contract pattern as
+    * agg_approx_stats. */
+  def corrExact(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("bigint").as("xi"),
+        (col("l_quantity")).as("xd"),
+        (col("l_extendedprice").cast(D) * 100).cast("bigint").as("yi"),
+        col("l_extendedprice").as("yd"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("xi").as("sx"), sum("yi").as("sy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("yi") * col("yi")).as("syy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        corr(col("xd"), col("yd")).as("corr_builtin"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_exact"),
+        ((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n").cast("double")) /
+          col("n").cast("double") / lit(100.0)).as("covar_pop"),
+        (sqrt((col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double")) /
+          col("n").cast("double")) / lit(100.0)).as("stddev_pop_price"),
+        col("corr_builtin"))
+      .withColumn("builtin_agrees",
+        abs(col("corr_builtin") - col("corr_exact")) < lit(1e-9))
+      .drop("corr_builtin")
+      .orderBy("l_returnflag")
+
+  /** WITH RECURSIVE (Spark 4's UnionLoop) — iterative transitive
+    * closure INSIDE one SQL statement: every customer walks the
+    * halving chain custkey → custkey div 2 → … → 1 (a synthetic
+    * referral hierarchy with guaranteed termination), and the query
+    * reports how many customers sit at each chain depth. Execution is
+    * a driver-coordinated loop of distributed steps (UnionLoopExec),
+    * the declarative twin of Dedup.components' iterative label
+    * propagation — step output feeds the next step, bounded here by
+    * log2(max key) iterations. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS root, c_custkey AS node, 0 AS depth FROM customer_v
+        |  UNION ALL
+        |  SELECT root, node DIV 2 AS node, depth + 1 FROM chain WHERE node > 1
+        |)
+        |SELECT depth, count(*) AS n_customers FROM (
+        |  SELECT root, max(depth) AS depth FROM chain GROUP BY root
+        |) GROUP BY depth ORDER BY depth""".stripMargin)
+      .select(col("depth").cast("bigint").as("depth"), col("n_customers"))
+  }
+
+  /** Multiple DISTINCT aggregates in one GROUP BY (Impala supports
+    * several count(distinct) per query since 2.12) — Spark plans one
+    * Expand that replicates every row once per distinct clause, then
+    * a two-phase de-dup + final agg. The cost model at 100 TB: the
+    * shuffle widens ×(number of distinct clauses), which is the right
+    * trade when the grouping key set is small and one pass over the
+    * fact is what you can afford; when the multiplier hurts, split
+    * into per-clause aggs joined on the group key (agg_approx_stats
+    * documents the measured crossover) or drop to sketches. */
+  def multiDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("ndv_supp"),
+        countDistinct(col("l_partkey")).as("ndv_part"),
+        countDistinct(year(col("l_shipdate"))).as("ndv_shipyear"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
 }

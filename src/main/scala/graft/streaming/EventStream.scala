@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming pipelines over the events stream — the
   * streaming side of §2.6 (Analytic.tumblingWindow / sessionize are
@@ -152,6 +152,95 @@ object EventStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** per-(user, event_type) running count emitted by the MapState
+    * processor. */
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState flavor of arbitrary-state v2: where [[UserStatsProcessor]]
+    * holds one monolithic ValueState row per user, this keeps a
+    * per-user MAP keyed by event_type in the state store — the shape
+    * for per-key sub-structures whose key set is unknown upfront
+    * (feature counters, per-campaign tallies). The practical 100 TB
+    * difference: MapState reads/writes touch only the sub-keys a
+    * micro-batch actually updates (point lookups in the RocksDB
+    * store), while a ValueState map-in-a-row would deserialize and
+    * rewrite the whole map on every event. Update mode re-emits only
+    * the touched (user, type) rows per batch. */
+  class TypeCountsProcessor extends StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      for (e <- rows) {
+        val n = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, n + 1)
+        touched += e.event_type
+      }
+      // materialize before returning: the iterator must not read
+      // MapState lazily after the handle moves to the next key
+      touched.toList.map(t => TypeCount(key, t, counts.getValue(t))).iterator
+    }
+  }
+
+  /** per-(user, type) count stream (see [[TypeCountsProcessor]]). */
+  def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** one retained purchase in the ListState ring buffer. */
+  case class PurchaseEntry(sec: Long, event_id: Long, value: Double)
+  /** a user's most recent purchases, event-time ascending; n_seen is
+    * the lifetime purchase count (strictly increasing per emission —
+    * the downstream "which emission is newest" tiebreaker). */
+  case class RecentOut(user_id: Long, n_seen: Long, recent_values: List[Double])
+
+  /** ListState flavor of arbitrary-state v2 — the bounded per-key
+    * HISTORY shape (recent purchases for a realtime feature vector,
+    * last-N errors for alerting): the state store keeps an ordered
+    * list per user, appends are cheap, and the processor trims to the
+    * newest `keep` entries so state stays O(users · keep) forever —
+    * the discipline an unbounded stream demands. Rows inside a batch
+    * are sorted by (sec, event_id) before merging so the retained set
+    * is a pure function of event time, never arrival order. */
+  class RecentPurchasesProcessor(keep: Int = 3)
+      extends StatefulProcessor[Long, Ev, RecentOut] {
+    @transient private var recent: ListState[PurchaseEntry] = _
+    @transient private var nSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[PurchaseEntry]("recent_purchases",
+        Encoders.product[PurchaseEntry], TTLConfig.NONE)
+      nSeen = getHandle.getValueState[Long]("n_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[RecentOut] = {
+      val incoming = rows.filter(_.event_type == "purchase")
+        .map(e => PurchaseEntry(e.ts.getTime / 1000, e.event_id, e.value)).toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val merged = (recent.get().toSeq ++ incoming)
+          .sortBy(p => (p.sec, p.event_id)).takeRight(keep)
+        recent.put(merged.toArray)
+        val seen = (if (nSeen.exists()) nSeen.get() else 0L) + incoming.size
+        nSeen.update(seen)
+        Iterator.single(RecentOut(key, seen, merged.map(_.value).toList))
+      }
+    }
+  }
+
+  /** recent-purchase history stream (see [[RecentPurchasesProcessor]]). */
+  def recentPurchases(events: Dataset[Ev]): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentPurchasesProcessor(), TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Gap-based sessionizer (30-min inactivity) via

@@ -177,6 +177,31 @@ class AnalyticSpec extends SparkSpec {
     assert(got == want, s"diff=${(want.toSet diff got.toSet).take(3)}")
   }
 
+  test("ignore-nulls navigation matches a brute-force purchase scan per user") {
+    val rows = queries.Analytic.ignoreNullsWindow(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._5, e._2))
+    }
+    rows.foreach { r =>
+      val (u, eid) = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      val seq = byUser(u)
+      val i = seq.indexWhere(_._2 == eid)
+      val before = seq.take(i + 1).filter(_._3 == "purchase").map(_._4)
+      val strictBefore = seq.take(i).filter(_._3 == "purchase").map(_._4)
+      val after = seq.drop(i + 1).filter(_._3 == "purchase").map(_._4)
+      val allP = seq.filter(_._3 == "purchase").map(_._4)
+      def gotOpt(c: String): Option[Double] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+      assert(gotOpt("last_purchase") == before.lastOption)
+      assert(gotOpt("prev_purchase") == strictBefore.lastOption)
+      assert(gotOpt("next_purchase") == after.headOption)
+      assert(gotOpt("second_purchase") == allP.drop(1).headOption)
+    }
+  }
+
   test("hourly anomalies agree with a float z-score recomputation") {
     val rows = queries.Analytic.hourlyAnomaly(spark, sf).collect()
     assert(rows.map(_.getAs[Boolean]("is_anomaly")).toSet == Set(true, false),

@@ -131,6 +131,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("kmeans step: members partition the corpus, cosines bounded, drift near 1") {
+    val rows = graft.operators.Similarity.kmeansStep(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must be assigned to exactly one cell")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_cos_old") <= 1.0 + 1e-9)
+      val drift = r.getAs[Double]("drift_cos")
+      // one refinement from a sane init must not flip a centroid
+      assert(drift > 0.5 && drift <= 1.0 + 1e-9,
+        s"cell=${r.getAs[Long]("cell")} drift=$drift")
+      // the new centroid (mean of members) should sit at least as
+      // close to the members as it does to the old centroid direction:
+      // tightness is bounded by the drift the move produced
+      assert(r.getAs[Long]("n_members") > 0)
+    }
+  }
+
+  test("int8 quantization audit: grid saturated, error bounded by half a step") {
+    val df = graft.operators.Similarity.quantizeInt8(spark, sf).collect()
+    assert(df.length == 64)
+    df.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      assert(r.getAs[Long]("q_min") >= 0L && r.getAs[Long]("q_max") <= 255L)
+      if (mx > mn) {
+        // the extremes must land exactly on the grid ends
+        assert(r.getAs[Long]("q_min") == 0L && r.getAs[Long]("q_max") == 255L)
+        // |err| <= half a quantization step (+1 grid ulp for the floor)
+        val halfStepQ = ((mx - mn) / 255.0 / 2.0) * 1e12 + 1
+        assert(r.getAs[Long]("max_err_q") <= halfStepQ,
+          s"d=${r.getAs[Long]("d")} max_err_q=${r.getAs[Long]("max_err_q")} bound=$halfStepQ")
+        assert(r.getAs[Double]("mean_err") <= (mx - mn) / 255.0 / 2.0 + 1e-12)
+      }
+    }
+  }
+
   test("registered graft_* functions reject wrong arities at analysis, not silently") {
     import spark.implicits._
     graft.sources.Tables.events(spark, sf) // registers the functions

@@ -224,6 +224,64 @@ class SourcesSpec extends SparkSpec {
       s"layout skipped nothing: sorted=$sortedRows unsorted=$unsortedRows")
   }
 
+  test("z-order layout prunes a 2-D box the single-column sort cannot") {
+    val z = queries.SourcesSinks.zorderSink(spark, sf) // writes the Z-clustered layout
+    val controlPath = queries.SourcesSinks.zorderWrite(spark, sf,
+      "lineitem_xsorted", zorder = false)
+    val control = queries.SourcesSinks.zorderBoxRead(spark, controlPath)
+    // identical aggregates from both layouts...
+    val a = z.collect()(0); val b = control.collect()(0)
+    assert(a.getLong(0) == b.getLong(0) && a.getDouble(1) == b.getDouble(1) &&
+      a.getDouble(2) == b.getDouble(2))
+    // ...but the Z-layout materializes a fraction of what x-sort does:
+    // the control skips only on x (~1/4 of rows), the Morton layout
+    // on both axes (~1/16 box)
+    val zRows = scanRows(queries.SourcesSinks.zorderBoxRead(spark,
+      queries.SourcesSinks.tmp(spark, sf, "lineitem_zorder")))
+    val xRows = scanRows(control)
+    assert(zRows * 2 <= xRows,
+      s"z-order skipped nothing beyond x-sort: z=$zRows xsorted=$xRows")
+  }
+
+  test("merge upsert: deletes gone, updates applied, inserts added, rest untouched") {
+    import org.apache.spark.sql.functions.col
+    queries.SourcesSinks.mergeUpsert(spark, sf).collect() // runs the merge + rewrite
+    val merged = spark.read.parquet(
+      queries.SourcesSinks.tmp(spark, sf, "customer_merged"))
+    val snap = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val snapRows = snap.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    snapRows.foreach { case (k, (seg, bal)) =>
+      if (k % 13 == 0) assert(!got.contains(k), s"deleted key $k survived")
+      else if (k % 10 == 0) assert(got(k) == (("MERGED", bal + 100.0)), s"update lost on $k")
+      else assert(got(k) == ((seg, bal)), s"untouched row $k changed")
+    }
+    val wantInserts = snapRows.keys.filter(_ % 37 == 0).map(_ + 10000000L).toSet
+    wantInserts.foreach(k => assert(got.contains(k), s"insert $k missing"))
+    assert(got.size == snapRows.size - snapRows.keys.count(_ % 13 == 0) + wantInserts.size)
+    // delete-wins precedence: a key hit by both rules must be gone
+    val both = snapRows.keys.filter(k => k % 13 == 0 && k % 10 == 0)
+    both.foreach(k => assert(!got.contains(k)))
+  }
+
+  test("morton16 interleave round-trips hand-computed bit patterns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (x, y, z): z bits are x at even positions, y at odd
+    val cases = Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (255L, 0L, 0x5555L), (0L, 255L, 0xAAAAL), (255L, 255L, 0xFFFFL),
+      (64L, 64L, 0x3000L), (127L, 127L, 0x3FFFL))
+    val got = cases.toDF("x", "y", "want")
+      .withColumn("z", queries.SourcesSinks.morton16(col("x"), col("y")))
+      .collect()
+    got.foreach(r => assert(r.getAs[Long]("z") == r.getAs[Long]("want"),
+      s"x=${r.getAs[Long]("x")} y=${r.getAs[Long]("y")}"))
+  }
+
   test("bloom filter point lookup skips row groups that min/max stats cannot") {
     import org.apache.spark.sql.functions._
     val bloomPath = queries.SourcesSinks.bloomWrite(spark, sf, "lineitem_bloom", bloom = true)

@@ -141,6 +141,99 @@ class SqlSurfaceSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k")))
   }
 
+  test("variant extraction agrees with get_json_object and nulls the bad paths") {
+    val rows = queries.SqlSurface.jsonVariant(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("etype")).toSet ==
+      Set("click", "error", "purchase", "signup", "view"))
+    // a type-mismatched path and a missing path must BOTH be null for
+    // every row — the counts of non-nulls pin that to zero
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_badcast") == 0L)
+      assert(r.getAs[Long]("n_absent") == 0L)
+    }
+    // the variant path reads the same numbers the string path does
+    val viaString = queries.SqlSurface.jsonProps(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("sum_k") == viaString(r.getAs[String]("etype"))))
+  }
+
+  test("listagg strings are sorted and sized to their groups") {
+    val rows = queries.SqlSurface.listAgg(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nations = r.getAs[String]("nations").split(",")
+      assert(nations.length == r.getAs[Long]("n_nations"))
+      assert(nations.sorted.sameElements(nations))
+      val segs = r.getAs[String]("segments").split(",")
+      assert(segs.distinct.length == segs.length && segs.sorted.sameElements(segs))
+    }
+  }
+
+  test("multi-distinct NDVs match independently computed distinct counts") {
+    val rows = queries.SqlSurface.multiDistinct(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val sub = li.filter(col("l_returnflag") === flag)
+      assert(r.getAs[Long]("ndv_supp") == sub.select("l_suppkey").distinct().count())
+      assert(r.getAs[Long]("ndv_part") == sub.select("l_partkey").distinct().count())
+      assert(r.getAs[Long]("n_rows") == sub.count())
+    }
+  }
+
+  test("unpivot emits one long row per (status, metric) that reconciles to the wide sums") {
+    val rows = queries.SqlSurface.unpivotRevenue(spark, sf).collect()
+    assert(rows.length == 9) // 3 statuses × 3 metric columns
+    assert(rows.map(_.getAs[String]("prio_class")).toSet ==
+      Set("rev_urgent", "rev_high", "rev_other"))
+    val totalLong = rows.map(_.getAs[Double]("revenue")).sum
+    val totalWide = graft.sources.Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(totalLong - totalWide) < 1e-6)
+  }
+
+  test("exact correlation agrees with the built-in and a driver recomputation") {
+    val rows = queries.SqlSurface.corrExact(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("builtin_agrees"),
+        s"flag=${r.getAs[String]("l_returnflag")}")
+      val c = r.getAs[Double]("corr_exact")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("stddev_pop_price") > 0)
+    }
+    // driver-side recomputation for one group pins the closed form
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_quantity").cast("bigint"),
+        col("l_extendedprice").cast("decimal(18,2)").multiply(lit(100)).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = li.length.toDouble
+    val (sx, sy) = (li.map(_._1).sum.toDouble, li.map(_._2).sum.toDouble)
+    val sxx = li.map(p => p._1 * p._1).sum.toDouble
+    val syy = li.map(p => p._2 * p._2).sum.toDouble
+    val sxy = li.map(p => p._1 * p._2).sum.toDouble
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val gotA = rows.find(_.getAs[String]("l_returnflag") == "A").get
+      .getAs[Double]("corr_exact")
+    assert(math.abs(gotA - want) < 1e-12, s"got=$gotA want=$want")
+  }
+
+  test("recursive CTE depths equal floor(log2(custkey)) per customer") {
+    val rows = queries.SqlSurface.recursiveCte(spark, sf).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_customers")).toMap
+    val keys = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    // depth = halvings until node <= 1: 0 for keys 0 and 1, else floor(log2)
+    val want = keys
+      .groupBy(k => if (k <= 1) 0L else (63 - java.lang.Long.numberOfLeadingZeros(k)).toLong)
+      .map { case (d, ks) => d -> ks.length.toLong }
+    assert(rows == want, s"got=$rows want=$want")
+  }
+
   test("as-of attribution matches a brute-force per-purchase lookup") {
     val got = queries.Analytic.asofAttribution(spark, sf).limit(20).collect()
     val ev = graft.sources.Tables.events(spark, sf)

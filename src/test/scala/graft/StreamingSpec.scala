@@ -235,6 +235,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState MapState type counts match the batch group-by") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val events = loadEvents()
+    val input = MemoryStream[EventStream.Ev](s)
+    val q = EventStream.typeCounts(input.toDS())
+      .writeStream.format("memory").queryName("mapstate_out")
+      .outputMode("update").start()
+    try {
+      // three batches so most (user, type) sub-keys get updated across
+      // micro-batch boundaries — the point-lookup path MapState exists for
+      val third = events.length / 3
+      events.grouped(third + 1).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // Update mode re-emits a row per touch; the final count per
+      // (user, type) is the max emission
+      val got = s.table("mapstate_out")
+        .groupBy("user_id", "event_type").agg(max("n").as("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.sources.Tables.events(spark, sf)
+        .groupBy("user_id", "event_type").count().collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("transformWithState ListState keeps exactly the last 3 purchases per user") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val events = loadEvents()
+    val input = MemoryStream[EventStream.Ev](s)
+    val q = EventStream.recentPurchases(input.toDS())
+      .writeStream.format("memory").queryName("liststate_out")
+      .outputMode("update").start()
+    try {
+      val third = events.length / 3
+      events.grouped(third + 1).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // the FINAL emission per user carries the greatest n_seen (the
+      // processor's strictly-increasing lifetime counter)
+      val finalRows = s.table("liststate_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("recent_values"))).as("m"))
+      val got = finalRows.collect().map { r =>
+        val m = r.getStruct(1)
+        r.getLong(0) -> m.getSeq[Double](1).toList
+      }.toMap
+      val want = graft.sources.Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "value", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3) / 1000000000L))
+        .groupBy(_._1)
+        .map { case (u, es) =>
+          u -> es.sortBy(e => (e._4, e._2)).takeRight(3).map(_._3).toList
+        }
+      assert(want.nonEmpty)
+      want.foreach { case (u, vs) =>
+        assert(got.get(u).contains(vs), s"user $u: got=${got.get(u)} want=$vs")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hourly windowed agg matches the batch tumbling window") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
