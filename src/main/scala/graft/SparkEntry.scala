@@ -76,6 +76,7 @@ object SparkEntry {
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
+    "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
     "sink_nested_types"      -> SourcesSinks.nestedSink _,
     // §2.5 window / analytic
@@ -591,6 +592,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 256 BETWEEN 64 AND 127
         |  AND l_partkey % 256 BETWEEN 64 AND 127""".stripMargin,
+    "scan_metadata_cols" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  TRUE AS has_size, TRUE AS row_index_unique,
+        |  CAST(0 AS BIGINT) AS min_row_index,
+        |  count(*) - 1 AS max_row_index
+        |FROM events""".stripMargin,
     "sink_merge_upsert" ->
       """WITH snap AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
         |del AS (SELECT c_custkey AS k FROM snap WHERE c_custkey % 13 = 0),

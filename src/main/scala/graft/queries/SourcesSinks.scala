@@ -608,6 +608,31 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** Hidden `_metadata` file columns — the provenance surface every
+    * 100 TB audit leans on ("which physical file did this bad row
+    * come from, how big is it, at which row offset"): file_name /
+    * file_size / row_index come from the scan's own file context at
+    * zero IO cost, the Spark analog of the reference scanner's
+    * per-file state (hdfs-parquet-scanner.h scan-range context). The
+    * layout is pinned by writing a single file first, so the file
+    * count, row-index uniqueness, and the 0..n-1 index range are all
+    * deterministic facts the oracle can state as constants. */
+  def metadataCols(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "events_single")
+    if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      events(spark, dir).select("event_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(col("event_id"), col("_metadata.file_name").as("fn"),
+        col("_metadata.file_size").as("fsz"), col("_metadata.row_index").as("ri"))
+      .agg(countDistinct(col("fn")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        (min(col("fsz")) > 0).as("has_size"),
+        (countDistinct(col("ri")) === count(lit(1))).as("row_index_unique"),
+        min(col("ri")).as("min_row_index"),
+        max(col("ri")).as("max_row_index"))
+  }
+
   /** MERGE INTO on plain parquet — the copy-on-write upsert every
     * warehouse table runs per ingest cycle (Impala-land: INSERT
     * OVERWRITE after reconciliation; Delta/Iceberg: MERGE INTO; here

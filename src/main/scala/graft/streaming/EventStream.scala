@@ -243,6 +243,82 @@ object EventStream {
         OutputMode.Update())
   }
 
+  /** Gap-based sessionizer on the arbitrary-state v2 TIMER API:
+    * same semantics as [[sessionize]] (the flatMapGroupsWithState
+    * form below), but inactivity is detected by an EVENT-TIME TIMER
+    * registered at lastSec + gap — the v2 replacement for
+    * GroupStateTimeout. Each batch folds its rows (sorted by event
+    * time, closing sessions at in-batch gaps), then re-arms exactly
+    * one timer for the open session's quiet deadline (stale timers
+    * deleted first — a timer outliving its session would close the
+    * wrong one). When the watermark passes a deadline,
+    * handleExpiredTimer closes the session and clears state, so state
+    * is O(users with an open session) and every session closes even
+    * if its user never returns — the property a lifetime-unbounded
+    * stream needs. StreamingSpec pins the full session set to the
+    * batch sessionize output, same as the v1 test. */
+  class SessionizerV2Processor(gapSec: Long = 1800)
+      extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var open: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[UserState]("open_session",
+        Encoders.product[UserState], TTLConfig.NONE)
+
+    private def close(userId: Long, st: UserState): SessionOut =
+      SessionOut(userId, st.counter + 1, st.n, st.startSec, st.lastSec,
+        // HALF_UP, matching the batch twin's DECIMAL(18,2) sum (see
+        // UserStatsProcessor for why math.round breaks on negatives)
+        java.math.BigDecimal.valueOf(st.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var cur = if (open.exists()) Some(open.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      for (e <- sorted) {
+        val sec = e.ts.getTime / 1000
+        cur match {
+          case Some(st) if sec - st.lastSec <= gapSec =>
+            cur = Some(st.copy(n = st.n + 1, lastSec = sec, value = st.value + e.value))
+          case Some(st) =>
+            closed += close(key, st)
+            cur = Some(UserState(st.counter + 1, 1, sec, sec, e.value))
+          case None =>
+            cur = Some(UserState(0, 1, sec, sec, e.value))
+        }
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur.foreach { st =>
+        open.update(st)
+        getHandle.registerTimer((st.lastSec + gapSec) * 1000 + 1)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      // stale timers are deleted on every update, so a firing timer
+      // always refers to the CURRENT open session's quiet deadline
+      if (!open.exists()) Iterator.empty
+      else {
+        val st = open.get()
+        open.clear()
+        Iterator.single(close(key, st))
+      }
+    }
+  }
+
+  /** timer-driven session stream (see [[SessionizerV2Processor]]). */
+  def sessionizeV2(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizerV2Processor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Gap-based sessionizer (30-min inactivity) via
     * flatMapGroupsWithState with event-time timeout — the streaming
     * twin of Analytic.sessionize (same session numbering: sessions
@@ -252,7 +328,10 @@ object EventStream {
 
     def close(userId: Long, st: UserState): SessionOut =
       SessionOut(userId, st.counter + 1, st.n, st.startSec, st.lastSec,
-        math.round(st.value * 100.0) / 100.0)
+        // HALF_UP, matching the batch twin's DECIMAL(18,2) sum (see
+        // UserStatsProcessor for why math.round breaks on negatives)
+        java.math.BigDecimal.valueOf(st.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[UserState]): Iterator[SessionOut] = {
       if (evs.isEmpty && state.hasTimedOut) {

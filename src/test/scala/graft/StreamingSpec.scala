@@ -235,6 +235,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions like the batch analog") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val input = MemoryStream[EventStream.Ev](s)
+    val q = EventStream.sessionizeV2(input.toDS())
+      .writeStream.format("memory").queryName("sessv2_out")
+      .outputMode("append").start()
+    try {
+      input.addData(loadEvents())
+      q.processAllAvailable()
+      // sentinels advance the watermark past every open session's
+      // timer deadline, forcing timer-driven closes
+      input.addData(Seq(sentinel(1))); q.processAllAvailable()
+      input.addData(Seq(sentinel(2))); q.processAllAvailable()
+      val got = s.table("sessv2_out").filter(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_sec", "end_sec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = queries.Analytic.sessionize(spark, sf)
+        .select("user_id", "session_id", "n_events", "start_sec", "end_sec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
   test("transformWithState MapState type counts match the batch group-by") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
