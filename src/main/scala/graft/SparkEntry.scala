@@ -61,6 +61,8 @@ object SparkEntry {
     "expr_null_semantics" -> Exprs.nullSemantics _,
     "expr_bitwise"        -> Exprs.bitwise _,
     "expr_array_ops"      -> Exprs.arrayOps _,
+    "expr_url_parse"      -> Exprs.urlParse _,
+    "expr_map_ops"        -> Exprs.mapOps _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "src_csv_quoted"         -> SourcesSinks.csvQuoted _,
@@ -119,6 +121,7 @@ object SparkEntry {
     "emb_label_stats"     -> Similarity.labelStats _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
+    "emb_recall_at_k"     -> Similarity.recallAtK _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_quality"     -> TextAnalysis.quality _,
@@ -139,6 +142,8 @@ object SparkEntry {
     "pipeline_token_budget"   -> Pipeline.tokenBudget _,
     "pipeline_source_stats"   -> Pipeline.sourceStats _,
     "pipeline_leakage_split"  -> Pipeline.leakageSplit _,
+    "pipeline_curriculum"     -> Pipeline.curriculum _,
+    "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -160,6 +165,8 @@ object SparkEntry {
     "sql_unpivot"            -> SqlSurface.unpivotRevenue _,
     "agg_corr_exact"         -> SqlSurface.corrExact _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
+    "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
+    "agg_count_min"          -> SqlSurface.countMin _,
     "expr_regex"             -> SqlSurface.regexFuncs _,
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
     "agg_approx_stats"       -> SqlSurface.approxStats _,
@@ -192,6 +199,142 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    "expr_url_parse" ->
+      """SELECT doc_id,
+        |  'https' AS proto,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  'id=' || doc_id || '&lang=' || lang AS query,
+        |  lang AS q_lang,
+        |  's' || (doc_id % 7) AS fragment
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "expr_map_ops" ->
+      """WITH e AS (SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY 1, 2)
+        |SELECT p_brand,
+        |  count(*) AS n_types,
+        |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN n END), 0) AS BIGINT) AS n_promo,
+        |  string_agg(p_type, '|' ORDER BY p_type) AS types,
+        |  CAST(sum(n) AS BIGINT) AS n_parts
+        |FROM e GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "agg_count_min" ->
+      """SELECT l_suppkey, count(*) AS exact_n,
+        |  TRUE AS never_undercounts, TRUE AS within_eps_bound
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "pipeline_curriculum" ->
+      """WITH t AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(norm) AS BIGINT) AS n_char,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS n_stop
+        |  FROM t),
+        |s AS (
+        |  SELECT *, 0.4*(CAST(n_stop AS DOUBLE)/n_words) + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/n_char)
+        |    + 0.2*least(1.0, CAST(n_words AS DOUBLE)/100.0) + 0.1*(1.0 - CAST(n_digit AS DOUBLE)/n_char) AS quality_score
+        |  FROM c),
+        |qq AS (SELECT *, CAST(floor(quality_score * 1000000.0) AS BIGINT) AS q FROM s),
+        |m AS (SELECT count(*) AS n, sum(q) AS sq, sum(q*q) AS sqq FROM qq),
+        |b AS (
+        |  SELECT qq.*,
+        |    CAST(m.sq AS DOUBLE) / m.n AS mu,
+        |    sqrt(CAST(m.sqq AS DOUBLE) / m.n - (CAST(m.sq AS DOUBLE) / m.n) * (CAST(m.sq AS DOUBLE) / m.n)) AS sigma
+        |  FROM qq CROSS JOIN m)
+        |SELECT lang,
+        |  CASE WHEN CAST(q AS DOUBLE) > mu + sigma / 2 THEN '1_easy'
+        |       WHEN CAST(q AS DOUBLE) >= mu - sigma / 2 THEN '2_core'
+        |       ELSE '3_hard' END AS phase,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  min(quality_score) AS min_score,
+        |  max(quality_score) AS max_score
+        |FROM b GROUP BY 1, 2 ORDER BY lang, phase""".stripMargin,
+    "pipeline_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |d AS (SELECT doc_id, md5(norm) AS digest,
+        |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM t),
+        |h AS (SELECT *, CAST(('0x'||substring(md5(digest),1,15)) AS BIGINT) AS h60 FROM d)
+        |SELECT h60 % 16 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(h60 % 1000000007) AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+    "emb_recall_at_k" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |exact_scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id
+        |), exact_topk AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM exact_scored) WHERE rank <= 10
+        |), dims AS (
+        |  SELECT vec_id % 16 AS cell,
+        |    unnest(generate_series(1, 64)) AS d,
+        |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+        |  FROM vecs
+        |), cdims AS (
+        |  SELECT cell, d,
+        |    CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+        |  FROM dims GROUP BY cell, d
+        |), cents AS (
+        |  SELECT cell, list(cx ORDER BY d) AS cv FROM cdims GROUP BY cell
+        |), assigned AS (
+        |  SELECT vec_id, vd, cell FROM (
+        |    SELECT v.vec_id, v.vd, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM vecs v CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), probe_cells AS (
+        |  SELECT probe_id, pv, cell FROM (
+        |    SELECT p.probe_id, p.pv, c.cell,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM probes p CROSS JOIN cents c)
+        |  WHERE rn <= 4
+        |), ivf_scored AS (
+        |  SELECT pc.probe_id, av.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM assigned av JOIN probe_cells pc ON av.cell = pc.cell AND av.vec_id <> pc.probe_id
+        |), ivf_topk AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM ivf_scored) WHERE rank <= 10)
+        |SELECT e.probe_id,
+        |  count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM exact_topk e LEFT JOIN ivf_topk i
+        |  ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+        |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -229,4 +229,92 @@ object Pipeline {
       .select("doc_id", "lang", "n_tokens", "cum_tokens", "selected")
       .orderBy("doc_id")
   }
+
+  /** Curriculum banding — the difficulty-ordered phase assignment a
+    * curriculum-training run consumes: each doc lands in a phase by
+    * its quality score's z-band against the corpus distribution
+    * (easy = above μ+σ/2, core = within ±σ/2, hard = below μ−σ/2).
+    *
+    * A rank-based quartile (ntile over a global ORDER BY score) is
+    * the textbook form but plans an unpartitioned window — one task
+    * sorts the whole corpus, the low-cardinality-window anti-pattern
+    * this repo rejects everywhere. Z-bands give the same curriculum
+    * semantics from a 1-ROW broadcast: μ and σ come from order-free
+    * integer power sums over the floor(score·1e9) grid (the
+    * agg_corr_exact construction — engine-exact on any partitioning),
+    * and the band pick is then a pure per-row projection. Output is
+    * the per-(lang, phase) manifest: doc count, token mass, min/max
+    * score — what the training loader reads to schedule phases. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("n_char", length(col("norm")).cast("bigint"))
+      .withColumn("n_words", size(split(col("norm"), " ")).cast("bigint"))
+      .withColumn("n_digit",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[0-9]", ""))).cast("bigint"))
+      .withColumn("n_punct",
+        (length(col("norm")) - length(regexp_replace(col("norm"), "[^a-z0-9 ]", ""))).cast("bigint"))
+      .withColumn("n_stop",
+        size(expr("filter(split(norm, ' '), w -> w IN ('the','and','is','of','to','in','that','it'))")).cast("bigint"))
+      .withColumn("quality_score",
+        lit(0.4) * (col("n_stop").cast("double") / col("n_words")) +
+          lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_char")) +
+          lit(0.2) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.1) * (lit(1.0) - col("n_digit").cast("double") / col("n_char")))
+      // 1e6 grid (not the 1e9 used elsewhere): the σ computation sums
+      // q², so each row contributes ≤1e12 and the BIGINT sum holds to
+      // ~9·10^6 docs — the corrExact overflow-budget pattern; for
+      // larger corpora, split the power sums by subkey and re-add
+      // (or widen to DECIMAL(38,0)). 1e-6 score resolution is far
+      // below any band-assignment consequence.
+      .withColumn("q", floor(col("quality_score") * lit(1e6)).cast("bigint"))
+      .localCheckpoint(eager = false) // one tokenization pass feeds both branches
+    val moments = scored.agg(
+      count(lit(1)).as("n"), sum("q").as("sq"),
+      sum(col("q") * col("q")).as("sqq"))
+    val banded = scored.crossJoin(broadcast(moments))
+      .withColumn("mu", col("sq").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt(col("sqq").cast("double") / col("n").cast("double") -
+          (col("sq").cast("double") / col("n").cast("double")) *
+          (col("sq").cast("double") / col("n").cast("double"))))
+      .withColumn("phase",
+        when(col("q").cast("double") > col("mu") + col("sigma") / 2, "1_easy")
+          .when(col("q").cast("double") >= col("mu") - col("sigma") / 2, "2_core")
+          .otherwise("3_hard"))
+    banded.groupBy("lang", "phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_tokens"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"))
+      .orderBy("lang", "phase")
+  }
+
+  /** Output-shard manifest — the final accounting of the training-
+    * data build: every doc is assigned a shard by a deterministic
+    * hash of its CONTENT digest (so re-runs and re-crawls land
+    * identically — the same digest-keyed rationale as leakageSplit),
+    * and the manifest reports per shard the doc count, token mass,
+    * doc_id span, and an ORDER-FREE content checksum (sum of each
+    * digest's hash mod a prime — bounded far below 2^63 at any shard
+    * size, and bit-identical on any partitioning/engine) that a
+    * downstream loader re-derives to detect a corrupt or stale shard.
+    * The physical partitioned write itself is covered by
+    * sink_partitioned_prune; this is the pure manifest plan: one
+    * projection → one n_shards-row hash agg, no window, no join. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16L
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .select(col("doc_id"), md5(col("norm")).as("digest"),
+        size(split(col("norm"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("shard", expr(Hash60.sql("digest") + s" % $nShards"))
+      .withColumn("chk", expr(Hash60.sql("digest") + " % 1000000007"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        sum("chk").as("checksum"))
+      .orderBy("shard")
+  }
 }

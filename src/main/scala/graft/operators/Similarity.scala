@@ -293,6 +293,31 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Recall@K audit — THE acceptance metric for any ANN index: how
+    * many of the exact top-K neighbors does the IVF search return?
+    * Runs both paths (exact brute force and IVF with the same K) and
+    * reports per probe the hit count and recall fraction — the number
+    * a deployment watches before/after every index rebuild or
+    * NProbe/NumCells retune (SimilaritySpec asserts a floor; this
+    * surfaces the exact per-probe value as data). Both inputs are
+    * deterministic (integer-grid centroids, fixed tie-breaks), so the
+    * recall itself is engine-exact and the DuckDB oracle replays the
+    * entire audit. Scale shape: the two searches dominate (each one
+    * corpus pass, no extra shuffle of the corpus); the intersection
+    * is a tiny probes×K join. */
+  def recallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hit = ivfTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(hit, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("probe_id")
+  }
+
   /** Per-dimension int8 scalar quantization audit — the embedding
     * compression decision every 100 TB vector store makes (float32 →
     * 1 byte = 4× less storage AND 4× less scan IO for the IVF

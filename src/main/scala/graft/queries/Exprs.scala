@@ -142,6 +142,56 @@ object Exprs {
       array_max(col("embedding")).cast("double").as("max_dim"))
       .orderBy("vec_id")
 
+  /** URL parsing kernel — the log/crawl-ingest surface (every
+    * clickstream or crawl corpus stores URLs; the reference evaluates
+    * string kernels like this inside the scan via scalar-fn-call.cc).
+    * The URL is assembled from table columns, so every parsed
+    * component has an independent ground truth the oracle states
+    * directly from those columns — parse_url's HOST/PATH/QUERY/REF/
+    * PROTOCOL extraction and per-key query lookup are each pinned
+    * value-exact. Pure codegen'd projection; scales embarrassingly. */
+  def urlParse(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?id="), col("doc_id"), lit("&lang="), col("lang"),
+          lit("#s"), pmod(col("doc_id"), lit(7L))))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"),
+        parse_url(col("url"), lit("REF")).as("fragment"))
+      .orderBy("doc_id")
+
+  /** Map-type kernel — maps as first-class values (the complex-type
+    * surface next to arrayOps): per brand, a type→count map is
+    * BUILT (map_from_entries over sort-canonicalized entries, so the
+    * map's layout is a pure function of the group's row set), then
+    * PROBED (try_element_at — ANSI-safe missing-key null), ITERATED
+    * (map_keys re-joined to a string), and FOLDED (aggregate over
+    * map_values). Output stays scalar columns, so the contract is
+    * engine-portable even though DuckDB's map internals differ.
+    * Scale shape: one hash agg to entries, one to groups; map sizes
+    * are bounded by the type NDV (6), never by row count. */
+  def mapOps(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .groupBy("p_brand", "p_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("p_brand")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("p_type"), col("n"))))).as("m"))
+      .select(
+        col("p_brand"),
+        size(col("m")).cast("bigint").as("n_types"),
+        coalesce(try_element_at(col("m"), lit("PROMO")), lit(0L)).as("n_promo"),
+        array_join(map_keys(col("m")), "|").as("types"),
+        expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("n_parts"))
+      .orderBy("p_brand")
+
   /** Bitwise kernel (bit-util.h analog): shifts, masks, popcount,
     * and the bit_and/or/xor aggregates — all codegen built-ins. */
   def bitwise(spark: SparkSession, dir: String): DataFrame =

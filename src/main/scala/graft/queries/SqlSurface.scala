@@ -439,6 +439,64 @@ object SqlSurface {
       .select(col("depth").cast("bigint").as("depth"), col("n_customers"))
   }
 
+  /** LATERAL join (SQL:1999; Impala ships the same shape as
+    * correlated inline views) — the top-N-per-row form: every
+    * customer joined to the LATERAL subquery of its own two most
+    * expensive orders. Catalyst decorrelates this into the same
+    * shuffle-join + per-key ranking a hand-written window query
+    * plans, so the declarative correlated form costs nothing extra at
+    * 100 TB — the point of pinning it: users port correlated queries
+    * as-is instead of rewriting them. Customers with fewer than two
+    * orders keep what they have (inner lateral drops order-less
+    * customers; this corpus has none). */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer_lat_v")
+    orders(spark, dir).createOrReplaceTempView("orders_lat_v")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders_lat_v o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  /** Count-min sketch point-frequency estimates — the frequency twin
+    * of the HLL NDV sketch above (Impala analog: the same
+    * hash-bucketed summaries hash-util.h feeds): each partition folds
+    * rows into a tiny counter grid, grids ADD (order-free, so the
+    * estimate is deterministic for a fixed seed on any partitioning —
+    * the property BenchSpec-style stability rests on), and point
+    * lookups answer "how often does key k appear" without a group-by
+    * shuffle of the raw keys. The sketch guarantees est ≥ exact
+    * always, and est ≤ exact + eps·N with the configured confidence;
+    * both bounds are pinned as booleans against the exact per-key
+    * counts (computed relationally), the agg_approx_stats contract
+    * pattern. The sketch itself builds via treeAggregate (executor
+    * partials → driver), i.e. the partial-aggregate shape, never a
+    * collect of rows. */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val probeKeys = (1L to 10L)
+    val li = lineitem(spark, dir)
+    val cms = li.select(col("l_suppkey")).stat
+      .countMinSketch(col("l_suppkey"), eps = 0.0001, confidence = 0.99, seed = 42)
+    val total = cms.totalCount()
+    val slack = math.ceil(0.0001 * total).toLong
+    val estimates = probeKeys.map(k => (k, cms.estimateCount(Long.box(k))))
+    import spark.implicits._
+    val estDf = estimates.toDF("l_suppkey", "est")
+    val exact = li.filter(col("l_suppkey").isin(probeKeys: _*))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+    estDf.join(exact, Seq("l_suppkey"))
+      .select(col("l_suppkey"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("never_undercounts"),
+        (col("est") <= col("exact_n") + lit(slack)).as("within_eps_bound"))
+      .orderBy("l_suppkey")
+  }
+
   /** Multiple DISTINCT aggregates in one GROUP BY (Impala supports
     * several count(distinct) per query since 2.12) — Spark plans one
     * Expand that replicates every row once per distinct clause, then

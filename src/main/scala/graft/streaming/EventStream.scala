@@ -77,6 +77,34 @@ object EventStream {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_sec"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution shape
+    * that must also surface the NEGATIVE space ("purchases with no
+    * preceding click" — exactly the rows a conversion-quality monitor
+    * alerts on). Same state-eviction story as the inner form: the
+    * outer side's null-padded rows can only emit once the watermark
+    * proves no future click can match, so unmatched purchases arrive
+    * late by one watermark horizon but state stays bounded by the
+    * horizon. This delayed-null contract is the price of outer
+    * semantics on unbounded inputs, and is why the test advances the
+    * watermark with sentinels before asserting the unmatched set. */
+  def streamAttributionLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_sec"))
+  }
+
   /** Tumbling 1-hour windowed counts with a 2h watermark — the
     * streaming twin of Analytic.tumblingWindow. */
   def hourly(events: DataFrame): DataFrame =

@@ -126,6 +126,46 @@ class PipelineSpec extends SparkSpec {
     assert(nShards > 1, s"only $nShards shard(s) — width too wide for this SF")
   }
 
+  test("curriculum bands partition the corpus without a global-sort window") {
+    val df = operators.Pipeline.curriculum(spark, sf)
+    val rows = df.collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "phases must partition the corpus")
+    val phases = rows.map(_.getAs[String]("phase")).toSet
+    assert(phases.subsetOf(Set("1_easy", "2_core", "3_hard")), phases)
+    assert(phases.size == 3, s"only $phases fired — z-bands degenerate at this SF")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_score") <= r.getAs[Double]("max_score"))
+    }
+    // the band pick must be a broadcast + projection, never a global
+    // ntile sort (the unpartitioned-window anti-pattern)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("shard manifest conserves docs/tokens and re-derives per-shard checksums") {
+    val rows = operators.Pipeline.shardManifest(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("norm", expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16
+    })
+    // checksum re-derived independently for one shard: order-free sum
+    // of the digest-hash residues
+    val want = docs
+      .select(md5(col("norm")).as("digest"))
+      .selectExpr(
+        operators.Hash60.sql("digest") + " % 16 AS shard",
+        operators.Hash60.sql("digest") + " % 1000000007 AS chk")
+      .groupBy("shard").agg(sum("chk").as("checksum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("checksum") == want(r.getAs[Long]("shard")))
+    }
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()

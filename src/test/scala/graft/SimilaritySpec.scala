@@ -90,6 +90,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, f"ivf recall@10 $recall%.2f below floor 0.15")
   }
 
+  test("recall@k audit equals the set intersection of the two searches") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val bf = pairs(operators.Similarity.bruteForceTopK(spark, sf))
+    val ivf = pairs(operators.Similarity.ivfTopK(spark, sf))
+    val rows = operators.Similarity.recallAtK(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      val wantHits = (bf intersect ivf).count(_._1 == pid)
+      assert(r.getAs[Long]("n_exact") == operators.Similarity.K)
+      assert(r.getAs[Long]("n_hits") == wantHits, s"probe $pid")
+      assert(r.getAs[Double]("recall") ==
+        wantHits.toDouble / operators.Similarity.K)
+    }
+  }
+
   test("filtered topk only returns non-en documents and k per probe") {
     import org.apache.spark.sql.functions._
     val rows = operators.Similarity.filteredTopK(spark, sf).collect()

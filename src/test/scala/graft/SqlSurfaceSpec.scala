@@ -4,6 +4,33 @@ import org.apache.spark.sql.functions._
 
 class SqlSurfaceSpec extends SparkSpec {
 
+  test("lateral top-n equals the window-ranked top-2 per customer") {
+    import org.apache.spark.sql.expressions.Window
+    val got = queries.SqlSurface.lateralTopN(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = graft.sources.Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("count-min estimates honor both sketch bounds on every probe key") {
+    val rows = queries.SqlSurface.countMin(spark, sf).collect()
+    // probe keys present at this SF (sf0.001 ships no suppkey 10)
+    val present = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey").between(1, 10))
+      .select("l_suppkey").distinct().count()
+    assert(rows.length == present && present >= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("never_undercounts"), r.toString)
+      assert(r.getAs[Boolean]("within_eps_bound"), r.toString)
+      assert(r.getAs[Long]("exact_n") > 0)
+    }
+  }
+
   test("earliest order: one row per customer with an order") {
     val df = queries.SqlSurface.earliestOrder(spark, sf)
     val custs = graft.sources.Tables.orders(spark, sf).select("o_custkey").distinct().count()

@@ -110,6 +110,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: matches equal inner join, unmatched purchases null-pad") {
+    import spark.implicits._
+    val events = loadEvents()
+    val clicksIn = MemoryStream[Ev](spark)
+    val purchasesIn = MemoryStream[Ev](spark)
+    val q = EventStream.streamAttributionLeftOuter(clicksIn.toDF(), purchasesIn.toDF())
+      .writeStream.format("memory").queryName("ss_ljoin").outputMode("append").start()
+    try {
+      clicksIn.addData(events.filter(_.event_type == "click"))
+      purchasesIn.addData(events.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // outer nulls emit only once the watermark proves no future
+      // click can match — advance it on BOTH inputs (watermark is the
+      // min across them)
+      for (h <- 1 to 2) {
+        clicksIn.addData(Seq(sentinel(h)))
+        purchasesIn.addData(Seq(sentinel(h)))
+        q.processAllAvailable()
+      }
+      val out = spark.table("ss_ljoin").filter(col("purchase_id") >= 0).collect()
+      val gotMatched = out.filter(!_.isNullAt(1))
+        .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+      val want = queries.Analytic.rangeJoin(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMatched == want, "matched side must equal the inner join")
+      // the null-padded rows are exactly the purchases the batch join
+      // never returns, each exactly once, with null click and gap
+      val gotUnmatched = out.filter(_.isNullAt(1))
+      assert(gotUnmatched.forall(_.isNullAt(3)))
+      assert(gotUnmatched.groupBy(_.getLong(0)).forall(_._2.length == 1))
+      val allPurchases = events.filter(_.event_type == "purchase").map(_.event_id).toSet
+      assert(gotUnmatched.map(_.getLong(0)).toSet == allPurchases -- want.keySet)
+      assert(gotUnmatched.nonEmpty, "corpus has no click-less purchase — test is vacuous")
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches and stops itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[Ev](spark)
+    input.addData(loadEvents())
+    val q = EventStream.hourly(input.toDF())
+      .writeStream.format("memory").queryName("avnow_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // AvailableNow must terminate on its own once the backlog drains
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      val got = spark.table("avnow_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = queries.Analytic.tumblingWindow(spark, sf)
+        .select("hour_sec", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful agg recovers from a checkpoint restart: no loss, no double count") {
     val base = queries.SourcesSinks.tmp(spark, sf, "stream_ckpt")
     val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
