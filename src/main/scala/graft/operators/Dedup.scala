@@ -124,6 +124,32 @@ object Dedup {
     * [[shinglePostings]]) — None reproduces the oracle-checked
     * output exactly; DedupSpec proves a generous cap leaves the
     * near-dup pair set unchanged while a tight cap prunes postings. */
+  /** per-doc 128-lane MinHash signatures over staged postings. */
+  private[graft] def minhashSigs(post: DataFrame): DataFrame =
+    post.groupBy("doc_id").agg(expr("graft_minhash_sig(h)").as("sig"))
+
+  /** 16-band LSH candidate pairs from the signatures. Band keys from
+    * element_at projections (md5 over concat_ws) — NOT an array
+    * lambda: higher-order transforms are interpreted and the nested
+    * one (16 bands × 8 casts) profiled ~1.3 s of the query on its
+    * own. concat_ws(',', casts) produces byte-identical strings to
+    * the oracle's array_to_string, and stays in codegen. */
+  private[graft] def lshCandidates(sigs: DataFrame): DataFrame = {
+    val keys = (0 until 16).map { b =>
+      md5(concat_ws(",", (0 until 8).map(i =>
+        element_at(col("sig"), b * 8 + i + 1).cast("string")): _*)).as(s"k$b")
+    }
+    val exploded = sigs.select(col("doc_id") +: keys: _*)
+      .select(col("doc_id"), explode(array((0 until 16).map(b =>
+        struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
     // Stage postings once: the signature branch and the jaccard-verify
     // branch both consume them, but the candidate filter on the verify
@@ -133,25 +159,7 @@ object Dedup {
     // single time and truncates lineage — the 100 TB shape is the
     // same: stage postings to a temp table, then fan out.
     val post = shinglePostings(spark, dir, dfCap).localCheckpoint()
-    val sigs = post.groupBy("doc_id").agg(expr("graft_minhash_sig(h)").as("sig"))
-    // Band keys from element_at projections (md5 over concat_ws) — NOT
-    // an array lambda: higher-order transforms are interpreted and the
-    // nested one (16 bands × 8 casts) profiled ~1.3 s of the query on
-    // its own. concat_ws(',', casts) produces byte-identical strings
-    // to the oracle's array_to_string, and stays in codegen.
-    val keys = (0 until 16).map { b =>
-      md5(concat_ws(",", (0 until 8).map(i =>
-        element_at(col("sig"), b * 8 + i + 1).cast("string")): _*)).as(s"k$b")
-    }
-    val exploded = sigs.select(col("doc_id") +: keys: _*)
-      .select(col("doc_id"), explode(array((0 until 16).map(b =>
-        struct(lit(b).as("band"), col(s"k$b").as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = lshCandidates(minhashSigs(post))
     // verify with exact jaccard — postings filtered to candidate docs
     // first, so at scale the verify join is proportional to the
     // candidate set, not the corpus. Inner join: a band collision
@@ -386,6 +394,69 @@ object Dedup {
     * A high dup_chunk_frac with a unique doc digest is exactly the
     * "templated but not duplicate" doc that per-doc dedup keeps and
     * chunk accounting flags. */
+  /** MinHash estimator accuracy audit — the calibration pass that
+    * justifies the LSH threshold choice: for every LSH candidate
+    * pair, the MinHash ESTIMATE of Jaccard (matching lanes / 128)
+    * next to the EXACT shingle-set Jaccard, with the absolute error.
+    * E[est] = J with σ = sqrt(J(1−J)/128) ≈ 0.04; a drifting error
+    * distribution means the signature machinery (hash family, lane
+    * count, banding) no longer supports the 0.8 release threshold —
+    * the dedup analog of emb_recall_at_k. The 128 lane comparisons
+    * are statically-unrolled element_at columns (codegen'd, and per
+    * CANDIDATE PAIR — a set proportional to the near-dup rate, never
+    * the corpus), and both estimator and exact sides are md5-derived,
+    * so the whole audit replays in the oracle. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir).localCheckpoint()
+    val sigs = minhashSigs(post)
+    val cand = lshCandidates(sigs)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val nEq = (1 to 128).map(i =>
+      when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("n_eq", nEq)
+      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        (col("n_eq").cast("double") / 128.0).as("est_jaccard"),
+        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Edit-distance verification of LSH candidates — the fuzzy-match
+    * refinement a dedup pipeline adds where shingle Jaccard is blind:
+    * two docs differing by scattered single-character edits (OCR
+    * noise, templated number substitutions) break many word-trigrams
+    * at once, so their Jaccard understates similarity while edit
+    * distance still sees it. Verification runs levenshtein on the
+    * 64-char normalized PREFIX of each candidate pair: bounded-input
+    * edit distance is the deployable form — levenshtein is O(m·n) per
+    * pair, so at 100 TB it is only ever run on (a) candidate pairs,
+    * never the corpus, and (b) bounded slices, never full documents.
+    * Standard DP levenshtein is engine-identical, so the whole
+    * refinement replays in the oracle. */
+  def fuzzyVerify(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir).localCheckpoint()
+    val cand = lshCandidates(minhashSigs(post))
+    val pfx = documents(spark, dir)
+      .select(col("doc_id"), substring(expr(normTextExpr), 1, 64).as("pfx"))
+    cand
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), "doc_a")
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("bigint").as("lev"),
+        greatest(length(col("pa")), length(col("pb"))).cast("bigint").as("max_len"))
+      .withColumn("prefix_sim",
+        lit(1.0) - col("lev").cast("double") / col("max_len").cast("double"))
+      .withColumn("is_dup", col("prefix_sim") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("chunk_md5")
     TextAnalysis.chunks(spark, dir)

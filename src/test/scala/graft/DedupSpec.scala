@@ -34,6 +34,57 @@ class DedupSpec extends SparkSpec {
     assert((exact -- lsh).size <= exact.size / 4, s"missed: ${exact -- lsh}")
   }
 
+  test("minhash accuracy audit: estimator tracks exact jaccard within sampling error") {
+    val rows = operators.Dedup.minhashAccuracy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // same pair set as the verified LSH output (both inner-join the
+    // candidates against the shared-shingle intersections)
+    val lshPairs = operators.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == lshPairs)
+    rows.foreach { r =>
+      val (nEq, est, j, err) = (r.getAs[Long]("n_eq"), r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))
+      assert(nEq >= 0 && nEq <= 128)
+      assert(est == nEq.toDouble / 128.0)
+      assert(err == math.abs(est - j))
+      // 128 lanes: σ = sqrt(J(1−J)/128) ≤ 0.045; 5σ keeps this
+      // deterministic-corpus assertion far from flaky while still
+      // catching a broken hash family (which decorrelates est from J)
+      assert(err <= 5 * math.sqrt(0.25 / 128) + 1e-12,
+        s"(${r.getAs[Long]("doc_a")},${r.getAs[Long]("doc_b")}) est=$est jaccard=$j")
+    }
+  }
+
+  test("fuzzy verify: levenshtein prefix similarity matches a reference implementation") {
+    val rows = operators.Dedup.fuzzyVerify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pfx = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), 1, 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (a, b) = (pfx(r.getAs[Long]("doc_a")), pfx(r.getAs[Long]("doc_b")))
+      assert(r.getAs[Long]("lev") == lev(a, b), s"($a, $b)")
+      assert(r.getAs[Long]("max_len") == math.max(a.length, b.length))
+      val sim = r.getAs[Double]("prefix_sim")
+      assert(sim >= 0.0 && sim <= 1.0)
+      assert(r.getAs[Boolean]("is_dup") == (sim >= 0.8))
+    }
+    // the planted near-dups give the refinement both branches
+    assert(rows.exists(_.getAs[Boolean]("is_dup")))
+  }
+
   test("simhash pairs are within hamming 3 and include near-identical docs") {
     val rows = operators.Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)
