@@ -91,6 +91,7 @@ object SparkEntry {
     "win_percent_rank" -> Analytic.percentRank _,
     "win_dense_rank"   -> Analytic.denseRank _,
     "win_ignore_nulls" -> Analytic.ignoreNullsWindow _,
+    "win_distinct_running" -> Analytic.distinctRunning _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -126,6 +127,7 @@ object SparkEntry {
     "emb_recall_at_k"     -> Similarity.recallAtK _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
+    "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_quality"     -> TextAnalysis.quality _,
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
@@ -201,6 +203,44 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    "win_distinct_running" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(is_first AS BIGINT) AS is_first,
+        |  CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_types_so_far
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), counted AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','mit','ein') THEN 1 ELSE 0 END) AS BIGINT) AS hits_de,
+        |    CAST(sum(CASE WHEN w IN ('the','and','is','of','to','in','that','it') THEN 1 ELSE 0 END) AS BIGINT) AS hits_en,
+        |    CAST(sum(CASE WHEN w IN ('el','la','de','que','y','en','un','es') THEN 1 ELSE 0 END) AS BIGINT) AS hits_es,
+        |    CAST(sum(CASE WHEN w IN ('le','la','de','et','les','des','un','une') THEN 1 ELSE 0 END) AS BIGINT) AS hits_fr,
+        |    CAST(sum(CASE WHEN w IN ('的','是','不','了','在','人','有','我') THEN 1 ELSE 0 END) AS BIGINT) AS hits_zh
+        |  FROM words GROUP BY doc_id, lang
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |         WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |         WHEN hits_es >= hits_de AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |         WHEN hits_fr >= hits_de AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang
+        |  FROM counted
+        |), cells AS (
+        |  SELECT lang, predicted_lang, count(*) AS n_docs
+        |  FROM pred GROUP BY lang, predicted_lang)
+        |SELECT lang, predicted_lang, n_docs,
+        |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
+        |FROM cells ORDER BY lang, predicted_lang""".stripMargin,
     "expr_url_parse" ->
       """SELECT doc_id,
         |  'https' AS proto,

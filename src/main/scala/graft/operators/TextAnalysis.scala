@@ -53,6 +53,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation artifact behind
+    * the langId heuristic: per (true lang, predicted lang) cell the
+    * doc count and the row-share (recall on the diagonal, the
+    * dominant confusion off it) — what decides whether the classifier
+    * is good enough to gate a 100 TB corpus or which language pair
+    * needs better markers. Shape: the per-doc classification is the
+    * langId pipeline unchanged; the matrix is one hash agg to ≤
+    * n_langs² rows, and the row-share window runs over that tiny
+    * matrix, never the corpus. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    langId(spark, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total", sum("n_docs").over(w))
+      .withColumn("share",
+        col("n_docs").cast("double") / col("lang_total").cast("double"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   /** length / punctuation / stopword / digit ratios + a weighted
     * quality score — the classic pre-training quality filter shape. */
   def quality(spark: SparkSession, dir: String): DataFrame =

@@ -405,6 +405,32 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** Running COUNT(DISTINCT) over a window — a composition Spark (and
+    * most engines) cannot express directly (DISTINCT is not allowed
+    * inside window aggregates): "how many distinct event types has
+    * this user touched so far" = the running sum of FIRST-OCCURRENCE
+    * flags. The flag is a row_number()=1 over (user, type); the
+    * running sum rides a ROWS frame over the user's (unique) event
+    * order. Both windows partition by high-cardinality user keys, so
+    * the shape scales like every other per-user window here — and the
+    * rewrite is exactly what a 100 TB engine must do anyway, since a
+    * per-row distinct-set state would be unbounded. */
+  def distinctRunning(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types_so_far", sum("is_first").over(wRun))
+      .select("user_id", "event_id", "event_type", "is_first",
+        "distinct_types_so_far")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Time-series gap filling — the spine-join every monitoring /
     * feature-engineering pipeline needs before windowed models: a
     * complete hourly spine per event type (generated with sequence +

@@ -202,6 +202,22 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("running count-distinct ends at the user's true distinct-type count") {
+    val rows = queries.Analytic.distinctRunning(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      // rows arrive orderBy(user_id, event_id); re-sort within user by the
+      // running value's own order key (ts, event_id) via the is_first trail
+      val run = rs.sortBy(_.getAs[Long]("event_id"))
+        .map(_.getAs[Long]("distinct_types_so_far"))
+      val trueDistinct = rs.map(_.getAs[String]("event_type")).distinct.length.toLong
+      assert(run.max == trueDistinct,
+        s"final running distinct ${run.max} != true $trueDistinct")
+      val firsts = rs.map(_.getAs[Long]("is_first")).sum
+      assert(firsts == trueDistinct, "first-occurrence flags != distinct count")
+    }
+  }
+
   test("hourly anomalies agree with a float z-score recomputation") {
     val rows = queries.Analytic.hourlyAnomaly(spark, sf).collect()
     assert(rows.map(_.getAs[Boolean]("is_anomaly")).toSet == Set(true, false),

@@ -13,6 +13,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion matrix rows sum to 1 and diagonal matches langId") {
+    val cells = operators.TextAnalysis.langConfusion(spark, sf).collect()
+    val docs = operators.TextAnalysis.langId(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    cells.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val total = rs.head.getAs[Long]("lang_total")
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == total)
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      val diag = rs.find(_.getAs[String]("predicted_lang") == lang)
+        .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+      val correct = docs.count(r => r.getAs[String]("lang") == lang &&
+        r.getAs[Boolean]("correct"))
+      assert(diag == correct, s"$lang: diag=$diag correct=$correct")
+    }
+  }
+
   test("quality ratios are in [0,1] and the score is bounded") {
     val rows = operators.TextAnalysis.quality(spark, sf).collect()
     rows.foreach { r =>
