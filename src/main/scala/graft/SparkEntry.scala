@@ -102,6 +102,9 @@ object SparkEntry {
     "ev_histogram"        -> Analytic.valueHistogram _,
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
+    "ev_markov_transitions" -> Analytic.markovTransitions _,
+    "ev_cohort_ltv"       -> Analytic.cohortLtv _,
+    "ev_rfm_segments"     -> Analytic.rfmSegments _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
@@ -129,6 +132,7 @@ object SparkEntry {
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
     "text_quality"     -> TextAnalysis.quality _,
+    "text_readability" -> TextAnalysis.readability _,
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
@@ -998,6 +1002,55 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
         |FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour_sec = h.hour_sec
         |ORDER BY s.event_type, s.hour_sec""".stripMargin,
+    "ev_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |p AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type
+        |  FROM e),
+        |m AS (
+        |  SELECT prev_type, next_type, count(*) AS n_transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT prev_type, next_type, n_transitions,
+        |    CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+        |  FROM m)
+        |SELECT prev_type, next_type, n_transitions, row_total,
+        |  CAST(n_transitions AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
+        |FROM r ORDER BY prev_type, next_type""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value, epoch_ns(ts)//1000000000//604800 AS week FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |cell AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    count(DISTINCT ev.user_id) AS n_buyers,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS revenue_d
+        |  FROM ev JOIN coh USING (user_id)
+        |  WHERE event_type = 'purchase' AND week - cohort_week <= 3
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers,
+        |  CAST(revenue_d AS DOUBLE) AS revenue,
+        |  CAST(sum(revenue_d) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_ltv
+        |FROM cell ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id, max(epoch_ns(ts)//1000000000) AS last_purchase_sec,
+        |    count(*) AS n_purchases,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, last_purchase_sec, n_purchases, total_spend,
+        |    CAST(ntile(5) OVER (ORDER BY last_purchase_sec, user_id) AS BIGINT) AS r_band,
+        |    CAST(ntile(5) OVER (ORDER BY n_purchases, user_id) AS BIGINT) AS f_band,
+        |    CAST(ntile(5) OVER (ORDER BY total_spend, user_id) AS BIGINT) AS m_band
+        |  FROM per)
+        |SELECT user_id, last_purchase_sec, n_purchases, total_spend,
+        |  r_band, f_band, m_band,
+        |  concat(r_band, '-', f_band, '-', m_band) AS segment
+        |FROM b ORDER BY user_id""".stripMargin,
     // every event lands in exactly 2 overlapping windows (width 3600,
     // slide 1800, epoch-aligned starts — same alignment Spark uses)
     "ev_sliding_window" ->
@@ -1459,6 +1512,22 @@ object SparkEntry {
         |  CAST(n_punct AS DOUBLE)/n_char AS punct_ratio,
         |  0.4*(CAST(n_stop AS DOUBLE)/n_words) + 0.3*(1.0 - CAST(n_punct AS DOUBLE)/n_char)
         |   + 0.2*least(1.0, CAST(n_words AS DOUBLE)/100.0) + 0.1*(1.0 - CAST(n_digit AS DOUBLE)/n_char) AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT), CAST(length(regexp_replace(norm, '[.!?]+', 'S', 'g'))
+        |      - length(regexp_replace(norm, '[.!?]+', '', 'g')) AS BIGINT)) AS n_sentences,
+        |    greatest(CAST(1 AS BIGINT), CAST(length(regexp_replace(norm, '[aeiouy]+', 'V', 'g'))
+        |      - length(regexp_replace(norm, '[aeiouy]+', '', 'g')) AS BIGINT)) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS words_per_sentence,
+        |  CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS syllables_per_word,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)

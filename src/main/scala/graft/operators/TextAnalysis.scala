@@ -73,6 +73,37 @@ object TextAnalysis {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Flesch-style readability score per document — the classic
+    * complexity filter a pre-training curriculum keys on. All three
+    * inputs are exact integer counts from codegen'd regexps: words =
+    * whitespace-split tokens, sentences = maximal [.!?] runs,
+    * syllables ≈ maximal vowel-group runs (the standard cheap proxy).
+    * Run counting avoids explode entirely: collapsing each run to one
+    * char and comparing lengths against full removal yields the run
+    * count as a length difference — a pure per-row projection, no
+    * shuffle at any scale. The score's double arithmetic mirrors the
+    * oracle term-for-term so engines agree bitwise. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("n_words", expr("size(split(norm, ' '))").cast("bigint"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        (length(regexp_replace(col("norm"), "[.!?]+", "S")) -
+          length(regexp_replace(col("norm"), "[.!?]+", ""))).cast("bigint")))
+      .withColumn("n_syllables", greatest(lit(1L),
+        (length(regexp_replace(col("norm"), "[aeiouy]+", "V")) -
+          length(regexp_replace(col("norm"), "[aeiouy]+", ""))).cast("bigint")))
+      .withColumn("words_per_sentence",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("syllables_per_word",
+        col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word"))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables",
+        "words_per_sentence", "syllables_per_word", "flesch")
+      .orderBy("doc_id")
+
   /** length / punctuation / stopword / digit ratios + a weighted
     * quality score — the classic pre-training quality filter shape. */
   def quality(spark: SparkSession, dir: String): DataFrame =

@@ -431,6 +431,90 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Event-type transition matrix (first-order Markov estimate): for
+    * every user-adjacent event pair, count (prev_type → next_type) and
+    * row-normalize to transition probabilities. The per-user ordering
+    * is one lag window over high-cardinality user partitions (the same
+    * shape as sessionize); the matrix itself is a hash agg to ≤
+    * n_types² rows, and the normalizing window runs over that tiny
+    * matrix, never the corpus. Probabilities are exact small-integer
+    * ratios — engine-identical doubles. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val wRow = Window.partitionBy("prev_type")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+      .withColumn("prev_type", lag("event_type", 1).over(wSeq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("row_total", sum("n_transitions").over(wRow))
+      .withColumn("prob",
+        col("n_transitions").cast("double") / col("row_total").cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Cohort LTV triangle — the monetary companion to `retention`:
+    * users cohorted by first-seen week (any event), purchase revenue
+    * summed per (cohort_week, week_offset) cell, plus the running
+    * cumulative LTV across offsets. Revenue is exact DECIMAL until the
+    * final DOUBLE cast; the cumulative window runs over the tiny
+    * triangle (n_cohorts × 4 rows), never the corpus. Scale shape:
+    * two hash aggs keyed by user (high-cardinality) and one tiny
+    * window — same skeleton as retention. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000000000 div 604800").as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") <= 3)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_buyers"),
+        sum(col("value").cast(D)).as("revenue_d"))
+      .withColumn("revenue", col("revenue_d").cast("double"))
+      .withColumn("cum_ltv", sum("revenue_d").over(wCum).cast("double"))
+      .select("cohort_week", "week_offset", "n_buyers", "revenue", "cum_ltv")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintile bands
+    * per purchasing user, the classic marketing-and-sampling segment
+    * key. Metrics aggregate per user first (one high-cardinality hash
+    * agg), so the ntile windows run over the USER-level relation —
+    * orders of magnitude smaller than the event corpus but still a
+    * single global sort per metric at extreme scale; the 100 TB
+    * rewrite keeps the same output contract by broadcasting the 4
+    * quintile boundaries from an approx-percentile pre-pass and
+    * assigning bands with comparisons. ntile keeps exact integer
+    * semantics here (engine-identical, no float boundaries); ties
+    * break on user_id so bands are deterministic. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_sec", tsSec)
+      .groupBy("user_id")
+      .agg(max("ts_sec").as("last_purchase_sec"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(D)).cast("double").as("total_spend"))
+    per
+      .withColumn("r_band", ntile(5).over(
+        Window.orderBy(col("last_purchase_sec"), col("user_id"))).cast("bigint"))
+      .withColumn("f_band", ntile(5).over(
+        Window.orderBy(col("n_purchases"), col("user_id"))).cast("bigint"))
+      .withColumn("m_band", ntile(5).over(
+        Window.orderBy(col("total_spend"), col("user_id"))).cast("bigint"))
+      .withColumn("segment",
+        concat(col("r_band"), lit("-"), col("f_band"), lit("-"), col("m_band")))
+      .select("user_id", "last_purchase_sec", "n_purchases", "total_spend",
+        "r_band", "f_band", "m_band", "segment")
+      .orderBy("user_id")
+  }
+
   /** Time-series gap filling — the spine-join every monitoring /
     * feature-engineering pipeline needs before windowed models: a
     * complete hourly spine per event type (generated with sequence +

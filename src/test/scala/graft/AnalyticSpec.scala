@@ -202,6 +202,45 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("markov transition rows are probability distributions over observed pairs") {
+    val rows = queries.Analytic.markovTransitions(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+      val total = rs.head.getAs[Long]("row_total")
+      assert(rs.map(_.getAs[Long]("n_transitions")).sum == total)
+      assert(math.abs(rs.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-9)
+    }
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))
+    val expectedPairs = ev.length - ev.distinct.length
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == expectedPairs,
+      "every user-adjacent pair contributes exactly one transition")
+  }
+
+  test("cohort LTV cumulative column ends at the cohort's total revenue") {
+    val rows = queries.Analytic.cohortLtv(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("week_offset"))
+      val cum = sorted.map(_.getAs[Double]("cum_ltv"))
+      assert(cum.zip(cum.drop(1)).forall { case (a, b) => b >= a - 1e-9 })
+      val totalRev = sorted.map(_.getAs[Double]("revenue")).sum
+      assert(math.abs(cum.last - totalRev) < 1e-6)
+    }
+  }
+
+  test("RFM bands are 1..5 quintiles balanced within one user") {
+    val rows = queries.Analytic.rfmSegments(spark, sf).collect()
+    for (band <- Seq("r_band", "f_band", "m_band")) {
+      val counts = rows.groupBy(_.getAs[Long](band)).map { case (b, rs) => b -> rs.length }
+      assert(counts.keySet.subsetOf((1L to 5L).toSet), s"$band out of range")
+      assert(counts.values.max - counts.values.min <= 1,
+        s"$band quintiles unbalanced: $counts")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Long]("r_band")}-${r.getAs[Long]("f_band")}-${r.getAs[Long]("m_band")}")
+    }
+  }
+
   test("running count-distinct ends at the user's true distinct-type count") {
     val rows = queries.Analytic.distinctRunning(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))

@@ -29,6 +29,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("readability score recomputes from its own integer counts") {
+    val rows = operators.TextAnalysis.readability(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (w, s, y) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_syllables"))
+      assert(w >= 1 && s >= 1 && y >= 1)
+      val wps = w.toDouble / s.toDouble
+      val spw = y.toDouble / w.toDouble
+      assert(r.getAs[Double]("words_per_sentence") == wps)
+      assert(r.getAs[Double]("syllables_per_word") == spw)
+      assert(r.getAs[Double]("flesch") == 206.835 - 1.015 * wps - 84.6 * spw)
+    }
+  }
+
   test("quality ratios are in [0,1] and the score is bounded") {
     val rows = operators.TextAnalysis.quality(spark, sf).collect()
     rows.foreach { r =>
