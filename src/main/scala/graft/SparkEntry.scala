@@ -122,6 +122,7 @@ object SparkEntry {
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
+    "ann_pq_topk"         -> Similarity.pqTopK _,
     "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
@@ -1452,6 +1453,50 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+    // PQ: fixed codebook (vec_id<16 subvectors), argmin-L2 encode
+    // replayed as argmax(dot - half-self-dot); ADC sums fold ordered
+    // by subspace via list_reduce so the double tree matches Spark's
+    "ann_pq_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |codes AS (SELECT vec_id AS code, vd AS cv FROM vecs WHERE vec_id < 16),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |hc AS (
+        |  SELECT code, s, cv,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> cv[s*8+i]*cv[s*8+i])), (a,b) -> a+b) / 2.0 AS h
+        |  FROM codes CROSS JOIN ss),
+        |esc AS (
+        |  SELECT v.vec_id, x.s, x.code,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> v.vd[x.s*8+i]*x.cv[x.s*8+i])), (a,b) -> a+b) - x.h AS score, x.h
+        |  FROM vecs v CROSS JOIN hc x),
+        |chosen AS (
+        |  SELECT vec_id, s, code, h FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) AS rn FROM esc)
+        |  WHERE rn = 1),
+        |encv AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0, list(2.0*h ORDER BY s)), (a,b) -> a+b)) AS vnrm_pq
+        |  FROM chosen GROUP BY vec_id),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b)) AS pnrm
+        |  FROM vecs WHERE vec_id < 5),
+        |terms AS (
+        |  SELECT p.probe_id, ch.vec_id, ch.s,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> p.pv[ch.s*8+i]*c.cv[ch.s*8+i])), (a,b) -> a+b) AS t
+        |  FROM probes p CROSS JOIN chosen ch JOIN codes c ON ch.code = c.code
+        |  WHERE ch.vec_id <> p.probe_id),
+        |dots AS (
+        |  SELECT probe_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(t ORDER BY s)), (a,b) -> a+b) AS dot_est
+        |  FROM terms GROUP BY probe_id, vec_id),
+        |scored AS (
+        |  SELECT d.probe_id, d.vec_id, d.dot_est / (p.pnrm * e.vnrm_pq) AS cos_est
+        |  FROM dots d JOIN probes p USING (probe_id) JOIN encv e USING (vec_id)),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cos_est,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_est DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cos_est, rank FROM ranked WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
     "ann_filtered_topk" ->
       """WITH vecs AS (

@@ -318,6 +318,100 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** Product-quantization parameters: 64 dims → 8 contiguous
+    * subspaces of 8 dims, 16 codes per subspace (4-bit codes → each
+    * vector compresses to 8 nibbles + a cached reconstructed norm). */
+  val SubSpaces = 8
+  val SubDim = 8
+  val NumCodes = 16
+
+  /** PQ codebook as ONE broadcastable row. Deterministic "training":
+    * the subvectors of the NumCodes lowest vec_ids serve as the
+    * per-subspace code vectors (a fixed sample, no RNG — production
+    * would refine them with kmeansStep-style Lloyd iterations per
+    * subspace). Each code carries its per-subspace HALF self-dot so
+    * the encode argmin needs one dot per (vector, subspace, code):
+    * argmin-L2² ≡ argmax(dot − ‖c‖²/2), the vector's own self-dot
+    * being constant per subspace. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") < NumCodes)
+      .select(col("vec_id").as("code"), col("vd"),
+        array((0 until SubSpaces).map { s =>
+          (Vectors.dot(slice(col("vd"), s * SubDim + 1, SubDim),
+            slice(col("vd"), s * SubDim + 1, SubDim)) / lit(2.0))
+        }: _*).as("hcs"))
+      .agg(array_sort(collect_list(struct(col("code"), col("vd"), col("hcs"))))
+        .as("codes"))
+
+  /** Encode the corpus: per vector, per subspace, the argmin-L2² code
+    * — the same shuffle-free broadcast-argmax shape as the IVF
+    * assignment (statically-unrolled native dots folded by `greatest`
+    * over (score, -code) structs; ties break toward the lower code).
+    * Also emits the PQ-reconstructed norm ‖v̂‖ = sqrt(Σ_s ‖c_s‖²)
+    * (code vectors are the reconstruction, so its self-dot is the sum
+    * of the chosen codes' self-dots — carried through the argmax
+    * struct as a comparison-neutral third field). Zero exchanges: the
+    * whole encode is a projection over the broadcast codebook row. */
+  private[graft] def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val chosen = (0 until SubSpaces).map { s =>
+      val vslice = slice(col("vd"), s * SubDim + 1, SubDim)
+      val cands = (1 to NumCodes).map { i =>
+        val e = try_element_at(col("codes"), lit(i))
+        struct(
+          (Vectors.dot(vslice, slice(e.getField("vd"), s * SubDim + 1, SubDim))
+            - element_at(e.getField("hcs"), s + 1)).as("score"),
+          (-e.getField("code")).as("negcode"),
+          element_at(e.getField("hcs"), s + 1).as("h"))
+      }
+      greatest(cands: _*).as(s"pick_$s")
+    }
+    vecs(spark, dir).crossJoin(broadcast(pqCodebook(spark, dir)))
+      .select(col("vec_id") +: chosen: _*)
+      .select(col("vec_id") +:
+        (0 until SubSpaces).map(s =>
+          (-col(s"pick_$s").getField("negcode")).as(s"code_$s")) :+
+        sqrt((0 until SubSpaces).map(s => lit(2.0) * col(s"pick_$s").getField("h"))
+          .reduce(_ + _)).as("vnrm_pq"): _*)
+  }
+
+  /** Per-probe ADC (asymmetric distance computation) tables: for each
+    * subspace, the 16 probe-to-code dots as one array — computed once
+    * per probe against the broadcast codebook, so scoring a corpus
+    * vector degrades to 8 array lookups + 7 adds, never a 64-dim dot.
+    * This is PQ's 100 TB bargain: the corpus side is read as 8 small
+    * codes (4 bits each at this codebook size) instead of 64 floats —
+    * 16× less scan IO than even int8 — and the per-candidate FLOP
+    * count drops ~8×. */
+  private def pqProbeTables(spark: SparkSession, dir: String): DataFrame =
+    probes(spark, dir).crossJoin(broadcast(pqCodebook(spark, dir)))
+      .select(col("probe_id") +: col("pnrm") +:
+        (0 until SubSpaces).map { s =>
+          array((1 to NumCodes).map { i =>
+            Vectors.dot(slice(col("pv"), s * SubDim + 1, SubDim),
+              slice(element_at(col("codes"), i).getField("vd"),
+                s * SubDim + 1, SubDim))
+          }: _*).as(s"adc_$s")
+        }: _*)
+
+  /** PQ approximate top-K: encode once, score every (probe, vector)
+    * pair from the ADC tables — cos_est = Σ_s adc_s[code_s] /
+    * (‖p‖·‖v̂‖) — and keep the per-probe top-K on the bounded-heap
+    * native operator. Fully deterministic (fixed codebook, fixed
+    * tie-breaks), so the DuckDB oracle replays encode + ADC + ranking
+    * end-to-end; SimilaritySpec additionally audits recall vs the
+    * exact brute force. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = pqEncode(spark, dir)
+      .join(broadcast(pqProbeTables(spark, dir)), col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_est", (0 until SubSpaces).map(s =>
+        element_at(col(s"adc_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .withColumn("cos_est", col("dot_est") / (col("pnrm") * col("vnrm_pq")))
+      .select("probe_id", "vec_id", "cos_est")
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos_est" -> false, "vec_id" -> true), K)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Per-dimension int8 scalar quantization audit — the embedding
     * compression decision every 100 TB vector store makes (float32 →
     * 1 byte = 4× less storage AND 4× less scan IO for the IVF
