@@ -344,54 +344,43 @@ object Similarity {
         .as("codes"))
 
   /** Encode the corpus: per vector, per subspace, the argmin-L2² code
-    * — the same shuffle-free broadcast-argmax shape as the IVF
-    * assignment (statically-unrolled native dots folded by `greatest`
-    * over (score, -code) structs; ties break toward the lower code).
-    * Also emits the PQ-reconstructed norm ‖v̂‖ = sqrt(Σ_s ‖c_s‖²)
-    * (code vectors are the reconstruction, so its self-dot is the sum
-    * of the chosen codes' self-dots — carried through the argmax
-    * struct as a comparison-neutral third field). Zero exchanges: the
-    * whole encode is a projection over the broadcast codebook row. */
-  private[graft] def pqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val chosen = (0 until SubSpaces).map { s =>
-      val vslice = slice(col("vd"), s * SubDim + 1, SubDim)
-      val cands = (1 to NumCodes).map { i =>
-        val e = try_element_at(col("codes"), lit(i))
-        struct(
-          (Vectors.dot(vslice, slice(e.getField("vd"), s * SubDim + 1, SubDim))
-            - element_at(e.getField("hcs"), s + 1)).as("score"),
-          (-e.getField("code")).as("negcode"),
-          element_at(e.getField("hcs"), s + 1).as("h"))
-      }
-      greatest(cands: _*).as(s"pick_$s")
-    }
+    * via the native graft_pq_encode kernel — one JIT-compiled loop
+    * over the broadcast codebook (ties break toward the lower code),
+    * returning the 8 code picks plus the PQ-reconstructed norm
+    * ‖v̂‖ = sqrt(Σ_s ‖c_s‖²) in one pass. Native matters here: the
+    * equivalent unrolled-column projection (128 dot/struct columns)
+    * exceeds janino's 64 KB method limit and silently drops the whole
+    * stage to interpreted eval (measured 2.6 s → 1.0 s steady at
+    * sf0.1 once codegen was restored). Zero exchanges:
+    * the encode is a projection over the broadcast codebook row. */
+  private[graft] def pqEncode(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).crossJoin(broadcast(pqCodebook(spark, dir)))
-      .select(col("vec_id") +: chosen: _*)
+      .withColumn("pe", call_function("graft_pq_encode", col("vd"),
+        expr("transform(codes, s -> s.vd)"),
+        expr("transform(codes, s -> s.hcs)"), lit(SubDim)))
+      .withColumn("cids", expr("transform(codes, s -> s.code)"))
       .select(col("vec_id") +:
         (0 until SubSpaces).map(s =>
-          (-col(s"pick_$s").getField("negcode")).as(s"code_$s")) :+
-        sqrt((0 until SubSpaces).map(s => lit(2.0) * col(s"pick_$s").getField("h"))
-          .reduce(_ + _)).as("vnrm_pq"): _*)
-  }
+          element_at(col("cids"),
+            (element_at(col("pe").getField("picks"), s + 1) + 1).cast("int"))
+            .as(s"code_$s")) :+
+        col("pe").getField("vnrm").as("vnrm_pq"): _*)
 
   /** Per-probe ADC (asymmetric distance computation) tables: for each
     * subspace, the 16 probe-to-code dots as one array — computed once
-    * per probe against the broadcast codebook, so scoring a corpus
-    * vector degrades to 8 array lookups + 7 adds, never a 64-dim dot.
-    * This is PQ's 100 TB bargain: the corpus side is read as 8 small
-    * codes (4 bits each at this codebook size) instead of 64 floats —
-    * 16× less scan IO than even int8 — and the per-candidate FLOP
-    * count drops ~8×. */
+    * per probe against the broadcast codebook (native graft_pq_adc
+    * kernel), so scoring a corpus vector degrades to 8 array lookups
+    * + 7 adds, never a 64-dim dot. This is PQ's 100 TB bargain: the
+    * corpus side is read as 8 small codes (4 bits each at this
+    * codebook size) instead of 64 floats — 16× less scan IO than even
+    * int8 — and the per-candidate FLOP count drops ~8×. */
   private def pqProbeTables(spark: SparkSession, dir: String): DataFrame =
     probes(spark, dir).crossJoin(broadcast(pqCodebook(spark, dir)))
+      .withColumn("adc", call_function("graft_pq_adc", col("pv"),
+        expr("transform(codes, s -> s.vd)"), lit(SubDim)))
       .select(col("probe_id") +: col("pnrm") +:
-        (0 until SubSpaces).map { s =>
-          array((1 to NumCodes).map { i =>
-            Vectors.dot(slice(col("pv"), s * SubDim + 1, SubDim),
-              slice(element_at(col("codes"), i).getField("vd"),
-                s * SubDim + 1, SubDim))
-          }: _*).as(s"adc_$s")
-        }: _*)
+        (0 until SubSpaces).map(s =>
+          element_at(col("adc"), s + 1).as(s"adc_$s")): _*)
 
   /** PQ approximate top-K: encode once, score every (probe, vector)
     * pair from the ADC tables — cos_est = Σ_s adc_s[code_s] /

@@ -39,6 +39,26 @@ object GraftFunctions {
           graft.functions.ArrayDot(exprs(0), exprs(1))
         })
     }
+    val pqe = FunctionIdentifier("graft_pq_encode")
+    if (!registry.functionExists(pqe)) {
+      registry.registerFunction(
+        pqe,
+        new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_pq_encode", exprs, 4)
+          graft.functions.PqEncode(exprs(0), exprs(1), exprs(2), exprs(3))
+        })
+    }
+    val adc = FunctionIdentifier("graft_pq_adc")
+    if (!registry.functionExists(adc)) {
+      registry.registerFunction(
+        adc,
+        new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "graft_pq_adc"),
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_pq_adc", exprs, 3)
+          graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))
+        })
+    }
     val sig = FunctionIdentifier("graft_minhash_sig")
     if (!registry.functionExists(sig)) {
       registry.registerFunction(
