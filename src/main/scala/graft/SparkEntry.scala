@@ -123,6 +123,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
     "ann_pq_topk"         -> Similarity.pqTopK _,
+    "ann_ivfpq_topk"      -> Similarity.ivfpqTopK _,
     "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
@@ -1497,6 +1498,86 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_est DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cos_est, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+    // IVF+PQ hybrid: the IVF oracle's cell assignment/probe ranking
+    // composed with the PQ oracle's encode + ADC scoring, restricted
+    // to probed cells
+    "ann_ivfpq_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b)) AS pnrm
+        |  FROM vecs WHERE vec_id < 5),
+        |dims AS (
+        |  SELECT vec_id % 16 AS cell,
+        |    unnest(generate_series(1, 64)) AS d,
+        |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+        |  FROM vecs
+        |), cdims AS (
+        |  SELECT cell, d,
+        |    CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+        |  FROM dims GROUP BY cell, d
+        |), cents AS (
+        |  SELECT cell, list(cx ORDER BY d) AS cv FROM cdims GROUP BY cell
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM vecs v CROSS JOIN cents c)
+        |  WHERE rn = 1
+        |), probe_cells AS (
+        |  SELECT probe_id, cell FROM (
+        |    SELECT p.probe_id, c.cell,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*cv[i])), (a,b) -> a+b)
+        |         / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |            * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b))) DESC,
+        |        c.cell) AS rn
+        |    FROM probes p CROSS JOIN cents c)
+        |  WHERE rn <= 4
+        |), codes AS (SELECT vec_id AS code, vd AS cv FROM vecs WHERE vec_id < 16),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |hc AS (
+        |  SELECT code, s, cv,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> cv[s*8+i]*cv[s*8+i])), (a,b) -> a+b) / 2.0 AS h
+        |  FROM codes CROSS JOIN ss),
+        |esc AS (
+        |  SELECT v.vec_id, x.s, x.code,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> v.vd[x.s*8+i]*x.cv[x.s*8+i])), (a,b) -> a+b) - x.h AS score, x.h
+        |  FROM vecs v CROSS JOIN hc x),
+        |chosen AS (
+        |  SELECT vec_id, s, code, h FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) AS rn FROM esc)
+        |  WHERE rn = 1),
+        |encv AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_prepend(0.0, list(2.0*h ORDER BY s)), (a,b) -> a+b)) AS vnrm_pq
+        |  FROM chosen GROUP BY vec_id),
+        |terms AS (
+        |  SELECT pc.probe_id, ch.vec_id, ch.s,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> p.pv[ch.s*8+i]*c.cv[ch.s*8+i])), (a,b) -> a+b) AS t
+        |  FROM probe_cells pc
+        |  JOIN assigned a ON a.cell = pc.cell
+        |  JOIN chosen ch ON ch.vec_id = a.vec_id
+        |  JOIN codes c ON ch.code = c.code
+        |  JOIN probes p ON p.probe_id = pc.probe_id
+        |  WHERE a.vec_id <> pc.probe_id),
+        |dots AS (
+        |  SELECT probe_id, vec_id,
+        |    list_reduce(list_prepend(0.0, list(t ORDER BY s)), (a,b) -> a+b) AS dot_est
+        |  FROM terms GROUP BY probe_id, vec_id),
+        |scored AS (
+        |  SELECT d.probe_id, d.vec_id, a.cell, d.dot_est / (p.pnrm * e.vnrm_pq) AS cos_est
+        |  FROM dots d JOIN probes p USING (probe_id) JOIN encv e USING (vec_id)
+        |  JOIN assigned a ON a.vec_id = d.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cell, cos_est,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_est DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, cell, cos_est, rank FROM ranked WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
     "ann_filtered_topk" ->
       """WITH vecs AS (

@@ -382,6 +382,59 @@ object Similarity {
         (0 until SubSpaces).map(s =>
           element_at(col("adc"), s + 1).as(s"adc_$s")): _*)
 
+  /** IVF+PQ hybrid — the standard deployed ANN index shape (coarse
+    * quantizer prunes the candidate set to NProbe/NumCells of the
+    * corpus, PQ codes make each surviving candidate 8 lookups + 7
+    * adds): cell assignment AND PQ encode happen in ONE pure
+    * projection over the two broadcast tables (centroid row +
+    * codebook row) — the single corpus pass a real index build pays,
+    * zero exchanges. Search composes the existing pieces: probes rank
+    * cells (bounded-heap top-NProbe), candidates come from probed
+    * cells only via a broadcast join, scores read the per-probe ADC
+    * tables, and the per-probe top-K rides TopKPerKey. At 100 TB the
+    * multiplicative effect is the whole point: ~4/16 of the corpus
+    * scanned × 16× smaller per-candidate payload × ~8× fewer FLOPs
+    * per score. */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(spark, dir)
+    val centsRow = cents
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("cnrm"))))
+        .as("cents"))
+    val cellCands = (1 to NumCells).map { i =>
+      val c = try_element_at(col("cents"), lit(i))
+      struct(
+        Vectors.cosinePre(col("vd"), c.getField("cv"), col("vnrm"),
+          c.getField("cnrm")).as("sim"),
+        (-c.getField("cell")).as("negcell"))
+    }
+    val enc = vecs(spark, dir)
+      .crossJoin(broadcast(centsRow))
+      .crossJoin(broadcast(pqCodebook(spark, dir)))
+      .withColumn("cell", -greatest(cellCands: _*).getField("negcell"))
+      .withColumn("pe", call_function("graft_pq_encode", col("vd"),
+        expr("transform(codes, s -> s.vd)"),
+        expr("transform(codes, s -> s.hcs)"), lit(SubDim)))
+      .withColumn("cids", expr("transform(codes, s -> s.code)"))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until SubSpaces).map(s =>
+          element_at(col("cids"),
+            (element_at(col("pe").getField("picks"), s + 1) + 1).cast("int"))
+            .as(s"code_$s")) :+
+        col("pe").getField("vnrm").as("vnrm_pq"): _*)
+    val pcells = probeCells(spark, dir, cents).select("probe_id", "cell")
+    val scored = enc
+      .join(broadcast(pcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(pqProbeTables(spark, dir)), Seq("probe_id"))
+      .withColumn("dot_est", (0 until SubSpaces).map(s =>
+        element_at(col(s"adc_$s"), (col(s"code_$s") + 1).cast("int"))).reduce(_ + _))
+      .withColumn("cos_est", col("dot_est") / (col("pnrm") * col("vnrm_pq")))
+      .select("probe_id", "vec_id", "cell", "cos_est")
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("cos_est" -> false, "vec_id" -> true), K)
+      .orderBy("probe_id", "rank")
+  }
+
   /** PQ approximate top-K: encode once, score every (probe, vector)
     * pair from the ADC tables — cos_est = Σ_s adc_s[code_s] /
     * (‖p‖·‖v̂‖) — and keep the per-probe top-K on the bounded-heap

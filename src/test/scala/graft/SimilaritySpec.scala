@@ -184,6 +184,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, "PQ recall collapsed to zero")
   }
 
+  test("ivfpq: candidates only from probed cells, ranks complete, recall sane") {
+    val rows = operators.Similarity.ivfpqTopK(spark, sf).collect()
+    assert(rows.length == 5 * operators.Similarity.K)
+    // the exact-scored IVF search saw the same candidate pool, so the
+    // hybrid's cells per probe must be a subset of the cells IVF could
+    // draw from: at most NProbe distinct cells, all in the cell domain
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L))
+      val cells = rs.map(_.getAs[Long]("cell")).toSet
+      assert(cells.size <= operators.Similarity.NProbe)
+      assert(cells.forall(c => c >= 0 && c < operators.Similarity.NumCells))
+    }
+    val bf = operators.Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val hy = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    info(f"ivfpq recall@10 = ${(bf intersect hy).size.toDouble / bf.size}%.2f")
+    assert((bf intersect hy).nonEmpty, "IVFPQ recall collapsed to zero")
+  }
+
   test("graft_dot matches a manual dot product") {
     import spark.implicits._
     graft.sources.Tables.events(spark, sf) // registers graft_dot
