@@ -105,6 +105,7 @@ object SparkEntry {
     "ev_markov_transitions" -> Analytic.markovTransitions _,
     "ev_cohort_ltv"       -> Analytic.cohortLtv _,
     "ev_rfm_segments"     -> Analytic.rfmSegments _,
+    "ev_scd2_intervals"   -> Analytic.scd2Intervals _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
@@ -166,6 +167,7 @@ object SparkEntry {
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
     "sql_grouping_sets"      -> SqlSurface.groupingSets _,
     "sql_limit_offset"       -> SqlSurface.limitOffset _,
+    "sql_correlated_subquery" -> SqlSurface.correlatedSubquery _,
     "sql_setops"             -> SqlSurface.setOps _,
     "sql_pivot"              -> SqlSurface.pivotRevenue _,
     "ev_json_props"          -> SqlSurface.jsonProps _,
@@ -2094,6 +2096,30 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
+    "sql_correlated_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin,
+    "ev_scd2_intervals" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_id, value,
+        |  ts_sec AS valid_from_sec,
+        |  lead(ts_sec) OVER w AS valid_to_sec,
+        |  lead(ts_sec) OVER w IS NULL AS is_current
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

@@ -515,6 +515,29 @@ object Analytic {
       .orderBy("user_id")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build — turn a
+    * user's purchase-value change events into validity intervals
+    * [valid_from, valid_to) with a version number and an is_current
+    * flag: the standard warehouse historization every dimension table
+    * ingest runs. One lead window over high-cardinality user
+    * partitions; no self-join, no corpus shuffle beyond the window's
+    * keyed exchange. The open interval of the latest version carries
+    * a NULL valid_to. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), tsSec.as("ts_sec"),
+        col("value").cast(D).cast("double").as("value"))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_from_sec", col("ts_sec"))
+      .withColumn("valid_to_sec", lead("ts_sec", 1).over(w))
+      .withColumn("is_current", col("valid_to_sec").isNull)
+      .select("user_id", "version", "event_id", "value",
+        "valid_from_sec", "valid_to_sec", "is_current")
+      .orderBy("user_id", "version")
+  }
+
   /** Time-series gap filling — the spine-join every monitoring /
     * feature-engineering pipeline needs before windowed models: a
     * complete hourly spine per event type (generated with sequence +

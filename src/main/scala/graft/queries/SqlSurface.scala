@@ -117,6 +117,31 @@ object SqlSurface {
          |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  /** Correlated-subquery surface — EXISTS and NOT IN predicates plus
+    * two correlated scalar subqueries, written as literal SQL the way
+    * an Impala-dialect user would. Catalyst decorrelates all four
+    * into joins (the scalar counts/maxes become an aggregated LEFT
+    * join, EXISTS a left-semi, NOT IN a null-aware anti) — exactly
+    * the rewrite a 100 TB engine must do, since per-row subquery
+    * execution is a driver loop in disguise. The per-customer
+    * aggregates shuffle on the high-cardinality custkey only. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = s"customer_cs_${math.abs(dir.hashCode)}"
+    val o = s"orders_cs_${math.abs(dir.hashCode)}"
+    customer(spark, dir).createOrReplaceTempView(c)
+    orders(spark, dir).createOrReplaceTempView(o)
+    spark.sql(
+      s"""SELECT c_custkey,
+         |  (SELECT count(*) FROM $o o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+         |  (SELECT max(o_totalprice) FROM $o o WHERE o.o_custkey = c.c_custkey) AS max_price
+         |FROM $c c
+         |WHERE EXISTS (SELECT 1 FROM $o o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_orderpriority = '1-URGENT')
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM $o WHERE o_totalprice < 5000)
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** LIMIT/OFFSET paging over a total order — the result-paging
     * contract every SQL frontend leans on. Only correct with a
     * UNIQUE total order (the o_orderkey tiebreaker): paging over a

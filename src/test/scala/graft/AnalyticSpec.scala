@@ -241,6 +241,24 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 intervals tile each user's purchase history exactly once") {
+    val rows = queries.Analytic.scd2Intervals(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).sameElements(1L to rs.length))
+      // contiguity: each interval closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_sec") == b.getAs[Long]("valid_from_sec"))
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ =>
+      }
+      val current = sorted.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length == 1 && current.head == sorted.last)
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_sec")))
+    }
+  }
+
   test("running count-distinct ends at the user's true distinct-type count") {
     val rows = queries.Analytic.distinctRunning(spark, sf).collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))

@@ -276,4 +276,33 @@ class SqlSurfaceSpec extends SparkSpec {
       else assert(r.isNullAt(r.fieldIndex("last_click_sec")))
     }
   }
+
+  test("correlated subqueries decorrelate into joins and agree with direct aggs") {
+    val df = queries.SqlSurface.correlatedSubquery(spark, sf)
+    // Catalyst must rewrite all four subqueries into joins — a plan
+    // that still evaluates per-row subqueries would be a driver loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val byCust = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("o_totalprice").as("mx"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("urgent"),
+        sum(when(col("o_totalprice") < 5000, 1).otherwise(0)).as("cheap"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val returned = rows.map(_.getAs[Long]("c_custkey")).toSet
+    rows.foreach { r =>
+      val (n, mx, urgent, cheap) = byCust(r.getAs[Long]("c_custkey"))
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(r.getAs[Double]("max_price") == mx)
+      assert(urgent >= 1 && cheap == 0)
+    }
+    // and no qualifying customer is missing
+    byCust.foreach { case (ck, (_, _, urgent, cheap)) =>
+      if (urgent >= 1 && cheap == 0) assert(returned(ck), s"missing custkey $ck")
+    }
+  }
 }
