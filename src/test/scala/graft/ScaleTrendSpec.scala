@@ -30,8 +30,12 @@ class ScaleTrendSpec extends SparkSpec {
   // minhash: the native-aggregate signature pipeline; token_budget:
   // the range-sharded two-level prefix sum (its partition count must
   // GROW with the data — a lang-only window would trend linear here)
+  // ann_pq_topk: the native PQ encode + ADC scoring pass (guards
+  // against a codegen-fallback regression, which measured ~2.6×);
+  // ev_scd2_intervals: the per-user lead-window shape
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
-      "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget")) {
+      "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
+      "ann_pq_topk", "ev_scd2_intervals")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
