@@ -140,6 +140,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
+    "text_oov_rate"     -> TextAnalysis.oovRate _,
     "text_contamination" -> TextAnalysis.contamination _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "text_dup_ngram"     -> TextAnalysis.dupNgram _,
@@ -155,6 +156,7 @@ object SparkEntry {
     "pipeline_leakage_split"  -> Pipeline.leakageSplit _,
     "pipeline_curriculum"     -> Pipeline.curriculum _,
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
+    "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -311,6 +313,26 @@ object SparkEntry {
         |  min(quality_score) AS min_score,
         |  max(quality_score) AS max_score
         |FROM b GROUP BY 1, 2 ORDER BY lang, phase""".stripMargin,
+    "pipeline_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0,1,2]) AS epoch),
+        |x AS (
+        |  SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |    CAST(('0x'||substring(md5('ep'||epoch||'_'||doc_id),1,15)) AS BIGINT) AS skey
+        |  FROM documents CROSS JOIN e)
+        |SELECT doc_id, epoch, skey % 8 AS shard, skey
+        |FROM x ORDER BY epoch, shard, skey, doc_id""".stripMargin,
+    "text_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w),
+        |vocab AS (SELECT w FROM df ORDER BY df DESC, w LIMIT 1000),
+        |j AS (SELECT t.doc_id, v.w IS NOT NULL AS iv FROM t LEFT JOIN vocab v ON t.w = v.w),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "pipeline_shard_manifest" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |d AS (SELECT doc_id, md5(norm) AS digest,

@@ -302,6 +302,30 @@ object Pipeline {
     * The physical partitioned write itself is covered by
     * sink_partitioned_prune; this is the pure manifest plan: one
     * projection → one n_shards-row hash agg, no window, no join. */
+  /** Per-epoch training-order shuffle — the deterministic permutation
+    * a multi-epoch trainer needs so each epoch visits the corpus in a
+    * different but REPRODUCIBLE order: every (doc, epoch) pair gets a
+    * 60-bit md5 shuffle key and a key-derived shard; the loader reads
+    * a shard's docs ordered by (skey, doc_id) and the concatenation
+    * across shards IS the epoch's permutation. Deliberately NO
+    * position column: ranking inside (epoch, shard) would be a
+    * window over corpus/n_shards-sized partitions (the exact shape
+    * the token-budget rewrite removed) — the sort key itself carries
+    * the order, so the whole operator stays a pure shuffle-free
+    * projection (epoch fan-out via explode of a 3-literal array, not
+    * a join) at any corpus size. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8L
+    documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("skey",
+        expr(Hash60.sql("concat('ep', epoch, '_', doc_id)")))
+      .withColumn("shard", col("skey") % nShards)
+      .select("doc_id", "epoch", "shard", "skey")
+      .orderBy("epoch", "shard", "skey", "doc_id")
+  }
+
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     val nShards = 16L
     documents(spark, dir)

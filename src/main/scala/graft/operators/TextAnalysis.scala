@@ -159,6 +159,32 @@ object TextAnalysis {
       .limit(40)
   }
 
+  /** Out-of-vocabulary rate against a corpus-derived top-1000 vocab —
+    * the tokenizer-coverage metric that decides whether a vocabulary
+    * (or tokenizer merge table) fits a corpus before a 100 TB
+    * tokenization run. Vocab = the 1000 highest-document-frequency
+    * words (ties broken lexically); per doc, the fraction of token
+    * OCCURRENCES outside it. Shape: one explode→hash-agg for df, a
+    * vocab-relation sort bounded by |vocabulary| (Heaps-law growth,
+    * not corpus growth), then a broadcast semi-join back onto the
+    * token stream and a per-doc hash agg — the corpus is never
+    * shuffled, only its distinct-word projection. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+    val vocab = words.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(1000)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/C4-class document filter rules — the per-document
     * pre-training gate (word-count window, mean word length window,
     * stopword presence, distinct-word fraction against boilerplate

@@ -190,4 +190,28 @@ class PipelineSpec extends SparkSpec {
         }
     }
   }
+
+  test("epoch shuffle: permutations differ across epochs but are reproducible") {
+    val rows = operators.Pipeline.epochShuffle(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length == 3 * nDocs)
+    val byEpoch = rows.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("shard") == r.getAs[Long]("skey") % 8)
+        assert(r.getAs[Long]("skey") >= 0)
+      }
+    }
+    // epoch orders genuinely differ: the shard assignment of a doc
+    // changes between at least some epochs
+    def shardMap(e: Long) = byEpoch(e)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(shardMap(0L) != shardMap(1L) && shardMap(1L) != shardMap(2L))
+    // and a re-run reproduces the identical permutation
+    val again = operators.Pipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"), r.getAs[Long]("skey"))).toSet
+    assert(again == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"), r.getAs[Long]("skey"))).toSet)
+  }
 }

@@ -44,6 +44,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("oov rate is bounded and a top-df word is never out-of-vocabulary") {
+    val rows = operators.TextAnalysis.oovRate(spark, sf).collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") == oov.toDouble / n.toDouble)
+    }
+    // the corpus-wide OOV mass must be below the in-vocab mass: the
+    // vocab holds the 1000 highest-df words of a ~small vocabulary
+    val totOov = rows.map(_.getAs[Long]("n_oov")).sum.toDouble
+    val totTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    assert(totOov / totTok < 0.5, s"OOV mass ${totOov / totTok}")
+  }
+
   test("quality ratios are in [0,1] and the score is bounded") {
     val rows = operators.TextAnalysis.quality(spark, sf).collect()
     rows.foreach { r =>
