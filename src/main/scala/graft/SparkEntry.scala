@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_components"       -> Dedup.components _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
+    "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
     "dedup_chunks"           -> Dedup.chunkDedup _,
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
@@ -1381,6 +1382,43 @@ object SparkEntry {
         |  quality_score,
         |  (row_number() OVER (PARTITION BY component_id ORDER BY quality_score DESC, doc_id) = 1) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // multi-probe variant: probe keys also include the 4 one-bit
+    // flips per band (xor 1/2/4/8), build side stays exact
+    "dedup_embedding_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0,63), d ->
+        |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |), vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+        |), sigbits AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
+        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
+        |), sigs AS (
+        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), expl AS (
+        |  SELECT vec_id, vd,
+        |    unnest(generate_series(0,3)) AS band,
+        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
+        |  FROM sigs
+        |), probe AS (
+        |  SELECT vec_id, vd, band, unnest(list_transform([0,1,2,4,8], f -> xor(key, f))) AS pkey
+        |  FROM expl
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
+        |  FROM probe a JOIN expl b ON a.band = b.band AND a.pkey = b.key AND a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b,
+        |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) AS cosine
+        |FROM cand
+        |WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->

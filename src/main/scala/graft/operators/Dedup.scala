@@ -383,6 +383,43 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Multi-probe LSH near-dup detection — the recall lever that does
+    * NOT cost more hash tables: alongside each vector's exact 4-bit
+    * band keys, the probe side also explodes the 4 keys one bit-flip
+    * away, so pairs whose signatures straddle a single band bit (the
+    * near-misses plain bucketing drops) still collide somewhere. The
+    * probe fan-out is a fixed ×5 on the tiny (vec_id, band, key)
+    * relation — at 100 TB that beats doubling the signature tables
+    * (the classic multi-probe trade from the LSH literature), and the
+    * verify join still only ever scores candidate pairs. Same 0.4
+    * cosine release threshold and output contract as
+    * [[embeddingCosine]]; DedupSpec asserts the candidate superset. */
+  def embeddingMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Vectors.signatures(embeddings(spark, dir))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
+      .select(col("vec_id"), explode(col("bands")).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val probes = exploded.select(col("vec_id"), col("band"),
+      explode(expr("transform(array(0, 1, 2, 4, 8), f -> key ^ f)")).as("key"))
+    val cand = probes.as("a").join(exploded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Chunk-granularity dedup — boilerplate detection at the
     * context-window level: document-level dedup misses the repeated
     * paragraph (headers, license blocks, templated intros) that

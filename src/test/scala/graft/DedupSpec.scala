@@ -201,4 +201,16 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(operators.Dedup.ngramJaccard(spark, sf, Some(1)))
       .subsetOf(pairSet(operators.Dedup.ngramJaccard(spark, sf))))
   }
+
+  test("multi-probe LSH finds a strict superset of the exact-bucket pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairs(operators.Dedup.embeddingCosine(spark, sf))
+    val multi = operators.Dedup.embeddingMultiprobe(spark, sf).collect()
+    val multiSet = multi.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(exact.subsetOf(multiSet),
+      s"missing exact-bucket pairs: ${(exact diff multiSet).take(3)}")
+    multi.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
+    info(s"exact-bucket pairs ${exact.size}, multi-probe pairs ${multiSet.size}")
+  }
 }
