@@ -113,6 +113,8 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
     "dedup_simhash"          -> Dedup.simhash _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
+    "dedup_containment"      -> Dedup.containment _,
+    "dedup_ngram_novelty"    -> Dedup.ngramNovelty _,
     "dedup_components"       -> Dedup.components _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
@@ -139,6 +141,7 @@ object SparkEntry {
     "text_readability" -> TextAnalysis.readability _,
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_oov_rate"     -> TextAnalysis.oovRate _,
@@ -1293,6 +1296,50 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_a, doc_b, na, nb, CAST(inter AS DOUBLE) / least(na, nb) AS containment
+        |FROM pc WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), first_seen AS (
+        |  SELECT shingle_h, min(doc_id) AS first_doc FROM post GROUP BY 1
+        |)
+        |SELECT p.doc_id, max(p.n_sh) AS n_sh,
+        |  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / max(p.n_sh) AS novelty
+        |FROM post p JOIN first_seen f ON p.shingle_h = f.shingle_h
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     // transitive closure via recursive reachability; component id =
     // min reachable doc id, identical to min-label propagation fixpoint
     "dedup_components" ->
@@ -1742,6 +1789,17 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    "vocab_pair_freq" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM words, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 40""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |c AS (

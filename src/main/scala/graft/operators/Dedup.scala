@@ -255,6 +255,46 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|, |B|).
+    *
+    * Jaccard misses the asymmetric duplicate a crawl actually
+    * produces — a short doc pasted inside a much longer one (quote
+    * inclusions, boilerplate wrappers, article + comment thread):
+    * |A∩B|/|A∪B| stays small when |B| ≫ |A| even though A is wholly
+    * contained. Containment against the SMALLER set flags exactly
+    * that pair. Same posting-join scale shape as [[ngramJaccard]]
+    * (candidates only where a shingle collides, dfCap bounds the
+    * worst posting list at 100 TB); the score is one int/int
+    * division, so oracle parity is exact. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containment(spark, dir, None)
+
+  def containment(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame =
+    pairIntersections(shinglePostings(spark, dir, dfCap))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        expr("CAST(inter AS DOUBLE) / least(na, nb)").as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-doc shingle novelty in doc_id (crawl) order: the fraction
+    * of a doc's distinct shingles whose FIRST corpus occurrence is
+    * this doc. The continuous-crawl curation signal — a recrawled or
+    * templated page scores near 0, genuinely new text near 1 — and
+    * the metric behind "% novel tokens per snapshot" dashboards.
+    * Shape: the shingle-first-seen resolution is a min() window over
+    * the high-cardinality shingle hash (the same partitioning the
+    * posting join shuffles on), then one per-doc hash agg; no pair
+    * join at all, so it runs BEFORE pairing decisions at 100 TB.
+    * Novelty is one int/int division — oracle parity exact. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    shinglePostings(spark, dir)
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(max("n_sh").as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty", expr("CAST(novel AS DOUBLE) / n_sh"))
+      .orderBy("doc_id")
+
   /** Connected components over the near-dup pair graph. Pairs are
     * only half the dedup story: a release keeps ONE document per
     * duplicate GROUP, and groups are the transitive closure of pairs

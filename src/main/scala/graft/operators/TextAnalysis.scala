@@ -494,4 +494,24 @@ object TextAnalysis {
       .withColumn("n_chars_norm", length(col("norm")).cast("bigint"))
       .select("doc_id", "fingerprint", "n_chars_norm")
       .orderBy("doc_id")
+
+  /** Corpus-wide adjacent-symbol pair frequencies — the inner
+    * counting step of one BPE merge round (tokenizer training starts
+    * at the character alphabet and repeatedly merges the most
+    * frequent adjacent pair; this IS that argmax table, top 40 with
+    * a total order). Shape at 100 TB: the per-word pair explosion is
+    * pure map-side codegen (transform over a sequence of substring
+    * starts), and the count is one map-side-combined hash agg over a
+    * small key space (≤ alphabet² pairs), so the shuffle is tiny no
+    * matter the corpus size — the same reduction every BPE trainer
+    * distributes. Counts are exact integers → oracle parity exact. */
+  def pairFreq(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(expr(normTextExpr), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(40)
 }

@@ -202,6 +202,47 @@ class DedupSpec extends SparkSpec {
       .subsetOf(pairSet(operators.Dedup.ngramJaccard(spark, sf))))
   }
 
+  test("containment flags a short doc embedded in a long one that jaccard misses") {
+    // planted corpus: doc 0 (40 unique words) pasted verbatim at the
+    // head of doc 1 (240 words) — the quote-inclusion shape. Jaccard
+    // = 38/238 ≈ 0.16 stays far under its 0.8 bar; containment = 1.0.
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toFile
+    dir.deleteOnExit()
+    val shortWords = (1 to 40).map(i => f"s$i%03d")
+    val longWords = shortWords ++ (1 to 200).map(i => f"l$i%03d")
+    val other = (1 to 50).map(i => f"o$i%03d")
+    val docs = Seq(
+      (0L, shortWords.mkString(" "), "en", "srcA", shortWords.mkString(" ").length.toLong),
+      (1L, longWords.mkString(" "), "en", "srcA", longWords.mkString(" ").length.toLong),
+      (2L, other.mkString(" "), "en", "srcB", other.mkString(" ").length.toLong))
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val cont = operators.Dedup.containment(spark, dir.getAbsolutePath).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Long]("doc_a") == 0L && cont.head.getAs[Long]("doc_b") == 1L)
+    assert(cont.head.getAs[Double]("containment") == 1.0)
+    assert(cont.head.getAs[Long]("na") == 38L && cont.head.getAs[Long]("nb") == 238L)
+    val jac = operators.Dedup.ngramJaccard(spark, dir.getAbsolutePath).collect()
+    assert(jac.isEmpty, "jaccard must miss the asymmetric containment pair")
+  }
+
+  test("novelty: first occurrence scores 1, an exact re-crawl scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toFile
+    dir.deleteOnExit()
+    val a = (1 to 30).map(i => f"a$i%03d").mkString(" ")
+    val fresh = (1 to 30).map(i => f"f$i%03d").mkString(" ")
+    import spark.implicits._
+    Seq((0L, a, "en", "srcA", a.length.toLong),
+        (1L, a, "en", "srcA", a.length.toLong), // re-crawl of doc 0
+        (2L, fresh, "en", "srcB", fresh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val nov = operators.Dedup.ngramNovelty(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(nov == Map(0L -> 1.0, 1L -> 0.0, 2L -> 1.0))
+  }
+
   test("multi-probe LSH finds a strict superset of the exact-bucket pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -261,4 +261,27 @@ class TextSpec extends SparkSpec {
     // distinct texts ⇒ (near-certainly) many distinct fingerprints
     assert(a.map(_.getLong(1)).distinct.length > a.length / 2)
   }
+
+  test("pair-freq counts adjacent char pairs exactly (one BPE merge-round table)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairfreq").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // "abab abc" → abab: ab,ba,ab ; abc: ab,bc → ab:3 ba:1 bc:1
+    // "xy" → xy:1 ; single-char word "z" contributes nothing
+    Seq((0L, "abab abc", "en", "srcA", 8L), (1L, "xy z", "en", "srcA", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = operators.TextAnalysis.pairFreq(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n"))
+    assert(got.toSeq == Seq("ab" -> 3L, "ba" -> 1L, "bc" -> 1L, "xy" -> 1L))
+    // corpus run: a total order (n desc, pair asc) with positive counts
+    val corpus = operators.TextAnalysis.pairFreq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[String]("pair")))
+    assert(corpus.length == 40)
+    assert(corpus.forall(_._1 > 0))
+    assert(corpus.sliding(2).forall {
+      case Array((n1, p1), (n2, p2)) => n1 > n2 || (n1 == n2 && p1 < p2)
+      case _ => true
+    })
+  }
 }
