@@ -103,6 +103,7 @@ object SparkEntry {
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
     "ev_markov_transitions" -> Analytic.markovTransitions _,
+    "ev_pattern_match"      -> Analytic.patternMatch _,
     "ev_cohort_ltv"       -> Analytic.cohortLtv _,
     "ev_rfm_segments"     -> Analytic.rfmSegments _,
     "ev_scd2_intervals"   -> Analytic.scd2Intervals _,
@@ -1032,6 +1033,16 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
         |FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hour_sec = h.hour_sec
         |ORDER BY s.event_type, s.hour_sec""".stripMargin,
+    "ev_pattern_match" ->
+      """WITH seq AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_strict_funnels,
+        |  CAST(CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 1 ELSE 0 END AS BIGINT) AS has_gap_funnel,
+        |  CAST(coalesce(list_max(list_transform(regexp_extract_all(s, 'e+'), x -> length(x))), 0) AS BIGINT) AS max_error_run
+        |FROM seq ORDER BY user_id""".stripMargin,
     "ev_markov_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),

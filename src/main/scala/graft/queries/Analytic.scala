@@ -596,4 +596,36 @@ object Analytic {
         nth_value(col("pval"), 2, ignoreNulls = true).over(full).as("second_purchase"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Event-sequence pattern matching — the MATCH_RECOGNIZE / CEP
+    * surface Spark SQL lacks, composed from relational primitives:
+    * each user's event history collapses to an ordered one-letter
+    * string (c/e/p/s/v), and patterns become regexes over it.
+    * Reported per user: adjacent view→click→purchase conversions
+    * (the strict funnel, count of non-overlapping 'vcp'), whether a
+    * gapped funnel v…c…p exists at all, and the longest consecutive
+    * error run (the reliability signal an alerting pipeline keys on).
+    *
+    * Determinism: collect_list order is engine-arbitrary, so the
+    * struct array is sort_array-canonicalized on the unique
+    * (ts, event_id) key before the fold — both engines then fold the
+    * IDENTICAL sequence, and all outputs are exact integers.
+    * Scale shape: one shuffle on user_id (high cardinality); the
+    * per-user sequence is bounded by per-user activity, not corpus
+    * size — the same bound every sessionizer in the repo rides. At
+    * 100 TB the regex scan is map-side work after the agg. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_join(transform(sort_array(collect_list(struct(ts, event_id, c))), x -> x.c), '')")
+          .as("seq"))
+      .select(col("user_id"), col("n_events"),
+        size(expr("regexp_extract_all(seq, 'vcp', 0)")).cast("bigint").as("n_strict_funnels"),
+        when(col("seq").rlike("v.*c.*p"), lit(1L)).otherwise(lit(0L)).as("has_gap_funnel"),
+        coalesce(expr("array_max(transform(regexp_extract_all(seq, 'e+', 0), x -> length(x)))"),
+          lit(0)).cast("bigint").as("max_error_run"))
+      .orderBy("user_id")
 }

@@ -293,4 +293,33 @@ class AnalyticSpec extends SparkSpec {
       }
     }
   }
+
+  test("pattern match: strict funnels, gapped funnels, and error runs on planted sequences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pattern").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // user 1: v c p v c p adjacent → 2 strict funnels, gapped too
+    // user 2: v e c e p → gapped funnel only, max error run 1
+    // user 3: e e e s → no funnel, error run 3
+    // user 4: p c v → reverse order, nothing matches
+    val ev = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "error"), (2L, "click"), (2L, "error"), (2L, "purchase"),
+      (3L, "error"), (3L, "error"), (3L, "error"), (3L, "signup"),
+      (4L, "purchase"), (4L, "click"), (4L, "view"))
+    ev.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, 1704067200000000000L + i * 1000000000L, u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val got = queries.Analytic.patternMatch(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_strict_funnels"), r.getAs[Long]("has_gap_funnel"),
+          r.getAs[Long]("max_error_run"))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0L)),
+      2L -> ((0L, 1L, 1L)),
+      3L -> ((0L, 0L, 3L)),
+      4L -> ((0L, 0L, 0L))))
+  }
 }
