@@ -77,6 +77,7 @@ object SparkEntry {
     "src_schema_evolution"   -> SourcesSinks.schemaEvolution _,
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
+    "sink_compaction"        -> SourcesSinks.compactionSink _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
@@ -906,6 +907,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 256 BETWEEN 64 AND 127
         |  AND l_partkey % 256 BETWEEN 64 AND 127""".stripMargin,
+    "sink_compaction" ->
+      """SELECT 'after' AS phase,
+        |  CAST(ceil(count(*) / 25000.0) AS BIGINT) AS n_files,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'before', CAST(64 AS BIGINT), count(*),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events
+        |ORDER BY phase""".stripMargin,
     "scan_metadata_cols" ->
       """SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
         |  TRUE AS has_size, TRUE AS row_index_unique,

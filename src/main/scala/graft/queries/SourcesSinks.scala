@@ -608,6 +608,40 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** Small-file compaction — the operational job every streaming
+    * ingest forces on a lakehouse: micro-batches land hundreds of
+    * KB-sized files per hour, and a 100 TB table read through
+    * 10-million-file metadata pays task-scheduling and footer-IO
+    * costs that dwarf the data scan. The compactor rewrites a
+    * fragmented landing (64 shards here — a day of micro-batches in
+    * miniature) into ceil(rows / rowsPerFile) right-sized files via
+    * a round-robin repartition (size-targeting by row count — the
+    * deterministic strategy; byte-targeting adds a stats pass).
+    * The contract row proves file counts before/after AND exact
+    * content parity (row count + cent-exact value sum survive the
+    * rewrite). `_metadata.file_name` counts the physical files the
+    * scan actually touched, so the "after" count is measured at the
+    * read path, not trusted from the writer. */
+  def compactionSink(spark: SparkSession, dir: String): DataFrame = {
+    val rowsPerFile = 25000L
+    val fragmented = tmp(spark, dir, "events_fragmented")
+    val compacted = tmp(spark, dir, "events_compacted")
+    events(spark, dir).select("event_id", "event_type", "value")
+      .repartition(64).write.mode("overwrite").parquet(fragmented)
+    val frag = spark.read.parquet(fragmented)
+    val nRows = frag.count()
+    val target = ((nRows + rowsPerFile - 1) / rowsPerFile).toInt
+    frag.repartition(target).write.mode("overwrite").parquet(compacted)
+    def stats(path: String, beforeAfter: String): DataFrame =
+      spark.read.parquet(path)
+        .agg(lit(beforeAfter).as("phase"),
+          countDistinct(col("_metadata.file_name")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast(D)).cast("double").as("sum_value"))
+    stats(fragmented, "before").unionByName(stats(compacted, "after"))
+      .orderBy("phase")
+  }
+
   /** Hidden `_metadata` file columns — the provenance surface every
     * 100 TB audit leans on ("which physical file did this bad row
     * come from, how big is it, at which row offset"): file_name /

@@ -222,6 +222,72 @@ object EventStream {
       .transformWithState(new TypeCountsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** running funnel/pattern totals for one user (streaming twin of
+    * Analytic.patternMatch; has_gap_funnel as 0/1 long for parity). */
+  case class FunnelOut(user_id: Long, n_events: Long, n_strict_funnels: Long,
+      has_gap_funnel: Long, max_error_run: Long)
+
+  /** the O(1) per-user CEP state: NO event history is retained —
+    * each regex of the batch twin collapses to a constant-size
+    * automaton (last-2 letters for the strict 'vcp' scan, a 0/1/2/3
+    * stage for the gapped v…c…p, current+max run length for 'e+'). */
+  case class FunnelState(nEvents: Long, strict: Long, last2: String,
+      gapStage: Long, errRun: Long, maxErr: Long)
+
+  /** Streaming CEP — the continuous MATCH_RECOGNIZE twin of the
+    * batch [[graft.queries.Analytic.patternMatch]]: strict
+    * view→click→purchase conversions, gapped-funnel stage, longest
+    * error run, per user over an unbounded stream. The batch op
+    * regex-scans a materialized per-user sequence; here every
+    * pattern runs as a constant-size automaton folded over events in
+    * event-time order, so state is O(active users), never O(events)
+    * — the property that lets the same analytics run on the live
+    * feed. Rows inside a batch are (ts, event_id)-sorted before the
+    * fold (pure function of event time, not arrival order);
+    * ACROSS batches the processor assumes in-order delivery per key,
+    * the contract watermark-aligned CEP (Flink's included) runs on.
+    * StreamingSpec proves the final emissions equal the batch op on
+    * the same events exactly. */
+  class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelOut] {
+    @transient private var state: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      var st = if (state.exists()) state.get()
+        else FunnelState(0L, 0L, "", 0L, 0L, 0L)
+      for (e <- rows.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+        val c = e.event_type.charAt(0)
+        // strict 'vcp': non-overlapping left-to-right scan ≡ reset
+        // the 2-letter window after a match (regexp_extract_all
+        // resumes AFTER the matched span)
+        val (strict, last2) =
+          if (c == 'p' && st.last2 == "vc") (st.strict + 1, "")
+          else (st.strict, (st.last2 + c).takeRight(2))
+        val gapStage = st.gapStage match {
+          case 0L => if (c == 'v') 1L else 0L
+          case 1L => if (c == 'c') 2L else 1L
+          case 2L => if (c == 'p') 3L else 2L
+          case s => s
+        }
+        val errRun = if (c == 'e') st.errRun + 1 else 0L
+        st = FunnelState(st.nEvents + 1, strict, last2, gapStage,
+          errRun, math.max(st.maxErr, errRun))
+      }
+      state.update(st)
+      Iterator.single(FunnelOut(key, st.nEvents, st.strict,
+        if (st.gapStage == 3L) 1L else 0L, st.maxErr))
+    }
+  }
+
+  /** per-user running CEP pattern stream (see [[FunnelProcessor]]). */
+  def funnels(events: Dataset[Ev]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** one retained purchase in the ListState ring buffer. */
   case class PurchaseEntry(sec: Long, event_id: Long, value: Double)
   /** a user's most recent purchases, event-time ascending; n_seen is

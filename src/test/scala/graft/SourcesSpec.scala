@@ -414,4 +414,18 @@ class SourcesSpec extends SparkSpec {
     // each branch must be a pruned single-column scan
     assert("ReadSchema: struct<l_partkey".r.findFirstIn(plan).isDefined, plan.take(3000))
   }
+
+  test("compaction rewrites the fragmented landing into the row-targeted file count") {
+    val rows = queries.SourcesSinks.compactionSink(spark, sf).collect()
+      .map(r => r.getAs[String]("phase") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))).toMap
+    val (beforeFiles, beforeRows, beforeSum) = rows("before")
+    val (afterFiles, afterRows, afterSum) = rows("after")
+    assert(beforeFiles == 64L)
+    assert(afterFiles == (beforeRows + 24999) / 25000)
+    assert(afterFiles < beforeFiles)
+    // content parity: the rewrite loses and invents nothing
+    assert(afterRows == beforeRows)
+    assert(afterSum == beforeSum)
+  }
 }

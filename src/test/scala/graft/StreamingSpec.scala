@@ -295,6 +295,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP funnels match the batch pattern-match op") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    // in-order per-key delivery is the processor's documented
+    // contract: feed time-sorted halves (batch-internal order is
+    // free — the processor re-sorts each batch)
+    val events = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[EventStream.Ev](s)
+    val q = EventStream.funnels(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("update").start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // latest emission per user = the one with max n_events
+      val got = s.table("funnel_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_strict_funnels"),
+          col("has_gap_funnel"), col("max_error_run"))).as("s"))
+        .select(col("user_id"), col("s.*")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = queries.Analytic.patternMatch(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_strict_funnels"), r.getAs[Long]("has_gap_funnel"),
+          r.getAs[Long]("max_error_run")))).toMap
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"missing=${(want.toSet -- got.toSet).take(3)} extra=${(got.toSet -- want.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("transformWithState event-time timers close sessions like the batch analog") {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
