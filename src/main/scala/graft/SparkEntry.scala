@@ -78,6 +78,7 @@ object SparkEntry {
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
     "sink_compaction"        -> SourcesSinks.compactionSink _,
+    "sink_dynamic_overwrite" -> SourcesSinks.dynamicOverwrite _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
@@ -105,6 +106,7 @@ object SparkEntry {
     "ev_gap_fill"         -> Analytic.gapFill _,
     "ev_markov_transitions" -> Analytic.markovTransitions _,
     "ev_pattern_match"      -> Analytic.patternMatch _,
+    "ev_incremental_agg"    -> Analytic.incrementalAgg _,
     "ev_cohort_ltv"       -> Analytic.cohortLtv _,
     "ev_rfm_segments"     -> Analytic.rfmSegments _,
     "ev_scd2_intervals"   -> Analytic.scd2Intervals _,
@@ -907,6 +909,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 256 BETWEEN 64 AND 127
         |  AND l_partkey % 256 BETWEEN 64 AND 127""".stripMargin,
+    // the repair must erase the planted corruption, so the oracle is
+    // simply the clean per-type aggregate over the source table
+    "sink_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // merge-of-partials must equal the full recompute
+    "ev_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sink_compaction" ->
       """SELECT 'after' AS phase,
         |  CAST(ceil(count(*) / 25000.0) AS BIGINT) AS n_files,

@@ -597,6 +597,31 @@ object Analytic {
       .orderBy("user_id", "event_id")
   }
 
+  /** Incremental aggregate maintenance — the nightly-job shape that
+    * makes 100 TB analytics affordable: yesterday's per-type totals
+    * are a materialized PARTIAL aggregate (count + exact DECIMAL
+    * sum, both algebraic), today's delta batch aggregates alone, and
+    * the published table is the MERGE of the two — the full history
+    * is never rescanned. The demo splits events into a snapshot
+    * (event_id%10<8) and a delta, merges their partials, and the
+    * oracle is the full-recompute aggregate: merge ≡ recompute is
+    * exactly the algebraic-aggregate property the pattern rides
+    * (same contract Spark's own partial/final agg phases rely on —
+    * this op lifts it across JOB runs instead of stages). */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select("event_id", "event_type", "value")
+    def partial(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+    val snapshot = partial(ev.filter(col("event_id") % 10 < 7))
+    val delta = partial(ev.filter(col("event_id") % 10 >= 7))
+    snapshot.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Event-sequence pattern matching — the MATCH_RECOGNIZE / CEP
     * surface Spark SQL lacks, composed from relational primitives:
     * each user's event history collapses to an ordered one-letter

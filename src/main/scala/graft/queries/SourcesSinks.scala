@@ -642,6 +642,51 @@ object SourcesSinks {
       .orderBy("phase")
   }
 
+  /** Dynamic partition overwrite — the partition-level incremental
+    * recompute every warehouse runs nightly: INSERT OVERWRITE that
+    * replaces ONLY the partitions the new data touches, leaving the
+    * rest of a 100 TB table physically untouched (static mode would
+    * truncate the whole table; rewriting everything to fix one day
+    * is the anti-pattern). The demo plants a corrupted 'purchase'
+    * partition (a bogus high-value row), then repairs it by
+    * dynamically overwriting JUST that partition with the recomputed
+    * rows; the contract row proves the repair landed AND the other
+    * partitions still carry their exact original content — so the
+    * oracle is simply the clean per-type aggregate. SourcesSpec
+    * additionally pins the physical claim: the untouched partitions'
+    * files are byte-identical (same names, same sizes) across the
+    * overwrite. */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = dynPartSetupAndCorrupt(spark, dir)
+    dynPartRepair(spark, dir, path)
+    spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** setup half: partitioned landing + one corrupted partition
+    * (a bogus high-value row the repair must erase). */
+  private[graft] def dynPartSetupAndCorrupt(spark: SparkSession, dir: String): String = {
+    val path = tmp(spark, dir, "events_dynpart")
+    events(spark, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.range(1).select(lit(-1L).as("event_id"), lit(9999999.0).as("value"),
+        lit("purchase").as("event_type"))
+      .write.mode("append").partitionBy("event_type").parquet(path)
+    path
+  }
+
+  /** repair half: dynamic mode replaces exactly the partitions
+    * present in the written data — here only 'purchase'. */
+  private[graft] def dynPartRepair(spark: SparkSession, dir: String, path: String): Unit =
+    events(spark, dir).select("event_id", "event_type", "value")
+      .filter(col("event_type") === "purchase")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+
   /** Hidden `_metadata` file columns — the provenance surface every
     * 100 TB audit leans on ("which physical file did this bad row
     * come from, how big is it, at which row offset"): file_name /

@@ -415,6 +415,24 @@ class SourcesSpec extends SparkSpec {
     assert("ReadSchema: struct<l_partkey".r.findFirstIn(plan).isDefined, plan.take(3000))
   }
 
+  test("dynamic partition overwrite touches only the repaired partition's files") {
+    val path = queries.SourcesSinks.dynPartSetupAndCorrupt(spark, sf)
+    def files(t: String): Set[(String, Long)] =
+      new java.io.File(s"$path/event_type=$t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    val static = Seq("click", "error", "signup", "view")
+    val beforeStatic = static.map(t => t -> files(t)).toMap
+    val beforePurchase = files("purchase")
+    assert(spark.read.parquet(path).filter("event_id = -1").count() == 1,
+      "setup must plant the corrupted row")
+    queries.SourcesSinks.dynPartRepair(spark, sf, path)
+    // untouched partitions: byte-identical physical files
+    static.foreach(t => assert(files(t) == beforeStatic(t), s"partition $t was rewritten"))
+    // the repaired partition WAS rewritten and the corruption is gone
+    assert(files("purchase") != beforePurchase)
+    assert(spark.read.parquet(path).filter("event_id = -1").count() == 0)
+  }
+
   test("compaction rewrites the fragmented landing into the row-targeted file count") {
     val rows = queries.SourcesSinks.compactionSink(spark, sf).collect()
       .map(r => r.getAs[String]("phase") ->
