@@ -79,6 +79,8 @@ object SparkEntry {
     "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
     "sink_compaction"        -> SourcesSinks.compactionSink _,
     "sink_dynamic_overwrite" -> SourcesSinks.dynamicOverwrite _,
+    "src_xml_roundtrip"      -> SourcesSinks.xmlRoundtrip _,
+    "src_binary_files"       -> SourcesSinks.binaryFiles _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
@@ -909,6 +911,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 256 BETWEEN 64 AND 127
         |  AND l_partkey % 256 BETWEEN 64 AND 127""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // blob identity contract: length + md5 of the raw bytes computed
+    // relationally — the oracle never touches the landed files
+    "src_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
     // the repair must erase the planted corruption, so the oracle is
     // simply the clean per-type aggregate over the source table
     "sink_dynamic_overwrite" ->

@@ -642,6 +642,60 @@ object SourcesSinks {
       .orderBy("phase")
   }
 
+  /** XML roundtrip — Spark 4 folded the spark-xml source into core,
+    * making XML the third self-describing text interchange the engine
+    * reads natively (CSV, JSON, XML — the reference's text-parser
+    * family, delimited-text-parser.cc:1, generalized to markup). The
+    * write emits one <row> element per record; the read pins an
+    * EXPLICIT schema (schema inference over 100 TB of XML is a full
+    * extra parse — same production rule as the JSON-lines reader) and
+    * the aggregate proves numeric/string fidelity through the text
+    * boundary. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "events_xml")
+    events(spark, dir).select("event_id", "event_type", "value")
+      .write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "row").format("xml").load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_id"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Opaque-blob ingest via the binaryFile source — the multimodal
+    * landing path (§2.10): corpus blobs live as individual objects
+    * (images, audio, here doc text as .txt), land via executor-side
+    * IO (foreachPartition — each task writes its own partition's
+    * blobs; no driver loop), and are re-ingested as (path, length,
+    * content) rows by `binaryFile`. The query proves the identity
+    * contract a decode pipeline stands on: per-blob byte length and
+    * md5 of the raw bytes equal the source-of-truth values computed
+    * relationally — so the oracle never touches the filesystem. */
+  def binaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "doc_blobs")
+    new java.io.File(path).mkdirs()
+    documents(spark, dir).filter(col("doc_id") < 64)
+      .select("doc_id", "text")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+    spark.read.format("binaryFile").load(s"$path/*.txt")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("bigint").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Dynamic partition overwrite — the partition-level incremental
     * recompute every warehouse runs nightly: INSERT OVERWRITE that
     * replaces ONLY the partitions the new data touches, leaving the

@@ -415,6 +415,26 @@ class SourcesSpec extends SparkSpec {
     assert("ReadSchema: struct<l_partkey".r.findFirstIn(plan).isDefined, plan.take(3000))
   }
 
+  test("xml roundtrip writes real per-record markup, not renamed CSV") {
+    val got = queries.SourcesSinks.xmlRoundtrip(spark, sf).collect()
+    assert(got.length == 5)
+    val dir = new java.io.File(queries.SourcesSinks.tmp(spark, sf, "events_xml"))
+    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val text = new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+    assert(text.contains("<row>") && text.contains("</row>"), text.take(200))
+    assert(text.contains("<event_type>"), text.take(200))
+  }
+
+  test("binaryFile ingest: 64 executor-landed blobs, every byte accounted for") {
+    val rows = queries.SourcesSinks.binaryFiles(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == (0L until 64L))
+    rows.foreach(r => assert(r.getAs[Long]("n_bytes") > 0))
+    val blobs = new java.io.File(queries.SourcesSinks.tmp(spark, sf, "doc_blobs"))
+      .listFiles().count(_.getName.endsWith(".txt"))
+    assert(blobs == 64)
+  }
+
   test("dynamic partition overwrite touches only the repaired partition's files") {
     val path = queries.SourcesSinks.dynPartSetupAndCorrupt(spark, sf)
     def files(t: String): Set[(String, Long)] =
