@@ -33,9 +33,14 @@ class ScaleTrendSpec extends SparkSpec {
   // ann_pq_topk: the native PQ encode + ADC scoring pass (guards
   // against a codegen-fallback regression, which measured ~2.6×);
   // ev_scd2_intervals: the per-user lead-window shape
+  // dedup_containment: the posting-join pair generator under the
+  // containment score (quadratic only if boilerplate shingles were
+  // unbounded — the df-cap story); ev_pattern_match: the per-user
+  // sequence fold (linear in events, bounded per-user state)
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
-      "ann_pq_topk", "ev_scd2_intervals")) {
+      "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
+      "ev_pattern_match")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
