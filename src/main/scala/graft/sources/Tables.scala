@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet test data.
   *
@@ -56,6 +57,25 @@ object Tables {
         throw new IllegalStateException(s"unexpected type for $c: $other")
     }
 
+  /** Cast any column whose physical type drifted from the canonical
+    * contract back to it; a generation that already matches loads
+    * with ZERO added plan nodes (the common path keeps full filter
+    * pushdown). The ts flip proved physical types are a per-round
+    * variable, not a constant — every code-coupled column (pinned
+    * JSON/XML read schemas, case-class Encoders, native-kernel input
+    * types like graft_dot's array<float>) gets the same boundary
+    * treatment so the next flip is absorbed here, not in 30
+    * operators. Int-width drifts are oracle-safe (the driver compare
+    * matches dtype KINDS, and DuckDB reads the same files); this
+    * normalization is about the Spark-side contracts. */
+  private def canonical(df: DataFrame, want: Map[String, DataType]): DataFrame = {
+    val drifted = want.filter { case (c, t) =>
+      df.schema.fieldNames.contains(c) && df.schema(c).dataType != t }
+    if (drifted.isEmpty) df
+    else df.select(df.schema.fieldNames.map { c =>
+      drifted.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c)) }: _*)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -65,8 +85,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    df.withColumn("ts", epochNs(df, "ts"))
+    canonical(df.withColumn("ts", epochNs(df, "ts")), Map(
+      "event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "documents"), Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    canonical(table(s, d, "embeddings"), Map(
+      "vec_id" -> LongType,
+      // graft_dot / MinHash-free ANN kernels consume array<float>
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType))
 }

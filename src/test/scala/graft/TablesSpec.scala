@@ -50,6 +50,44 @@ class TablesSpec extends SparkSpec {
     assert(got.select("ts").collect().head.getLong(0) === 1704067207179000123L)
   }
 
+  test("documents normalizes drifted integer widths to the canonical longs") {
+    val dir = freshDir()
+    spark.sql(
+      """SELECT CAST(7 AS INT) AS doc_id, 'hello world' AS text,
+        | 'en' AS lang, 'srcA' AS source, CAST(11 AS INT) AS n_chars""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Tables.documents(spark, dir)
+    assert(got.schema("doc_id").dataType === LongType)
+    assert(got.schema("n_chars").dataType === LongType)
+    val r = got.collect().head
+    assert(r.getAs[Long]("doc_id") == 7L && r.getAs[Long]("n_chars") == 11L)
+  }
+
+  test("embeddings normalizes a double vector to the canonical array<float>") {
+    val dir = freshDir()
+    spark.sql(
+      """SELECT CAST(3 AS INT) AS vec_id,
+        | array(CAST(0.5 AS DOUBLE), CAST(-1.25 AS DOUBLE)) AS embedding,
+        | CAST(2 AS BIGINT) AS label""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Tables.embeddings(spark, dir)
+    assert(got.schema("vec_id").dataType === LongType)
+    assert(got.schema("embedding").dataType.asInstanceOf[ArrayType].elementType === FloatType)
+    assert(got.schema("label").dataType === IntegerType)
+    val r = got.collect().head
+    assert(r.getAs[scala.collection.Seq[Float]]("embedding").toSeq == Seq(0.5f, -1.25f))
+  }
+
+  test("a generation matching the canonical schema loads with no extra plan nodes") {
+    val dir = freshDir()
+    spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS doc_id, 'x' AS text, 'en' AS lang,
+        | 'srcA' AS source, CAST(1 AS BIGINT) AS n_chars""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = Tables.documents(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Project"), plan)
+  }
+
   test("events converts tz-adjusted micros timestamps identically") {
     val dir = freshDir()
     spark.sql(
