@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
+    "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
@@ -157,6 +158,7 @@ object SparkEntry {
     "text_tfidf_topterms" -> TextAnalysis.tfidfTopTerms _,
     "text_pii_redact"    -> TextAnalysis.piiRedact _,
     "doc_chunk_overlap"  -> TextAnalysis.chunkOverlap _,
+    "text_model_filter"  -> TextAnalysis.modelFilter _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
@@ -167,6 +169,7 @@ object SparkEntry {
     "pipeline_curriculum"     -> Pipeline.curriculum _,
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
+    "pipeline_dataset_card"   -> Pipeline.datasetCard _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -353,6 +356,23 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(sum(h60 % 1000000007) AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+    "pipeline_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, source, md5(norm) AS digest,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |  FROM t
+        |), dd AS (
+        |  SELECT d.*, CASE WHEN count(*) OVER (PARTITION BY digest) > 1 THEN 1 ELSE 0 END AS dup FROM d
+        |)
+        |SELECT COALESCE(lang, 'TOTAL') AS lang, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(dup) AS BIGINT) AS dup_docs,
+        |  CAST(sum(n_chars_norm) AS DOUBLE) / count(*) AS avg_chars
+        |FROM dd GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
     "dedup_minhash_accuracy" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
@@ -1389,6 +1409,44 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / max(p.n_sh) AS novelty
         |FROM post p JOIN first_seen f ON p.shingle_h = f.shingle_h
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // positional (non-distinct) trigrams; 1-based pos — span lengths
+    // and coverage counts are shift-invariant vs Spark's 0-based
+    "dedup_repeated_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), wl AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words FROM docs WHERE len(words) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(words) - 2)) AS pos, words FROM wl
+        |), shh AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x'||substring(md5(words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2]),1,15)) AS BIGINT) AS h
+        |  FROM sh
+        |), occ AS (
+        |  SELECT h FROM shh GROUP BY h HAVING count(*) > 1
+        |), flagged AS (
+        |  SELECT s.doc_id, s.pos FROM shh s JOIN occ o ON s.h = o.h
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM flagged
+        |), spans AS (
+        |  SELECT doc_id, g, min(pos) AS fst, max(pos) AS lst FROM isl GROUP BY 1, 2
+        |), span_stats AS (
+        |  SELECT doc_id, count(*) AS n_spans, CAST(max(lst - fst + 3) AS BIGINT) AS max_span_words
+        |  FROM spans GROUP BY 1
+        |), cov AS (
+        |  SELECT doc_id, count(DISTINCT pos + d) AS covered_words
+        |  FROM flagged, unnest([0, 1, 2]) AS t(d) GROUP BY 1
+        |)
+        |SELECT w.doc_id, w.n_words,
+        |  COALESCE(s.n_spans, 0) AS n_spans,
+        |  COALESCE(s.max_span_words, 0) AS max_span_words,
+        |  COALESCE(c.covered_words, 0) AS covered_words,
+        |  CAST(COALESCE(c.covered_words, 0) AS DOUBLE) / w.n_words AS covered_frac
+        |FROM wl w
+        |LEFT JOIN span_stats s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // transitive closure via recursive reachability; component id =
     // min reachable doc id, identical to min-label propagation fixpoint
     "dedup_components" ->
@@ -1838,6 +1896,20 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_model_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), wt AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substring(md5(w),1,15)) AS BIGINT) % 2001 - 1000 AS wgt
+        |  FROM tok
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(wgt) AS BIGINT) AS score_sum,
+        |  CAST(sum(wgt) AS DOUBLE) / count(*) AS mean_score,
+        |  CAST(sum(wgt) AS BIGINT) > 0 AS keep
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "vocab_pair_freq" ->
       """WITH words AS (
         |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w

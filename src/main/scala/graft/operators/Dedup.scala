@@ -545,4 +545,67 @@ object Dedup {
         col("n_dup_chunks").cast("double") / col("n_chunks"))
       .orderBy("doc_id")
   }
+
+  /** Repeated-SUBSTRING spans — the distributed approximation of
+    * suffix-array exact-substring dedup ("Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022): instead
+    * of a corpus-global suffix array (inherently sequential), every
+    * word-trigram occurrence (positional, NOT distinct — a phrase
+    * repeated inside one doc counts) is checked for recurrence
+    * anywhere in the corpus, and runs of ADJACENT recurring trigram
+    * positions merge into maximal repeated spans — a shared k-word
+    * passage appears as one span of k-2 consecutive flagged
+    * positions, so span_words recovers the passage length exactly.
+    * Per doc: span count, longest span, distinct word positions
+    * covered, and the covered fraction — the per-doc "memorized
+    * text" mass that drives span-level (not doc-level) removal.
+    *
+    * Scale: positional postings explode to corpus token mass
+    * (linear); recurrence is one count-window over the shingle hash
+    * (high-cardinality key — the digest-window shape); span merging
+    * windows per doc_id (partitions bounded by doc length); coverage
+    * is a distinct-count over flagged positions only. No pair join
+    * anywhere — cost is O(tokens), never O(dups²), which is what
+    * makes span accounting feasible where pairwise diffing is not. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val words = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+    // shuffle-free: the word count is a projection over the doc row,
+    // never an aggregate over the exploded token relation
+    val nWords = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(expr(normTextExpr), " ")).cast("bigint").as("n_words"))
+    val sh = words
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
+    val flagged = sh
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") > 1)
+      .select("doc_id", "pos")
+      .localCheckpoint() // staged once: feeds both span merge and coverage
+    val spanStats = flagged
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("first_pos"), max("pos").as("last_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("last_pos") - col("first_pos") + lit(3)).cast("bigint").as("max_span_words"))
+    val coverage = flagged
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("wp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_words"))
+    nWords.filter(col("n_words") >= 3)
+      .join(spanStats, Seq("doc_id"), "left")
+      .join(coverage, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "max_span_words", "covered_words"))
+      .withColumn("covered_frac",
+        col("covered_words").cast("double") / col("n_words").cast("double"))
+      .select("doc_id", "n_words", "n_spans", "max_span_words",
+        "covered_words", "covered_frac")
+      .orderBy("doc_id")
+  }
 }

@@ -341,4 +341,35 @@ object Pipeline {
         sum("chk").as("checksum"))
       .orderBy("shard")
   }
+
+  /** Dataset card — the per-release summary table a corpus ships
+    * with (per-language rows + the grand total via ROLLUP): doc and
+    * distinct-source counts, token mass, exact-duplicate pressure,
+    * and mean normalized length. One pass: a digest count-window
+    * marks dup membership (high-cardinality key — scales like every
+    * digest window here), then a single ROLLUP agg; the Expand the
+    * rollup plans doubles rows BEFORE the map-side partial combine,
+    * so the shuffle stays ≤ 2·|langs| rows no matter the corpus
+    * size. All stats are exact integer sums (the mean is one final
+    * double division), so the card replays exactly in the oracle. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("digest")
+    documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("norm")).as("digest"),
+        size(split(col("norm"), " ")).cast("bigint").as("n_tokens"),
+        length(col("norm")).cast("bigint").as("n_chars_norm"))
+      .withColumn("dup",
+        when(count(lit(1)).over(w) > 1, 1L).otherwise(0L))
+      .rollup("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_tokens").as("total_tokens"),
+        sum("dup").as("dup_docs"),
+        (sum("n_chars_norm").cast("double") / count(lit(1))).as("avg_chars"))
+      .withColumn("lang", coalesce(col("lang"), lit("TOTAL")))
+      .select("lang", "n_docs", "n_sources", "total_tokens", "dup_docs", "avg_chars")
+      .orderBy("lang")
+  }
 }

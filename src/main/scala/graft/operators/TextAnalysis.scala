@@ -514,4 +514,32 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("pair"))
       .limit(40)
+
+  /** Model-based quality filter — the fastText/DCLM-style learned
+    * classifier step of a modern curation pipeline, run as pure
+    * relational algebra: a linear model over HASHED bag-of-words
+    * features (score = Σ w[bucket(token)] / n_tokens). A deployed
+    * model broadcasts its bucket→weight table and this plan is
+    * unchanged; here the stand-in weight for bucket b is
+    * (b mod 2001) − 1000 ∈ [−1000, 1000] per-mille units, derived
+    * from the md5-based bucket id itself so the classifier is
+    * deterministic and the oracle replays it exactly (the fixture
+    * for the PLUMBING — feature hashing, per-doc fold, threshold
+    * gate — which is what the engine owns; the weights are the
+    * model's business). Shape at 100 TB: explode → map-side-combined
+    * hash agg per doc, no join, no window — the cheapest possible
+    * per-doc scan, which is why classifier filtering is the first
+    * gate after langid in real pipelines. Integer score sums are
+    * engine-exact; the mean is one double division at the end. */
+  def modelFilter(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+      .withColumn("wgt", expr(s"${Hash60.sql("w")} % 2001L - 1000L"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wgt").as("score_sum"))
+      .withColumn("mean_score",
+        col("score_sum").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("score_sum") > 0)
+      .select("doc_id", "n_tokens", "score_sum", "mean_score", "keep")
+      .orderBy("doc_id")
 }

@@ -243,6 +243,60 @@ class DedupSpec extends SparkSpec {
     assert(nov == Map(0L -> 1.0, 1L -> 0.0, 2L -> 1.0))
   }
 
+  test("repeated spans recover a planted shared passage exactly, incl. in-doc repeats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toFile
+    dir.deleteOnExit()
+    val passage = (1 to 10).map(i => f"p$i%03d")
+    val u = (1 to 30).map(i => f"u$i%03d")
+    val v = (1 to 30).map(i => f"v$i%03d")
+    // doc 3: a 4-word phrase repeated TWICE WITHIN the doc — no other
+    // doc shares it; positional (non-distinct) shingles must flag both
+    val rep = Seq("r1", "r2", "r3", "r4")
+    val d3 = rep ++ Seq("q1", "q2", "q3") ++ rep
+    val mk = (id: Long, ws: Seq[String]) =>
+      (id, ws.mkString(" "), "en", "srcA", ws.mkString(" ").length.toLong)
+    import spark.implicits._
+    Seq(mk(0L, u ++ passage), mk(1L, v.take(15) ++ passage ++ v.drop(15)), mk(2L, (1 to 20).map(i => f"w$i%03d")), mk(3L, d3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val rows = operators.Dedup.repeatedSpans(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 0/1: exactly the 8 fully-inside-passage trigram positions
+    // merge into ONE 10-word span covering exactly the passage
+    for (id <- Seq(0L, 1L)) {
+      assert(rows(id).getAs[Long]("n_spans") == 1L, s"doc $id")
+      assert(rows(id).getAs[Long]("max_span_words") == 10L, s"doc $id")
+      assert(rows(id).getAs[Long]("covered_words") == 10L, s"doc $id")
+    }
+    assert(rows(2L).getAs[Long]("n_spans") == 0L)
+    assert(rows(2L).getAs[Long]("covered_words") == 0L)
+    assert(rows(2L).getAs[Double]("covered_frac") == 0.0)
+    // doc 3: both occurrences of the phrase flagged -> 2 spans of 4
+    // words, 8 covered positions out of 11
+    assert(rows(3L).getAs[Long]("n_spans") == 2L)
+    assert(rows(3L).getAs[Long]("max_span_words") == 4L)
+    assert(rows(3L).getAs[Long]("covered_words") == 8L)
+    assert(rows(3L).getAs[Long]("n_words") == 11L)
+  }
+
+  test("repeated spans on the test corpus: coverage bounded and consistent") {
+    val rows = operators.Dedup.repeatedSpans(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("covered_words")
+      val n = r.getAs[Long]("n_words")
+      assert(covered <= n)
+      assert(r.getAs[Long]("max_span_words") <= covered)
+      if (r.getAs[Long]("n_spans") == 0L) assert(covered == 0L)
+      else assert(covered >= r.getAs[Long]("max_span_words"))
+    }
+    // the corpus plants near-dups (the LSH specs depend on them), and
+    // a >=0.8-jaccard pair means most of each doc's trigrams recur —
+    // span coverage on those docs must be substantial
+    assert(rows.exists(r => r.getAs[Double]("covered_frac") >= 0.8),
+      "near-dup docs must be substantially covered by repeated spans")
+  }
+
   test("multi-probe LSH finds a strict superset of the exact-bucket pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -214,4 +214,47 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"), r.getAs[Long]("skey"))).toSet
     assert(again == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"), r.getAs[Long]("skey"))).toSet)
   }
+
+  test("dataset card: per-lang rows reconcile exactly with the TOTAL row") {
+    val rows = operators.Pipeline.datasetCard(spark, sf).collect()
+    val (total, langs) = rows.partition(_.getAs[String]("lang") == "TOTAL")
+    assert(total.length == 1 && langs.nonEmpty)
+    val t = total.head
+    assert(langs.map(_.getAs[Long]("n_docs")).sum == t.getAs[Long]("n_docs"))
+    assert(langs.map(_.getAs[Long]("total_tokens")).sum == t.getAs[Long]("total_tokens"))
+    assert(langs.map(_.getAs[Long]("dup_docs")).sum == t.getAs[Long]("dup_docs"))
+    assert(t.getAs[Long]("n_docs") ==
+      graft.sources.Tables.documents(spark, sf).count())
+    // distinct sources: total is a distinct-union, NOT a sum
+    assert(t.getAs[Long]("n_sources") <= langs.map(_.getAs[Long]("n_sources")).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("avg_chars") > 0.0)
+    }
+  }
+
+  test("dataset card: dup accounting and source distinctness on a planted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_card").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    // en: 3 docs, one exact-dup pair (2 dup members), 2 sources;
+    // de: 1 doc sharing srcA — total distinct sources = 2, not 3
+    Seq((0L, "alpha beta gamma", "en", "srcA", 16L),
+        (1L, "alpha  beta gamma ", "en", "srcB", 18L), // normalizes equal to doc 0
+        (2L, "delta epsilon zeta", "en", "srcA", 18L),
+        (3L, "eins zwei drei", "de", "srcA", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val card = operators.Pipeline.datasetCard(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(card.keySet == Set("de", "en", "TOTAL"))
+    assert(card("en").getAs[Long]("n_docs") == 3L)
+    assert(card("en").getAs[Long]("dup_docs") == 2L) // both members counted
+    assert(card("en").getAs[Long]("n_sources") == 2L)
+    assert(card("de").getAs[Long]("dup_docs") == 0L)
+    assert(card("TOTAL").getAs[Long]("n_docs") == 4L)
+    assert(card("TOTAL").getAs[Long]("dup_docs") == 2L)
+    assert(card("TOTAL").getAs[Long]("n_sources") == 2L)
+    assert(card("TOTAL").getAs[Long]("total_tokens") == 3L + 3L + 3L + 3L)
+  }
 }

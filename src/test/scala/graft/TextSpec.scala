@@ -284,4 +284,29 @@ class TextSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("model filter: score matches an independent per-doc fold, keep gate consistent") {
+    val rows = operators.TextAnalysis.modelFilter(spark, sf).collect()
+    assert(rows.length == sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("score_sum") > 0L))
+      assert(math.abs(r.getAs[Double]("mean_score") -
+        r.getAs[Long]("score_sum").toDouble / r.getAs[Long]("n_tokens")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("mean_score")) <= 1000.0)
+    }
+    // independent formulation: per-doc HOF fold over the token array
+    // (never the hot path — interpreted; fine as a test oracle)
+    val indep = sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        """aggregate(
+          |  transform(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '),
+          |    w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % 2001L - 1000L),
+          |  0L, (a, x) -> a + x) AS s""".stripMargin)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("score_sum") == indep(r.getAs[Long]("doc_id"))))
+    // the hash weights are symmetric around 0 => the gate actually
+    // separates the corpus rather than passing/failing everything
+    assert(rows.exists(_.getAs[Boolean]("keep")) && rows.exists(!_.getAs[Boolean]("keep")))
+  }
 }
