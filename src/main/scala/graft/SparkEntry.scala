@@ -112,6 +112,7 @@ object SparkEntry {
     "ev_cohort_ltv"       -> Analytic.cohortLtv _,
     "ev_rfm_segments"     -> Analytic.rfmSegments _,
     "ev_scd2_intervals"   -> Analytic.scd2Intervals _,
+    "ev_pit_lookup"       -> Analytic.pitLookup _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
@@ -2359,6 +2360,23 @@ object SparkEntry {
         |FROM p
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "ev_pit_lookup" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ns(ts)//1000000000 AS ts_sec, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS chg_value,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |), wnd AS (
+        |  SELECT event_id, user_id, ts_sec, kind,
+        |    CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS version,
+        |    last_value(chg_value IGNORE NULLS) OVER w AS pit_value
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, kind, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_sec, version, pit_value
+        |FROM wnd WHERE kind = 1 ORDER BY event_id""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

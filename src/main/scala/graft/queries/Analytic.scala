@@ -653,4 +653,39 @@ object Analytic {
         coalesce(expr("array_max(transform(regexp_extract_all(seq, 'e+', 0), x -> length(x)))"),
           lit(0)).cast("bigint").as("max_error_run"))
       .orderBy("user_id")
+
+  /** Point-in-time SCD2 lookup — the leakage-safe feature join ML
+    * training pipelines require: every `view` event reads the
+    * purchase-value version that was valid AT ITS OWN timestamp
+    * (version 0 / null value before the user's first purchase), so a
+    * feature computed from the result can never see the future. The
+    * naive plan is an interval join of the fact against the SCD2
+    * table ([[scd2Intervals]]) — inequality keys, so Spark would
+    * BNLJ it. This is the scalable rewrite: changes and lookups
+    * UNION into one relation, one per-user window carries the
+    * running change count (= the SCD2 version number) and
+    * last(value, ignoreNulls) forward, ties at the same second
+    * resolved change-first so a lookup sees a same-instant change.
+    * One shuffle on user_id, window partitions bounded by per-user
+    * activity, never a join — the asof pattern lifted to whole
+    * dimension versions. */
+  def pitLookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val changes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsSec.as("ts_sec"), col("event_id"),
+        col("value").cast(D).cast("double").as("chg_value"), lit(0).as("kind"))
+    val lookups = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), tsSec.as("ts_sec"), col("event_id"),
+        lit(null).cast("double").as("chg_value"), lit(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.union(lookups)
+      .withColumn("version",
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("pit_value", last(col("chg_value"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        col("version"), col("pit_value"))
+      .orderBy("event_id")
+  }
 }

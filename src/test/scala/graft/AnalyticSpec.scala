@@ -322,4 +322,31 @@ class AnalyticSpec extends SparkSpec {
       3L -> ((0L, 0L, 3L)),
       4L -> ((0L, 0L, 0L))))
   }
+
+  test("point-in-time lookup agrees with the SCD2 interval table row-for-row") {
+    val scd = queries.Analytic.scd2Intervals(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[Long]("valid_from_sec"),
+          Option(r.getAs[java.lang.Long]("valid_to_sec")).map(Long2long),
+          r.getAs[Double]("value"))).toMap
+    val rows = queries.Analytic.pitLookup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var matched = 0
+    rows.foreach { r =>
+      val (u, ts, v) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("ts_sec"), r.getAs[Long]("version"))
+      if (v == 0L) {
+        assert(r.isNullAt(r.fieldIndex("pit_value")))
+        // before the user's first purchase, if any
+        scd.get((u, 1L)).foreach { case (from, _, _) => assert(ts < from) }
+      } else {
+        val (from, to, value) = scd((u, v))
+        assert(from <= ts, s"user $u v$v")
+        to.foreach(t => assert(ts < t || (ts == t && from == t), s"user $u v$v"))
+        assert(r.getAs[Double]("pit_value") == value, s"user $u v$v")
+        matched += 1
+      }
+    }
+    assert(matched > 0, "corpus must exercise the covered-interval path")
+  }
 }
