@@ -138,6 +138,7 @@ object SparkEntry {
     "ann_ivfpq_topk"      -> Similarity.ivfpqTopK _,
     "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
+    "ann_refine_topk"     -> Similarity.refineTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
@@ -1671,6 +1672,44 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+    // int8 recall stage ranks by the pure-integer quantized dot
+    // (order-free => engine-exact); rerank replays the float cosine
+    "ann_refine_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims AS (SELECT vec_id, i - 1 AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
+        |rng AS (SELECT max(abs(x)) AS s FROM dims),
+        |q AS (
+        |  SELECT vec_id, d,
+        |    CAST(CASE WHEN s > 0 THEN floor(x / s * 127.0 + 0.5) ELSE 0.0 END AS BIGINT) AS qv
+        |  FROM dims CROSS JOIN rng),
+        |pq AS (SELECT vec_id AS probe_id, d, qv AS qp FROM q WHERE vec_id < 5),
+        |s1 AS (
+        |  SELECT probe_id, q.vec_id AS vec_id,
+        |    CAST(sum(qp * qv) AS BIGINT) AS dot_q, CAST(sum(qv * qv) AS BIGINT) AS nq2
+        |  FROM q JOIN pq USING (d) WHERE q.vec_id <> probe_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT probe_id, vec_id,
+        |    CASE WHEN nq2 > 0 THEN CAST(dot_q AS DOUBLE) / sqrt(CAST(nq2 AS DOUBLE)) ELSE -1.0 END AS score1
+        |  FROM s1),
+        |ctop AS (
+        |  SELECT probe_id, vec_id, stage1_rank FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY score1 DESC, vec_id) AS stage1_rank
+        |    FROM sc) WHERE stage1_rank <= 40),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |rer AS (
+        |  SELECT c.probe_id, c.vec_id, c.stage1_rank,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM ctop c JOIN vecs v ON c.vec_id = v.vec_id JOIN probes p ON c.probe_id = p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, cosine, stage1_rank,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rer)
+        |SELECT probe_id, vec_id, cosine, rank, stage1_rank FROM ranked WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
     // PQ: fixed codebook (vec_id<16 subvectors), argmin-L2 encode
     // replayed as argmax(dot - half-self-dot); ADC sums fold ordered

@@ -27,6 +27,8 @@ object Similarity {
   val K = 10
   val NumCells = 16
   val NProbe = 4
+  /** stage-1 candidate pool per probe for [[refineTopK]] (4× K). */
+  val RefineC = 40
 
   /** corpus vectors with a cached L2 norm — self-dots are computed
     * once per vector here, never per candidate pair. */
@@ -495,5 +497,61 @@ object Similarity {
         (sum("eq").cast("double") / (count(lit(1)).cast("double") * lit(1e12)))
           .as("mean_err"))
       .orderBy("d")
+  }
+
+  /** Two-stage retrieval with int8 recall + exact rerank — the
+    * deployed "refine" shape (FAISS IndexRefineFlat): stage 1 scans
+    * the scalar-quantized corpus on the SYMMETRIC signed grid real
+    * int8 kernels use (qv = round(x/s·127) ∈ −127..127 with one
+    * global scale s = max|x| — the asymmetric 0..255 grid of
+    * [[quantizeInt8]] is the right STORAGE audit but its mn-shift
+    * wrecks dot-product geometry, measured recall 0.18 vs 1.0 here)
+    * and ranks candidates by quantized cosine. Both sums the score
+    * divides (Σqp·qv, Σqv²) are pure-INTEGER aggregates — order-free,
+    * so the approximate stage is bit-deterministic across any
+    * partitioning and engine, and the one double division afterwards
+    * is a pure function of two exact integers. Stage 2 re-scores
+    * only the top `RefineC` candidates per probe against the EXACT
+    * vectors and returns the exact-cosine top-k. Shape at 100 TB:
+    * the quantized scan is explode → map-side-combined hash agg (the
+    * shuffle carries one partial row per (probe, vec), never the 64
+    * dims), both top-k stages ride the native bounded-heap
+    * TopKPerKey, and the exact float corpus is touched only for
+    * probes×RefineC rows — the IO asymmetry that makes int8-recall/
+    * float-rerank the standard serving plan. stage1_rank travels to
+    * the output so the recall behaviour of the quantized stage is
+    * observable per hit; SimilaritySpec pins recall vs brute force. */
+  def refineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("vd"))).toDF("vec_id", "d", "x")
+    val scale = dims.agg(max(abs(col("x"))).as("s"))
+    val q = dims.crossJoin(broadcast(scale))
+      .withColumn("qv",
+        when(col("s") > 0, floor(col("x") / col("s") * lit(127.0) + lit(0.5)))
+        .otherwise(lit(0.0)).cast("bigint"))
+      .select("vec_id", "d", "qv")
+    val pq = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("d"), col("qv").as("qp"))
+    val stage1 = q.join(broadcast(pq), "d")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("qp") * col("qv")).as("dot_q"),
+        sum(col("qv") * col("qv")).as("nq2"))
+      .withColumn("score1",
+        when(col("nq2") > 0,
+          col("dot_q").cast("double") / sqrt(col("nq2").cast("double")))
+        .otherwise(lit(-1.0)))
+    val cand = graft.plans.TopK.perKey(stage1, Seq("probe_id"),
+        Seq("score1" -> false, "vec_id" -> true), RefineC)
+      .select(col("probe_id"), col("vec_id"), col("rank").as("stage1_rank"))
+    val rer = cand
+      .join(vecs(spark, dir), "vec_id")
+      .join(broadcast(probes(spark, dir)), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("stage1_rank"),
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
+    graft.plans.TopK.perKey(rer, Seq("probe_id"),
+        Seq("cosine" -> false, "vec_id" -> true), K)
+      .select("probe_id", "vec_id", "cosine", "rank", "stage1_rank")
+      .orderBy("probe_id", "rank")
   }
 }

@@ -270,4 +270,29 @@ class SimilaritySpec extends SparkSpec {
     assert(messages(e).mkString("\n").contains("graft_minhash_sig expects exactly 1"),
       messages(e).mkString("\n").take(500))
   }
+
+  test("refine: int8-recall + exact-rerank tracks brute force closely") {
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = hits(operators.Similarity.bruteForceTopK(spark, sf))
+    val refined = operators.Similarity.refineTopK(spark, sf)
+    val refSet = hits(refined)
+    val recall = (exact intersect refSet).size.toDouble / exact.size
+    info(f"refine recall@10 vs brute force: $recall%.3f")
+    // the quantized integer-dot stage with C=4K candidates must keep
+    // most true neighbors; rerank makes every kept hit exact-scored
+    assert(recall >= 0.7, f"recall $recall%.3f")
+    // within the refined list, exact cosines must be in rank order and
+    // every hit must carry its stage-1 provenance within the pool
+    refined.collect().groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("cosine") >= b.getAs[Double]("cosine"))
+        case _ =>
+      }
+      rs.foreach(r => assert(r.getAs[Long]("stage1_rank") >= 1L &&
+        r.getAs[Long]("stage1_rank") <= operators.Similarity.RefineC))
+    }
+  }
 }
