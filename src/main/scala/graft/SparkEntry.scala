@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
+    "dedup_semantic_clusters" -> Dedup.semanticClusters _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
@@ -1607,6 +1608,49 @@ object SparkEntry {
         |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // same LSH pair generation as dedup_embedding_cosine, closed
+    // transitively by recursive reachability (= the min-label fixpoint)
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE planes AS (
+        |  SELECT p, list_transform(generate_series(0,63), d ->
+        |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |), vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+        |), sigbits AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
+        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
+        |), sigs AS (
+        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), expl AS (
+        |  SELECT vec_id, vd,
+        |    unnest(generate_series(0,3)) AS band,
+        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        |), pairs AS (
+        |  SELECT vec_a, vec_b FROM cand
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
+        |), edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node
+        |)
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |  vec_id = cluster_id AS is_representative
+        |FROM comp ORDER BY vec_id""".stripMargin,
 
     // §2.8 similarity search. ann_ivf_topk is exactly replayable:
     // centroid means run on an integer quantization grid

@@ -312,9 +312,26 @@ object Dedup {
     * clustered doc with its canonical (minimum) doc id and the
     * cluster size. */
   def components(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    val labels = minLabelComponents(
+      ngramJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component_id")
+    labels
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .withColumn("component_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Iterative min-label propagation over an undirected pair graph —
+    * the distributed transitive closure shared by every clustering
+    * consumer here ([[components]], [[semanticClusters]]). Returns
+    * (node, label) with label = the component's minimum node id.
+    * Per round: one join + one min-agg, eagerly localCheckpointed so
+    * the driver reads only a convergence counter; rounds are bounded
+    * by cluster diameter with a loud require on cap-out (a capped
+    * fixpoint is WRONG labels and must never ship silently). */
+  private def minLabelComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val edges = pairs.select(col(a), col(b))
+      .union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
@@ -352,11 +369,27 @@ object Dedup {
     require(converged,
       s"components: min-label propagation did not converge within $iter rounds — " +
         "input pair graph has a pathological (>64-hop) near-dup chain")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("component_id")
     labels
-      .select(col("node").as("doc_id"), col("label").as("component_id"))
-      .withColumn("component_size", count(lit(1)).over(w))
-      .orderBy("doc_id")
+  }
+
+  /** Semantic-dedup clusters (SemDeDup-style): connected components
+    * over the EMBEDDING near-dup pair graph ([[embeddingCosine]] —
+    * hyperplane-LSH candidates verified at the cosine threshold), so
+    * paraphrase groups that share no n-grams still collapse to one
+    * cluster. Same [[minLabelComponents]] propagation as the lexical
+    * [[components]]; one representative per cluster (min vec_id) and
+    * the cluster size ride a bounded window over the dup subgraph
+    * only — vectors with no near-dup pair are not clustered, exactly
+    * as the lexical form treats pairless docs. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = minLabelComponents(
+      embeddingCosine(spark, dir).select("vec_a", "vec_b"), "vec_a", "vec_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    labels
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_representative", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** The release-set selection a dedup pipeline actually ships: ONE

@@ -297,6 +297,26 @@ class DedupSpec extends SparkSpec {
       "near-dup docs must be substantially covered by repeated spans")
   }
 
+  test("semantic clusters: every embedding near-dup pair is co-clustered, ids are minima") {
+    val pairs = operators.Dedup.embeddingCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.nonEmpty)
+    val rows = operators.Dedup.semanticClusters(spark, sf).collect()
+    val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    val members = rows.groupBy(_.getAs[Long]("cluster_id"))
+    members.foreach { case (cid, rs) =>
+      assert(cid == rs.map(_.getAs[Long]("vec_id")).min)
+      rs.foreach(r => assert(r.getAs[Long]("cluster_size") == rs.length))
+      assert(rs.count(_.getAs[Boolean]("is_representative")) == 1)
+    }
+    // only paired vectors are clustered
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet ==
+      pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("multi-probe LSH finds a strict superset of the exact-bucket pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
