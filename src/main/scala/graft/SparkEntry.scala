@@ -78,6 +78,7 @@ object SparkEntry {
     "sink_sorted_skipping"   -> SourcesSinks.sortedSink _,
     "sink_zorder_skipping"   -> SourcesSinks.zorderSink _,
     "sink_compaction"        -> SourcesSinks.compactionSink _,
+    "sink_codec_matrix"      -> SourcesSinks.codecMatrix _,
     "sink_dynamic_overwrite" -> SourcesSinks.dynamicOverwrite _,
     "src_xml_roundtrip"      -> SourcesSinks.xmlRoundtrip _,
     "src_binary_files"       -> SourcesSinks.binaryFiles _,
@@ -967,6 +968,19 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |FROM events
         |ORDER BY phase""".stripMargin,
+    // content must be codec-invariant: every row repeats the same
+    // exact aggregate computed directly from the source table
+    "sink_codec_matrix" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |  FROM lineitem)
+        |SELECT codec, n_rows, sum_qty, sum_price, min_key, max_key
+        |FROM agg CROSS JOIN
+        |  (SELECT unnest(['gzip','lz4','snappy','uncompressed','zstd']) AS codec)
+        |ORDER BY codec""".stripMargin,
     "scan_metadata_cols" ->
       """SELECT CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
         |  TRUE AS has_size, TRUE AS row_index_unique,

@@ -815,4 +815,42 @@ object SourcesSinks {
         max(col("c_custkey")).as("max_key"))
       .orderBy("c_mktsegment")
   }
+
+  /** Compression-codec matrix — the storage-tier decision a 100 TB
+    * table owner makes once and pays for on every scan: the same
+    * lineitem slice written under each supported parquet codec
+    * (uncompressed / snappy / lz4 hot-tier, gzip / zstd cold-tier),
+    * each re-read through its own decompressor and folded to the
+    * identical exact aggregate — the oracle-checked contract is
+    * codec-invariance of CONTENT (count + cent-exact value sums per
+    * codec row). On-disk byte sizes are library-version-dependent, so
+    * they are deliberately NOT in the oracle surface; SourcesSpec
+    * measures them and pins the ordering every deployment relies on
+    * (every codec < uncompressed). The writes run per-codec from one
+    * cached slice, so the measurement is writer-codec-only. */
+  def codecMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val codecs = Seq("uncompressed", "snappy", "lz4", "gzip", "zstd")
+    val slice = lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .localCheckpoint()
+    val perCodec = codecs.map { c =>
+      val path = tmp(spark, dir, s"codec_$c")
+      slice.write.mode("overwrite").option("compression", c).parquet(path)
+      spark.read.parquet(path)
+        .agg(lit(c).as("codec"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }
+    perCodec.reduce(_ unionByName _).orderBy("codec")
+  }
+
+  /** measured on-disk bytes for a codec written by [[codecMatrix]]
+    * (spec-only surface — sizes are not cross-engine derivable). */
+  private[graft] def codecBytes(spark: SparkSession, dir: String, codec: String): Long = {
+    val d = new java.io.File(tmp(spark, dir, s"codec_$codec"))
+    d.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
+      .map(_.length()).sum
+  }
 }

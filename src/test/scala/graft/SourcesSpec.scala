@@ -466,4 +466,22 @@ class SourcesSpec extends SparkSpec {
     assert(afterRows == beforeRows)
     assert(afterSum == beforeSum)
   }
+
+  test("codec matrix: content is codec-invariant and every codec beats uncompressed") {
+    val rows = queries.SourcesSinks.codecMatrix(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("codec")).sorted.toSeq ==
+      Seq("gzip", "lz4", "snappy", "uncompressed", "zstd"))
+    // identical exact aggregates through every decompressor
+    val aggs = rows.map(r => (r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"),
+      r.getAs[Double]("sum_price"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))).distinct
+    assert(aggs.length == 1, aggs.mkString("; "))
+    val bytes = Seq("uncompressed", "snappy", "lz4", "gzip", "zstd")
+      .map(c => c -> queries.SourcesSinks.codecBytes(spark, sf, c)).toMap
+    info(bytes.toSeq.sortBy(_._2).map { case (c, b) => s"$c=$b" }.mkString(", "))
+    bytes.foreach { case (c, b) =>
+      assert(b > 0L, c)
+      if (c != "uncompressed")
+        assert(b < bytes("uncompressed"), s"$c ${b} !< uncompressed ${bytes("uncompressed")}")
+    }
+  }
 }
