@@ -247,7 +247,8 @@ object Bench {
     val trendNames = Seq("q1_pricing_summary", "q6_forecast_revenue",
       "q13_customer_distribution", "dedup_minhash_lsh", "ann_ivf_topk",
       "pipeline_token_budget", "ann_pq_topk", "ev_scd2_intervals",
-      "dedup_containment", "ev_pattern_match")
+      "dedup_containment", "ev_pattern_match", "dedup_repeated_spans",
+      "ann_refine_topk")
     val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
     val trendSfs = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(n => n -> new java.io.File(parent, n))

@@ -37,10 +37,13 @@ class ScaleTrendSpec extends SparkSpec {
   // containment score (quadratic only if boilerplate shingles were
   // unbounded — the df-cap story); ev_pattern_match: the per-user
   // sequence fold (linear in events, bounded per-user state)
+  // dedup_repeated_spans: the token-mass positional-shingle path
+  // (corpus-count window + per-doc islands — the heaviest new shape);
+  // ann_refine_topk: the quantized-scan + rerank two-stage plan
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
-      "ev_pattern_match")) {
+      "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
