@@ -174,6 +174,7 @@ object SparkEntry {
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
     "pipeline_dataset_card"   -> Pipeline.datasetCard _,
+    "pipeline_split_contamination" -> Pipeline.splitContamination _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -377,6 +378,40 @@ object SparkEntry {
         |  CAST(sum(dup) AS BIGINT) AS dup_docs,
         |  CAST(sum(n_chars_norm) AS DOUBLE) / count(*) AS avg_chars
         |FROM dd GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
+    "pipeline_split_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x'||substring(md5(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),1,15)) AS BIGINT) % 100 < 90
+        |      THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents
+        |), wp AS (
+        |  SELECT p.doc_id, p.n_sh, p.shingle_h, sp.split FROM post p JOIN sp USING (doc_id)
+        |), th AS (
+        |  SELECT DISTINCT shingle_h FROM wp WHERE split = 'train'
+        |), ep AS (
+        |  SELECT * FROM wp WHERE split = 'eval'
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM ep JOIN th USING (shingle_h) GROUP BY 1
+        |), base AS (
+        |  SELECT doc_id, CAST(max(n_sh) AS BIGINT) AS n_sh FROM ep GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_sh,
+        |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / b.n_sh AS overlap_frac
+        |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash_accuracy" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

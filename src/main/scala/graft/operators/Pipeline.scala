@@ -342,6 +342,41 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** Train/eval split n-gram contamination audit — the overlap
+    * report a training-data release publishes next to its benchmark
+    * claims: [[leakageSplit]] guarantees no EXACT duplicate spans the
+    * boundary (same digest ⇒ same side), but near-duplicates and
+    * shared boilerplate still leak signal, so every eval doc is
+    * scored by the fraction of its distinct word-trigrams that occur
+    * ANYWHERE in the train side. A high-overlap eval doc is
+    * contaminated eval data and must be dropped before the split
+    * ships (the train/test-overlap analysis of GPT-3 appendix C /
+    * the Dolma decontamination audit, as one relational pass).
+    *
+    * Scale: postings stage once (localCheckpoint); the split column
+    * joins on the postings' existing doc_id hash partitioning (only
+    * the thin projection shuffles); the train trigram set and the
+    * eval overlap count are one distinct + one left-semi equi-join
+    * on the shingle hash — the same high-cardinality-key shapes as
+    * the dedup family, never a pair join. */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = leakageSplit(spark, dir).select("doc_id", "split")
+    val post = Dedup.shinglePostings(spark, dir)
+      .join(split, "doc_id")
+      .localCheckpoint()
+    val trainH = post.filter(col("split") === "train").select("h").distinct()
+    val evalPost = post.filter(col("split") === "eval")
+    val hits = evalPost.join(trainH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    evalPost.groupBy("doc_id").agg(max("n_sh").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_sh").cast("double"))
+      .select("doc_id", "n_sh", "n_overlap", "overlap_frac")
+      .orderBy("doc_id")
+  }
+
   /** Dataset card — the per-release summary table a corpus ships
     * with (per-language rows + the grand total via ROLLUP): doc and
     * distinct-source counts, token mass, exact-duplicate pressure,

@@ -215,6 +215,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"), r.getAs[Long]("skey"))).toSet)
   }
 
+  test("split contamination matches an independent in-test recompute on the corpus") {
+    val rows = operators.Pipeline.splitContamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent ground truth: trigram sets + split recomputed in
+    // plain Scala from the raw documents
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("norm")).toMap
+    def trigrams(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val split = operators.Pipeline.leakageSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainSet = docs.collect {
+      case (id, t) if split(id) == "train" => trigrams(t)
+    }.flatten.toSet
+    val expected = docs.collect {
+      case (id, t) if split(id) == "eval" && trigrams(t).nonEmpty =>
+        val sh = trigrams(t)
+        id -> ((sh.size.toLong, sh.count(trainSet.contains).toLong))
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected.map(_._1).toSet)
+    val got = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_sh"), r.getAs[Long]("n_overlap")))).toMap
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    rows.foreach { r =>
+      val f = r.getAs[Double]("overlap_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("dataset card: per-lang rows reconcile exactly with the TOTAL row") {
     val rows = operators.Pipeline.datasetCard(spark, sf).collect()
     val (total, langs) = rows.partition(_.getAs[String]("lang") == "TOTAL")
