@@ -164,6 +164,7 @@ object SparkEntry {
     "doc_chunk_overlap"  -> TextAnalysis.chunkOverlap _,
     "text_model_filter"  -> TextAnalysis.modelFilter _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
+    "sample_per_group"  -> TextAnalysis.samplePerGroup _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
@@ -2331,6 +2332,17 @@ object SparkEntry {
         |WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "sample_per_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x'||substring(md5('smp_'||CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS skey
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, skey,
+        |    row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rank
+        |  FROM t)
+        |SELECT lang, doc_id, skey, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH t AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |c AS (

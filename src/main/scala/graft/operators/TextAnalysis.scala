@@ -515,6 +515,28 @@ object TextAnalysis {
       .orderBy(desc("n"), col("pair"))
       .limit(40)
 
+  /** Deterministic k-per-group sampling — "give me exactly 5 docs
+    * per language, reproducibly" (per-lang eval subsets, per-source
+    * spot-check pulls): rank every doc inside its group by an
+    * md5-derived key and keep rank ≤ k. Hash-ranking makes the
+    * sample uniform over the group, stable across runs/partitions,
+    * and side-effect-free to extend (k+1 extends the k-sample —
+    * consistent sampling). The ranking rides the native bounded-heap
+    * TopKPerKey operator, so no group is ever fully sorted — the
+    * per-key state is k rows at any group size, which is what makes
+    * exact-k sampling viable where reservoir sampling would need
+    * order-dependent state. */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val ranked = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(Hash60.sql("concat('smp_', CAST(doc_id AS STRING))")).as("skey"))
+    graft.plans.TopK.perKey(ranked, Seq("lang"),
+        Seq("skey" -> true, "doc_id" -> true), k)
+      .select("lang", "doc_id", "skey", "rank")
+      .orderBy("lang", "rank")
+  }
+
   /** Model-based quality filter — the fastText/DCLM-style learned
     * classifier step of a modern curation pipeline, run as pure
     * relational algebra: a linear model over HASHED bag-of-words

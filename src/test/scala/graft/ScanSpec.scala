@@ -85,4 +85,24 @@ class ScanSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan.take(3000))
     assert(df.collect().nonEmpty)
   }
+
+  test("observe(): corpus accounting rides the action, no second scan") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB pattern: a curation job reports its input volume
+    // (docs/chars seen BEFORE its filters) as a side-metric of the
+    // one pass it already runs, instead of a second count() scan
+    val obs = new org.apache.spark.sql.Observation("corpus_stats")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val en = docs
+      .observe(obs, count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("bigint")).as("n_chars"))
+      .filter(col("lang") === "en")
+      .count()
+    val m = obs.get
+    assert(m("n_docs").asInstanceOf[Long] == docs.count())
+    assert(m("n_chars").asInstanceOf[Long] ==
+      docs.agg(sum(length(col("text")).cast("bigint"))).collect().head.getLong(0))
+    // the filter genuinely reduced the action's own result
+    assert(en < m("n_docs").asInstanceOf[Long] && en > 0)
+  }
 }
