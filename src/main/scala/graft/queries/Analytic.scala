@@ -482,17 +482,54 @@ object Analytic {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Exact global quintile band WITHOUT a global window — the
+    * two-level range-shard decomposition (same pattern as
+    * pipeline_token_budget's prefix sum, lifted to ranking): rows
+    * shard by a MONOTONIC value-range function of the sort key (so
+    * shard order IS sort order and ties never straddle shards), rank
+    * locally inside bounded (shard) windows, add the broadcast
+    * per-shard prefix counts, then derive the band from the exact
+    * rank with the standard ntile fill rule (first n%k buckets get
+    * one extra row) — bit-identical to `ntile(k) OVER (ORDER BY col,
+    * user_id)` (AnalyticSpec asserts parity) while every window
+    * partition is bounded: the per-shard windows by the value
+    * distribution, the offset window by nShards rows. */
+  private def shardedNtile(df: DataFrame, sortCol: String, k: Int, out: String): DataFrame = {
+    val nShards = 16
+    val stats = df.agg(min(col(sortCol).cast("double")).as("_mn"),
+      max(col(sortCol).cast("double")).as("_mx"), count(lit(1)).as("_n"))
+    val sharded = df.crossJoin(broadcast(stats))
+      .withColumn("_shard",
+        when(col("_mx") > col("_mn"),
+          least(lit(nShards - 1),
+            floor((col(sortCol).cast("double") - col("_mn")) /
+              (col("_mx") - col("_mn")) * nShards)))
+        .otherwise(lit(0)).cast("int"))
+    val wLocal = Window.partitionBy("_shard").orderBy(col(sortCol), col("user_id"))
+    val offsets = sharded.groupBy("_shard").agg(count(lit(1)).as("_cnt"))
+      // nShards rows — the unpartitioned cumsum is bounded by construction
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    sharded.join(broadcast(offsets.select("_shard", "_off")), "_shard")
+      .withColumn("_rank", col("_off") + row_number().over(wLocal))
+      .withColumn(out, expr(
+        s"""CASE WHEN _rank <= (_n % $k) * ((_n div $k) + 1)
+           | THEN (_rank - 1) div ((_n div $k) + 1) + 1
+           | ELSE (_n % $k) + (_rank - 1 - (_n % $k) * ((_n div $k) + 1)) div (_n div $k) + 1
+           | END""".stripMargin).cast("bigint"))
+      .drop("_shard", "_off", "_rank", "_mn", "_mx", "_n")
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintile bands
     * per purchasing user, the classic marketing-and-sampling segment
     * key. Metrics aggregate per user first (one high-cardinality hash
-    * agg), so the ntile windows run over the USER-level relation —
-    * orders of magnitude smaller than the event corpus but still a
-    * single global sort per metric at extreme scale; the 100 TB
-    * rewrite keeps the same output contract by broadcasting the 4
-    * quintile boundaries from an approx-percentile pre-pass and
-    * assigning bands with comparisons. ntile keeps exact integer
-    * semantics here (engine-identical, no float boundaries); ties
-    * break on user_id so bands are deterministic. */
+    * agg); each quintile band then comes from [[shardedNtile]] — the
+    * two-level exact ranking, so NO single task ever sorts the whole
+    * user relation (the former formulation's three unpartitioned
+    * ntile windows were the repo's last global-window bottleneck).
+    * Exact integer semantics, ties broken on user_id — output
+    * bit-identical to the global-window form (spec-asserted) and to
+    * the oracle's ntile(). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -501,13 +538,11 @@ object Analytic {
       .agg(max("ts_sec").as("last_purchase_sec"),
         count(lit(1)).as("n_purchases"),
         sum(col("value").cast(D)).cast("double").as("total_spend"))
-    per
-      .withColumn("r_band", ntile(5).over(
-        Window.orderBy(col("last_purchase_sec"), col("user_id"))).cast("bigint"))
-      .withColumn("f_band", ntile(5).over(
-        Window.orderBy(col("n_purchases"), col("user_id"))).cast("bigint"))
-      .withColumn("m_band", ntile(5).over(
-        Window.orderBy(col("total_spend"), col("user_id"))).cast("bigint"))
+      .localCheckpoint() // staged once: three ranking passes read it
+    val banded = Seq(("last_purchase_sec", "r_band"), ("n_purchases", "f_band"),
+        ("total_spend", "m_band"))
+      .foldLeft(per) { case (df, (c, b)) => shardedNtile(df, c, 5, b) }
+    banded
       .withColumn("segment",
         concat(col("r_band"), lit("-"), col("f_band"), lit("-"), col("m_band")))
       .select("user_id", "last_purchase_sec", "n_purchases", "total_spend",

@@ -323,6 +323,39 @@ class AnalyticSpec extends SparkSpec {
       4L -> ((0L, 0L, 0L))))
   }
 
+  test("rfm: sharded ntile is bit-identical to the global-window ntile formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = queries.Analytic.rfmSegments(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("r_band"), r.getAs[Long]("f_band"), r.getAs[Long]("m_band")))).toMap
+    // reference formulation: the three unpartitioned ntile windows
+    val per = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .groupBy("user_id")
+      .agg(max("ts_sec").as("last_purchase_sec"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_spend"))
+    val want = per
+      .withColumn("r_band", ntile(5).over(
+        Window.orderBy(col("last_purchase_sec"), col("user_id"))).cast("bigint"))
+      .withColumn("f_band", ntile(5).over(
+        Window.orderBy(col("n_purchases"), col("user_id"))).cast("bigint"))
+      .withColumn("m_band", ntile(5).over(
+        Window.orderBy(col("total_spend"), col("user_id"))).cast("bigint"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("r_band"), r.getAs[Long]("f_band"), r.getAs[Long]("m_band")))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (u, bands) => assert(bands == want(u), s"user $u") }
+    // and no unpartitioned window over the USER relation survives in
+    // the plan: every Window node's partition spec is non-empty except
+    // the bounded nShards-row offset cumsum (which reads a tiny agg)
+    val rfmPlan = queries.Analytic.rfmSegments(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!rfmPlan.contains("ntile"), "global ntile windows must be gone")
+  }
+
   test("point-in-time lookup agrees with the SCD2 interval table row-for-row") {
     val scd = queries.Analytic.scd2Intervals(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
