@@ -310,21 +310,21 @@ object Tpch {
   /** Q15 top supplier: the revenue-view + scalar-max shape. Adapted:
     * the driver's supplier table has no s_address/s_phone (SURVEY §3),
     * so the output carries (s_suppkey, s_name, total_revenue) only.
-    * The max is taken with a whole-frame window over the per-supplier
-    * revenue set instead of a second scan of lineitem: that set is
-    * bounded by supplier cardinality (not fact rows), so the single
-    * partition the empty-partition window implies is safe at 100 TB
-    * while halving the fact-scan work. Revenue stays exact DECIMAL
-    * through the max-equality (cross-engine-safe; doubles are not),
-    * and lands on DOUBLE only at the boundary. */
+    * The scalar max is a 1-row aggregate broadcast back over the
+    * per-supplier revenue view (the repo's single-row-crossJoin
+    * pattern) instead of a whole-frame window — no single task ever
+    * holds the supplier relation, and lineitem is still scanned once
+    * (both consumers read the same revenue agg). Revenue stays exact
+    * DECIMAL through the max-equality (cross-engine-safe; doubles
+    * are not), and lands on DOUBLE only at the boundary. */
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val rev = lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
-    val withMax = rev.withColumn("max_rev", max("total_rev").over(Window.partitionBy()))
+    val maxRev = rev.agg(max("total_rev").as("max_rev"))
     supplier(spark, dir)
-      .join(withMax.filter(col("total_rev") === col("max_rev")),
+      .join(rev.crossJoin(broadcast(maxRev)).filter(col("total_rev") === col("max_rev")),
         col("s_suppkey") === col("supplier_no"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
