@@ -213,12 +213,13 @@ object SparkEntry {
         .orderBy("p_brand", "rank"))
   )
 
-  /** Queries with NO DuckDB oracle — the driver records the weaker
-    * rows-only check (SURVEY §2's R class). Exactly the hash family
-    * DuckDB cannot replay (crc32/xxhash64); their values are pinned
-    * by ExprSpec instead (stock CRC check vectors + partitioning
-    * invariance). DocsSpec enforces queries = oracleSql ∪ rowsOnly. */
-  val rowsOnly: Set[String] = Set("expr_hash_crc")
+  /** Queries with NO DuckDB oracle (the driver's weaker rows-only
+    * check, SURVEY §2's R class). Empty since round 9: the one
+    * candidate (expr_hash_crc — DuckDB has no crc32/xxhash64) now
+    * verifies against the published known-answer vectors instead, so
+    * every query carries a value-checked oracle.
+    * DocsSpec enforces queries = oracleSql ∪ rowsOnly. */
+  val rowsOnly: Set[String] = Set.empty
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column
     * names, same ORDER BY — the driver hash-compares values).
@@ -842,6 +843,21 @@ object SparkEntry {
     "expr_hash_digest" ->
       """SELECT doc_id, md5(text) AS digest_md5, sha256(text) AS digest_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB ships no crc32/xxhash64, so the oracle is the published
+    // known-answer vectors: CRC-32/ISO-HDLC check values (RFC 1321
+    // test strings; crc32('123456789') = 0xCBF43926 = 3421780262) and
+    // XXH64(seed=42) of the same inputs — constants any independent
+    // implementation of the two public algorithms reproduces.
+    "expr_hash_crc" ->
+      """SELECT * FROM (VALUES
+        |  ('', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(-7444071767201028348 AS BIGINT)),
+        |  ('a', CAST(1 AS BIGINT), CAST(3904355907 AS BIGINT), CAST(-8582455328737087284 AS BIGINT)),
+        |  ('abc', CAST(3 AS BIGINT), CAST(891568578 AS BIGINT), CAST(1423657621850124518 AS BIGINT)),
+        |  ('message digest', CAST(14 AS BIGINT), CAST(538287487 AS BIGINT), CAST(-8791412197647579415 AS BIGINT)),
+        |  ('123456789', CAST(9 AS BIGINT), CAST(3421780262 AS BIGINT), CAST(-6808433898042478093 AS BIGINT)),
+        |  ('The quick brown fox jumps over the lazy dog', CAST(43 AS BIGINT), CAST(1095738169 AS BIGINT), CAST(-6152153990451020481 AS BIGINT))
+        |) AS t(input, n_chars, crc32, xxh64_seed42)
+        |ORDER BY input""".stripMargin,
     // Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday — shift by one
     "expr_date_parse" ->
       """SELECT o_orderkey,

@@ -91,16 +91,28 @@ object Exprs {
 
   /** CRC-family hashes — the hash-util.h:1 CRC32/FNV surface mapped
     * to Spark's codegen'd crc32/xxhash64 built-ins. DuckDB has no
-    * counterpart hash, so this is the repo's one R-class entry
-    * (rows-only driver check, per the SURVEY §2 check classes):
-    * values are pinned instead by ExprSpec, which asserts the stock
-    * CRC32 check vectors (crc32("123456789") = 0xCBF43926) and that
-    * every aggregate below is IDENTICAL across repartitionings —
-    * they are order-free folds (xor / sum / min / max), so the
-    * result is a pure function of the row SET, never of partition
-    * layout or arrival order. */
-  def hashCrc(spark: SparkSession, dir: String): DataFrame =
-    crcAgg(documents(spark, dir))
+    * counterpart hash, so the oracle is the standard known-answer
+    * check every hash implementation ships: the published
+    * CRC-32/ISO-HDLC check vectors (crc32("123456789") = 0xCBF43926,
+    * crc32("") = 0, the RFC 1321 test-suite strings) plus the
+    * deterministic XXH64(seed=42) values of the same inputs — pinned
+    * constants reproducible by any independent xxHash implementation.
+    * The DATA-dependent surface rides in ExprSpec, which asserts
+    * `crcAgg` over the documents corpus is IDENTICAL across
+    * adversarial repartitionings — the aggregates are order-free
+    * folds (xor / sum / min / max), a pure function of the row SET,
+    * never of partition layout or arrival order. */
+  def hashCrc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("", "a", "abc", "message digest", "123456789",
+      "The quick brown fox jumps over the lazy dog")
+      .toDF("input")
+      .select(col("input"),
+        length(col("input")).cast("bigint").as("n_chars"),
+        crc32(col("input").cast("binary")).as("crc32"),
+        xxhash64(col("input")).as("xxh64_seed42"))
+      .orderBy("input")
+  }
 
   /** the agg body, parameterized on the input relation so ExprSpec
     * can feed adversarially-repartitioned copies of the same rows. */

@@ -61,9 +61,14 @@ class ExprSpec extends SparkSpec {
     val x = Seq("graft", "graft").toDF("s").select(xxhash64(col("s")))
       .collect().map(_.getLong(0))
     assert(x(0) == x(1))
-    // the R-class entry has no DuckDB oracle, so pin the invariant the
-    // driver can't: every aggregate is an order-free fold, identical
-    // under adversarial repartitionings of the same row set
+    // the driver's oracle pins the fixed known-answer vectors; pin
+    // here the data-dependent invariant it can't: every aggregate is
+    // an order-free fold, identical under adversarial repartitionings
+    // of the same row set
+    val kat = queries.Exprs.hashCrc(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(kat("123456789") == ((0xCBF43926L, -6808433898042478093L)))
+    assert(kat("") == ((0L, -7444071767201028348L)))
     val docs = graft.sources.Tables.documents(spark, sf)
     val base = queries.Exprs.crcAgg(docs).collect()(0).toSeq
     val shuffled = queries.Exprs.crcAgg(
