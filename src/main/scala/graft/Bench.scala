@@ -318,6 +318,17 @@ object Bench {
     }
     val fpResetsJs = fpResets.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}""")
+    // The harness that launches Bench retains only a bounded TAIL of
+    // stdout (observed: 2000 chars), so the full line above — ~8 KB at
+    // 178 queries — arrives truncated and unparseable. Emit a compact
+    // summary LAST, sized well under the tail window, so a complete
+    // JSON object always survives: headline per-query timings plus the
+    // whole-suite totals. The full record stays in the line above and
+    // in BENCH_BASELINE_<sf>.json (per-query best-ever steady floors).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val headline = results.filter(r => liveTrend.contains(r._1))
+      .map(r => (r._1, r3(r._2)))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(headline)},"n_queries":${results.size},"n_failed":${failed.size},"cold_total":${r3(coldTotal)},"outlier_corrections":${outliers.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
