@@ -204,6 +204,13 @@ object SparkEntry {
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
     "agg_approx_stats"       -> SqlSurface.approxStats _,
     "agg_sketch_merge"       -> SqlSurface.sketchMerge _,
+    // §2.6 streaming rows driven through the oracle gate: real
+    // readStream pipelines run to completion with Trigger.AvailableNow
+    // (bounded replay), value-checked against the batch oracles
+    "stream_tumbling_agg"  -> graft.streaming.StreamQueries.tumblingAgg _,
+    "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
+    "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
+    "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_rewrite" -> Analytic.topkRewrite _,
     "win_topk_native" -> ((s: SparkSession, d: String) =>
@@ -1309,6 +1316,40 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+    // streaming twins: bounded AvailableNow replays of the readStream
+    // pipelines must land on the IDENTICAL batch answers
+    "stream_tumbling_agg" ->
+      """SELECT epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+        | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_sec""".stripMargin,
+    // the dedup stream ingests every event TWICE (two unioned source
+    // instances); the oracle is the clean single-copy aggregate — it
+    // matches only if dropDuplicatesWithinWatermark removed exactly
+    // the planted redeliveries
+    "stream_dedup_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |c AS (SELECT user_id, sec AS c_sec FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec FROM ev WHERE event_type = 'purchase')
+        |SELECT purchase_id, count(*) AS n_clicks_1h,
+        |  min(c_sec) AS first_click_sec, max(c_sec) AS last_click_sec
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,

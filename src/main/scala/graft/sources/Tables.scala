@@ -46,7 +46,16 @@ object Tables {
     * dates). Naive wall clock is interpreted as UTC, matching how the
     * DuckDB oracle's epoch_ns treats its naive TIMESTAMP. */
   private def epochNs(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
+    epochNsOf(df.schema, c)
+
+  /** Schema-keyed flavor, shared with the streaming readers — a
+    * readStream over the same parquet must apply the identical
+    * normalization from the identical physical-type dispatch, or the
+    * batch/stream parity the oracles assert would silently depend on
+    * the data generation's current timestamp encoding. */
+  private[graft] def epochNsOf(schema: org.apache.spark.sql.types.StructType,
+      c: String): Column =
+    schema(c).dataType match {
       case LongType => col(c)
       case TimestampType => expr(s"unix_micros($c) * 1000L")
       case TimestampNTZType =>

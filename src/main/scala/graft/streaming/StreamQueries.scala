@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle-checked Structured Streaming queries — the streaming rows
+  * of §2.6 driven through the SAME correctness gate as every batch
+  * operator, not just through StreamingSpec.
+  *
+  * Each entry is a REAL readStream file-source pipeline (schema-pinned
+  * parquet stream → event-time transforms → stateful operator) run to
+  * completion with Trigger.AvailableNow against the bounded sf
+  * directory, so its result is deterministic and the driver's DuckDB
+  * oracle can value-check it exactly like a batch query. This is the
+  * bounded-replay discipline streaming deployments use for backfill
+  * and parity testing: the identical query graph runs unbounded in
+  * production (see EventStream for the open-ended twins; reference
+  * analog: the scan pipeline of hdfs-parquet-scanner.h:1 feeding
+  * incremental consumers).
+  *
+  * Scale notes: the watermark declarations bound every stateful
+  * operator's store exactly as in the unbounded deployment (dedup
+  * state evicts 2h behind the max event time; the interval join holds
+  * each side ≤ horizon+1h). The memory sink is the parity-check
+  * harness sink only — its contents are localCheckpoint'd off the
+  * driver and the temp view dropped immediately, and a production run
+  * would land on a file/Kafka sink (StreamingSpec's foreachBatch row
+  * covers that path).
+  */
+object StreamQueries {
+  import graft.sources.Tables
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The events stream: schema pinned from the batch footer (schema
+    * inference is unavailable — and over 100 TB undesirable — for
+    * streams), ts normalized to the repo-wide epoch-ns contract by
+    * the SAME physical-type dispatch the batch Tables boundary uses,
+    * plus a micro-precision event-time column for watermarks. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = stageStreamDir(spark, dir)
+    val phys = spark.read.parquet(path).schema
+    spark.readStream.schema(phys).parquet(path)
+      .withColumn("ts", Tables.epochNsOf(phys, "ts"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** The file stream source requires a DIRECTORY to monitor (its
+    * listing loop is how new files arrive); the test data ships one
+    * parquet FILE per table. Stage a per-app scratch directory holding
+    * a symlink to the file — zero-copy, and exactly the landing-dir
+    * layout an unbounded deployment would watch. Idempotent per
+    * (app, sf dir) so repeated bench runs reuse the staging. */
+  private def stageStreamDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = graft.queries.SourcesSinks.tmp(spark, dir, "events_stream_src")
+      val link = java.nio.file.Paths.get(d, "events.parquet")
+      if (!java.nio.file.Files.exists(link)) {
+        java.nio.file.Files.createDirectories(link.getParent)
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      }
+      d
+    }
+
+  /** Run a bounded streaming query to completion and hand back its
+    * result as a plain DataFrame: AvailableNow drains the backlog and
+    * self-terminates; the memory-sink rows are localCheckpoint'd so
+    * the temp view can be dropped at once (repeated bench runs must
+    * not accumulate sink tables on the driver). */
+  private def runBounded(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_out_${seq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  private val D = "decimal(18,2)"
+
+  /** Streaming tumbling-window aggregate — the readStream twin of
+    * Analytic.tumblingWindow, sharing its oracle. Watermarked 2h so
+    * the unbounded deployment evicts closed windows; complete output
+    * because a bounded replay must emit ALL windows including the
+    * ones the final watermark never passes (append would hold back
+    * the stream's tail hour — the classic parity trap). */
+  def tumblingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    runBounded(spark, agg, "complete")
+      .select(unix_timestamp(col("w.start")).as("hour_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_sec", "event_type")
+  }
+
+  /** Streaming session windows — the readStream twin of
+    * Analytic.sessionWindowAgg (native session_window, 30 min gap),
+    * sharing its oracle. */
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("session_value"))
+    runBounded(spark, agg, "complete")
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_sec"),
+        unix_timestamp(col("sw.end")).as("end_sec"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_sec")
+  }
+
+  /** Streaming exact dedup under duplicate delivery: the same file
+    * read by TWO independent stream sources and unioned — every event
+    * arrives exactly twice, the at-least-once redelivery a real feed
+    * produces — then watermarked dropDuplicatesWithinWatermark
+    * restores exactly-once. The oracle is the plain per-type batch
+    * aggregate of the ORIGINAL table: the check passes only if dedup
+    * removed every planted duplicate and nothing else. Aggregation
+    * happens in batch over the sunk rows (chaining a second stateful
+    * operator behind dedup is append-only territory; the parity
+    * replay needs the complete result). */
+  def dedupAgg(spark: SparkSession, dir: String): DataFrame = {
+    def side(): DataFrame = eventsStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
+    val deduped = side().unionAll(side())
+      .withWatermark("ts_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    runBounded(spark, deduped, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Stream-stream interval join, purchases ⋈ preceding-hour clicks —
+    * the readStream twin of Analytic.rangeJoin, sharing its oracle.
+    * Both sides are unbounded streams; the watermarks + two-sided
+    * time bound let the join evict state older than horizon + 1h, so
+    * store size tracks the time window, not stream length. Inner
+    * joins emit eagerly per micro-batch, so a bounded replay loses no
+    * tail rows in append mode; the per-purchase rollup runs in batch
+    * over the sunk pairs. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // event time truncated to SECONDS so the join bound is the exact
+    // integer-second predicate the batch twin and the oracle use —
+    // sub-second precision in the bound would flip boundary pairs
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        expr("timestamp_seconds(ts div 1000000000)").as("c_ts"),
+        expr("ts div 1000000000").as("c_sec"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("timestamp_seconds(ts div 1000000000)").as("p_ts"),
+        expr("ts div 1000000000").as("p_sec"))
+      .withWatermark("p_ts", "2 hours")
+    val pairs = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+    runBounded(spark, pairs, "append")
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        min("c_sec").as("first_click_sec"),
+        max("c_sec").as("last_click_sec"))
+      .orderBy("purchase_id")
+  }
+}

@@ -471,4 +471,41 @@ class StreamingSpec extends SparkSpec {
       java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
         .movePointRight(2).longValueExact()))
   }
+
+  // ---- the oracle-gated bounded-replay queries (StreamQueries) ----
+  // Each runs a REAL file-source readStream to completion via
+  // AvailableNow; here they are pinned row-for-row to their batch
+  // twins (the driver additionally value-checks them against DuckDB).
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("bounded-replay streaming tumbling agg equals the batch twin row-for-row") {
+    val got = rowSet(graft.streaming.StreamQueries.tumblingAgg(spark, sf))
+    val want = rowSet(queries.Analytic.tumblingWindow(spark, sf))
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("bounded-replay streaming session windows equal the batch session_window") {
+    val got = rowSet(graft.streaming.StreamQueries.sessionAgg(spark, sf))
+    val want = rowSet(queries.Analytic.sessionWindowAgg(spark, sf))
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("streaming dedup of a double-delivered stream equals the single-copy aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = rowSet(graft.streaming.StreamQueries.dedupAgg(spark, sf))
+    val want = rowSet(graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type"))
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("bounded-replay stream-stream interval join equals the batch range join") {
+    val got = rowSet(graft.streaming.StreamQueries.intervalJoin(spark, sf))
+    val want = rowSet(queries.Analytic.rangeJoin(spark, sf))
+    assert(want.nonEmpty && got == want)
+  }
 }
