@@ -114,10 +114,13 @@ object SparkEntry {
     "ev_rfm_segments"     -> Analytic.rfmSegments _,
     "ev_scd2_intervals"   -> Analytic.scd2Intervals _,
     "ev_pit_lookup"       -> Analytic.pitLookup _,
+    "ev_ewma_smooth"      -> Analytic.ewmaSmooth _,
+    "ev_interval_union"   -> Analytic.intervalUnion _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
     "dedup_exact"            -> Dedup.exact _,
+    "dedup_url_canonical"    -> Dedup.urlCanonical _,
     "dedup_minhash_lsh"      -> Dedup.minhashLsh _,
     "dedup_simhash"          -> Dedup.simhash _,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccard _,
@@ -158,6 +161,7 @@ object SparkEntry {
     "text_oov_rate"     -> TextAnalysis.oovRate _,
     "text_contamination" -> TextAnalysis.contamination _,
     "text_bm25"          -> TextAnalysis.bm25 _,
+    "text_bm25_indexed"  -> TextAnalysis.bm25Indexed _,
     "text_dup_ngram"     -> TextAnalysis.dupNgram _,
     "text_tfidf_topterms" -> TextAnalysis.tfidfTopTerms _,
     "text_pii_redact"    -> TextAnalysis.piiRedact _,
@@ -186,6 +190,7 @@ object SparkEntry {
     "sql_cube"               -> SqlSurface.cubeAgg _,
     "sql_full_outer"         -> SqlSurface.fullOuter _,
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
+    "agg_weighted_median"    -> SqlSurface.weightedMedian _,
     "sql_grouping_sets"      -> SqlSurface.groupingSets _,
     "sql_limit_offset"       -> SqlSurface.limitOffset _,
     "sql_correlated_subquery" -> SqlSurface.correlatedSubquery _,
@@ -200,6 +205,7 @@ object SparkEntry {
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
+    "agg_heavy_hitters"      -> SqlSurface.heavyHitters _,
     "expr_regex"             -> SqlSurface.regexFuncs _,
     "sink_partitioned_prune" -> SqlSurface.partitionedSink _,
     "agg_approx_stats"       -> SqlSurface.approxStats _,
@@ -236,7 +242,9 @@ object SparkEntry {
     * the SQL lives in exactly one place. */
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
-    m + ("ann_ivf_indexed" -> m("ann_ivf_topk"))
+    m + ("ann_ivf_indexed" -> m("ann_ivf_topk")) +
+      // same contract: the inverted index is a layout change only
+      ("text_bm25_indexed" -> m("text_bm25"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -310,6 +318,16 @@ object SparkEntry {
         |  TRUE AS never_undercounts, TRUE AS within_eps_bound
         |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // guaranteed-region contract: rows are the keys above the N/(K+1)
+    // frequency threshold (K = 8 counters), where the Misra-Gries
+    // promises hold for ANY merge order — see SqlSurface.heavyHitters
+    "agg_heavy_hitters" ->
+      """WITH k AS (SELECT event_id & (-event_id) AS key FROM events),
+        |c AS (SELECT key, count(*) AS exact_n FROM k GROUP BY key)
+        |SELECT key, exact_n, TRUE AS in_summary,
+        |  TRUE AS est_le_exact, TRUE AS err_bounded
+        |FROM c WHERE exact_n * 9 > (SELECT count(*) FROM events)
+        |ORDER BY key""".stripMargin,
     "pipeline_curriculum" ->
       """WITH t AS (SELECT doc_id, lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |c AS (
@@ -1368,6 +1386,36 @@ object SparkEntry {
         |    min(doc_id) OVER (PARTITION BY digest) AS canonical_id
         |  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // four planted raw-URL variants per logical page; canonicalization
+    // (fragment, utm_*, :443, host case, trailing slash, param order)
+    // must collapse them — see Dedup.urlCanonical
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://' || lang || '.example.com/doc/' || (doc_id // 4) || '?a=1&b=2'
+        |      WHEN 1 THEN 'HTTPS://' || upper(lang) || '.EXAMPLE.COM:443/doc/' || (doc_id // 4) || '/?b=2&a=1'
+        |      WHEN 2 THEN 'https://' || lang || '.example.com/doc/' || (doc_id // 4) || '?utm_source=feed&b=2&a=1#frag'
+        |      ELSE 'https://' || lang || '.example.com/doc/' || (doc_id // 4) || '?a=1&utm_campaign=x&b=2'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    split_part(regexp_replace(url, '#.*$', ''), '?', 1) AS pre,
+        |    split_part(regexp_replace(url, '#.*$', ''), '?', 2) AS q
+        |  FROM u),
+        |k AS (
+        |  SELECT doc_id,
+        |    regexp_replace(replace(lower(pre), ':443/', '/'), '/$', '')
+        |      || CASE WHEN array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |             p -> NOT starts_with(p, 'utm_'))), '&') <> ''
+        |         THEN '?' || array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |             p -> NOT starts_with(p, 'utm_'))), '&')
+        |         ELSE '' END AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS min_doc_id,
+        |  count(*) > 1 AS has_variants
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // previous release = doc_id % 4 != 3; the incoming batch carries
     // re-crawled old docs (new ids, same text) the anti-join must drop
     "dedup_incremental" ->
@@ -2513,6 +2561,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact weighted median (weight = n_chars) over the compressed
+    // (lang, length) domain; integer threshold test, no interpolation
+    "agg_weighted_median" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars, count(*) AS n, n_chars * count(*) AS mass
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, n_chars, mass,
+        |    sum(mass) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |t AS (SELECT lang, CAST(sum(mass) AS BIGINT) AS total_mass,
+        |        CAST(sum(n) AS BIGINT) AS n_docs
+        |      FROM b GROUP BY 1)
+        |SELECT lang, n_docs, total_mass, min(n_chars) AS mass_median_len
+        |FROM c JOIN t USING (lang) WHERE cum * 2 >= total_mass
+        |GROUP BY lang, n_docs, total_mass ORDER BY lang""".stripMargin,
     // the nested roundtrip is lossless, so the oracle aggregates the
     // flat table; first_qty = qty of the (linenumber, qty)-least line,
     // the entry the rank-keyed map stores under key 1
@@ -2578,6 +2643,50 @@ object SparkEntry {
         |)
         |SELECT event_id, user_id, ts_sec, version, pit_value
         |FROM wnd WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // dyadic EWMA: every weight is a power-of-two divisor, so each
+    // term and every partial sum is an exact IEEE double — the lag
+    // sum agrees bitwise across engines (see Analytic.ewmaSmooth)
+    "ev_ewma_smooth" -> {
+      val terms = (0 until 16).map(j =>
+        s"COALESCE(lag(n_events, $j) OVER w, 0) / ${1L << (j + 1)}.0")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT event_type, epoch_ns(ts)//1000000000//3600*3600 AS hour_sec,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |e AS (
+         |  SELECT event_type, hour_sec, n_events,
+         |    $terms AS ewma
+         |  FROM h
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_sec))
+         |SELECT event_type, hour_sec, n_events, ewma,
+         |  CAST(n_events AS DOUBLE) > 4.0 * ewma AS is_spike
+         |FROM e ORDER BY event_type, hour_sec""".stripMargin
+    },
+    "ev_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS start_sec,
+        |    epoch_ns(ts)//1000000000 + (event_id % 541) + 60 AS end_sec
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, start_sec, end_sec,
+        |    max(end_sec) OVER (PARTITION BY user_id ORDER BY start_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL OR start_sec > prev_max_end
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM m),
+        |g AS (
+        |  SELECT *, sum(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY start_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(start_sec) AS s, max(end_sec) AS e
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS union_sec
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

@@ -641,4 +641,55 @@ object Dedup {
         "covered_words", "covered_frac")
       .orderBy("doc_id")
   }
+
+  /** URL canonicalization dedup — the crawl-frontier stage that runs
+    * BEFORE any content fetch: tracking-parameter noise, host-case
+    * noise, default ports, trailing slashes and fragments make one
+    * logical page arrive under many raw URLs, and collapsing them is
+    * the cheapest dedup in the whole cascade (string kernels only, no
+    * content). Raw URLs are assembled deterministically from doc
+    * columns with four planted variant shapes (clean / upper-case
+    * host + :443 + trailing slash / utm_* params + fragment /
+    * reordered params), four doc_ids per logical page, so the
+    * canonicalizer has real work at every corpus size.
+    *
+    * Canonical form: drop fragment → split query → lowercase the
+    * scheme://host/path part → strip :443 and the trailing slash →
+    * drop utm_* parameters → sort the survivors. The query-param
+    * lambda runs on a ≤3-element array (O(params) per row, bounded by
+    * construction), NOT on a per-token relation — the documented
+    * exception to the no-HOF rule for constant-size cold arrays.
+    *
+    * Scale shape: pure projection + one canonical-key hash agg —
+    * exactly [[exact]]'s one-shuffle cost, on strings ~100× smaller
+    * than content digests' inputs. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val page = expr("doc_id div 4")
+    val base = concat(lit("https://"), col("lang"), lit(".example.com/doc/"), page)
+    val url = when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(base, lit("?a=1&b=2")))
+      .when(pmod(col("doc_id"), lit(4L)) === 1,
+        concat(lit("HTTPS://"), upper(col("lang")), lit(".EXAMPLE.COM:443/doc/"),
+          page, lit("/?b=2&a=1")))
+      .when(pmod(col("doc_id"), lit(4L)) === 2,
+        concat(base, lit("?utm_source=feed&b=2&a=1#frag")))
+      .otherwise(concat(base, lit("?a=1&utm_campaign=x&b=2")))
+    documents(spark, dir)
+      .withColumn("url", url)
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("pre", expr("split_part(nofrag, '?', 1)"))
+      .withColumn("q", expr("split_part(nofrag, '?', 2)"))
+      .withColumn("pre_c",
+        regexp_replace(regexp_replace(lower(col("pre")), ":443/", "/"), "/$", ""))
+      .withColumn("q_c",
+        expr("array_join(array_sort(filter(split(q, '&'), " +
+          "p -> NOT startswith(p, 'utm_'))), '&')"))
+      .withColumn("canonical_url",
+        concat(col("pre_c"),
+          when(col("q_c") =!= "", concat(lit("?"), col("q_c"))).otherwise(lit(""))))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
+        (count(lit(1)) > 1).as("has_variants"))
+      .orderBy("canonical_url")
+  }
 }

@@ -244,14 +244,25 @@ object TextAnalysis {
     * final score fixes the term addition order (t1+t2+t3 as columns,
     * not a float sum over rows). */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "table", "scan")
     val words = documents(spark, dir)
       .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = words.filter(col("w").isin(terms: _*))
+    val tf = words.filter(col("w").isin(Bm25Terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfreq, dl, corpus)
+  }
+
+  /** the fixed retrieval query shared by [[bm25]] and [[bm25Indexed]] */
+  private val Bm25Terms = Seq("spark", "table", "scan")
+
+  /** shared BM25 scoring tail: takes (doc_id, w, tf) postings, (w, df)
+    * doc frequencies, (doc_id, dl) lengths and the 1-row corpus stats
+    * — identical arithmetic (and so identical oracle) whether the
+    * inputs come from a fresh corpus pass or the persistent index. */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val scored = tf
       .join(broadcast(dfreq), "w")
       .join(dl, "doc_id")
@@ -264,13 +275,69 @@ object TextAnalysis {
         col("idf") * (col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") +
             lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("w") === t, col("term_score")).otherwise(lit(0.0))).as(s"s$i")
     }
     scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score", col("s0") + col("s1") + col("s2"))
       .select("doc_id", "s0", "s1", "s2", "score")
       .orderBy("doc_id")
+  }
+
+  /** Build phase of the persistent inverted index: ONE corpus pass
+    * derives the (doc, term, tf) postings (staged once — doc lengths
+    * are Σtf per doc, so nothing else rescans the text), written
+    * cell-partitioned by a 64-way term-hash bucket exactly like the
+    * IVF index partitions by cell (Similarity.ivfBuildIndex) — the
+    * retrieval twin of that build/serve split. Vocabulary (term→df),
+    * doc lengths and the 1-row corpus stats land beside it. */
+  def bm25BuildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("w")), lit(64L)).cast("int"))
+      .localCheckpoint()
+    tf.write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/postings")
+    tf.groupBy("tb", "w").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$indexDir/vocab")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint()
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Query phase against the persistent index: the probe terms' hash
+    * buckets are computed up front (3 scalars), so the postings and
+    * vocab reads carry `tb IN (...)` PARTITION filters — a query
+    * touches ~|terms|/64 of the index on disk instead of re-scanning
+    * the corpus, the text-retrieval analog of
+    * Similarity.ivfTopKIndexed's probed-cell pruning. Output (and
+    * oracle) identical to [[bm25]]: the index is a layout change,
+    * never a semantics change. Rebuild trigger: any corpus mutation —
+    * postings are exact, not sketched, so there is no drift margin. */
+  def bm25QueryIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    val bRow = spark.range(1).select(Bm25Terms.zipWithIndex.map { case (t, i) =>
+      pmod(xxhash64(lit(t)), lit(64L)).cast("int").as(s"b$i") }: _*).collect()(0)
+    val buckets = Bm25Terms.indices.map(bRow.getInt(_)).distinct
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("w").isin(Bm25Terms: _*))
+      .select("doc_id", "w", "tf")
+    val vocab = spark.read.parquet(s"$indexDir/vocab")
+      .filter(col("tb").isin(buckets: _*) && col("w").isin(Bm25Terms: _*))
+      .select("w", "df")
+    val dl = spark.read.parquet(s"$indexDir/doclen")
+    val corpus = spark.read.parquet(s"$indexDir/stats")
+    bm25Score(postings, vocab, dl, corpus)
+  }
+
+  /** queries() wiring, the ivfIndexed pattern: build once per
+    * (app, sf dir), serve every subsequent call from the index — the
+    * measured steady state is the query cost, as deployed. */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = graft.queries.SourcesSinks.tmp(spark, dir, "bm25_index")
+    if (!new java.io.File(s"$indexDir/postings/_SUCCESS").isFile)
+      bm25BuildIndex(spark, dir, indexDir)
+    bm25QueryIndexed(spark, dir, indexDir)
   }
 
   /** Per-document top-3 tf-idf terms — the keyword/topic extraction

@@ -723,4 +723,69 @@ object Analytic {
         col("version"), col("pit_value"))
       .orderBy("event_id")
   }
+
+  /** EWMA smoothing of per-type hourly volumes — the time-series
+    * denoising pass behind rate alerting and trend dashboards
+    * (the reference's expr framework would run this as an analytic
+    * fn; /root/reference/expr.h). The smoothing constant is α = 1/2,
+    * deliberately DYADIC: every term count·2^−(j+1) is an exact
+    * binary fraction, the 16-term truncated sum is exact in IEEE
+    * doubles (numerator < 2^53), so Spark and the oracle agree
+    * bitwise with NO float-accumulation-order caveat — the same
+    * engine-exactness trick as the integer z-score in
+    * [[hourlyAnomaly]]. Truncation at 16 lags drops < 2^−16 of the
+    * weight mass.
+    *
+    * Shape: one hourly hash agg (map-side combined) collapses the
+    * corpus to (type, hour) granularity, then ONE window pass emits
+    * all 16 lag columns (codegen'd, no HOF) over partitions bounded
+    * by hours-per-type — never by event count. A spike flag compares
+    * the raw hour against 4× its own trailing smooth. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"))
+      .groupBy("event_type", "hour_sec").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("hour_sec")
+    val ewma = (0 until 16).map { j =>
+      coalesce(lag(col("n_events"), j).over(w), lit(0L)).cast("double") /
+        lit((1L << (j + 1)).toDouble)
+    }.reduce(_ + _)
+    hourly
+      .withColumn("ewma", ewma)
+      .withColumn("is_spike", col("n_events").cast("double") > lit(4.0) * col("ewma"))
+      .select("event_type", "hour_sec", "n_events", "ewma", "is_spike")
+      .orderBy("event_type", "hour_sec")
+  }
+
+  /** Per-user union length of overlapping activity intervals — the
+    * time-on-site / coverage metric: each event opens an interval
+    * [ts, ts + dur) with a deterministic integer duration, and the
+    * answer is the measure of the UNION (overlaps counted once), not
+    * the sum. Classic island analysis: a running max over interval
+    * ends detects gaps (an interval starting past every prior end
+    * opens a new island), a running count of gap flags labels
+    * islands, and the union length is Σ islands (max end − min
+    * start). Two window passes + one agg, all partitioned by user —
+    * state bounded by per-user activity, no self-join, no
+    * interval-overlap BNLJ (the trap the naive SQL form plans). */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsSec.as("start_sec"),
+        (tsSec + pmod(col("event_id"), lit(541L)) + lit(60L)).as("end_sec"))
+    val w = Window.partitionBy("user_id").orderBy("start_sec", "event_id")
+    val islands = iv
+      .withColumn("prev_max_end",
+        max(col("end_sec")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start_sec") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("user_id", "island")
+      .agg(min("start_sec").as("s"), max("end_sec").as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("union_sec"))
+      .orderBy("user_id")
+  }
 }

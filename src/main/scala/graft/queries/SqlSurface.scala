@@ -522,6 +522,98 @@ object SqlSurface {
       .orderBy("l_suppkey")
   }
 
+  /** Exact WEIGHTED median over a compressed value domain — the
+    * length-mass p50 per language: the document length below which
+    * half the corpus's character mass sits (weight = n_chars), the
+    * statistic behind "how long are the docs that carry the data"
+    * curation dashboards ([[percentileExact]] is its unweighted
+    * sibling). Pure integer arithmetic: the threshold test is
+    * 2·cum ≥ total, never a float quantile interpolation, so the
+    * answer is engine-exact by construction.
+    *
+    * Scale shape: the corpus collapses FIRST to (lang, n_chars)
+    * granularity in one map-side-combined hash agg, and the cumsum
+    * window runs over that compressed relation — partitions bounded
+    * by the VALUE DOMAIN (distinct lengths per language), never by
+    * row count. The naive form (window over raw docs) is the
+    * unbounded-partition shape this repo systematically avoids. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byLen = documents(spark, dir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("n_docs_len"))
+      .withColumn("mass", col("n_chars") * col("n_docs_len"))
+    val totals = byLen.groupBy("lang")
+      .agg(sum("mass").as("total_mass"), sum("n_docs_len").as("n_docs"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLen.withColumn("cum", sum("mass").over(w))
+      .join(broadcast(totals), "lang")
+      .filter(col("cum") * 2 >= col("total_mass"))
+      .groupBy("lang", "n_docs", "total_mass")
+      .agg(min("n_chars").as("mass_median_len"))
+      .select("lang", "n_docs", "total_mass", "mass_median_len")
+      .orderBy("lang")
+  }
+
+  /** Deterministic heavy hitters: a mergeable Misra-Gries summary
+    * (K = 8 counters) built with treeAggregate partials — the
+    * bounded-memory frequent-items shape next to [[countMin]]'s
+    * frequency sketch. The summarized key is the lowest set bit of
+    * event_id (geometric distribution: key 2^j carries ~2^−(j+1) of
+    * the mass), so genuine heavy keys exist at every corpus size and
+    * evictions actually fire on the ~16-key tail.
+    *
+    * Output = the GUARANTEED region only: keys whose exact count
+    * exceeds N/(K+1), for which the mergeable-summaries theorem
+    * (Agarwal et al., PODS'12) promises membership, est ≤ exact, and
+    * exact − est ≤ N/(K+1) REGARDLESS of partition merge order — so
+    * the value-checked contract is deterministic even though the
+    * summary's tail content is not (the est values themselves stay
+    * out of the checked columns for exactly that reason). All three
+    * promises are pinned as booleans against relational exact
+    * counts, integer-arithmetic only (×(K+1), no division).
+    *
+    * Scale shape: one treeAggregate pass (O(K) state per partition,
+    * executor-combined before the driver sees anything) + one key agg
+    * over the ~16-key relation for the exact side. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = 8
+    val keys = events(spark, dir).select(expr("event_id & -event_id").as("key"))
+    // one pass: MG counters + the total row count in the same state
+    val (summary, n) = keys.as[Long].rdd.treeAggregate(
+      (scala.collection.mutable.HashMap.empty[Long, Long], 0L))(
+      seqOp = { case ((m, cnt), k) =>
+        if (m.contains(k)) m(k) += 1L
+        else if (m.size < K) m(k) = 1L
+        else { // shared decrement: the Misra-Gries eviction step
+          val dead = m.iterator.collect { case (kk, 1L) => kk }.toList
+          m.mapValuesInPlace((_, v) => v - 1L)
+          dead.foreach(m.remove)
+        }
+        (m, cnt + 1L)
+      },
+      combOp = { case ((a, na), (b, nb)) =>
+        b.foreach { case (k, v) => a(k) = a.getOrElse(k, 0L) + v }
+        if (a.size > K) {
+          val cut = a.values.toSeq.sorted(Ordering[Long].reverse)(K)
+          val dead = a.iterator.collect { case (kk, v) if v <= cut => kk }.toList
+          a.mapValuesInPlace((_, v) => v - cut)
+          dead.foreach(a.remove)
+        }
+        (a, na + nb)
+      })
+    val estDf = broadcast(summary.toSeq.toDF("key", "est"))
+    keys.groupBy("key").agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") * (K + 1) > lit(n))
+      .join(estDf, Seq("key"), "left")
+      .select(col("key"), col("exact_n"),
+        col("est").isNotNull.as("in_summary"),
+        (coalesce(col("est"), lit(0L)) <= col("exact_n")).as("est_le_exact"),
+        (lit(K + 1) * (col("exact_n") - coalesce(col("est"), lit(0L))) <= lit(n))
+          .as("err_bounded"))
+      .orderBy("key")
+  }
+
   /** Multiple DISTINCT aggregates in one GROUP BY (Impala supports
     * several count(distinct) per query since 2.12) — Spark plans one
     * Expand that replicates every row once per distinct clause, then

@@ -382,4 +382,49 @@ class AnalyticSpec extends SparkSpec {
     }
     assert(matched > 0, "corpus must exercise the covered-interval path")
   }
+
+  test("ewma smoothing: exact dyadic values matching a driver-side replay") {
+    val rows = queries.Analytic.ewmaSmooth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("hour_sec"))
+      val counts = ordered.map(_.getAs[Long]("n_events"))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        // replay: sum over the 16 trailing observed hours, dyadic weights
+        var expect = 0.0
+        for (j <- 0 until 16; if i - j >= 0)
+          expect += counts(i - j).toDouble / (1L << (j + 1)).toDouble
+        val got = r.getAs[Double]("ewma")
+        assert(got == expect, s"row $i: $got != $expect")
+        // exactness witness: every value is an integer multiple of 2^-16
+        assert((got * 65536.0) == math.rint(got * 65536.0))
+        assert(r.getAs[Boolean]("is_spike") == (counts(i).toDouble > 4.0 * got))
+      }
+    }
+  }
+
+  test("interval union: equals a brute-force sweep-merge per user") {
+    val rows = queries.Analytic.intervalUnion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ivs = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000000000 as s",
+        "ts div 1000000000 + (event_id % 541) + 60 as e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val sorted = ivs(u).map(t => (t._2, t._3)).sortBy(identity)
+      // sweep-merge: accumulate disjoint islands
+      var (nIslands, union, curS, curE) = (0L, 0L, Long.MinValue, Long.MinValue)
+      sorted.foreach { case (s, e) =>
+        if (curE == Long.MinValue || s > curE) {
+          if (curE != Long.MinValue) union += curE - curS
+          nIslands += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      if (curE != Long.MinValue) union += curE - curS
+      assert(r.getAs[Long]("n_islands") == nIslands, s"user $u islands")
+      assert(r.getAs[Long]("union_sec") == union, s"user $u union")
+    }
+  }
 }

@@ -328,4 +328,26 @@ class DedupSpec extends SparkSpec {
     multi.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
     info(s"exact-bucket pairs ${exact.size}, multi-probe pairs ${multiSet.size}")
   }
+
+  test("url canonicalization collapses all four planted variant shapes") {
+    val rows = operators.Dedup.urlCanonical(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains(":443"))
+      assert(u == u.toLowerCase && !u.endsWith("/"))
+      assert(r.getAs[Boolean]("has_variants") == (r.getAs[Long]("n_docs") > 1))
+    }
+    // ground truth: same (lang, doc_id div 4) => same canonical page
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expectGroups = docs.groupBy { case (id, lang) => (lang, id / 4) }
+      .map { case ((lang, page), ds) =>
+        (s"https://$lang.example.com/doc/$page?a=1&b=2", ds.map(_._1).min, ds.size) }
+      .toSet
+    val gotGroups = rows.map(r => (r.getAs[String]("canonical_url"),
+      r.getAs[Long]("min_doc_id"), r.getAs[Long]("n_docs").toInt)).toSet
+    assert(gotGroups == expectGroups)
+  }
 }

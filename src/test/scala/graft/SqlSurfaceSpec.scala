@@ -305,4 +305,39 @@ class SqlSurfaceSpec extends SparkSpec {
       if (urgent >= 1 && cheap == 0) assert(returned(ck), s"missing custkey $ck")
     }
   }
+
+  test("heavy hitters: guaranteed region nonempty, all promises hold") {
+    val rows = queries.SqlSurface.heavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("key"))
+    // the lowest-set-bit key space is powers of two; the two heaviest
+    // (~50% and ~25% mass) must clear the 1/9 threshold at any sf
+    keys.foreach(k => assert((k & (k - 1)) == 0L && k > 0L))
+    assert(keys.contains(1L) && keys.contains(2L))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_summary"), s"key ${r.get(0)} evicted")
+      assert(r.getAs[Boolean]("est_le_exact"))
+      assert(r.getAs[Boolean]("err_bounded"))
+    }
+  }
+
+  test("weighted median: half the character mass sits at or below it, less below it") {
+    val rows = queries.SqlSurface.weightedMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val med = r.getAs[Long]("mass_median_len")
+      val lens = docs(lang).map(_._2)
+      val total = lens.sum
+      assert(r.getAs[Long]("total_mass") == total)
+      assert(r.getAs[Long]("n_docs") == lens.length)
+      val atOrBelow = lens.filter(_ <= med).sum
+      val strictlyBelow = lens.filter(_ < med).sum
+      assert(2 * atOrBelow >= total, s"$lang: median too low")
+      assert(2 * strictlyBelow < total, s"$lang: median too high")
+    }
+  }
 }

@@ -309,4 +309,17 @@ class TextSpec extends SparkSpec {
     // separates the corpus rather than passing/failing everything
     assert(rows.exists(_.getAs[Boolean]("keep")) && rows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("bm25 indexed: serves the exact bm25 answer via partition-pruned postings") {
+    val direct = operators.TextAnalysis.bm25(spark, sf).collect().map(_.toSeq).toSeq
+    val indexed = operators.TextAnalysis.bm25Indexed(spark, sf)
+    assert(indexed.collect().map(_.toSeq).toSeq == direct)
+    // the probe terms' hash buckets are literal partition predicates,
+    // so the postings/vocab scans must carry static PartitionFilters
+    // on tb — only ~|terms|/64 of the index is read per query
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(4000))
+    assert(plan.split("PartitionFilters").exists(_.take(200).contains("tb")),
+      plan.take(4000))
+  }
 }
