@@ -116,6 +116,9 @@ object SparkEntry {
     "ev_pit_lookup"       -> Analytic.pitLookup _,
     "ev_ewma_smooth"      -> Analytic.ewmaSmooth _,
     "ev_interval_union"   -> Analytic.intervalUnion _,
+    "ev_ab_test"          -> Analytic.abTest _,
+    "scan_stats_only"     -> SourcesSinks.statsOnly _,
+    "sink_cdc_diff"       -> SourcesSinks.cdcDiff _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
     // §2.7 dedup
@@ -2687,6 +2690,49 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e - s) AS BIGINT) AS union_sec
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // pooled two-proportion z-test cross-multiplied to pure integers;
+    // DuckDB's products ride HUGEINT, Spark's DECIMAL(38,0) — the
+    // compared boolean is exact on both sides
+    "ev_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+        |FROM pu)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  25 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)
+        |    > 96 * (c_a + c_b) * ((n_a + n_b) - (c_a + c_b)) * n_a * n_b AS significant
+        |FROM s""".stripMargin,
+    // the metadata-only aggregate must agree exactly with the data
+    "scan_stats_only" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
+    "sink_cdc_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM orders
+        |  WHERE o_orderkey % 5 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 5 <> 1)
+        |SELECT o_orderkey,
+        |  CASE WHEN old_price IS NULL THEN 'insert'
+        |       WHEN new_price IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  old_price, new_price
+        |FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+        |WHERE old_price IS NULL OR new_price IS NULL
+        |   OR old_price IS DISTINCT FROM new_price
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_setops" ->
       """WITH b96 AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),

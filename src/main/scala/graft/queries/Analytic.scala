@@ -724,6 +724,41 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** A/B conversion significance — the experimentation readout every
+    * event platform ships: users hash-assigned to arms by the
+    * repo-wide md5 surrogate (assignment must be a pure function of
+    * the user, never of traffic order), per-arm user and converter
+    * counts, and a pooled two-proportion z-test at 95% decided in
+    * EXACT integer arithmetic: z² > 3.84 cross-multiplied to
+    * 25·(c_a·n_b − c_b·n_a)²·N > 96·C·(N−C)·n_a·n_b — no division,
+    * no sqrt, engine-bitwise (the [[hourlyAnomaly]] trick applied to
+    * inference). Products ride DECIMAL(38,0), which holds the
+    * cross-terms to ~1e9 users per arm.
+    *
+    * Shape: one user-keyed hash agg (map-side combined) then a 1-row
+    * global agg — two linear passes, no window, no join. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        expr(graft.operators.Hash60.sql("CAST(user_id AS STRING)") + " % 2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val s = perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c_b"))
+    val diff = d(col("c_a")) * d(col("n_b")) - d(col("c_b")) * d(col("n_a"))
+    val n = d(col("n_a")) + d(col("n_b"))
+    val c = d(col("c_a")) + d(col("c_b"))
+    s.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      (lit(25) * diff * diff * n >
+        lit(96) * c * (n - c) * d(col("n_a")) * d(col("n_b")))
+        .as("significant"))
+  }
+
   /** EWMA smoothing of per-type hourly volumes — the time-series
     * denoising pass behind rate alerting and trend dashboards
     * (the reference's expr framework would run this as an analytic

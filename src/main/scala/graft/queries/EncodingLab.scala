@@ -227,7 +227,7 @@ object EncodingLab {
       }
   }
 
-  private def withFooter[A](f: java.io.File)(
+  private[queries] def withFooter[A](f: java.io.File)(
       fn: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path

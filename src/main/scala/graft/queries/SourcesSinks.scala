@@ -853,4 +853,81 @@ object SourcesSinks {
     d.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
       .map(_.length()).sum
   }
+
+  /** Metadata-only aggregation — count/min/max answered ENTIRELY from
+    * parquet footer row-group statistics, zero data-page IO: the
+    * degenerate-but-real OLAP fast path the reference's scanner
+    * enables by keeping row-group stats hot
+    * (/root/reference/hdfs-parquet-scanner.cc row-group
+    * materialization; same stats that drive its skip decisions). At
+    * 100 TB this answers "how many rows / value range" dashboards in
+    * footer-read time (KBs per file) instead of a full scan; the
+    * require() makes a stats-less writer loudly visible instead of
+    * silently falling back to a scan. The oracle recomputes the same
+    * aggregate relationally — metadata and data must agree exactly. */
+  def statsOnly(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = new java.io.File(s"$dir/lineitem.parquet")
+    val files =
+      if (root.isDirectory)
+        root.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).toSeq
+      else Seq(root)
+    var nRows = 0L
+    var minO = Long.MaxValue; var maxO = Long.MinValue
+    var minQ = Double.MaxValue; var maxQ = -Double.MaxValue
+    files.foreach { file =>
+      EncodingLab.withFooter(file) { footer =>
+        footer.getBlocks.asScala.foreach { b =>
+          nRows += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val st = c.getStatistics
+            c.getPath.toDotString match {
+              case "l_orderkey" =>
+                require(st != null && st.hasNonNullValue,
+                  s"no stats for l_orderkey in $file — metadata-only path unavailable")
+                minO = math.min(minO, st.genericGetMin.asInstanceOf[java.lang.Long])
+                maxO = math.max(maxO, st.genericGetMax.asInstanceOf[java.lang.Long])
+              case "l_quantity" =>
+                require(st != null && st.hasNonNullValue,
+                  s"no stats for l_quantity in $file — metadata-only path unavailable")
+                minQ = math.min(minQ, st.genericGetMin.asInstanceOf[java.lang.Double])
+                maxQ = math.max(maxQ, st.genericGetMax.asInstanceOf[java.lang.Double])
+              case _ =>
+            }
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    Seq((nRows, minO, maxO, minQ, maxQ))
+      .toDF("n_rows", "min_okey", "max_okey", "min_qty", "max_qty")
+  }
+
+  /** Snapshot CDC diff — derive the change feed BETWEEN two published
+    * snapshots (the inverse of [[mergeUpsert]], which APPLIES a
+    * delta): v1/v2 are deterministic slices of orders with planted
+    * inserts (keys only in v2), deletes (only in v1) and in-place
+    * price updates; a single FULL OUTER join on the key classifies
+    * every divergent row as insert/delete/update and drops the
+    * unchanged majority. One key shuffle, O(v1+v2) — the nightly
+    * "what changed between releases" audit that never rescans history
+    * more than once. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0)
+      .withColumnRenamed("o_totalprice", "old_price")
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(5L)) =!= 1)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5L)) === 2,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+      .withColumnRenamed("o_totalprice", "new_price")
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(!(col("old_price") <=> col("new_price")), lit("update")))
+      .filter(col("op").isNotNull)
+      .select("o_orderkey", "op", "old_price", "new_price")
+      .orderBy("o_orderkey")
+  }
 }

@@ -427,4 +427,18 @@ class AnalyticSpec extends SparkSpec {
       assert(r.getAs[Long]("union_sec") == union, s"user $u union")
     }
   }
+
+  test("ab test: counts partition the users and the z-test replays exactly") {
+    val r = queries.Analytic.abTest(spark, sf).collect()(0)
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("c_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("c_b"))
+    val users = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id").distinct().count()
+    assert(na + nb == users && ca <= na && cb <= nb && na > 0 && nb > 0)
+    val (bna, bca, bnb, bcb) =
+      (BigInt(na), BigInt(ca), BigInt(nb), BigInt(cb))
+    val lhs = 25 * (bca * bnb - bcb * bna).pow(2) * (bna + bnb)
+    val rhs = 96 * (bca + bcb) * ((bna + bnb) - (bca + bcb)) * bna * bnb
+    assert(r.getAs[Boolean]("significant") == (lhs > rhs))
+  }
 }

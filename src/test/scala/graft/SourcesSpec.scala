@@ -484,4 +484,42 @@ class SourcesSpec extends SparkSpec {
         assert(b < bytes("uncompressed"), s"$c ${b} !< uncompressed ${bytes("uncompressed")}")
     }
   }
+
+  test("stats-only aggregate: answered from footers (LocalTableScan), equals the data") {
+    val df = queries.SourcesSinks.statsOnly(spark, sf)
+    // the whole result must come from footer metadata — the plan may
+    // not contain any parquet scan at all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"), plan)
+    val r = df.collect()(0)
+    val t = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("count(*)", "min(l_orderkey)", "max(l_orderkey)",
+        "min(l_quantity)", "max(l_quantity)").collect()(0)
+    assert(r.getAs[Long]("n_rows") == t.getLong(0))
+    assert(r.getAs[Long]("min_okey") == t.getLong(1))
+    assert(r.getAs[Long]("max_okey") == t.getLong(2))
+    assert(r.getAs[Double]("min_qty") == t.getDouble(3))
+    assert(r.getAs[Double]("max_qty") == t.getDouble(4))
+  }
+
+  test("cdc diff classifies exactly the planted inserts/deletes/updates") {
+    val rows = queries.SourcesSinks.cdcDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val op = r.getAs[String]("op")
+      (k % 5) match {
+        case 0 => assert(op == "insert" && r.isNullAt(r.fieldIndex("old_price")))
+        case 1 => assert(op == "delete" && r.isNullAt(r.fieldIndex("new_price")))
+        case 2 => assert(op == "update" &&
+          r.getAs[Double]("new_price") == r.getAs[Double]("old_price") + 1.0)
+        case other => fail(s"unchanged key $k (mod $other) leaked into the diff")
+      }
+    }
+    // completeness: every planted change key appears
+    val keys = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+    val changed = keys.filter(k => k % 5 <= 2).toSet
+    assert(rows.map(_.getAs[Long]("o_orderkey")).toSet == changed)
+  }
 }
