@@ -117,6 +117,9 @@ object SparkEntry {
     "ev_ewma_smooth"      -> Analytic.ewmaSmooth _,
     "ev_interval_union"   -> Analytic.intervalUnion _,
     "ev_ab_test"          -> Analytic.abTest _,
+    "ev_dau_mau"          -> Analytic.dauMau _,
+    "ev_new_vs_returning" -> Analytic.newVsReturning _,
+    "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
     "scan_stats_only"     -> SourcesSinks.statsOnly _,
     "sink_cdc_diff"       -> SourcesSinks.cdcDiff _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
@@ -2690,6 +2693,40 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e - s) AS BIGINT) AS union_sec
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // trailing-30-day distinct membership via the bounded 30x explode
+    // of the compressed user-day relation (see Analytic.dauMau)
+    "ev_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT DISTINCT user_id, day + i AS day
+        |       FROM ud CROSS JOIN generate_series(0, 29) AS t(i)),
+        |mau AS (SELECT day, count(*) AS mau FROM ex GROUP BY 1)
+        |SELECT day, dau, mau, dau * 1000 // mau AS stickiness_permille
+        |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "text_ngram_topk_lang" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |tri AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(words)-2),
+        |    i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS trigram
+        |  FROM t WHERE len(words) >= 3),
+        |c AS (SELECT lang, trigram, count(*) AS n_occurrences FROM tri GROUP BY 1, 2)
+        |SELECT lang, trigram, n_occurrences, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_occurrences DESC, trigram) AS BIGINT) AS rank
+        |  FROM c) x
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // pooled two-proportion z-test cross-multiplied to pure integers;
     // DuckDB's products ride HUGEINT, Spark's DECIMAL(38,0) — the
     // compared boolean is exact on both sides

@@ -159,6 +159,29 @@ object TextAnalysis {
       .limit(40)
   }
 
+  /** Per-language top-5 trigrams on the NATIVE TopKPerKey operator —
+    * the per-group flavor of [[ngramFreq]]'s global table (the n-gram
+    * profile a per-language tokenizer/contamination pass starts
+    * from). The language key domain is bounded (≤ corpus languages),
+    * exactly the contract TopKPerKeyExec's per-key heaps require, so
+    * the ranking costs k rows of state per language instead of a
+    * per-language window sort over the full trigram census. */
+  def ngramTopkLang(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tri = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("n_occurrences"))
+    graft.plans.TopK.perKey(tri, Seq("lang"),
+      Seq(("n_occurrences", false), ("trigram", true)), 5)
+      .orderBy("lang", "rank")
+  }
+
   /** Out-of-vocabulary rate against a corpus-derived top-1000 vocab —
     * the tokenizer-coverage metric that decides whether a vocabulary
     * (or tokenizer merge table) fits a corpus before a 100 TB

@@ -724,6 +724,50 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** DAU/MAU stickiness — the engagement ratio every product
+    * dashboard tracks: per active day, the count of distinct users
+    * that day (DAU) and over the trailing 30 days (MAU), ratio
+    * reported in exact integer permille. The scalable shape: the
+    * corpus collapses ONCE to the distinct (user, day) relation, and
+    * the trailing-30-day membership comes from a bounded 30× explode
+    * of that compressed relation (each user-day contributes to
+    * exactly 30 target days) followed by a second distinct — never a
+    * running COUNT(DISTINCT) window, which has no bounded-state
+    * distributed form ([[distinctRunning]] documents that trap).
+    * Three hash shuffles over user-day-scale (not event-scale)
+    * relations. */
+  def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .withColumn("i", explode(sequence(lit(0L), lit(29L))))
+      .select(col("user_id"), (col("day") + col("i")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .withColumn("stickiness_permille", expr("dau * 1000 div mau"))
+      .orderBy("day")
+  }
+
+  /** New-vs-returning daily split — the growth-accounting twin of
+    * [[dauMau]]: a user counts as NEW on their first-ever active day
+    * and RETURNING on every later one. One user-keyed min over the
+    * compressed (user, day) relation, joined back and aggregated per
+    * day; all shuffles at user/user-day scale. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy("day")
+  }
+
   /** A/B conversion significance — the experimentation readout every
     * event platform ships: users hash-assigned to arms by the
     * repo-wide md5 surrogate (assignment must be a pure function of

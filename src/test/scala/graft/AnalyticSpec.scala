@@ -441,4 +441,36 @@ class AnalyticSpec extends SparkSpec {
     val rhs = 96 * (bca + bcb) * ((bna + bnb) - (bca + bcb)) * bna * bnb
     assert(r.getAs[Boolean]("significant") == (lhs > rhs))
   }
+
+  test("dau/mau and new-vs-returning replay exactly from the user-day relation") {
+    val ud = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000000000 div 86400 as day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).toSet
+    val dauMap = ud.groupBy(_._2).view.mapValues(_.length).toMap
+    val rows = queries.Analytic.dauMau(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("day")).toSet == days)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val mau = ud.filter { case (_, ad) => ad <= d && ad > d - 30 }
+        .map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") == dauMap(d).toLong, s"day $d dau")
+      assert(r.getAs[Long]("mau") == mau.toLong, s"day $d mau")
+      assert(r.getAs[Long]("stickiness_permille") == dauMap(d).toLong * 1000 / mau)
+      assert(r.getAs[Long]("mau") >= r.getAs[Long]("dau"))
+    }
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nvr = queries.Analytic.newVsReturning(spark, sf).collect()
+    assert(nvr.map(_.getAs[Long]("day")).toSet == days)
+    nvr.foreach { r =>
+      val d = r.getAs[Long]("day")
+      val onDay = ud.filter(_._2 == d).map(_._1)
+      val newU = onDay.count(u => firstDay(u) == d)
+      assert(r.getAs[Long]("new_users") == newU.toLong, s"day $d new")
+      assert(r.getAs[Long]("returning_users") == (onDay.length - newU).toLong)
+      // new + returning partitions that day's DAU
+      assert(r.getAs[Long]("new_users") + r.getAs[Long]("returning_users")
+        == dauMap(d).toLong)
+    }
+  }
 }

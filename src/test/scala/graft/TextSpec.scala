@@ -322,4 +322,24 @@ class TextSpec extends SparkSpec {
     assert(plan.split("PartitionFilters").exists(_.take(200).contains("tb")),
       plan.take(4000))
   }
+
+  test("per-lang trigram top-5 rides the native TopKPerKey, exactly ranked") {
+    val df = operators.TextAnalysis.ngramTopkLang(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ordered.length <= 5)
+      assert(ordered.map(_.getAs[Long]("rank")).sameElements(1L to ordered.length))
+      val counts = ordered.map(_.getAs[Long]("n_occurrences"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+      // ties broken lexically: equal counts must be trigram-ascending
+      ordered.sliding(2).foreach {
+        case Array(a, b) if a.getAs[Long]("n_occurrences") == b.getAs[Long]("n_occurrences") =>
+          assert(a.getAs[String]("trigram") < b.getAs[String]("trigram"))
+        case _ =>
+      }
+    }
+  }
 }
