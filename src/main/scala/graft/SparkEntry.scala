@@ -63,6 +63,9 @@ object SparkEntry {
     "expr_array_ops"      -> Exprs.arrayOps _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
+    "expr_date_interval"  -> Exprs.dateInterval _,
+    "expr_array_setops"   -> Exprs.arraySetOps _,
+    "sql_setops_all"      -> SqlSurface.setOpsAll _,
     // §2.4 sources / sinks / encodings
     "src_delimited_text"     -> SourcesSinks.delimitedText _,
     "src_csv_quoted"         -> SourcesSinks.csvQuoted _,
@@ -223,6 +226,7 @@ object SparkEntry {
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
+    "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_rewrite" -> Analytic.topkRewrite _,
     "win_topk_native" -> ((s: SparkSession, d: String) =>
@@ -250,7 +254,10 @@ object SparkEntry {
     val m = oracleSqlBase
     m + ("ann_ivf_indexed" -> m("ann_ivf_topk")) +
       // same contract: the inverted index is a layout change only
-      ("text_bm25_indexed" -> m("text_bm25"))
+      ("text_bm25_indexed" -> m("text_bm25")) +
+      // the streaming CEP replay must land on the batch
+      // MATCH_RECOGNIZE answer exactly
+      ("stream_cep_funnels" -> m("ev_pattern_match"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2693,6 +2700,49 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands,
         |  CAST(sum(e - s) AS BIGINT) AS union_sec
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Spark dayofweek is 1=Sunday, DuckDB 0=Sunday: both normalized
+    // to the 0-based form; add_months month-end clamping agrees
+    "expr_date_interval" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT d,
+        |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |  CAST(d + INTERVAL 30 DAY AS DATE) AS plus_30d,
+        |  last_day(d) AS month_end,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(d) AS BIGINT) AS dow
+        |FROM d ORDER BY d""".stripMargin,
+    // set ops pin the SET via sort-canonicalized joins, not layout
+    "expr_array_setops" ->
+      """WITH p AS (
+        |  SELECT p_partkey, string_split(lower(p_type), ' ') AS words
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(words, w -> list_contains(['tin','steel','brass'], w)))), '|'), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_concat(words, ['tin','steel','brass']))), '|'), '') AS uni,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(words, w -> NOT list_contains(['tin','steel','brass'], w)))), '|'), '') AS exc
+        |FROM p ORDER BY p_partkey""".stripMargin,
+    // the oracle pins the multiplicity ALGEBRA (min / clamped diff)
+    // relationally rather than another engine's ALL implementation
+    "sql_setops_all" ->
+      """WITH c96 AS (SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |c97 AS (SELECT o_custkey, count(*) AS n FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT 'intersect_all' AS segment, o_custkey,
+        |  CAST(least(c96.n, c97.n) AS BIGINT) AS multiplicity
+        |FROM c96 JOIN c97 USING (o_custkey)
+        |UNION ALL
+        |SELECT 'except_all' AS segment, o_custkey,
+        |  CAST(c96.n - coalesce(c97.n, 0) AS BIGINT) AS multiplicity
+        |FROM c96 LEFT JOIN c97 USING (o_custkey)
+        |WHERE c96.n - coalesce(c97.n, 0) > 0
+        |ORDER BY segment, o_custkey""".stripMargin,
     // trailing-30-day distinct membership via the bounded 30x explode
     // of the compressed user-day relation (see Analytic.dauMau)
     "ev_dau_mau" ->

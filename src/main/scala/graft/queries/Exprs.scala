@@ -216,4 +216,40 @@ object Exprs {
         sum(expr("CAST(bit_count(l_orderkey & 255) AS BIGINT)")).as("sum_pop_low"),
         sum(expr("CAST(shiftleft(l_linenumber, 2) AS BIGINT)")).as("sum_shl"))
       .orderBy("l_returnflag")
+
+  /** Date INTERVAL arithmetic kernel (the dialect surface next to
+    * [[dateFuncs]]' extraction fns): month-clamped add_months (Jan 31
+    * + 1 month = Feb 28 — both engines clamp), day arithmetic,
+    * last_day, quarter, and day-of-week (Spark counts 1=Sunday,
+    * DuckDB 0=Sunday — normalized to the 0-based form). Computed over
+    * the DISTINCT order-date domain, so the relation is
+    * calendar-bounded, not fact-bounded. */
+  def dateInterval(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .select(col("d"),
+        add_months(col("d"), 3).as("plus_3m"),
+        date_add(col("d"), 30).as("plus_30d"),
+        last_day(col("d")).as("month_end"),
+        quarter(col("d")).cast("bigint").as("qtr"),
+        (dayofweek(col("d")) - 1).cast("bigint").as("dow"))
+      .orderBy("d")
+
+  /** Array SET-operation kernel: intersect / union / except between a
+    * row's word array and a fixed probe set, sort-canonicalized on
+    * both engines (set ops are order-unspecified by SQL, so the
+    * contract pins the SET, not the layout). Per-row arrays are
+    * bounded by the p_type word count — collection expressions, not
+    * corpus-scale HOFs. */
+  def arraySetOps(spark: SparkSession, dir: String): DataFrame = {
+    val fixed = array(lit("tin"), lit("steel"), lit("brass"))
+    part(spark, dir)
+      .withColumn("words", split(lower(col("p_type")), " "))
+      .select(col("p_partkey"),
+        size(col("words")).cast("bigint").as("n_words"),
+        array_join(array_sort(array_intersect(col("words"), fixed)), "|").as("inter"),
+        array_join(array_sort(array_distinct(concat(col("words"), fixed))), "|").as("uni"),
+        array_join(array_sort(array_except(col("words"), fixed)), "|").as("exc"))
+      .orderBy("p_partkey")
+  }
 }

@@ -630,4 +630,30 @@ object SqlSurface {
         countDistinct(year(col("l_shipdate"))).as("ndv_shipyear"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL, the
+    * multiset counterparts of [[setOps]]: a customer ordering 3 times
+    * in 1996 and twice in 1997 contributes multiplicity min(3,2)=2 to
+    * the intersection and 3-2=1 to the difference. The result is
+    * reported as (segment, custkey, multiplicity) — the grouped form
+    * of the ALL-variant row multiset, which keeps the output
+    * deterministically ordered. The oracle recomputes the
+    * multiplicity algebra (least / clamped difference) relationally,
+    * pinning the semantics rather than another engine's ALL
+    * implementation. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    def year(y: Int): DataFrame = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01"))
+      .select("o_custkey")
+    val inter = year(1996).intersectAll(year(1997))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .withColumn("segment", lit("intersect_all"))
+    val exc = year(1996).exceptAll(year(1997))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .withColumn("segment", lit("except_all"))
+    inter.unionByName(exc)
+      .select("segment", "o_custkey", "multiplicity")
+      .orderBy("segment", "o_custkey")
+  }
 }

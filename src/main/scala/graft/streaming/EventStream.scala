@@ -257,7 +257,8 @@ object EventStream {
         timerValues: TimerValues): Iterator[FunnelOut] = {
       var st = if (state.exists()) state.get()
         else FunnelState(0L, 0L, "", 0L, 0L, 0L)
-      for (e <- rows.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))) {
+      for (e <- rows.toSeq.sortBy(ev =>
+          (ev.ts.getTime, ev.ts.getNanos, ev.event_id))) {
         val c = e.event_type.charAt(0)
         // strict 'vcp': non-overlapping left-to-right scan ≡ reset
         // the 2-letter window after a match (regexp_extract_all

@@ -139,6 +139,40 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming CEP through the oracle gate — the transformWithState
+    * FunnelProcessor (EventStream.scala: constant-size automata per
+    * user, O(active users) state) replayed bounded and value-checked
+    * against the batch MATCH_RECOGNIZE oracle (ev_pattern_match).
+    * Update mode emits one running-totals row per (micro-batch,
+    * touched user); the newest per user — n_events is strictly
+    * increasing across emissions, the documented tiebreaker — must
+    * equal the batch regex scan exactly. Intra-batch fold order is
+    * (event-time to NANOSECOND precision, event_id), matching the
+    * oracle's ORDER BY ts, event_id. */
+  def cepFunnels(spark0: SparkSession, dir: String): DataFrame = {
+    // arbitrary-state v2 requires the RocksDB state store; run on a
+    // child session so the provider choice never leaks into the
+    // caller's other streaming queries
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ts").as("ts"),
+        col("event_type"), col("value"))
+      .as[EventStream.Ev]
+    val out = EventStream.funnels(evs).toDF()
+    runBounded(spark, out, "update")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_strict_funnels"),
+        col("has_gap_funnel"), col("max_error_run"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_strict_funnels").as("n_strict_funnels"),
+        col("s.has_gap_funnel").as("has_gap_funnel"),
+        col("s.max_error_run").as("max_error_run"))
+      .orderBy("user_id")
+  }
+
   /** Stream-stream interval join, purchases ⋈ preceding-hour clicks —
     * the readStream twin of Analytic.rangeJoin, sharing its oracle.
     * Both sides are unbounded streams; the watermarks + two-sided

@@ -88,4 +88,41 @@ class ExprSpec extends SparkSpec {
       assert(r.getAs[Double]("disc_coalesced") == -1.0)
     }
   }
+
+  test("date interval kernel replays with java.time (clamping, dow, quarter)") {
+    import java.time.LocalDate
+    val rows = queries.Exprs.dateInterval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("d").toLocalDate
+      assert(r.getAs[java.sql.Date]("plus_3m").toLocalDate == d.plusMonths(3))
+      assert(r.getAs[java.sql.Date]("plus_30d").toLocalDate == d.plusDays(30))
+      assert(r.getAs[java.sql.Date]("month_end").toLocalDate ==
+        d.`with`(java.time.temporal.TemporalAdjusters.lastDayOfMonth()))
+      assert(r.getAs[Long]("qtr") == (d.getMonthValue - 1) / 3 + 1)
+      assert(r.getAs[Long]("dow") == d.getDayOfWeek.getValue % 7)
+    }
+    // the month-end clamp path must actually be exercised
+    assert(rows.exists { r =>
+      val d = r.getAs[java.sql.Date]("d").toLocalDate
+      d.getDayOfMonth > d.plusMonths(3).getDayOfMonth
+    }, "no clamping date in the domain")
+  }
+
+  test("array set ops: per-row sets replay exactly") {
+    val fixed = Set("tin", "steel", "brass")
+    val byKey = graft.sources.Tables.part(spark, sf)
+      .selectExpr("p_partkey", "lower(p_type) as t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = queries.Exprs.arraySetOps(spark, sf).collect()
+    assert(rows.length == byKey.size)
+    rows.foreach { r =>
+      val words = byKey(r.getAs[Long]("p_partkey")).split(" ")
+      val ws = words.toSet
+      assert(r.getAs[Long]("n_words") == words.length)
+      assert(r.getAs[String]("inter") == (ws & fixed).toSeq.sorted.mkString("|"))
+      assert(r.getAs[String]("uni") == (ws | fixed).toSeq.sorted.mkString("|"))
+      assert(r.getAs[String]("exc") == (ws -- fixed).toSeq.sorted.mkString("|"))
+    }
+  }
 }

@@ -340,4 +340,22 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(2 * strictlyBelow < total, s"$lang: median too high")
     }
   }
+
+  test("bag set ops: multiplicities are min / clamped difference of yearly counts") {
+    def counts(y: Int) = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01"))
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (c96, c97) = (counts(1996), counts(1997))
+    val rows = queries.SqlSurface.setOpsAll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r => (r.getAs[String]("segment"),
+      r.getAs[Long]("o_custkey")) -> r.getAs[Long]("multiplicity")).toMap
+    val expInter = for ((k, n) <- c96; m <- c97.get(k))
+      yield ("intersect_all", k) -> math.min(n, m)
+    val expExc = for ((k, n) <- c96; d = n - c96.get(k).flatMap(_ => c97.get(k)).getOrElse(0L); if d > 0)
+      yield ("except_all", k) -> d
+    assert(got == (expInter ++ expExc).toMap)
+  }
 }
