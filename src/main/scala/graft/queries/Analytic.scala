@@ -737,9 +737,13 @@ object Analytic {
     * Three hash shuffles over user-day-scale (not event-scale)
     * relations. */
   def dauMau(spark: SparkSession, dir: String): DataFrame = {
+    // the compressed user-day relation feeds BOTH the DAU agg and the
+    // 30x MAU expansion — staged once so the corpus-scale distinct
+    // runs once (the tfidf/minhash staging pattern)
     val ud = events(spark, dir)
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
       .distinct()
+      .localCheckpoint()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val mau = ud
       .withColumn("i", explode(sequence(lit(0L), lit(29L))))
@@ -757,9 +761,11 @@ object Analytic {
     * compressed (user, day) relation, joined back and aggregated per
     * day; all shuffles at user/user-day scale. */
   def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    // staged once: ud feeds the first-day derivation AND the join back
     val ud = events(spark, dir)
       .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
       .distinct()
+      .localCheckpoint()
     val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
     ud.join(first, "user_id")
       .groupBy("day")

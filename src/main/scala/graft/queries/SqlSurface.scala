@@ -538,9 +538,12 @@ object SqlSurface {
     * row count. The naive form (window over raw docs) is the
     * unbounded-partition shape this repo systematically avoids. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    // byLen feeds BOTH the cumsum window and the totals agg — staged
+    // once (domain-bounded relation) so the corpus is scanned once
     val byLen = documents(spark, dir)
       .groupBy("lang", "n_chars").agg(count(lit(1)).as("n_docs_len"))
       .withColumn("mass", col("n_chars") * col("n_docs_len"))
+      .localCheckpoint()
     val totals = byLen.groupBy("lang")
       .agg(sum("mass").as("total_mass"), sum("n_docs_len").as("n_docs"))
     val w = Window.partitionBy("lang").orderBy("n_chars")
