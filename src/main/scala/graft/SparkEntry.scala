@@ -121,6 +121,8 @@ object SparkEntry {
     "ev_interval_union"   -> Analytic.intervalUnion _,
     "ev_ab_test"          -> Analytic.abTest _,
     "ev_dau_mau"          -> Analytic.dauMau _,
+    "ev_power_users"      -> Analytic.powerUsers _,
+    "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
     "scan_stats_only"     -> SourcesSinks.statsOnly _,
@@ -2743,6 +2745,27 @@ object SparkEntry {
         |FROM c96 LEFT JOIN c97 USING (o_custkey)
         |WHERE c96.n - coalesce(c97.n, 0) > 0
         |ORDER BY segment, o_custkey""".stripMargin,
+    // power user = n·U > total (cross-multiplied integer mean test)
+    "ev_power_users" ->
+      """WITH uc AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total_events FROM uc)
+        |SELECT n_users, total_events,
+        |  count(*) AS n_power_users,
+        |  CAST(sum(n) AS BIGINT) AS power_events,
+        |  count(*) * 1000 // n_users AS user_share_permille,
+        |  CAST(sum(n) AS BIGINT) * 1000 // total_events AS event_share_permille
+        |FROM uc CROSS JOIN t
+        |WHERE n * n_users > total_events
+        |GROUP BY n_users, total_events""".stripMargin,
+    "mm_dedup_binary" ->
+      """SELECT md5(text) AS payload_md5,
+        |  count(*) AS n_copies,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS canonical_id,
+        |  (count(*) - 1) * CAST(octet_length(encode(text)) AS BIGINT) AS reclaimable_bytes
+        |FROM documents
+        |GROUP BY md5(text), octet_length(encode(text))
+        |ORDER BY payload_md5""".stripMargin,
     // trailing-30-day distinct membership via the bounded 30x explode
     // of the compressed user-day relation (see Analytic.dauMau)
     "ev_dau_mau" ->

@@ -112,4 +112,24 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(iter => iter.map(stubDecode))
   }
+
+  /** Binary-payload dedup accounting — the media-side twin of
+    * Dedup.exact: groups on the digest of the RAW bytes (no text
+    * normalization — for opaque media the bytes ARE the identity)
+    * and reports per duplicate group the copy count, per-copy size,
+    * the canonical keeper, and the bytes a dedup store would
+    * reclaim ((copies−1)·size) — the number a 100 TB media-lake
+    * dedup job is judged by. One digest shuffle, linear. */
+  def binaryDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(md5(col("payload")).as("payload_md5"),
+        expr("octet_length(payload)").cast("bigint").as("n_bytes"),
+        col("doc_id"))
+      .groupBy("payload_md5", "n_bytes")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"))
+      .withColumn("reclaimable_bytes", (col("n_copies") - 1) * col("n_bytes"))
+      .select("payload_md5", "n_copies", "n_bytes", "canonical_id",
+        "reclaimable_bytes")
+      .orderBy("payload_md5")
 }

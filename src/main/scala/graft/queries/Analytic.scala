@@ -873,4 +873,27 @@ object Analytic {
         sum(col("e") - col("s")).as("union_sec"))
       .orderBy("user_id")
   }
+
+  /** Power-user concentration — the activity-skew readout feeding
+    * rate-limit and sampling policy: a power user is one with
+    * STRICTLY more than the mean event count (n·U > total, the
+    * cross-multiplied integer form — no float mean), and the row
+    * reports how many users that is and what share of total events
+    * they carry, both in exact integer permille. One user-keyed agg,
+    * a 1-row totals broadcast, one filter+agg — no ranking, no
+    * window, no sort anywhere. */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    val uc = events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val totals = uc.agg(count(lit(1)).as("n_users"), sum("n").as("total_events"))
+    uc.crossJoin(broadcast(totals))
+      .filter(col("n") * col("n_users") > col("total_events"))
+      .groupBy("n_users", "total_events")
+      .agg(count(lit(1)).as("n_power_users"),
+        sum("n").as("power_events"))
+      .select(col("n_users"), col("total_events"), col("n_power_users"),
+        col("power_events"),
+        expr("n_power_users * 1000 div n_users").as("user_share_permille"),
+        expr("power_events * 1000 div total_events").as("event_share_permille"))
+  }
 }

@@ -473,4 +473,20 @@ class AnalyticSpec extends SparkSpec {
         == dauMap(d).toLong)
     }
   }
+
+  test("power users: above-mean cohort replays from per-user counts") {
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    val (u, total) = (counts.length.toLong, counts.sum)
+    val power = counts.filter(_ * u > total)
+    val r = queries.Analytic.powerUsers(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_users") == u)
+    assert(r.getAs[Long]("total_events") == total)
+    assert(r.getAs[Long]("n_power_users") == power.length.toLong)
+    assert(r.getAs[Long]("power_events") == power.sum)
+    assert(r.getAs[Long]("user_share_permille") == power.length * 1000L / u)
+    assert(r.getAs[Long]("event_share_permille") == power.sum * 1000L / total)
+    // concentration: the above-mean cohort carries a super-proportional share
+    assert(r.getAs[Long]("event_share_permille") > r.getAs[Long]("user_share_permille"))
+  }
 }

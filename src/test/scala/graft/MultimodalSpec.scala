@@ -64,4 +64,21 @@ class MultimodalSpec extends SparkSpec {
       assert(d.width >= 1 && d.height >= 1)
     }
   }
+
+  test("binary dedup accounting: copies x size and reclaimable bytes replay exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val groups = docs.groupBy(_._2)
+    val rows = operators.Multimodal.binaryDedup(spark, sf).collect()
+    assert(rows.length == groups.size)
+    val byCanonical = rows.map(r => r.getAs[Long]("canonical_id") -> r).toMap
+    groups.foreach { case (text, ds) =>
+      val r = byCanonical(ds.map(_._1).min)
+      assert(r.getAs[Long]("n_copies") == ds.length.toLong)
+      assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("reclaimable_bytes") ==
+        (ds.length - 1).toLong * text.getBytes("UTF-8").length)
+    }
+  }
 }
