@@ -141,23 +141,32 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
+  /** one shared shingling pipeline for the occurrence-count family:
+    * (doc_id, lang, trigram) via posexplode + 2x lead — a single
+    * definition so a normalization/shingle change cannot silently
+    * diverge [[ngramFreq]] from [[ngramTopkLang]]. */
+  private def docTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+  }
+
   /** corpus-wide top-40 word trigrams by raw occurrence count (the
     * n-gram frequency table a tokenizer/contamination check starts
     * from). Same explode + lead() shingling as Dedup, without the
     * per-doc distinct; one codegen'd hash agg + TakeOrdered. */
-  def ngramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(byDoc))
-      .withColumn("w2", lead("w", 2).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+  def ngramFreq(spark: SparkSession, dir: String): DataFrame =
+    docTrigrams(spark, dir)
       .groupBy("trigram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("trigram"))
       .limit(40)
-  }
 
   /** Per-language top-5 trigrams on the NATIVE TopKPerKey operator —
     * the per-group flavor of [[ngramFreq]]'s global table (the n-gram
@@ -167,15 +176,7 @@ object TextAnalysis {
     * the ranking costs k rows of state per language instead of a
     * per-language window sort over the full trigram census. */
   def ngramTopkLang(spark: SparkSession, dir: String): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val tri = documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(byDoc))
-      .withColumn("w2", lead("w", 2).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("lang"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("trigram"))
+    val tri = docTrigrams(spark, dir)
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n_occurrences"))
     graft.plans.TopK.perKey(tri, Seq("lang"),
       Seq(("n_occurrences", false), ("trigram", true)), 5)
@@ -358,7 +359,10 @@ object TextAnalysis {
     * measured steady state is the query cost, as deployed. */
   def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = graft.queries.SourcesSinks.tmp(spark, dir, "bm25_index")
-    if (!new java.io.File(s"$indexDir/postings/_SUCCESS").isFile)
+    // sentinel = the LAST-written artifact, so a build that died
+    // midway (postings committed, stats not) self-heals by rebuilding
+    // — the ivfIndexed pattern
+    if (!new java.io.File(s"$indexDir/stats/_SUCCESS").isFile)
       bm25BuildIndex(spark, dir, indexDir)
     bm25QueryIndexed(spark, dir, indexDir)
   }

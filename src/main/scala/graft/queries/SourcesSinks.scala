@@ -891,13 +891,17 @@ object SourcesSinks {
               case "l_orderkey" =>
                 require(st != null && st.hasNonNullValue,
                   s"no stats for l_orderkey in $file — metadata-only path unavailable")
-                minO = math.min(minO, st.genericGetMin.asInstanceOf[java.lang.Long])
-                maxO = math.max(maxO, st.genericGetMax.asInstanceOf[java.lang.Long])
+                // Number-dispatch, not a pinned cast: the Tables
+                // boundary doc says physical widths are a per-round
+                // variable (l_linenumber already ships INT32), and the
+                // footer stats type follows the physical type
+                minO = math.min(minO, st.genericGetMin.asInstanceOf[Number].longValue)
+                maxO = math.max(maxO, st.genericGetMax.asInstanceOf[Number].longValue)
               case "l_quantity" =>
                 require(st != null && st.hasNonNullValue,
                   s"no stats for l_quantity in $file — metadata-only path unavailable")
-                minQ = math.min(minQ, st.genericGetMin.asInstanceOf[java.lang.Double])
-                maxQ = math.max(maxQ, st.genericGetMax.asInstanceOf[java.lang.Double])
+                minQ = math.min(minQ, st.genericGetMin.asInstanceOf[Number].doubleValue)
+                maxQ = math.max(maxQ, st.genericGetMax.asInstanceOf[Number].doubleValue)
               case _ =>
             }
           }

@@ -645,14 +645,19 @@ object SqlSurface {
     * pinning the semantics rather than another engine's ALL
     * implementation. */
   def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    // each yearly slice feeds BOTH set operations — staged once so
+    // the fact table is scanned twice total, not four times
     def year(y: Int): DataFrame = orders(spark, dir)
       .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
         col("o_orderdate") < lit(s"${y + 1}-01-01"))
       .select("o_custkey")
-    val inter = year(1996).intersectAll(year(1997))
+      .localCheckpoint()
+    val y96 = year(1996)
+    val y97 = year(1997)
+    val inter = y96.intersectAll(y97)
       .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
       .withColumn("segment", lit("intersect_all"))
-    val exc = year(1996).exceptAll(year(1997))
+    val exc = y96.exceptAll(y97)
       .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
       .withColumn("segment", lit("except_all"))
     inter.unionByName(exc)

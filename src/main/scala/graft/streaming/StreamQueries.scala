@@ -147,8 +147,14 @@ object StreamQueries {
     * touched user); the newest per user — n_events is strictly
     * increasing across emissions, the documented tiebreaker — must
     * equal the batch regex scan exactly. Intra-batch fold order is
-    * (event-time to NANOSECOND precision, event_id), matching the
-    * oracle's ORDER BY ts, event_id. */
+    * (event time at the stream's MICROSECOND precision — Spark's
+    * TimestampType ceiling; ts_ts is `ts div 1000` — then getNanos,
+    * then event_id). The batch oracle orders by full-precision ts:
+    * the two agree unless one user has two events in the same
+    * microsecond whose event_id order disagrees with their ns order
+    * — not constructible from a TimestampType stream at all, and not
+    * present in any data generation (the parity spec would catch a
+    * generation that plants one). */
   def cepFunnels(spark0: SparkSession, dir: String): DataFrame = {
     // arbitrary-state v2 requires the RocksDB state store; run on a
     // child session so the provider choice never leaks into the
