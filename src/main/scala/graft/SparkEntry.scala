@@ -122,6 +122,9 @@ object SparkEntry {
     "ev_ab_test"          -> Analytic.abTest _,
     "ev_dau_mau"          -> Analytic.dauMau _,
     "ev_power_users"      -> Analytic.powerUsers _,
+    "ev_funnel_latency"   -> Analytic.funnelLatency _,
+    "ev_anomaly_mad"      -> Analytic.hourlyAnomalyMad _,
+    "agg_filter_clause"   -> SqlSurface.filterClause _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -2745,6 +2748,61 @@ object SparkEntry {
         |FROM c96 LEFT JOIN c97 USING (o_custkey)
         |WHERE c96.n - coalesce(c97.n, 0) > 0
         |ORDER BY segment, o_custkey""".stripMargin,
+    // same-second view does NOT attribute (purchase sorts first on
+    // ties — identical ASCII collation both engines)
+    "ev_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN ts_sec END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_sec, event_type, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_sec
+        |  FROM e)
+        |SELECT (ts_sec//3600) % 24 AS hour_of_day,
+        |  count(*) AS n_conversions,
+        |  min(ts_sec - last_view_sec) AS min_latency,
+        |  max(ts_sec - last_view_sec) AS max_latency,
+        |  CAST(sum(ts_sec - last_view_sec) AS BIGINT) AS sum_latency,
+        |  CAST(CAST(sum(ts_sec - last_view_sec) AS BIGINT) AS DOUBLE) / count(*) AS mean_latency
+        |FROM w WHERE event_type = 'purchase' AND last_view_sec IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LOWER-median convention: the value at sorted index (n-1)//2 —
+    // exact integer, no half-point interpolation, both engines
+    "ev_anomaly_mad" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//3600*3600 AS hour_sec,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, n_events AS med_hourly FROM (
+        |    SELECT event_type, n_events,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n_events) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM h) x
+        |  WHERE rn = (cnt - 1) // 2 + 1),
+        |d AS (SELECT h.event_type, abs(n_events - med_hourly) AS abs_dev, med_hourly
+        |      FROM h JOIN m USING (event_type)),
+        |md AS (SELECT event_type, abs_dev AS mad_hourly FROM (
+        |    SELECT event_type, abs_dev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY abs_dev) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS cnt
+        |    FROM d) y
+        |  WHERE rn = (cnt - 1) // 2 + 1)
+        |SELECT event_type, count(*) AS n_hours, med_hourly, mad_hourly,
+        |  CAST(sum(CASE WHEN abs_dev > 5 * mad_hourly THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outlier_hours
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY event_type, med_hourly, mad_hourly
+        |ORDER BY event_type""".stripMargin,
+    "agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_rows,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
+        |  max(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+        |    AS max_qty_97
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // power user = n·U > total (cross-multiplied integer mean test)
     "ev_power_users" ->
       """WITH uc AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

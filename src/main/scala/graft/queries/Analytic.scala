@@ -896,4 +896,70 @@ object Analytic {
         expr("n_power_users * 1000 div n_users").as("user_share_permille"),
         expr("power_events * 1000 div total_events").as("event_share_permille"))
   }
+
+  /** View→purchase conversion latency by hour of day — the funnel
+    * TIMING readout on top of [[asofAttribution]]'s shape: one
+    * per-user window carries the latest preceding view's second to
+    * each purchase (never a pair join), then latencies aggregate per
+    * purchase hour-of-day (24 groups). count/min/max/sum are exact
+    * integers; the mean is one double division of exact integers, so
+    * both engines compute the identical IEEE double. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_sec", "event_type", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("ts_sec"))
+      .withColumn("last_view_sec",
+        max(when(col("event_type") === "view", col("ts_sec"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_sec").isNotNull)
+      .withColumn("latency_sec", col("ts_sec") - col("last_view_sec"))
+      .withColumn("hour_of_day", expr("ts_sec div 3600 % 24"))
+      .groupBy("hour_of_day")
+      .agg(count(lit(1)).as("n_conversions"),
+        min("latency_sec").as("min_latency"),
+        max("latency_sec").as("max_latency"),
+        sum("latency_sec").as("sum_latency"))
+      .withColumn("mean_latency",
+        col("sum_latency").cast("double") / col("n_conversions").cast("double"))
+      .orderBy("hour_of_day")
+  }
+
+  /** Robust hourly anomaly detection via MAD — the median-based twin
+    * of [[hourlyAnomaly]]'s z-score: a handful of giant hours cannot
+    * drag the center the way they drag a mean. Medians use the LOWER-
+    * median convention (element at index (n−1)/2 of the sorted run) —
+    * an exact integer with no half-point interpolation, identically
+    * defined in both engines, and the outlier test |n−med| > 5·mad is
+    * pure integer arithmetic. Both median passes run over the
+    * (type, hour) hourly relation — tiny at any corpus size (the
+    * corpus collapses in the first hash agg), so the per-type windows
+    * are domain-bounded. */
+  def hourlyAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"))
+      .groupBy("event_type", "hour_sec").agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(cnt - 1) div 2 + 1"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(hourly.select(col("event_type"), col("n_events")),
+      "n_events", "med_hourly")
+    val withDev = hourly.join(broadcast(med), "event_type")
+      .withColumn("abs_dev", abs(col("n_events") - col("med_hourly")))
+    val mad = lowerMedian(withDev.select(col("event_type"), col("abs_dev")),
+      "abs_dev", "mad_hourly")
+    withDev.join(broadcast(mad), "event_type")
+      .groupBy("event_type", "med_hourly", "mad_hourly")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("abs_dev") > lit(5L) * col("mad_hourly"), 1L).otherwise(0L))
+          .as("n_outlier_hours"))
+      .select("event_type", "n_hours", "med_hourly", "mad_hourly", "n_outlier_hours")
+      .orderBy("event_type")
+  }
 }

@@ -664,4 +664,26 @@ object SqlSurface {
       .select("segment", "o_custkey", "multiplicity")
       .orderBy("segment", "o_custkey")
   }
+
+  /** Aggregate FILTER clause — the SQL:2003 per-aggregate predicate
+    * (Impala and every modern dialect ship it): one pass computes
+    * differently-filtered aggregates side by side, where the naive
+    * form runs one scan per predicate. Spark plans all four into a
+    * single hash agg with conditional accumulation — the same
+    * map-side-combined shape as a CASE-WHEN pivot, stated
+    * declaratively. */
+  def filterClause(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_fc_${math.abs(dir.hashCode)}"
+    lineitem(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT l_returnflag,
+         |  count(*) AS n_rows,
+         |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev,
+         |  max(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01')
+         |    AS max_qty_97
+         |FROM $v
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
 }

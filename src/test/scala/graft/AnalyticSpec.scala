@@ -489,4 +489,50 @@ class AnalyticSpec extends SparkSpec {
     // concentration: the above-mean cohort carries a super-proportional share
     assert(r.getAs[Long]("event_share_permille") > r.getAs[Long]("user_share_permille"))
   }
+
+  test("funnel latency replays from a driver-side as-of scan") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("event_id", "user_id", "event_type", "ts div 1000000000 as s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lat = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (hour, latency)
+    evs.groupBy(_._2).foreach { case (_, es) =>
+      var lastView = Option.empty[Long]
+      es.sortBy(e => (e._4, e._3, e._1)).foreach { case (_, _, t, s) =>
+        if (t == "view") lastView = Some(s)
+        else lastView.foreach(v => lat += ((s / 3600 % 24, s - v)))
+      }
+    }
+    val exp = lat.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = queries.Analytic.funnelLatency(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("hour_of_day")).toSet == exp.keySet)
+    rows.foreach { r =>
+      val ls = exp(r.getAs[Long]("hour_of_day"))
+      assert(r.getAs[Long]("n_conversions") == ls.length.toLong)
+      assert(r.getAs[Long]("min_latency") == ls.min)
+      assert(r.getAs[Long]("max_latency") == ls.max)
+      assert(r.getAs[Long]("sum_latency") == ls.sum)
+      assert(r.getAs[Double]("mean_latency") == ls.sum.toDouble / ls.length)
+    }
+  }
+
+  test("MAD anomaly: lower medians and outlier counts replay exactly") {
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 1000000000 div 3600 * 3600 as h")
+      .groupBy("event_type", "h").count().collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length - 1) / 2)
+    val rows = queries.Analytic.hourlyAnomalyMad(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == hourly.keySet)
+    rows.foreach { r =>
+      val ns = hourly(r.getAs[String]("event_type")).map(_._2).toSeq
+      val med = lowerMedian(ns)
+      val devs = ns.map(n => math.abs(n - med))
+      val mad = lowerMedian(devs)
+      assert(r.getAs[Long]("n_hours") == ns.length.toLong)
+      assert(r.getAs[Long]("med_hourly") == med)
+      assert(r.getAs[Long]("mad_hourly") == mad)
+      assert(r.getAs[Long]("n_outlier_hours") == devs.count(_ > 5 * mad).toLong)
+    }
+  }
 }

@@ -358,4 +358,21 @@ class SqlSurfaceSpec extends SparkSpec {
       yield ("except_all", k) -> d
     assert(got == (expInter ++ expExc).toMap)
   }
+
+  test("FILTER-clause aggregates equal their separately-filtered twins") {
+    val rows = queries.SqlSurface.filterClause(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val base = li.filter(col("l_returnflag") === flag)
+      assert(r.getAs[Long]("n_rows") == base.count())
+      assert(r.getAs[Long]("n_bulk") == base.filter(col("l_quantity") > 25).count())
+      val rev = base.filter(col("l_discount") > 0.05)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+        .collect()(0)
+      if (rev.isNullAt(0)) assert(r.isNullAt(r.fieldIndex("discounted_rev")))
+      else assert(r.getAs[Double]("discounted_rev") == rev.getDouble(0))
+    }
+  }
 }
