@@ -129,6 +129,9 @@ object SparkEntry {
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
     "scan_stats_only"     -> SourcesSinks.statsOnly _,
+    "scan_agg_pushdown"   -> Scans.aggPushdown _,
+    "ev_peak_rate"        -> Analytic.peakRate _,
+    "text_dup_curve"      -> TextAnalysis.dupCurve _,
     "sink_cdc_diff"       -> SourcesSinks.cdcDiff _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
     "ev_session_window"   -> Analytic.sessionWindowAgg _,
@@ -2877,6 +2880,49 @@ object SparkEntry {
         |  25 * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a + n_b)
         |    > 96 * (c_a + c_b) * ((n_a + n_b) - (c_a + c_b)) * n_a * n_b AS significant
         |FROM s""".stripMargin,
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        | min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey,
+        | min(o_custkey) AS min_ckey, max(o_custkey) AS max_ckey
+        |FROM orders""".stripMargin,
+    // every event covers exactly 5 one-minute-aligned window starts
+    "ev_peak_rate" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000000 AS s FROM events),
+        |w AS (SELECT event_type, ((s//60) - k) * 60 AS win_start
+        |      FROM e CROSS JOIN generate_series(0, 4) AS t(k)),
+        |c AS (SELECT event_type, win_start, count(*) AS n FROM w GROUP BY 1, 2),
+        |m AS (SELECT event_type, max(n) AS peak_n FROM c GROUP BY 1)
+        |SELECT event_type, peak_n, min(win_start) AS peak_win_start
+        |FROM c JOIN m USING (event_type) WHERE n = peak_n
+        |GROUP BY event_type, peak_n ORDER BY event_type""".stripMargin,
+    "text_dup_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents)
+        |SELECT CAST(3 AS BIGINT) AS n, count(*) AS total_shingles,
+        |  count(DISTINCT g) AS distinct_shingles,
+        |  CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM (SELECT unnest(CASE WHEN len(words) >= 3 THEN
+        |    list_transform(generate_series(1, len(words) - 2),
+        |      i -> array_to_string(words[i:i+2], ' '))
+        |    ELSE [] END) AS g FROM t)
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT) AS n, count(*) AS total_shingles,
+        |  count(DISTINCT g) AS distinct_shingles,
+        |  CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM (SELECT unnest(CASE WHEN len(words) >= 5 THEN
+        |    list_transform(generate_series(1, len(words) - 4),
+        |      i -> array_to_string(words[i:i+4], ' '))
+        |    ELSE [] END) AS g FROM t)
+        |UNION ALL
+        |SELECT CAST(7 AS BIGINT) AS n, count(*) AS total_shingles,
+        |  count(DISTINCT g) AS distinct_shingles,
+        |  CAST(count(*) - count(DISTINCT g) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM (SELECT unnest(CASE WHEN len(words) >= 7 THEN
+        |    list_transform(generate_series(1, len(words) - 6),
+        |      i -> array_to_string(words[i:i+6], ' '))
+        |    ELSE [] END) AS g FROM t)
+        |ORDER BY n""".stripMargin,
     // the metadata-only aggregate must agree exactly with the data
     "scan_stats_only" ->
       """SELECT count(*) AS n_rows,

@@ -658,4 +658,40 @@ object TextAnalysis {
       .withColumn("keep", col("score_sum") > 0)
       .select("doc_id", "n_tokens", "score_sum", "mean_score", "keep")
       .orderBy("doc_id")
+
+  /** Duplication-vs-shingle-width curve — the curation diagnostic
+    * behind choosing a dedup shingle size: the duplicate mass
+    * (1 − distinct/total occurrences) for 3-, 5- and 7-gram shingles
+    * from ONE window pass (six lead columns; shingle_n is a prefix of
+    * shingle_7, so all three derive from the same exploded relation).
+    * The three COUNT(DISTINCT)s share one aggregate (the documented
+    * Expand ×3 shape of agg_multi_distinct — right while the answer
+    * is 3 numbers from one pass); the dup fraction is one double
+    * division of exact integers. */
+  def dupCurve(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val words = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+    val withLeads = (1 to 6).foldLeft(words) { (df, i) =>
+      df.withColumn(s"w$i", lead("w", i).over(byDoc))
+    }
+    val shingled = withLeads.select(
+      when(col("w2").isNotNull,
+        concat_ws(" ", col("w"), col("w1"), col("w2"))).as("s3"),
+      when(col("w4").isNotNull,
+        concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"), col("w4"))).as("s5"),
+      when(col("w6").isNotNull, concat_ws(" ", col("w"), col("w1"), col("w2"),
+        col("w3"), col("w4"), col("w5"), col("w6"))).as("s7"))
+    val agg = shingled.agg(
+      count(col("s3")).as("t3"), countDistinct(col("s3")).as("d3"),
+      count(col("s5")).as("t5"), countDistinct(col("s5")).as("d5"),
+      count(col("s7")).as("t7"), countDistinct(col("s7")).as("d7"))
+      .localCheckpoint()
+    def row(n: Int): DataFrame = agg.select(lit(n.toLong).as("n"),
+      col(s"t$n").as("total_shingles"), col(s"d$n").as("distinct_shingles"),
+      ((col(s"t$n") - col(s"d$n")).cast("double") / col(s"t$n").cast("double"))
+        .as("dup_fraction"))
+    row(3).unionByName(row(5)).unionByName(row(7)).orderBy("n")
+  }
 }

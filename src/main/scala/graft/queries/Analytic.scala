@@ -962,4 +962,23 @@ object Analytic {
       .select("event_type", "n_hours", "med_hourly", "mad_hourly", "n_outlier_hours")
       .orderBy("event_type")
   }
+
+  /** Peak event rate per type — max events in any sliding 5-minute
+    * window on a 1-minute slide (the load-planning / rate-limit
+    * sizing readout): the built-in `window()` generator expands each
+    * event into its 5 covering windows BEFORE the aggregation, so
+    * the whole thing is one map-side-combined hash agg over 5× the
+    * rows — no self-join, no per-type sort. The per-type argmax
+    * rides a struct max (ties break to the EARLIEST window). */
+  def peakRate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("ts_t", expr("timestamp_seconds(ts div 1000000000)"))
+      .groupBy(window(col("ts_t"), "5 minutes", "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("win_start"), col("n"))
+      .groupBy("event_type")
+      .agg(max(struct(col("n").as("n"), (-col("win_start")).as("neg_start"))).as("s"))
+      .select(col("event_type"), col("s.n").as("peak_n"),
+        (-col("s.neg_start")).as("peak_win_start"))
+      .orderBy("event_type")
 }

@@ -140,4 +140,25 @@ object Scans {
           .cast("double").as("revenue"))
       .orderBy("l_returnflag")
   }
+
+  /** Scan-level AGGREGATE pushdown — Spark's native form of what
+    * [[SourcesSinks.statsOnly]] hand-rolls from footers: with
+    * `spark.sql.parquet.aggregatePushdown` on (DSv2 parquet path),
+    * a global COUNT/MIN/MAX is absorbed INTO the scan operator
+    * (`PushedAggregation` in the plan, spec-asserted) and answered
+    * from row-group statistics without materializing data pages —
+    * the reference scanner's stats machinery
+    * (hdfs-parquet-scanner.cc) promoted from skipping to answering.
+    * Runs on a child session so the DSv2/pushdown confs never leak
+    * into sibling queries. */
+  def aggPushdown(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown exists only on the DSv2 read path
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_okey"), max("o_orderkey").as("max_okey"),
+        min("o_custkey").as("min_ckey"), max("o_custkey").as("max_ckey"))
+  }
 }

@@ -535,4 +535,27 @@ class AnalyticSpec extends SparkSpec {
       assert(r.getAs[Long]("n_outlier_hours") == devs.count(_ > 5 * mad).toLong)
     }
   }
+
+  test("peak rate replays from an explicit 5-window expansion") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 1000000000 as s").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map[(String, Long), Long]()
+    evs.foreach { case (t, s) =>
+      for (k <- 0 to 4) {
+        val w = (s / 60 - k) * 60
+        counts((t, w)) = counts.getOrElse((t, w), 0L) + 1
+      }
+    }
+    val rows = queries.Analytic.peakRate(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == evs.map(_._1).toSet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mine = counts.collect { case ((tt, w), n) if tt == t => (w, n) }
+      val peak = mine.map(_._2).max
+      assert(r.getAs[Long]("peak_n") == peak)
+      assert(r.getAs[Long]("peak_win_start") ==
+        mine.collect { case (w, n) if n == peak => w }.min)
+    }
+  }
 }

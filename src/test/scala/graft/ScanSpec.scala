@@ -105,4 +105,20 @@ class ScanSpec extends SparkSpec {
     // the filter genuinely reduced the action's own result
     assert(en < m("n_docs").asInstanceOf[Long] && en > 0)
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX absorbed into the DSv2 parquet scan") {
+    val df = queries.Scans.aggPushdown(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan.take(3000))
+    assert(plan.contains("COUNT(*)"), plan.take(3000))
+    val r = df.collect()(0)
+    val t = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("count(*)", "min(o_orderkey)", "max(o_orderkey)",
+        "min(o_custkey)", "max(o_custkey)").collect()(0)
+    assert(r.getAs[Long]("n_rows") == t.getLong(0))
+    assert(r.getAs[Long]("min_okey") == t.getLong(1))
+    assert(r.getAs[Long]("max_okey") == t.getLong(2))
+    assert(r.getAs[Long]("min_ckey") == t.getLong(3))
+    assert(r.getAs[Long]("max_ckey") == t.getLong(4))
+  }
 }

@@ -342,4 +342,25 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("dup curve replays from driver-side shingling; wider shingles never more duplicated") {
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("trim(regexp_replace(lower(text), '\\\\s+', ' ')) as t").collect()
+      .map(_.getString(0))
+    val rows = operators.TextAnalysis.dupCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(3L, 5L, 7L))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toInt
+      val shingles = texts.flatMap(_.split(" ").sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")))
+      assert(r.getAs[Long]("total_shingles") == shingles.length.toLong)
+      assert(r.getAs[Long]("distinct_shingles") == shingles.distinct.length.toLong)
+      assert(r.getAs[Double]("dup_fraction") ==
+        (shingles.length - shingles.distinct.length).toDouble / shingles.length)
+    }
+    val fracs = rows.map(_.getAs[Double]("dup_fraction"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a >= b },
+      s"dup fraction not non-increasing: ${fracs.toSeq}")
+  }
 }
