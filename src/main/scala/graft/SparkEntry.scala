@@ -131,6 +131,7 @@ object SparkEntry {
     "scan_stats_only"     -> SourcesSinks.statsOnly _,
     "scan_agg_pushdown"   -> Scans.aggPushdown _,
     "ev_peak_rate"        -> Analytic.peakRate _,
+    "ev_type_cooccurrence" -> Analytic.typeCooccurrence _,
     "text_dup_curve"      -> TextAnalysis.dupCurve _,
     "sink_cdc_diff"       -> SourcesSinks.cdcDiff _,
     "ev_sliding_window"   -> Analytic.slidingWindow _,
@@ -2885,6 +2886,16 @@ object SparkEntry {
         | min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey,
         | min(o_custkey) AS min_ckey, max(o_custkey) AS max_ckey
         |FROM orders""".stripMargin,
+    "ev_type_cooccurrence" ->
+      """WITH ctx AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts)//1000000000//3600 AS hour, event_type
+        |  FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_cohours
+        |FROM ctx a JOIN ctx b
+        |  ON a.user_id = b.user_id AND a.hour = b.hour
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // every event covers exactly 5 one-minute-aligned window starts
     "ev_peak_rate" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts)//1000000000 AS s FROM events),

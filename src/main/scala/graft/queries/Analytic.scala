@@ -981,4 +981,27 @@ object Analytic {
       .select(col("event_type"), col("s.n").as("peak_n"),
         (-col("s.neg_start")).as("peak_win_start"))
       .orderBy("event_type")
+
+  /** Event-type co-occurrence — the market-basket readout over
+    * (user, hour) contexts: which event types happen together in the
+    * same user-hour, counted over distinct contexts. The scalable
+    * shape: the corpus collapses to the distinct (user, hour, type)
+    * relation first, and the pair generator is a self-equi-join on
+    * the (user, hour) context key with type_a < type_b — fan-out
+    * bounded by (types-per-context)² ≤ 36, never a cross join. One
+    * staged distinct + one equi-join + one tiny agg. */
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 3600").as("hour"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint()
+    val a = ctx.withColumnRenamed("event_type", "type_a")
+    val b = ctx.withColumnRenamed("event_type", "type_b")
+    a.join(b, Seq("user_id", "hour"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_cohours"))
+      .orderBy("type_a", "type_b")
+  }
 }

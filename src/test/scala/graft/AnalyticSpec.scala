@@ -558,4 +558,21 @@ class AnalyticSpec extends SparkSpec {
         mine.collect { case (w, n) if n == peak => w }.min)
     }
   }
+
+  test("type co-occurrence replays from distinct user-hour contexts") {
+    val ctx = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000000000 div 3600 as h", "event_type")
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val exp = scala.collection.mutable.Map[(String, String), Long]()
+    ctx.groupBy(_._1).values.foreach { ts =>
+      val types = ts.map(_._2).sorted
+      for (i <- types.indices; j <- i + 1 until types.length)
+        exp((types(i), types(j))) = exp.getOrElse((types(i), types(j)), 0L) + 1
+    }
+    val rows = queries.Analytic.typeCooccurrence(spark, sf).collect()
+    val got = rows.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+      r.getAs[Long]("n_cohours")).toMap
+    assert(got == exp.toMap)
+  }
 }

@@ -53,4 +53,30 @@ class SkewSpec extends SparkSpec {
     // and it must be a real shuffle join, not a broadcast of the dim
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("AQE splits a skewed join partition at runtime (skew join)") {
+    // 90% of the fact lands on one key. Skew splitting subdivides the
+    // giant reduce partition by MAP-OUTPUT ranges, so the map side
+    // must genuinely be parallel (8 range partitions here — a
+    // single-file scan has one map task and nothing to split by,
+    // which silently disables the rule; found the hard way). With
+    // thresholds lowered to test scale, AQE must mark the join skewed
+    // — the runtime counterpart of the explicit salting above.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    import s.implicits._
+    val fact = s.range(0, 100000, 1, 8)
+      .select(expr("CASE WHEN id % 10 < 9 THEN 0L ELSE id % 10 END").as("k"),
+        col("id").as("v"))
+    val dim = s.range(0, 10, 1, 2).select(col("id").as("k"), (col("id") * 100).as("w"))
+    val j = fact.join(dim, "k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val rows = j.collect()
+    assert(rows.nonEmpty && rows(0).getAs[Long]("n") == 100000L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+      plan.take(3000))
+  }
 }
