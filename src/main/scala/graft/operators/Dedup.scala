@@ -54,9 +54,16 @@ object Dedup {
     * partitioning from the lead() window is reused, so neither the
     * distinct nor the count adds a shuffle. */
   private[graft] def shinglePostings(spark: SparkSession, dir: String,
+      dfCap: Option[Int] = None): DataFrame =
+    shinglePostingsOf(documents(spark, dir), dfCap)
+
+  /** Generic core over ANY corpus relation with (doc_id, text) —
+    * the library entry point; the (spark, dir) forms are the
+    * test-table bindings of these cores. */
+  private[graft] def shinglePostingsOf(docs: DataFrame,
       dfCap: Option[Int] = None): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val post = documents(spark, dir)
+    val post = docs
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
@@ -97,9 +104,13 @@ object Dedup {
   /** Exact dedup: md5 of normalized text, group sizes, canonical id.
     * One shuffle on the digest; at 100 TB this is the cheapest and
     * first pass of any dedup pipeline. */
-  def exact(spark: SparkSession, dir: String): DataFrame = {
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOn(documents(spark, dir))
+
+  /** generic core: exact dedup over any (doc_id, text) relation. */
+  def exactOn(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("digest")
-    documents(spark, dir)
+    docs
       .withColumn("digest", expr(s"md5($normTextExpr)"))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("canonical_id", min("doc_id").over(w))
@@ -150,7 +161,15 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  def minhashLsh(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame =
+    minhashLshOn(documents(spark, dir), dfCap)
+
+  /** generic core: MinHash+LSH near-dup pairs over any (doc_id, text)
+    * relation — the library entry point a user calls on their own
+    * corpus (requires graft_minhash_sig registered on the session,
+    * which Tables.table does per session; call
+    * GraftFunctions.register(spark) when bypassing Tables). */
+  def minhashLshOn(docs: DataFrame, dfCap: Option[Int] = None): DataFrame = {
     // Stage postings once: the signature branch and the jaccard-verify
     // branch both consume them, but the candidate filter on the verify
     // side breaks exchange-subtree identity, so ReuseExchange cannot
@@ -158,7 +177,7 @@ object Dedup {
     // materializes the (small relative to the corpus) posting list a
     // single time and truncates lineage — the 100 TB shape is the
     // same: stage postings to a temp table, then fan out.
-    val post = shinglePostings(spark, dir, dfCap).localCheckpoint()
+    val post = shinglePostingsOf(docs, dfCap).localCheckpoint()
     val cand = lshCandidates(minhashSigs(post))
     // verify with exact jaccard — postings filtered to candidate docs
     // first, so at scale the verify join is proportional to the

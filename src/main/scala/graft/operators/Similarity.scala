@@ -47,13 +47,27 @@ object Similarity {
     * full partition sort; at 100 TB that is the difference between
     * sorting every probe's full candidate set and one O(n·log k)
     * pass. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val scored = vecs(spark, dir)
-      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKOn(vecs(spark, dir), probes(spark, dir), K,
+      excludeSelf = true)
+
+  /** Generic core: exact top-k cosine neighbors of each probe over
+    * any vector relation — the library entry point. `vectors` must
+    * carry (vec_id, vd: array<double>, vnrm), `probeSet`
+    * (probe_id, pv, pnrm) (see [[Vectors.norm]]); `excludeSelf`
+    * drops vec_id == probe_id matches when probes are drawn from the
+    * corpus itself. The probe side broadcasts (probe sets are small
+    * by construction); the per-probe top-k runs on the native
+    * bounded-heap TopKPerKey. */
+  def bruteForceTopKOn(vectors: DataFrame, probeSet: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val cond = if (excludeSelf) col("vec_id") =!= col("probe_id") else lit(true)
+    val scored = vectors
+      .join(broadcast(probeSet), cond)
       .select(col("probe_id"), col("vec_id"),
         Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
     graft.plans.TopK.perKey(scored, Seq("probe_id"),
-        Seq("cosine" -> false, "vec_id" -> true), K)
+        Seq("cosine" -> false, "vec_id" -> true), k)
       .orderBy("probe_id", "rank")
   }
 

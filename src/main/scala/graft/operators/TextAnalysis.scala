@@ -107,7 +107,13 @@ object TextAnalysis {
   /** length / punctuation / stopword / digit ratios + a weighted
     * quality score — the classic pre-training quality filter shape. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    qualityOn(documents(spark, dir))
+
+  /** generic core: quality scoring over any (doc_id, text) relation —
+    * the library entry point; the (spark, dir) form binds it to the
+    * test table. */
+  def qualityOn(docs: DataFrame): DataFrame =
+    docs
       .withColumn("norm", expr(normTextExpr))
       .withColumn("n_char", length(col("norm")).cast("bigint"))
       .withColumn("n_words", size(split(col("norm"), " ")).cast("bigint"))

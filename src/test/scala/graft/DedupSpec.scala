@@ -350,4 +350,43 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("min_doc_id"), r.getAs[Long]("n_docs").toInt)).toSet
     assert(gotGroups == expectGroups)
   }
+
+  test("generic cores run on arbitrary (doc_id, text) relations, id-shift-equivariant") {
+    // a user's own corpus: same texts under shifted ids
+    val docs2 = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("doc_id + 5000 as doc_id", "text")
+    val shifted = operators.Dedup.exactOn(docs2).collect()
+      .map(r => (r.getAs[Long]("doc_id") - 5000, r.getAs[String]("digest"),
+        r.getAs[Long]("group_size"), r.getAs[Long]("canonical_id") - 5000)).toSet
+    val bound = operators.Dedup.exact(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest"),
+        r.getAs[Long]("group_size"), r.getAs[Long]("canonical_id"))).toSet
+    assert(shifted == bound)
+    val pairs2 = operators.Dedup.minhashLshOn(docs2).collect()
+      .map(r => (r.getAs[Long]("doc_a") - 5000, r.getAs[Long]("doc_b") - 5000)).toSet
+    val pairs = operators.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs2 == pairs)
+    val q2 = operators.TextAnalysis.qualityOn(docs2).collect()
+      .map(r => (r.getAs[Long]("doc_id") - 5000, r.getAs[Double]("quality_score"))).toMap
+    val q = operators.TextAnalysis.quality(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score"))).toMap
+    assert(q2 == q)
+  }
+
+  test("generic ANN core: known cosine ordering on a hand-built vector relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vectors = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.9, 0.1)),
+      (12L, Array(0.0, 1.0)), (13L, Array(-1.0, 0.0)))
+      .toDF("vec_id", "vd")
+      .withColumn("vnrm", operators.Vectors.norm(col("vd")))
+    val probeSet = Seq((1L, Array(1.0, 0.0))).toDF("probe_id", "pv")
+      .withColumn("pnrm", operators.Vectors.norm(col("pv")))
+    val rows = operators.Similarity.bruteForceTopKOn(vectors, probeSet, 3)
+      .collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 11L, 12L))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
 }
