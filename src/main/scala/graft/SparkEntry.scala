@@ -61,6 +61,7 @@ object SparkEntry {
     "expr_null_semantics" -> Exprs.nullSemantics _,
     "expr_bitwise"        -> Exprs.bitwise _,
     "expr_array_ops"      -> Exprs.arrayOps _,
+    "expr_try_arith"      -> Exprs.tryArith _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
     "expr_date_interval"  -> Exprs.dateInterval _,
@@ -100,6 +101,7 @@ object SparkEntry {
     "win_dense_rank"   -> Analytic.denseRank _,
     "win_ignore_nulls" -> Analytic.ignoreNullsWindow _,
     "win_distinct_running" -> Analytic.distinctRunning _,
+    "win_rolling_median"   -> Analytic.rollingMedian _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -125,6 +127,7 @@ object SparkEntry {
     "ev_funnel_latency"   -> Analytic.funnelLatency _,
     "ev_anomaly_mad"      -> Analytic.hourlyAnomalyMad _,
     "agg_filter_clause"   -> SqlSurface.filterClause _,
+    "agg_bitmap_distinct" -> SqlSurface.bitmapDistinct _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -166,6 +169,7 @@ object SparkEntry {
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
+    "emb_knn_classify"    -> Similarity.knnClassify _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -174,6 +178,10 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
+    "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
+    "text_vocab_growth" -> TextAnalysis.vocabGrowth _,
+    "text_keyword_rake" -> TextAnalysis.keywordRake _,
+    "text_stopword_discovery" -> TextAnalysis.stopwordDiscovery _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_oov_rate"     -> TextAnalysis.oovRate _,
@@ -198,6 +206,7 @@ object SparkEntry {
     "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
     "pipeline_dataset_card"   -> Pipeline.datasetCard _,
     "pipeline_split_contamination" -> Pipeline.splitContamination _,
+    "pipeline_winsorize"      -> Pipeline.winsorize _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -270,6 +279,33 @@ object SparkEntry {
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // trailing-7-row exact median; full-duplicate ties make the
+    // output multiset order-invariant (see rollingMedian Scaladoc)
+    "win_rolling_median" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  quantile_cont(l_extendedprice, 0.5) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // 63-bit bitmap partials vs the built-in distinct, self-certified
+    "agg_bitmap_distinct" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id // 63 AS bucket,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+        |  FROM events GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_users_bitmap,
+        |    count(*) AS n_buckets
+        |  FROM cells GROUP BY 1),
+        |direct AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_users_direct
+        |  FROM events GROUP BY 1)
+        |SELECT bm.event_type, n_users_bitmap, n_users_direct, n_buckets,
+        |  n_users_bitmap = n_users_direct AS bitmap_matches
+        |FROM bm JOIN direct USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "win_distinct_running" ->
       """WITH f AS (
         |  SELECT user_id, event_id, ts, event_type,
@@ -619,6 +655,48 @@ object SparkEntry {
         |FROM exact_topk e LEFT JOIN ivf_topk i
         |  ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
+    // leave-one-out 10-NN majority vote; ties to the smallest label
+    "emb_knn_classify" ->
+      """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id % 47 = 0),
+        |scored AS (
+        |  SELECT probe_id, v.vec_id, v.label,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, vec_id, label,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT probe_id, label, count(*) AS votes
+        |  FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT probe_id, label AS pred_label, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rk
+        |  FROM votes)
+        |SELECT p.probe_id, e.label AS true_label, p.pred_label, p.votes,
+        |  p.pred_label = e.label AS correct
+        |FROM pred p JOIN embeddings e ON p.probe_id = e.vec_id
+        |WHERE p.rk = 1 ORDER BY p.probe_id""".stripMargin,
+    // exact per-lang [p05,p95] clamp accounting; winsorized mass =
+    // integer interior + count×boundary products, fixed add order
+    "pipeline_winsorize" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |    quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN n_chars >= p05 AND n_chars <= p95 THEN n_chars ELSE 0 END) AS BIGINT) AS interior_mass,
+        |  min(p05) AS p05, min(p95) AS p95,
+        |  CAST(sum(CASE WHEN n_chars >= p05 AND n_chars <= p95 THEN n_chars ELSE 0 END) AS DOUBLE)
+        |    + CAST(sum(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END) AS DOUBLE) * min(p05)
+        |    + CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS DOUBLE) * min(p95) AS sum_winsorized
+        |FROM documents d JOIN q USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2182,6 +2260,142 @@ object SparkEntry {
         |)
         |SELECT pair, count(*) AS n FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+    // three BPE merge rounds unrolled; each round = weighted pair
+    // count over the compressed vocab, argmax (ties by pair text),
+    // boundary-safe doubled-delimiter greedy merge
+    "vocab_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |v0 AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s, count(*) AS n
+        |  FROM words GROUP BY 1),
+        |p1 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v0) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (
+        |  SELECT trim(regexp_replace(replace(replace(' ' || s || ' ', ' ', '  '),
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m1) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m1) || ' '), ' +', ' ', 'g')) AS s, n
+        |  FROM v0),
+        |p2 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v1) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (
+        |  SELECT trim(regexp_replace(replace(replace(' ' || s || ' ', ' ', '  '),
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m2) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m2) || ' '), ' +', ' ', 'g')) AS s, n
+        |  FROM v1),
+        |p3 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v2) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM m1
+        |UNION ALL SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM m2
+        |UNION ALL SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM m3
+        |ORDER BY round""".stripMargin,
+    // df over the (w, doc)-distinct relation; ≥25% cut, integer rank
+    "text_stopword_discovery" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |cf AS (SELECT w, count(*) AS corpus_freq FROM toks GROUP BY 1),
+        |df AS (SELECT w, count(*) AS doc_freq FROM (SELECT DISTINCT w, doc_id FROM toks) GROUP BY 1)
+        |SELECT cf.w, doc_freq, corpus_freq, doc_freq * 1000 // n_docs AS df_permille
+        |FROM cf JOIN df ON cf.w = df.w, nd
+        |WHERE doc_freq * 4 >= n_docs
+        |ORDER BY df_permille DESC, corpus_freq DESC, cf.w""".stripMargin,
+    // corpus-level RAKE: stopword-island phrases, word deg/freq in
+    // floored micro-units, integer phrase sums, total-order top-10
+    "text_keyword_rake" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, l[CAST(i AS INT)] AS w,
+        |    list_contains(['the','and','is','of','to','in','that','it'], l[CAST(i AS INT)]) AS is_stop
+        |  FROM d, unnest(range(1, len(l) + 1)) t(i)
+        |  WHERE length(l[CAST(i AS INT)]) > 0),
+        |isl AS (
+        |  SELECT doc_id, pos, w, is_stop,
+        |    CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS isl
+        |  FROM toks),
+        |mem AS (
+        |  SELECT doc_id, isl, pos, w,
+        |    count(*) OVER (PARTITION BY doc_id, isl) AS plen
+        |  FROM isl WHERE NOT is_stop),
+        |ws AS (
+        |  SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM mem GROUP BY w),
+        |wsc AS (
+        |  SELECT w, CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1000000.0) AS BIGINT) AS wscore
+        |  FROM ws),
+        |ph AS (
+        |  SELECT m.doc_id, m.isl AS phrase_seq, count(*) AS n_words,
+        |    CAST(sum(wscore) AS BIGINT) AS score_micro,
+        |    string_agg(m.w, ' ' ORDER BY m.pos) AS phrase
+        |  FROM mem m JOIN wsc ON m.w = wsc.w
+        |  GROUP BY m.doc_id, m.isl)
+        |SELECT doc_id, phrase_seq, phrase, n_words, score_micro
+        |FROM ph ORDER BY score_micro DESC, phrase, doc_id, phrase_seq
+        |LIMIT 10""".stripMargin,
+    // TRY arithmetic: overflow checks replayed in HUGEINT, div-by-0
+    // is NULL natively in both engines; order-free aggregates only
+    "expr_try_arith" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN CAST(l_orderkey AS HUGEINT) * 700000000000000 <= 9223372036854775807
+        |         THEN CAST(CAST(l_orderkey AS HUGEINT) * 700000000000000 AS BIGINT) END AS m,
+        |    CASE WHEN CAST(9223372036854774807 AS HUGEINT) + l_partkey <= 9223372036854775807
+        |         THEN CAST(CAST(9223372036854774807 AS HUGEINT) + l_partkey AS BIGINT) END AS a,
+        |    CASE WHEN CAST(-9223372036854775758 AS HUGEINT) - l_suppkey >= -9223372036854775808
+        |         THEN CAST(CAST(-9223372036854775758 AS HUGEINT) - l_suppkey AS BIGINT) END AS s,
+        |    l_extendedprice / (l_linenumber % 4) AS d
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS mul_nulls,
+        |  min(m) AS mul_min, max(m) AS mul_max,
+        |  CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS add_nulls,
+        |  max(a) AS add_max,
+        |  CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sub_nulls,
+        |  min(s) AS sub_min,
+        |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
+        |  min(d) AS div_min, max(d) AS div_max
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // type first-occurrence decile + 10-row cumulative spine
+    "text_vocab_growth" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |tokb AS (SELECT doc_id * 10 // (mx + 1) AS b, count(*) AS toks FROM words, mx GROUP BY 1),
+        |newb AS (SELECT fd * 10 // (mx + 1) AS b, count(*) AS news
+        |  FROM (SELECT w, min(doc_id) AS fd FROM words GROUP BY 1), mx GROUP BY 1),
+        |docb AS (SELECT doc_id * 10 // (mx + 1) AS b, count(*) AS docs FROM documents, mx GROUP BY 1),
+        |spine AS (SELECT unnest(range(10)) AS b),
+        |j AS (SELECT spine.b AS decile, coalesce(docs, 0) AS docs,
+        |        coalesce(toks, 0) AS toks, coalesce(news, 0) AS news
+        |      FROM spine LEFT JOIN docb ON spine.b = docb.b
+        |        LEFT JOIN tokb ON spine.b = tokb.b
+        |        LEFT JOIN newb ON spine.b = newb.b)
+        |SELECT decile,
+        |  CAST(sum(docs) OVER w AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) OVER w AS BIGINT) AS n_tokens,
+        |  CAST(sum(news) OVER w AS BIGINT) AS vocab_size,
+        |  CAST(news AS BIGINT) AS new_types,
+        |  CAST(sum(news) OVER w AS DOUBLE) / CAST(sum(toks) OVER w AS DOUBLE) AS type_token_ratio
+        |FROM j WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |c AS (

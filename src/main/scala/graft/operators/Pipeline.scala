@@ -407,4 +407,41 @@ object Pipeline {
       .select("lang", "n_docs", "n_sources", "total_tokens", "dup_docs", "avg_chars")
       .orderBy("lang")
   }
+
+  /** Per-language winsorized length statistics — the outlier-capping
+    * policy a curation pipeline applies before length-sensitive
+    * decisions (mixture weights, packing bins, mean-length gates):
+    * clamp each doc's length into its language's exact [p05, p95]
+    * band and account for what the clamp did. Two passes, both
+    * scale-safe: an exact-percentile agg per language (a handful of
+    * groups; the exact form is the calibration tool — the serving
+    * path would use the sketch, see agg_approx_stats), broadcast of
+    * the tiny (lang, p05, p95) table back over the corpus, and one
+    * conditional hash agg. Float discipline for the oracle: the
+    * winsorized mass is assembled as exact-integer interior mass plus
+    * the two clamp products (count × boundary) in a fixed
+    * left-to-right add order, so the one double expression is
+    * engine-bitwise; both engines interpolate percentiles as
+    * lower + d·(upper−lower) over integer lengths. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select("lang", "n_chars")
+    val bands = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+    docs.join(broadcast(bands), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"),
+          col("n_chars")).otherwise(0L)).as("interior_mass"),
+        min("p05").as("p05"), min("p95").as("p95"))
+      .withColumn("sum_winsorized",
+        col("interior_mass").cast("double") +
+          col("n_low").cast("double") * col("p05") +
+          col("n_high").cast("double") * col("p95"))
+      .select("lang", "n_docs", "n_low", "n_high", "interior_mass",
+        "p05", "p95", "sum_winsorized")
+      .orderBy("lang")
+  }
 }

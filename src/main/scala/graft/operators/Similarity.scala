@@ -568,4 +568,54 @@ object Similarity {
       .select("probe_id", "vec_id", "cosine", "rank", "stage1_rank")
       .orderBy("probe_id", "rank")
   }
+
+  /** k-NN majority-vote label classification — the weak-labeling /
+    * label-propagation step an embedding-curated corpus runs ("tag
+    * the unlabeled page with its neighbors' topic"), and the
+    * eval-harness twin of emb_label_stats' cluster-health view. Every
+    * 47th vector plays the query role: its k=10 exact cosine
+    * neighbors (self excluded — leave-one-out, so the probe's own
+    * label can't vote) are fetched on the native bounded-heap
+    * TopKPerKey, the neighbor labels arrive via one equi-join against
+    * the (vec_id, label) projection — a column-pruned scan, never the
+    * vector payload — and the majority vote resolves per probe over a
+    * ≤k-row relation (ties to the smallest label, the oracle's ORDER
+    * BY). At 100 TB the probe side broadcasts and the corpus is
+    * scanned once; at deployment scale the brute-force stage swaps
+    * for ann_ivf_indexed unchanged, which is why the vote logic joins
+    * on (probe_id, vec_id) and nothing else. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val pr = v.filter(col("vec_id") % 47 === 0)
+      .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+        col("vnrm").as("pnrm"))
+    knnClassifyOn(v, pr,
+      embeddings(spark, dir).select(col("vec_id"), col("label")), K)
+  }
+
+  /** Generic core: classify each probe by the majority label of its
+    * k exact cosine neighbors over any vector relation — `vectors`
+    * carries (vec_id, vd, vnrm), `probeSet` (probe_id, pv, pnrm),
+    * `labels` (vec_id, label). Self-matches are excluded
+    * (leave-one-out when probes come from the corpus). */
+  def knnClassifyOn(vectors: DataFrame, probeSet: DataFrame,
+      labels: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = bruteForceTopKOn(vectors, probeSet, k, excludeSelf = true)
+      .select("probe_id", "vec_id")
+    val votes = labels.join(broadcast(topk), "vec_id")
+      .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy("probe_id")
+      .orderBy(desc("votes"), asc("label"))
+    val pred = votes.withColumn("rk", row_number().over(byVotes))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+    // the prediction set is the tiny side — broadcast it into the
+    // label scan, never the corpus-wide label relation the other way
+    labels.withColumnRenamed("label", "true_label")
+      .join(broadcast(pred), col("probe_id") === col("vec_id"))
+      .select(col("probe_id"), col("true_label"), col("pred_label"),
+        col("votes"), (col("pred_label") === col("true_label")).as("correct"))
+      .orderBy("probe_id")
+  }
 }

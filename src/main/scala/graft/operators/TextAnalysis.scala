@@ -665,6 +665,191 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "score_sum", "mean_score", "keep")
       .orderBy("doc_id")
 
+  /** Iterative BPE merge training (the loop vocab_pair_freq is one
+    * counting step of): R merge rounds, each picking the
+    * highest-frequency adjacent symbol pair over the corpus and
+    * fusing it everywhere, exactly the Sennrich et al. (2016)
+    * byte-pair-encoding procedure (reference scope: the tokenizer a
+    * training-data pipeline must train before it can count tokens).
+    *
+    * Shape at 100 TB: the corpus is exploded and counted ONCE into
+    * the compressed (word, freq) vocabulary — Heaps-law bounded, a
+    * few million rows for any corpus — and every merge round runs on
+    * that compressed relation only (a pair hash-agg + a 1-row
+    * broadcast argmax + a projection). The per-doc HOFs that are
+    * banned on corpus-scale hot paths (see §4) are fine here because
+    * the relation is the vocabulary, not the corpus. Round state is
+    * localCheckpointed like dedup_components' label iterations.
+    *
+    * Merging is greedy left-to-right (the BPE contract) and
+    * boundary-safe via the doubled-delimiter trick: with every
+    * symbol gap widened to two spaces, the needle
+    * ` x  y ` can only match whole symbols (a symbol's interior
+    * never contains the required surrounding spaces), while plain
+    * non-overlapping replace() reproduces the greedy merge order —
+    * "a a a a" → "aa aa", never "a aa a". Ties break by pair text,
+    * same ORDER BY in the oracle's unrolled three-round replay. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(
+      documents(spark, dir)
+        .select(explode(split(expr(normTextExpr), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      rounds = 3)
+
+  /** Generic core: run `rounds` BPE merge rounds over a pre-counted
+    * vocabulary relation (w: STRING token type, n: BIGINT corpus
+    * frequency) — the library entry point for a user's own corpus
+    * (and the seam the spec drives with planted vocabularies whose
+    * merge sequence is hand-derivable). Returns one row per round:
+    * (round, pair, merged, cnt). */
+  def bpeMergesOn(vocab: DataFrame, rounds: Int): DataFrame = {
+    var words = vocab
+      .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("s"), col("n"))
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val top = words
+        .withColumn("a", split(col("s"), " "))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(
+          expr("transform(sequence(1, size(a) - 1), i -> concat(a[i-1], ' ', a[i]))")).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1)
+        .localCheckpoint()
+      words = words.crossJoin(broadcast(top))
+        .select(expr(
+          """trim(regexp_replace(
+            |  replace(replace(concat(' ', s, ' '), ' ', '  '),
+            |          concat(' ', replace(pair, ' ', '  '), ' '),
+            |          concat(' ', replace(pair, ' ', ''), ' ')),
+            |  ' +', ' '))""".stripMargin).as("s"), col("n"))
+        .localCheckpoint()
+      top.select(lit(r.toLong).as("round"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Data-driven stopword discovery — derive the stopword list the
+    * RAKE / Gopher / langid gates consume from the corpus itself
+    * instead of a shipped dictionary (the Luhn cut: words in a large
+    * share of documents carry no topical signal). Per token type:
+    * document frequency, corpus frequency, and the df share; the
+    * candidate list is every type present in ≥ 25% of documents,
+    * ranked by df share under a total order. One distinct + two hash
+    * aggs over the exploded tokens — df is a count over the
+    * (w, doc_id)-distinct relation, never a per-doc window. The
+    * permille df share is exact integer math (1000·df div n_docs);
+    * ranking floats never enter. */
+  def stopwordDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val stats = toks.groupBy("w").agg(count(lit(1)).as("corpus_freq"))
+    val dfreq = toks.select("w", "doc_id").distinct()
+      .groupBy("w").agg(count(lit(1)).as("doc_freq"))
+    stats.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_permille", expr("doc_freq * 1000 div n_docs"))
+      .filter(col("doc_freq") * 4 >= col("n_docs"))
+      .select("w", "doc_freq", "corpus_freq", "df_permille")
+      .orderBy(desc("df_permille"), desc("corpus_freq"), asc("w"))
+  }
+
+  /** RAKE-style keyword extraction (Rose et al. 2010), corpus-level:
+    * candidate phrases are maximal runs of non-stopword tokens
+    * (islands between stopword delimiters — one bounded per-doc
+    * running-count window, the win_sessionize shape), each word
+    * scores degree/frequency over ALL candidate phrase memberships,
+    * and a phrase scores the sum of its words. The top-10 phrases
+    * under a total order are the corpus keyword headline.
+    *
+    * Float discipline: the word score is floored to integer
+    * micro-units (floor(deg/freq·1e6) — one exact-rounded division
+    * and multiply, identical IEEE in both engines), so the phrase
+    * score is an order-free integer sum. Phrase text assembles via
+    * sort_array(collect_list(struct(pos, w))) — per-phrase cold
+    * path, bounded by phrase length. Shape at 100 TB: explode → two
+    * bounded windows → hash aggs + one vocabulary-keyed join; no
+    * pair joins, no global sort before the final top-10. */
+  def keywordRake(spark: SparkSession, dir: String): DataFrame =
+    keywordRakeOn(documents(spark, dir), topN = 10)
+
+  /** Generic core: RAKE over any (doc_id, text) relation — the
+    * library entry point, and the seam the spec drives with planted
+    * documents whose phrase scores are hand-derivable. */
+  def keywordRakeOn(docs: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(Markers("en").map(lit): _*)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val byPhrase = Window.partitionBy("doc_id", "isl")
+    val mem = docs
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("is_stop", array_contains(stopArr, col("w")))
+      .withColumn("isl", sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("is_stop"))
+      .withColumn("plen", count(lit(1)).over(byPhrase))
+    val wscore = mem.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), floor(col("deg").cast("double") /
+        col("freq").cast("double") * lit(1000000.0)).as("wscore"))
+    mem.join(wscore, "w")
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).as("n_words"), sum("wscore").as("score_micro"),
+        sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col("doc_id"), col("isl").as("phrase_seq"),
+        expr("array_join(transform(pw, x -> x.w), ' ')").as("phrase"),
+        col("n_words"), col("score_micro"))
+      .orderBy(desc("score_micro"), asc("phrase"), asc("doc_id"),
+        asc("phrase_seq"))
+      .limit(topN)
+  }
+
+  /** Heaps-law vocabulary growth curve — "how fast does the type
+    * inventory grow as the corpus grows", the diagnostic behind vocab
+    * sizing and dedup health (a corpus whose curve flattens too early
+    * is recrawling itself). Each token type is attributed to the
+    * decile of the corpus (by doc_id order) where it FIRST appears —
+    * one min() hash-agg over the exploded tokens, never a running
+    * distinct — and the 10-row decile relation carries cumulative
+    * docs/tokens/vocabulary plus the type-token ratio. The only
+    * window runs over the 10-row spine. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val words = docs
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tokB = words.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 div (mx + 1)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("toks"))
+    val newB = words.groupBy("w").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(expr("fd * 10 div (mx + 1)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("news"))
+    val docB = docs.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 div (mx + 1)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("docs"))
+    val cum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(10).select(col("id").as("b"))
+      .join(docB, Seq("b"), "left")
+      .join(tokB, Seq("b"), "left")
+      .join(newB, Seq("b"), "left")
+      .select(col("b").as("decile"),
+        sum(coalesce(col("docs"), lit(0L))).over(cum).as("n_docs"),
+        sum(coalesce(col("toks"), lit(0L))).over(cum).as("n_tokens"),
+        sum(coalesce(col("news"), lit(0L))).over(cum).as("vocab_size"),
+        coalesce(col("news"), lit(0L)).as("new_types"))
+      .withColumn("type_token_ratio",
+        col("vocab_size").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("decile")
+  }
+
   /** Duplication-vs-shingle-width curve — the curation diagnostic
     * behind choosing a dedup shingle size: the duplicate mass
     * (1 − distinct/total occurrences) for 3-, 5- and 7-gram shingles

@@ -1004,4 +1004,27 @@ object Analytic {
       .agg(count(lit(1)).as("n_cohours"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Trailing-7-row exact rolling median of revenue per supplier —
+    * the robust moving-location estimate a monitoring surface plots
+    * where a rolling MEAN would chase every spike (the windowed twin
+    * of agg_percentile_exact, and the robust twin of
+    * win_running_sum). ROWS-framed so each frame is exactly the
+    * trailing 7 rows; the per-frame exact percentile is O(frame)
+    * state — tiny constant — while the partition sort is the same
+    * per-supplier window every §2.5 row already pays. Ordering ends
+    * in l_extendedprice: full-duplicate rows tie on every ordering
+    * column AND the aggregated value, so the output multiset is
+    * order-invariant (the win_running_sum argument). Both engines
+    * interpolate the even-frame median as lower + 0.5·(upper−lower)
+    * over 2-decimal doubles — engine-exact. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .rowsBetween(-6, Window.currentRow)
+    lineitem(spark, dir)
+      .withColumn("med7", expr("percentile(l_extendedprice, 0.5)").over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "med7")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+  }
 }

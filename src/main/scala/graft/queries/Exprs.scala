@@ -252,4 +252,36 @@ object Exprs {
         array_join(array_sort(array_except(col("words"), fixed)), "|").as("exc"))
       .orderBy("p_partkey")
   }
+
+  /** ANSI-safe TRY arithmetic family (try_add / try_subtract /
+    * try_multiply / try_divide): overflow and division-by-zero
+    * degrade to NULL instead of killing the job — the contract a
+    * 100 TB pipeline needs when a planted poison row must not abort a
+    * million-task stage (the engine-level twin of src_json_corrupt's
+    * quarantine). Each family gets a data-dependent boundary so both
+    * outcomes occur in the same scan: ×7e14 overflows keys above
+    * ~13.2k, MaxValue−1000+partkey overflows above 1000,
+    * MinValue+50−suppkey underflows above 50, and /(linenumber mod 4)
+    * nulls every 4th line. Aggregation keeps only order-free shapes
+    * (counts of each outcome, min/max of the survivors) so the
+    * result is engine-exact; the oracle replays the overflow checks
+    * in HUGEINT. */
+  def tryArith(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("try_multiply(l_orderkey, 700000000000000L)").as("mul"),
+        expr(s"try_add(${Long.MaxValue - 1000L}L, l_partkey)").as("add"),
+        expr(s"try_subtract(${Long.MinValue + 50L}L, l_suppkey)").as("sub"),
+        expr("try_divide(l_extendedprice, l_linenumber % 4)").as("dv"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("mul").isNull, 1L).otherwise(0L)).as("mul_nulls"),
+        min("mul").as("mul_min"), max("mul").as("mul_max"),
+        sum(when(col("add").isNull, 1L).otherwise(0L)).as("add_nulls"),
+        max("add").as("add_max"),
+        sum(when(col("sub").isNull, 1L).otherwise(0L)).as("sub_nulls"),
+        min("sub").as("sub_min"),
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("div_nulls"),
+        min("dv").as("div_min"), max("dv").as("div_max"))
+      .orderBy("l_returnflag")
 }

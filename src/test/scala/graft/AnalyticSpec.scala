@@ -575,4 +575,48 @@ class AnalyticSpec extends SparkSpec {
       r.getAs[Long]("n_cohours")).toMap
     assert(got == exp.toMap)
   }
+
+  test("rolling median: trailing-7 frames recomputed independently per supplier") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.rollingMedian(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    assert(rows.length == li.count())
+    // replay the frames in Scala: same ordering, interpolated median.
+    // Both engines evaluate (1−d)·lower + d·upper — NOT
+    // lower + d·(upper−lower), which differs in the last ulp
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val idx = (s.length - 1) * 0.5
+      val lo = idx.toInt
+      val d = idx - lo
+      if (lo + 1 >= s.length) s(lo)
+      else (1 - d) * s(lo) + d * s(lo + 1)
+    }
+    val bySupp = li.select("l_suppkey", "l_shipdate", "l_orderkey",
+        "l_linenumber", "l_extendedprice").collect()
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        (r.getAs[Any]("l_shipdate").toString,
+          r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+          r.getAs[Double]("l_extendedprice"))))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sortBy(identity) }
+    val got = rows.groupBy(_.getAs[Long]("l_suppkey"))
+    bySupp.foreach { case (supp, ordered) =>
+      val expMeds = ordered.indices.map { i =>
+        median(ordered.slice(math.max(0, i - 6), i + 1).map(_._4))
+      }
+      // compare as multisets of (order-key, med) — the output rows of
+      // one supplier sorted the same way
+      // sort by the FULL tuple incl. med: full-duplicate rows may
+      // legitimately carry the two frames' medians in either order —
+      // the multiset is what the operator pins
+      val gotMeds = got(supp)
+        .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+          r.getAs[Double]("l_extendedprice"), r.getAs[Double]("med7")))
+        .sortBy(identity)
+      val expPairs = ordered.zip(expMeds)
+        .map { case ((_, ok, ln, px), m) => (ok, ln, px, m) }
+        .sortBy(identity)
+      assert(gotMeds.toSeq == expPairs.toSeq, s"supplier $supp")
+    }
+  }
 }

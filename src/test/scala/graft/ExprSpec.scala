@@ -125,4 +125,36 @@ class ExprSpec extends SparkSpec {
       assert(r.getAs[String]("exc") == (ws -- fixed).toSeq.sorted.mkString("|"))
     }
   }
+
+  test("try arithmetic: null counts equal the directly-computed boundaries") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Exprs.tryArith(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = li(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("n_rows") == g.length)
+      // overflow boundaries recomputed in BigInt, independently
+      assert(r.getAs[Long]("mul_nulls") == g.count(x =>
+        BigInt(x.getAs[Long]("l_orderkey")) * BigInt(700000000000000L) >
+          BigInt(Long.MaxValue)))
+      assert(r.getAs[Long]("add_nulls") == g.count(x =>
+        BigInt(Long.MaxValue - 1000L) + BigInt(x.getAs[Long]("l_partkey")) >
+          BigInt(Long.MaxValue)))
+      assert(r.getAs[Long]("sub_nulls") == g.count(x =>
+        BigInt(Long.MinValue + 50L) - BigInt(x.getAs[Long]("l_suppkey")) <
+          BigInt(Long.MinValue)))
+      assert(r.getAs[Long]("div_nulls") == g.count(
+        _.getAs[Int]("l_linenumber") % 4 == 0))
+      // survivors stay representable: max of the non-null multiply is
+      // the largest in-range key times the multiplier
+      val okKeys = g.map(_.getAs[Long]("l_orderkey"))
+        .filter(k => BigInt(k) * BigInt(700000000000000L) <= BigInt(Long.MaxValue))
+      if (okKeys.nonEmpty)
+        assert(r.getAs[Long]("mul_max") == okKeys.max * 700000000000000L)
+    }
+  }
 }

@@ -287,4 +287,26 @@ class PipelineSpec extends SparkSpec {
     assert(card("TOTAL").getAs[Long]("n_sources") == 2L)
     assert(card("TOTAL").getAs[Long]("total_tokens") == 3L + 3L + 3L + 3L)
   }
+
+  test("winsorize: clamp accounting brackets the mass and covers the corpus") {
+    val rows = operators.Pipeline.winsorize(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_low"),
+        r.getAs[Long]("n_high"))
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val wins = r.getAs[Double]("sum_winsorized")
+      assert(p05 <= p95)
+      // interpolated 5%/95% cut points clamp at most ~5% + 1 per side
+      assert(lo <= n * 0.05 + 1, s"${r.getAs[String]("lang")}: lo=$lo n=$n")
+      assert(hi <= n * 0.05 + 1, s"${r.getAs[String]("lang")}: hi=$hi n=$n")
+      assert(lo + hi <= n)
+      // every winsorized value lies in [p05, p95]
+      assert(wins >= n * p05 - 1e-6 && wins <= n * p95 + 1e-6)
+      // clamping can only pull mass toward the band: interior mass
+      // alone never exceeds the winsorized total
+      assert(r.getAs[Long]("interior_mass").toDouble <= wins + 1e-6)
+    }
+  }
 }

@@ -121,4 +121,43 @@ class ScanSpec extends SparkSpec {
     assert(r.getAs[Long]("min_ckey") == t.getLong(3))
     assert(r.getAs[Long]("max_ckey") == t.getLong(4))
   }
+
+  test("ANALYZE TABLE feeds CBO: row and column stats reach the optimizer") {
+    // the stats-collection half of cost-based optimization: a fresh
+    // catalog table exposes only file sizes (rowCount unknown), and
+    // after ANALYZE the optimizer sees exact row counts and per-column
+    // NDV/min/max — what join reordering and broadcast decisions key
+    // on at 100 TB, where a wrong build side is a job-killer
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    val t = s"graft_nation_stats_${math.abs(sf.hashCode)}"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stats").toString
+    val nation = graft.sources.Tables.nation(s, sf)
+    val n = nation.count()
+    nation.write.mode("overwrite").option("path", path).saveAsTable(t)
+    def statsRow(): Option[String] =
+      s.sql(s"DESCRIBE EXTENDED $t").collect()
+        .find(_.getString(0) == "Statistics").map(_.getString(1))
+    try {
+      // fresh table: file sizes only, no row count
+      assert(!statsRow().exists(_.contains("rows")),
+        s"fresh table already had row stats: ${statsRow()}")
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+      assert(statsRow().exists(_.contains(s"$n rows")),
+        s"post-ANALYZE stats: ${statsRow()}")
+      // column-level NDV equals the key cardinality (exact at this size)
+      val desc = s.sql(s"DESCRIBE EXTENDED $t n_nationkey").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("distinct_count") == n.toString,
+        s"ndv=${desc("distinct_count")} expected $n")
+      val minKey = nation.agg(org.apache.spark.sql.functions.min("n_nationkey"))
+        .collect()(0).get(0).toString
+      assert(desc("min") == minKey)
+      assert(desc("num_nulls") == "0")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

@@ -295,4 +295,48 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("stage1_rank") <= operators.Similarity.RefineC))
     }
   }
+
+  test("knn classify: hand-built majority vote and smallest-label tiebreak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val vectors = Seq(
+      (10L, Array(0.99, 0.10)), (11L, Array(0.98, 0.05)),
+      (12L, Array(0.90, 0.30)), (13L, Array(0.0, 1.0)))
+      .toDF("vec_id", "vd")
+      .withColumn("vnrm", operators.Vectors.norm(col("vd")))
+    val probeSet = Seq((1L, Array(1.0, 0.0))).toDF("probe_id", "pv")
+      .withColumn("pnrm", operators.Vectors.norm(col("pv")))
+    val labels = Seq((1L, 2), (10L, 1), (11L, 1), (12L, 2), (13L, 3))
+      .toDF("vec_id", "label")
+    // k=3 → neighbors 10,11,12 → votes {1:2, 2:1} → pred 1 ≠ true 2
+    val r = operators.Similarity
+      .knnClassifyOn(vectors, probeSet, labels, 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("pred_label") == 1)
+    assert(r.head.getAs[Int]("true_label") == 2)
+    assert(r.head.getAs[Long]("votes") == 2L)
+    assert(!r.head.getAs[Boolean]("correct"))
+    // relabel 10→4: k=2 neighbors are 11 (label 1) and 10 (label 4),
+    // a genuine 1-1 tie → the smaller label wins with 1 vote
+    val labels2 = Seq((1L, 2), (10L, 4), (11L, 1), (12L, 2), (13L, 3))
+      .toDF("vec_id", "label")
+    val tie = operators.Similarity
+      .knnClassifyOn(vectors, probeSet, labels2, 2).collect()
+    assert(tie.head.getAs[Int]("pred_label") == 1)
+    assert(tie.head.getAs[Long]("votes") == 1L)
+  }
+
+  test("knn classify on the corpus: one row per probe, leave-one-out votes") {
+    val rows = operators.Similarity.knnClassify(spark, sf).collect()
+    val nProbes = graft.sources.Tables.embeddings(spark, sf)
+      .filter("vec_id % 47 = 0").count()
+    assert(rows.length == nProbes)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= operators.Similarity.K)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+  }
 }

@@ -375,4 +375,21 @@ class SqlSurfaceSpec extends SparkSpec {
       else assert(r.getAs[Double]("discounted_rev") == rev.getDouble(0))
     }
   }
+
+  test("bitmap distinct: popcount sum equals the built-in distinct everywhere") {
+    val rows = queries.SqlSurface.bitmapDistinct(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(rows.length == ev.select("event_type").distinct().count())
+    val maxUser = ev.agg(org.apache.spark.sql.functions.max("user_id"))
+      .collect()(0).getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("bitmap_matches"),
+        s"${r.getAs[String]("event_type")}: bitmap ${r.getAs[Long]("n_users_bitmap")} " +
+          s"vs direct ${r.getAs[Long]("n_users_direct")}")
+      // bucket count bounded by the id universe and by the distinct
+      val b = r.getAs[Long]("n_buckets")
+      assert(b <= maxUser / 63 + 1)
+      assert(b <= r.getAs[Long]("n_users_direct"))
+    }
+  }
 }

@@ -363,4 +363,123 @@ class TextSpec extends SparkSpec {
     assert(fracs.zip(fracs.tail).forall { case (a, b) => a >= b },
       s"dup fraction not non-increasing: ${fracs.toSeq}")
   }
+
+  test("bpe merges: hand-derivable merge sequence on a planted vocab") {
+    import spark.implicits._
+    // "abc"×3 + "bcd"×2: round 1 pairs (a b)=3 (b c)=5 (c d)=2 →
+    // merge "b c"; round 2 (a bc)=3 (bc d)=2 → "a bc"; round 3 the
+    // remaining (bc d)=2. Round 3 only works if the round-2 merge
+    // left the fused "abc" symbol intact — the boundary-safety case.
+    val vocab = Seq(("abc", 3L), ("bcd", 2L)).toDF("w", "n")
+    val m = operators.TextAnalysis.bpeMergesOn(vocab, 3).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+    assert(m.toSeq == Seq((1L, "b c", "bc", 5L), (2L, "a bc", "abc", 3L),
+      (3L, "bc d", "bcd", 2L)))
+  }
+
+  test("bpe merges: greedy left-to-right on runs — aaaa fuses to aa aa") {
+    import spark.implicits._
+    // (a a) counts overlapping occurrences (3 per "aaaa", 2 per
+    // "aaa"); the merge is non-overlapping left-to-right, so "aaaa"
+    // becomes "aa aa" (never "a aa a") and "aaa" becomes "aa a".
+    val vocab = Seq(("aaaa", 5L), ("aaa", 2L)).toDF("w", "n")
+    val m = operators.TextAnalysis.bpeMergesOn(vocab, 3).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt")))
+    assert(m.toSeq == Seq((1L, "a a", "aa", 19L), (2L, "aa aa", "aaaa", 5L),
+      (3L, "aa a", "aaa", 2L)))
+  }
+
+  test("bpe merges on the corpus: counts non-increasing, merged = fused pair") {
+    val rows = operators.TextAnalysis.bpeMerges(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    // merging can only destroy occurrences of existing pairs and new
+    // pairs inherit at most the merged pair's count, so the argmax
+    // sequence is non-increasing
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      s"merge counts increased: ${cnts.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("pair").replace(" ", ""))
+      assert(r.getAs[String]("pair").split(" ").length == 2)
+    }
+  }
+
+  test("rake keywords: hand-derivable phrase scores on planted docs") {
+    import spark.implicits._
+    // doc 1: stopwords the/and delimit "quick brown fox" and
+    // "lazy dog"; doc 2 repeats "brown fox". Word stats (corpus):
+    //   quick f1 d3, brown f2 d5, fox f2 d5, lazy f1 d2, dog f1 d2
+    // scores (micro): quick 3e6, brown 2.5e6, fox 2.5e6, lazy 2e6,
+    // dog 2e6 → "quick brown fox" 8e6, "brown fox" 5e6, "lazy dog" 4e6
+    val docs = Seq(
+      (1L, "the quick brown fox and lazy dog"),
+      (2L, "the brown fox")).toDF("doc_id", "text")
+    val rows = operators.TextAnalysis.keywordRakeOn(docs, 10).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("score_micro")))
+    assert(rows.toSeq == Seq(
+      ("quick brown fox", 3L, 8000000L),
+      ("brown fox", 2L, 5000000L),
+      ("lazy dog", 2L, 4000000L)))
+  }
+
+  test("rake keywords on the corpus: total order, positive integer scores") {
+    val rows = operators.TextAnalysis.keywordRake(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Long]("score_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_micro") >= 1000000L * r.getAs[Long]("n_words"))
+      assert(r.getAs[String]("phrase").split(" ").length ==
+        r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("stopword discovery: df recomputed independently, cut respected") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis.stopwordDiscovery(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    assert(rows.nonEmpty)
+    val perms = rows.map(_.getAs[Long]("df_permille"))
+    assert(perms.zip(perms.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_freq") * 4 >= nDocs)
+      assert(r.getAs[Long]("df_permille") ==
+        r.getAs[Long]("doc_freq") * 1000 / nDocs)
+      assert(r.getAs[Long]("corpus_freq") >= r.getAs[Long]("doc_freq"))
+    }
+    // spot-check the top word's doc frequency directly
+    val top = rows.head
+    val direct = docs
+      .select(col("doc_id"), explode(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).as("w"))
+      .filter(col("w") === top.getAs[String]("w"))
+      .select("doc_id").distinct().count()
+    assert(direct == top.getAs[Long]("doc_freq"))
+  }
+
+  test("vocab growth: cumulative curve ends at the direct corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val last = rows.last
+    assert(last.getAs[Long]("n_tokens") == words.count())
+    assert(last.getAs[Long]("vocab_size") ==
+      words.select("w").distinct().count())
+    assert(last.getAs[Long]("n_docs") ==
+      graft.sources.Tables.documents(spark, sf).count())
+    // cumulative columns never decrease; new_types telescopes to vocab
+    Seq("n_docs", "n_tokens", "vocab_size").foreach { c =>
+      val xs = rows.map(_.getAs[Long](c))
+      assert(xs.zip(xs.tail).forall { case (a, b) => a <= b }, s"$c decreased")
+    }
+    assert(rows.map(_.getAs[Long]("new_types")).sum ==
+      last.getAs[Long]("vocab_size"))
+  }
 }
