@@ -72,6 +72,7 @@ object SparkEntry {
     "src_csv_quoted"         -> SourcesSinks.csvQuoted _,
     "src_csv_escaped"        -> SourcesSinks.csvEscaped _,
     "src_csv_gzip"           -> SourcesSinks.csvGzip _,
+    "src_csv_multidelim"     -> SourcesSinks.csvMultiDelim _,
     "src_json_corrupt"       -> SourcesSinks.jsonCorrupt _,
     "src_json_lines"         -> SourcesSinks.jsonLines _,
     "sink_parquet_roundtrip" -> SourcesSinks.parquetRoundtrip _,
@@ -102,6 +103,9 @@ object SparkEntry {
     "win_ignore_nulls" -> Analytic.ignoreNullsWindow _,
     "win_distinct_running" -> Analytic.distinctRunning _,
     "win_rolling_median"   -> Analytic.rollingMedian _,
+    "ev_autocorr"          -> Analytic.autocorr _,
+    "ev_asof_native"       -> Analytic.asofNative _,
+    "ev_user_lifetime"     -> Analytic.userLifetime _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -128,6 +132,7 @@ object SparkEntry {
     "ev_anomaly_mad"      -> Analytic.hourlyAnomalyMad _,
     "agg_filter_clause"   -> SqlSurface.filterClause _,
     "agg_bitmap_distinct" -> SqlSurface.bitmapDistinct _,
+    "sql_group_by_all"    -> SqlSurface.groupByAll _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -154,6 +159,7 @@ object SparkEntry {
     "dedup_chunks"           -> Dedup.chunkDedup _,
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
+    "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
     "dedup_semantic_clusters" -> Dedup.semanticClusters _,
@@ -170,6 +176,7 @@ object SparkEntry {
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
     "emb_knn_classify"    -> Similarity.knnClassify _,
+    "ann_range_search"    -> Similarity.rangeSearch _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -497,6 +504,86 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / b.n_sh AS overlap_frac
         |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // τ operating curve over the SAME candidate relation as the
+    // accuracy audit: exact-admits vs estimator-admits vs agreement
+    "dedup_threshold_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), post AS (
+        |  SELECT DISTINCT doc_id, unnest(hs) AS h FROM shd
+        |), nsh AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), eq AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |    CAST(len(list_filter(generate_series(1,128), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_eq
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.doc_a
+        |  JOIN sigs sb ON sb.doc_id = cand.doc_b
+        |), pairs AS (
+        |  SELECT CAST(eq.n_eq AS DOUBLE) / 128.0 AS est,
+        |    CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter) AS jac
+        |  FROM eq JOIN pc ON pc.doc_a = eq.doc_a AND pc.doc_b = eq.doc_b
+        |  JOIN nsh na ON na.doc_id = eq.doc_a
+        |  JOIN nsh nb ON nb.doc_id = eq.doc_b)
+        |SELECT count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS exact_ge_500,
+        |  CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS est_ge_500,
+        |  CAST(sum(CASE WHEN (jac >= 0.5) = (est >= 0.5) THEN 1 ELSE 0 END) AS BIGINT) AS agree_500,
+        |  CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS exact_ge_700,
+        |  CAST(sum(CASE WHEN est >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS est_ge_700,
+        |  CAST(sum(CASE WHEN (jac >= 0.7) = (est >= 0.7) THEN 1 ELSE 0 END) AS BIGINT) AS agree_700,
+        |  CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS exact_ge_800,
+        |  CAST(sum(CASE WHEN est >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS est_ge_800,
+        |  CAST(sum(CASE WHEN (jac >= 0.8) = (est >= 0.8) THEN 1 ELSE 0 END) AS BIGINT) AS agree_800,
+        |  CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS exact_ge_900,
+        |  CAST(sum(CASE WHEN est >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS est_ge_900,
+        |  CAST(sum(CASE WHEN (jac >= 0.9) = (est >= 0.9) THEN 1 ELSE 0 END) AS BIGINT) AS agree_900
+        |FROM pairs""".stripMargin,
+    // survival-curve input: first→last span per user, week histogram
+    "ev_user_lifetime" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ns(ts)//1000000000) AS first_sec,
+        |    max(epoch_ns(ts)//1000000000) AS last_sec, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT n_events, (last_sec - first_sec) // 86400 AS lifetime_days FROM u)
+        |SELECT lifetime_days // 7 AS week_bucket, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  min(lifetime_days) AS min_days, max(lifetime_days) AS max_days
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // multi-char delimiter roundtrip: content identity vs the table
+    "src_csv_multidelim" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_minhash_accuracy" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
@@ -655,6 +742,67 @@ object SparkEntry {
         |FROM exact_topk e LEFT JOIN ivf_topk i
         |  ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
+    // range search: every neighbor at cosine ≥ τ, count-free contract
+    "ann_range_search" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id)
+        |SELECT probe_id, vec_id, cosine FROM scored
+        |WHERE cosine >= 0.25 ORDER BY probe_id, vec_id""".stripMargin,
+    // native as-of join: latest click ≤ purchase ts, ties → largest
+    // click_id, LEFT OUTER null padding
+    "ev_asof_native" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts_sec AS c_sec FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts_sec, c.click_id, c.c_sec,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.c_sec DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rk
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.ts_sec)
+        |SELECT event_id, user_id, ts_sec, click_id, c_sec AS last_click_sec,
+        |  ts_sec - c_sec AS gap_sec
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
+    // lag-1..3 Pearson ACF from exact BIGINT power sums
+    "ev_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//3600 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, hr, n,
+        |    lead(n, 1) OVER w AS y1, lead(n, 2) OVER w AS y2, lead(n, 3) OVER w AS y3
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |stats AS (
+        |  SELECT event_type, CAST(k AS BIGINT) AS lag,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(n) AS BIGINT) AS sx,
+        |    CAST(sum(CASE k WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END) AS BIGINT) AS sy,
+        |    CAST(sum(n * n) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE k WHEN 1 THEN y1*y1 WHEN 2 THEN y2*y2 ELSE y3*y3 END) AS BIGINT) AS syy,
+        |    CAST(sum(CASE k WHEN 1 THEN n*y1 WHEN 2 THEN n*y2 ELSE n*y3 END) AS BIGINT) AS sxy
+        |  FROM lagged, unnest([1, 2, 3]) t(k)
+        |  WHERE (CASE k WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END) IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, lag, m,
+        |  m * sxy - sx * sy AS num,
+        |  m * sxx - sx * sx AS den_x,
+        |  m * syy - sy * sy AS den_y,
+        |  CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS acf
+        |FROM stats ORDER BY event_type, lag""".stripMargin,
+    // the modern GROUP BY ALL shorthand — query text identical on
+    // both engines by construction
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
     // leave-one-out 10-NN majority vote; ties to the smallest label
     "emb_knn_classify" ->
       """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
@@ -2353,13 +2501,13 @@ object SparkEntry {
     "expr_try_arith" ->
       """WITH t AS (
         |  SELECT l_returnflag,
-        |    CASE WHEN CAST(l_orderkey AS HUGEINT) * 700000000000000 <= 9223372036854775807
-        |         THEN CAST(CAST(l_orderkey AS HUGEINT) * 700000000000000 AS BIGINT) END AS m,
-        |    CASE WHEN CAST(9223372036854774807 AS HUGEINT) + l_partkey <= 9223372036854775807
-        |         THEN CAST(CAST(9223372036854774807 AS HUGEINT) + l_partkey AS BIGINT) END AS a,
-        |    CASE WHEN CAST(-9223372036854775758 AS HUGEINT) - l_suppkey >= -9223372036854775808
-        |         THEN CAST(CAST(-9223372036854775758 AS HUGEINT) - l_suppkey AS BIGINT) END AS s,
-        |    l_extendedprice / (l_linenumber % 4) AS d
+        |    CASE WHEN CAST(l_orderkey % 13300 AS HUGEINT) * 700000000000000 <= 9223372036854775807
+        |         THEN CAST(CAST(l_orderkey % 13300 AS HUGEINT) * 700000000000000 AS BIGINT) END AS m,
+        |    CASE WHEN CAST(9223372036854774807 AS HUGEINT) + l_partkey % 1024 <= 9223372036854775807
+        |         THEN CAST(CAST(9223372036854774807 AS HUGEINT) + l_partkey % 1024 AS BIGINT) END AS a,
+        |    CASE WHEN CAST(-9223372036854775758 AS HUGEINT) - l_suppkey % 52 >= -9223372036854775808
+        |         THEN CAST(CAST(-9223372036854775758 AS HUGEINT) - l_suppkey % 52 AS BIGINT) END AS s,
+        |    l_extendedprice / (l_orderkey % 97) AS d
         |  FROM lineitem)
         |SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS mul_nulls,

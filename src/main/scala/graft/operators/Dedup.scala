@@ -557,6 +557,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Release-threshold tuning sweep over the LSH candidate set — the
+    * operating-curve readout a dedup deployment derives its τ from:
+    * for τ ∈ {0.5, 0.7, 0.8, 0.9}, how many candidate pairs the
+    * EXACT Jaccard admits, how many the 128-lane MinHash ESTIMATE
+    * admits, and how often the two decisions agree. Disagreement at
+    * the chosen τ is the operational false-positive/negative rate of
+    * shipping the estimator instead of the exact verify. One extra
+    * conditional agg over [[minhashAccuracy]]'s pair relation (the
+    * candidate set — proportional to the near-dup rate, never the
+    * corpus); one wide row out. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val acc = minhashAccuracy(spark, dir)
+    val cols = Seq(500, 700, 800, 900).flatMap { t =>
+      val tau = t / 1000.0
+      Seq(
+        sum(when(col("jaccard") >= tau, 1L).otherwise(0L)).as(s"exact_ge_$t"),
+        sum(when(col("est_jaccard") >= tau, 1L).otherwise(0L)).as(s"est_ge_$t"),
+        sum(when((col("jaccard") >= tau) === (col("est_jaccard") >= tau), 1L)
+          .otherwise(0L)).as(s"agree_$t"))
+    }
+    acc.agg(count(lit(1)).as("n_candidates"), cols: _*)
+  }
+
   /** Edit-distance verification of LSH candidates — the fuzzy-match
     * refinement a dedup pipeline adds where shingle Jaccard is blind:
     * two docs differing by scattered single-character edits (OCR

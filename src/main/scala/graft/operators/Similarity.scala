@@ -569,6 +569,24 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Cosine range search — the OTHER retrieval mode (FAISS
+    * range_search): ALL neighbors above a similarity floor rather
+    * than a fixed k, the query shape dedup verification and
+    * recall-sensitive retrieval run where top-k would silently drop
+    * qualifying matches. One broadcast-probe pass over the corpus,
+    * the τ filter prunes before any ranking, and the per-probe hit
+    * count rides the same scan; no window, no top-k state — the
+    * result size is data-dependent by design. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.25 // the synthetic probes' similarity mass tops out ~0.4
+    val scored = vecs(spark, dir)
+      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm")).as("cosine"))
+      .filter(col("cosine") >= tau)
+    scored.orderBy("probe_id", "vec_id")
+  }
+
   /** k-NN majority-vote label classification — the weak-labeling /
     * label-propagation step an embedding-curated corpus runs ("tag
     * the unlabeled page with its neighbors' topic"), and the

@@ -160,6 +160,32 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** The native-operator form of as-of attribution: purchases join
+    * their latest preceding click on graft's AsOfJoinExec
+    * (plans/AsOfJoin.scala) — same exchanges+sorts as a sort-merge
+    * join, then a single forward merge with one candidate row of
+    * state, carrying the click PAYLOAD (click_id) wholesale where
+    * the window form needs a value-carry column per field. Match
+    * contract: c_sec ≤ ts_sec inclusive, ties on c_sec resolved to
+    * the largest click_id; purchases with no prior click null-pad
+    * (AsOfSpec pins all three against hand-built frames and the
+    * window form ev_asof_attribution row-for-row). */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("ts_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_sec").as("c_sec"))
+    graft.plans.AsOf.join(purchases, clicks, Seq("user_id" -> "c_user"),
+        "ts_sec", "c_sec", Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("click_id"),
+        col("c_sec").as("last_click_sec"),
+        (col("ts_sec") - col("c_sec")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** Time-range join via bucketing: each purchase counts the same
     * user's clicks in the preceding hour. The naive formulation — an
     * inequality join on `c.ts BETWEEN p.ts-1h AND p.ts` — has no
@@ -1003,6 +1029,68 @@ object Analytic {
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_cohours"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** User-lifetime histogram — the survival-curve input growth
+    * accounting reads next to ev_new_vs_returning: per user the
+    * first→last activity span, bucketed to weeks. One user-keyed
+    * min/max/count agg (map-side combined) collapses the corpus,
+    * then a tiny histogram agg over the user relation; exact integer
+    * day/week arithmetic throughout. */
+  def userLifetime(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"), tsSec.as("sec"))
+      .groupBy("user_id")
+      .agg(min("sec").as("first_sec"), max("sec").as("last_sec"),
+        count(lit(1)).as("n_events"))
+      .select(col("n_events"),
+        expr("(last_sec - first_sec) div 86400").as("lifetime_days"))
+      .withColumn("week_bucket", expr("lifetime_days div 7"))
+      .groupBy("week_bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_events").as("total_events"),
+        min("lifetime_days").as("min_days"),
+        max("lifetime_days").as("max_days"))
+      .orderBy("week_bucket")
+
+  /** Lag-k autocorrelation of per-type hourly event volumes (k =
+    * 1..3) — the periodicity detector behind capacity planning and
+    * the seasonality check a forecasting layer runs before trusting
+    * a trend. The corpus collapses once to the tiny (type, hour)
+    * count relation (the ev_ewma_smooth shape); each lag pairs the
+    * series with lead(k) over the observed-hour order and computes
+    * Pearson r from exact BIGINT power sums — m·Σxy−Σx·Σy over the
+    * two variance terms, one double division and sqrt at the end in
+    * a fixed operation order, so the doubles are engine-bitwise
+    * (the agg_corr_exact discipline; counts at this scale keep the
+    * products far inside BIGINT — a 100 TB deployment swaps the sums
+    * to DECIMAL(38,0) like ev_ab_test). ACF is over the
+    * observed-hour series; dark hours are absent on both sides. */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val lags = (1 to 3).map { k =>
+      hourly
+        .withColumn("y", lead("n", k).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum("n").as("sx"), sum("y").as("sy"),
+          sum(col("n") * col("n")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("n") * col("y")).as("sxy"))
+        .select(col("event_type"), lit(k.toLong).as("lag"), col("m"),
+          (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("m") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
+    }
+    lags.reduce(_.unionByName(_))
+      .withColumn("acf", col("num").cast("double") /
+        sqrt(col("den_x").cast("double") * col("den_y").cast("double")))
+      .orderBy("event_type", "lag")
   }
 
   /** Trailing-7-row exact rolling median of revenue per supplier —

@@ -259,20 +259,28 @@ object Exprs {
     * 100 TB pipeline needs when a planted poison row must not abort a
     * million-task stage (the engine-level twin of src_json_corrupt's
     * quarantine). Each family gets a data-dependent boundary so both
-    * outcomes occur in the same scan: ×7e14 overflows keys above
-    * ~13.2k, MaxValue−1000+partkey overflows above 1000,
-    * MinValue+50−suppkey underflows above 50, and /(linenumber mod 4)
-    * nulls every 4th line. Aggregation keeps only order-free shapes
+    * outcomes occur in the same scan — but the overflow outcome is
+    * kept a ~1-2% TAIL by a modulus on the operand, which is the
+    * measured scale constraint, not a convenience: Spark implements
+    * try_add/subtract/multiply as the ANSI op under a per-row
+    * exception catch, so a scan where overflow is the COMMON case
+    * executes millions of throw/catch pairs — measured 34 s at
+    * sf0.1 when most rows overflowed vs 1.6 s with the tail shape
+    * (residual = the per-row try/catch discipline itself). TRY is the right contract for rare poison rows; an
+    * overflow-heavy domain must use the branchless guard rewrite
+    * (CASE WHEN operand ≤ max/k THEN operand*k END — exactly what
+    * the oracle's HUGEINT replay does). Division by zero is ALSO an
+    * exception under the hood (ANSI divide), so the zero denominator
+    * is likewise a ~1% tail (orderkey mod 97). Aggregation keeps only order-free shapes
     * (counts of each outcome, min/max of the survivors) so the
-    * result is engine-exact; the oracle replays the overflow checks
-    * in HUGEINT. */
+    * result is engine-exact. */
   def tryArith(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .select(col("l_returnflag"),
-        expr("try_multiply(l_orderkey, 700000000000000L)").as("mul"),
-        expr(s"try_add(${Long.MaxValue - 1000L}L, l_partkey)").as("add"),
-        expr(s"try_subtract(${Long.MinValue + 50L}L, l_suppkey)").as("sub"),
-        expr("try_divide(l_extendedprice, l_linenumber % 4)").as("dv"))
+        expr("try_multiply(l_orderkey % 13300, 700000000000000L)").as("mul"),
+        expr(s"try_add(${Long.MaxValue - 1000L}L, l_partkey % 1024)").as("add"),
+        expr(s"try_subtract(${Long.MinValue + 50L}L, l_suppkey % 52)").as("sub"),
+        expr("try_divide(l_extendedprice, l_orderkey % 97)").as("dv"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("mul").isNull, 1L).otherwise(0L)).as("mul_nulls"),

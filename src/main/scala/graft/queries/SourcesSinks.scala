@@ -66,6 +66,35 @@ object SourcesSinks {
       .orderBy("n_nationkey")
   }
 
+  /** Multi-character delimiter dialect — the "::"-separated feeds
+    * half the world's legacy exports arrive in, where any single
+    * separator char also occurs in the data. Spark's uniVocity
+    * reader takes multi-char `sep` directly; the writer side is
+    * assembled with concat_ws through the text sink (the CSV writer
+    * is single-char-sep only — a real dialect asymmetry worth
+    * pinning). Schema explicit as always; acctbal stays cent-exact
+    * through the string boundary because the data is 2-decimal. */
+  def csvMultiDelim(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "supplier_mdelim")
+    supplier(spark, dir)
+      .select(concat_ws("::", col("s_suppkey"), col("s_name"),
+        col("s_nationkey"),
+        expr("CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS STRING)")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", StringType)))
+    spark.read.schema(schema).option("sep", "::").csv(path)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        min("s_suppkey").as("min_key"), max("s_suppkey").as("max_key"),
+        sum(expr("CAST(s_acctbal AS DECIMAL(18,2))"))
+          .cast("double").as("sum_acctbal"))
+      .orderBy("s_nationkey")
+  }
+
   /** Quoted/escaped CSV roundtrip — the hostile half of the text
     * surface the reference's parser handles byte-by-byte
     * (delimited-text-parser.cc:69-140 `process_escape_`,

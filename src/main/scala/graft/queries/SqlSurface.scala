@@ -687,6 +687,24 @@ object SqlSurface {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (adopted
+    * by Spark 4, DuckDB, Snowflake, BigQuery) where the grouping key
+    * is inferred as every non-aggregate select item: the exact query
+    * text below runs unchanged on both engines, which is the whole
+    * point of the dialect row — a user's ad-hoc GROUP BY ALL
+    * notebooks port verbatim. Plans identically to the explicit
+    * GROUP BY (one partial→final hash agg). */
+  def groupByAll(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_gba_${math.abs(dir.hashCode)}"
+    lineitem(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM $v
+         |GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   /** Exact distributed COUNT(DISTINCT) via fixed-width bitmap
     * partials — the bitmap-index trick: users bucket by id div 63,
     * each (type, bucket) cell ORs its members into one 63-bit word

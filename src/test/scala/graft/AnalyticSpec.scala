@@ -576,6 +576,48 @@ class AnalyticSpec extends SparkSpec {
     assert(got == exp.toMap)
   }
 
+  test("user lifetime: histogram partitions users and brackets spans") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.userLifetime(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_users")).sum ==
+      ev.select("user_id").distinct().count())
+    assert(rows.map(_.getAs[Long]("total_events")).sum == ev.count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("week_bucket")
+      assert(r.getAs[Long]("min_days") >= b * 7)
+      assert(r.getAs[Long]("max_days") <= b * 7 + 6)
+      assert(r.getAs[Long]("min_days") <= r.getAs[Long]("max_days"))
+    }
+  }
+
+  test("autocorr: lag pairs and power sums recomputed independently") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.autocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000000000 div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, g) =>
+        t -> g.map(r => (r.getAs[Long]("hr"), r.getAs[Long]("n")))
+          .sortBy(_._1).map(_._2)
+      }
+    rows.foreach { r =>
+      val (t, k) = (r.getAs[String]("event_type"), r.getAs[Long]("lag").toInt)
+      val series = hourly(t)
+      val pairs = series.dropRight(k).zip(series.drop(k))
+      assert(r.getAs[Long]("m") == pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val m = pairs.length.toLong
+      assert(r.getAs[Long]("num") == m * sxy - sx * sy)
+      val acf = r.getAs[Double]("acf")
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9)
+    }
+  }
+
   test("rolling median: trailing-7 frames recomputed independently per supplier") {
     import org.apache.spark.sql.functions._
     val rows = queries.Analytic.rollingMedian(spark, sf).collect()

@@ -389,4 +389,23 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 11L, 12L))
     assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("threshold sweep recomputes from the accuracy pair relation") {
+    val r = operators.Dedup.thresholdSweep(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val pairs = operators.Dedup.minhashAccuracy(spark, sf).collect()
+      .map(x => (x.getAs[Double]("jaccard"), x.getAs[Double]("est_jaccard")))
+    assert(row.getAs[Long]("n_candidates") == pairs.length)
+    Seq(500, 700, 800, 900).foreach { t =>
+      val tau = t / 1000.0
+      assert(row.getAs[Long](s"exact_ge_$t") == pairs.count(_._1 >= tau))
+      assert(row.getAs[Long](s"est_ge_$t") == pairs.count(_._2 >= tau))
+      assert(row.getAs[Long](s"agree_$t") ==
+        pairs.count(p => (p._1 >= tau) == (p._2 >= tau)))
+    }
+    // the admit counts can only shrink as the threshold tightens
+    val ex = Seq(500, 700, 800, 900).map(t => row.getAs[Long](s"exact_ge_$t"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+  }
 }

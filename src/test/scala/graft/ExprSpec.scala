@@ -139,19 +139,19 @@ class ExprSpec extends SparkSpec {
       assert(r.getAs[Long]("n_rows") == g.length)
       // overflow boundaries recomputed in BigInt, independently
       assert(r.getAs[Long]("mul_nulls") == g.count(x =>
-        BigInt(x.getAs[Long]("l_orderkey")) * BigInt(700000000000000L) >
+        BigInt(x.getAs[Long]("l_orderkey") % 13300) * BigInt(700000000000000L) >
           BigInt(Long.MaxValue)))
       assert(r.getAs[Long]("add_nulls") == g.count(x =>
-        BigInt(Long.MaxValue - 1000L) + BigInt(x.getAs[Long]("l_partkey")) >
+        BigInt(Long.MaxValue - 1000L) + BigInt(x.getAs[Long]("l_partkey") % 1024) >
           BigInt(Long.MaxValue)))
       assert(r.getAs[Long]("sub_nulls") == g.count(x =>
-        BigInt(Long.MinValue + 50L) - BigInt(x.getAs[Long]("l_suppkey")) <
+        BigInt(Long.MinValue + 50L) - BigInt(x.getAs[Long]("l_suppkey") % 52) <
           BigInt(Long.MinValue)))
       assert(r.getAs[Long]("div_nulls") == g.count(
-        _.getAs[Int]("l_linenumber") % 4 == 0))
+        _.getAs[Long]("l_orderkey") % 97 == 0))
       // survivors stay representable: max of the non-null multiply is
       // the largest in-range key times the multiplier
-      val okKeys = g.map(_.getAs[Long]("l_orderkey"))
+      val okKeys = g.map(_.getAs[Long]("l_orderkey") % 13300)
         .filter(k => BigInt(k) * BigInt(700000000000000L) <= BigInt(Long.MaxValue))
       if (okKeys.nonEmpty)
         assert(r.getAs[Long]("mul_max") == okKeys.max * 700000000000000L)

@@ -327,6 +327,22 @@ class SimilaritySpec extends SparkSpec {
     assert(tie.head.getAs[Long]("votes") == 1L)
   }
 
+  test("range search: every hit clears tau; top-k hits above tau all appear") {
+    val hits = operators.Similarity.rangeSearch(spark, sf).collect()
+    hits.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.25)
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id"))
+    }
+    // recall contract vs the exact top-k: any top-10 neighbor scoring
+    // ≥ tau must be in the range result (range search never misses)
+    val key = hits.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    operators.Similarity.bruteForceTopK(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.25)
+      .foreach { r =>
+        assert(key((r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))))
+      }
+  }
+
   test("knn classify on the corpus: one row per probe, leave-one-out votes") {
     val rows = operators.Similarity.knnClassify(spark, sf).collect()
     val nProbes = graft.sources.Tables.embeddings(spark, sf)

@@ -522,4 +522,30 @@ class SourcesSpec extends SparkSpec {
     val changed = keys.filter(k => k % 5 <= 2).toSet
     assert(rows.map(_.getAs[Long]("o_orderkey")).toSet == changed)
   }
+
+  test("multi-char delimiter: '::' really on disk, content identity holds") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SourcesSinks.csvMultiDelim(spark, sf).collect()
+    val exp = graft.sources.Tables.supplier(spark, sf)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), min("s_suppkey").as("mn"),
+        max("s_suppkey").as("mx"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()
+      .map(r => r.getAs[Int]("s_nationkey") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+          r.getAs[Double]("s")))).toMap
+    assert(rows.length == exp.size)
+    rows.foreach { r =>
+      assert(exp(r.getAs[Int]("s_nationkey")) ==
+        ((r.getAs[Long]("n_suppliers"), r.getAs[Long]("min_key"),
+          r.getAs[Long]("max_key"), r.getAs[Double]("sum_acctbal"))))
+    }
+    // the file bytes must genuinely carry the multi-char separator
+    val path = new java.io.File(
+      queries.SourcesSinks.tmp(spark, sf, "supplier_mdelim"))
+    val part = path.listFiles().find(_.getName.startsWith("part-")).get
+    val firstLine = scala.io.Source.fromFile(part).getLines().next()
+    assert(firstLine.split("::").length == 4, firstLine)
+  }
 }

@@ -376,6 +376,24 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("group by all infers the same grouping as the explicit form") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SqlSurface.groupByAll(spark, sf).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"),
+        r.getAs[Int]("ship_year"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sum_qty"))).toSet
+    val exp = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"),
+        r.getAs[Int]("ship_year"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sum_qty"))).toSet
+    assert(got == exp)
+  }
+
   test("bitmap distinct: popcount sum equals the built-in distinct everywhere") {
     val rows = queries.SqlSurface.bitmapDistinct(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
