@@ -133,6 +133,7 @@ object SparkEntry {
     "agg_filter_clause"   -> SqlSurface.filterClause _,
     "agg_bitmap_distinct" -> SqlSurface.bitmapDistinct _,
     "sql_group_by_all"    -> SqlSurface.groupByAll _,
+    "agg_hll_precision_sweep" -> SqlSurface.hllPrecisionSweep _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -186,6 +187,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
+    "vocab_bpe_apply"  -> TextAnalysis.bpeApply _,
     "text_vocab_growth" -> TextAnalysis.vocabGrowth _,
     "text_keyword_rake" -> TextAnalysis.keywordRake _,
     "text_stopword_discovery" -> TextAnalysis.stopwordDiscovery _,
@@ -217,6 +219,7 @@ object SparkEntry {
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
+    "mm_audio_frames"    -> Multimodal.audioFrames _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
@@ -795,6 +798,83 @@ object SparkEntry {
         |  CAST(m * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS acf
         |FROM stats ORDER BY event_type, lag""".stripMargin,
+    // sketch estimates are engine-specific: export exact + booleans
+    "agg_hll_precision_sweep" ->
+      """WITH x AS (SELECT count(DISTINCT user_id) AS exact_ndv FROM events)
+        |SELECT CAST(10 AS BIGINT) AS rsd_permille, exact_ndv, TRUE AS within_5rsd FROM x
+        |UNION ALL SELECT CAST(23 AS BIGINT), exact_ndv, TRUE FROM x
+        |UNION ALL SELECT CAST(80 AS BIGINT), exact_ndv, TRUE FROM x
+        |UNION ALL SELECT CAST(260 AS BIGINT), exact_ndv, TRUE FROM x
+        |ORDER BY rsd_permille""".stripMargin,
+    // apply the learned merge table: corpus compression card from
+    // the v3 relation (chars = symbols-before by construction)
+    "vocab_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |v0 AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s, count(*) AS n
+        |  FROM words GROUP BY 1),
+        |p1 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v0) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |v1 AS (
+        |  SELECT trim(regexp_replace(replace(replace(' ' || s || ' ', ' ', '  '),
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m1) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m1) || ' '), ' +', ' ', 'g')) AS s, n
+        |  FROM v0),
+        |p2 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v1) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |v2 AS (
+        |  SELECT trim(regexp_replace(replace(replace(' ' || s || ' ', ' ', '  '),
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m2) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m2) || ' '), ' +', ' ', 'g')) AS s, n
+        |  FROM v1),
+        |p3 AS (
+        |  SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, ' ') AS l, n FROM v2) t, unnest(range(1, len(l))) u(i)
+        |  GROUP BY 1),
+        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |v3 AS (
+        |  SELECT trim(regexp_replace(replace(replace(' ' || s || ' ', ' ', '  '),
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m3) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '') FROM m3) || ' '), ' +', ' ', 'g')) AS s, n
+        |  FROM v2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_words,
+        |  CAST(sum(n * length(replace(s, ' ', ''))) AS BIGINT) AS symbols_before,
+        |  CAST(sum(n * len(string_split(s, ' '))) AS BIGINT) AS symbols_after,
+        |  CAST(sum(n * length(replace(s, ' ', ''))) AS BIGINT)
+        |    - CAST(sum(n * len(string_split(s, ' '))) AS BIGINT) AS symbols_saved,
+        |  CAST(sum(n * len(string_split(s, ' '))) AS DOUBLE)
+        |    / CAST(sum(n * length(replace(s, ' ', ''))) AS DOUBLE) AS compression
+        |FROM v3""".stripMargin,
+    // 25ms/10ms framing grid over the stubbed waveform
+    "mm_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |    CAST(length(text) AS BIGINT) AS n_samples
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, sample_rate, n_samples,
+        |    sample_rate * 25 // 1000 AS win, sample_rate * 10 // 1000 AS hop
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, text, sample_rate, win, hop,
+        |    (n_samples - win) // hop + 1 AS n_frames
+        |  FROM w WHERE n_samples >= win),
+        |f AS (
+        |  SELECT doc_id, sample_rate, n_frames, text, win, hop,
+        |    unnest(generate_series(0, n_frames - 1, 8)) AS frame_idx
+        |  FROM q)
+        |SELECT doc_id, sample_rate, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT))) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // the modern GROUP BY ALL shorthand — query text identical on
     // both engines by construction
     "sql_group_by_all" ->

@@ -54,6 +54,34 @@ object Multimodal {
       .select("doc_id", "n_frames", "frame_idx", "frame_md5")
       .orderBy("doc_id", "frame_idx")
 
+  /** Audio framing plan — the 25 ms window / 10 ms hop frame grid
+    * every speech pipeline (MFCC, wav2vec-style encoders) lays over a
+    * waveform BEFORE any decode. Sample-rate metadata is a
+    * deterministic stub (8/12/16 kHz by doc_id), the "waveform" is
+    * the text payload at one sample per char, and the frame count /
+    * offsets / strided sampling are the real integer arithmetic the
+    * planner owns: n_frames = (n −win) div hop + 1, every 8th frame
+    * materialized, per-frame digest of exactly the window's samples.
+    * Sample-before-decode order as in mm_frame_sample: the explode
+    * emits frame COORDINATES and only sampled frames ever touch
+    * payload bytes. */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("8000 + (doc_id % 3) * 4000").as("sample_rate"),
+        length(col("text")).cast("bigint").as("n_samples"))
+      .withColumn("win", expr("sample_rate * 25 div 1000"))
+      .withColumn("hop", expr("sample_rate * 10 div 1000"))
+      .filter(col("n_samples") >= col("win"))
+      .withColumn("n_frames", expr("(n_samples - win) div hop + 1"))
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"),
+        col("text"), col("win"), col("hop"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 8)")).as("frame_idx"))
+      .withColumn("frame_md5",
+        md5(expr("CAST(substring(text, CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT)) AS BINARY)")))
+      .select("doc_id", "sample_rate", "n_frames", "frame_idx", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+
   /** Feature-extract + resize planning over the binary column. The
     * per-payload feature vector is a codec stand-in (md5-derived
     * floats in [0,1] — deterministic, oracle-checkable, emitted as

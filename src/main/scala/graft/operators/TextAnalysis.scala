@@ -808,6 +808,46 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Apply the learned BPE merge table — the other half of the
+    * tokenizer loop vocab_bpe_merges trains: re-derive the 3-round
+    * merge table, broadcast it as one row, and replay the SAME
+    * boundary-safe doubled-delimiter merges over the compressed
+    * vocabulary in training order. Output is the corpus compression
+    * card: word mass, symbols before (= characters — the initial
+    * one-symbol-per-char state) vs after, symbols saved, and the
+    * ratio — exactly what a tokenizer-training run logs per merge
+    * epoch. Corpus-scale cost: the vocabulary projection applies 3
+    * string replaces; everything else is the one explode the vocab
+    * build already pays. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(explode(split(expr(normTextExpr), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val mrow = bpeMergesOn(vocab, rounds = 3).agg(
+      max(when(col("round") === 1, col("pair"))).as("p1"),
+      max(when(col("round") === 2, col("pair"))).as("p2"),
+      max(when(col("round") === 3, col("pair"))).as("p3"))
+    def merge(sCol: String, pCol: String): String =
+      s"""trim(regexp_replace(
+         |  replace(replace(concat(' ', $sCol, ' '), ' ', '  '),
+         |          concat(' ', replace($pCol, ' ', '  '), ' '),
+         |          concat(' ', replace($pCol, ' ', ''), ' ')),
+         |  ' +', ' '))""".stripMargin
+    vocab
+      .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("s"), col("n"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("s1", expr(merge("s", "p1")))
+      .withColumn("s2", expr(merge("s1", "p2")))
+      .withColumn("s3", expr(merge("s2", "p3")))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * expr("length(replace(s3, ' ', ''))")).as("symbols_before"),
+        sum(col("n") * size(split(col("s3"), " "))).as("symbols_after"))
+      .withColumn("symbols_saved", col("symbols_before") - col("symbols_after"))
+      .withColumn("compression",
+        col("symbols_after").cast("double") / col("symbols_before").cast("double"))
+  }
+
   /** Heaps-law vocabulary growth curve — "how fast does the type
     * inventory grow as the corpus grows", the diagnostic behind vocab
     * sizing and dedup health (a corpus whose curve flattens too early

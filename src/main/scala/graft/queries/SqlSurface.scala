@@ -687,6 +687,36 @@ object SqlSurface {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** HLL precision-tuning sweep — the sketch-sizing decision
+    * agg_approx_stats' single point can't inform: the SAME scan
+    * carries four approx_count_distinct aggregates at rsd 26% → 1%
+    * (HLL++ register arrays from 2^4 to 2^13 — the memory/accuracy
+    * axis a 100 TB NDV service picks a point on), each checked
+    * against the exact NDV within a generous 5·rsd envelope. The
+    * estimates themselves are engine-specific so the contract row
+    * exports exact + booleans, the agg_approx_stats discipline; all
+    * four sketches ride ONE pass (one hash agg, four register
+    * arrays). */
+  def hllPrecisionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val exact = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_ndv"))
+    val est = ev.agg(
+      approx_count_distinct(col("user_id"), 0.26).as("e_260"),
+      approx_count_distinct(col("user_id"), 0.08).as("e_80"),
+      approx_count_distinct(col("user_id"), 0.023).as("e_23"),
+      approx_count_distinct(col("user_id"), 0.01).as("e_10"))
+    val j = est.crossJoin(broadcast(exact))
+    def row(permille: Int, c: String) =
+      j.select(lit(permille.toLong).as("rsd_permille"), col("exact_ndv"),
+        (abs(col(c) - col("exact_ndv")).cast("double") /
+          col("exact_ndv").cast("double") <= permille / 1000.0 * 5)
+          .as("within_5rsd"))
+    row(10, "e_10").unionByName(row(23, "e_23"))
+      .unionByName(row(80, "e_80")).unionByName(row(260, "e_260"))
+      .orderBy("rsd_permille")
+  }
+
   /** GROUP BY ALL / ORDER BY ALL — the modern SQL shorthand (adopted
     * by Spark 4, DuckDB, Snowflake, BigQuery) where the grouping key
     * is inferred as every non-aggregate select item: the exact query

@@ -81,4 +81,33 @@ class MultimodalSpec extends SparkSpec {
         (ds.length - 1).toLong * text.getBytes("UTF-8").length)
     }
   }
+
+  test("audio frames: grid arithmetic and digests replay per doc") {
+    val rows = operators.Multimodal.audioFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val text = texts(id)
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val (win, hop) = (rate * 25 / 1000, rate * 10 / 1000)
+      assert(text.length >= win)
+      val nFrames = (text.length - win) / hop + 1
+      assert(rs.head.getAs[Long]("n_frames") == nFrames.toLong)
+      assert(rs.head.getAs[Long]("sample_rate") == rate.toLong)
+      // strided coordinates: 0, 8, 16, ...
+      val idxs = rs.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idxs.toSeq == (0L until nFrames.toLong by 8L))
+      // digest of exactly the window's chars, replayed with MessageDigest
+      rs.foreach { r =>
+        val off = (r.getAs[Long]("frame_idx") * hop).toInt
+        val slice = text.substring(off, math.min(off + win, text.length))
+        val hex = md.digest(slice.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("frame_md5") == hex)
+      }
+    }
+  }
 }

@@ -394,6 +394,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("hll precision sweep: four sketches land inside their envelopes") {
+    val rows = queries.SqlSurface.hllPrecisionSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rsd_permille")).toSeq ==
+      Seq(10L, 23L, 80L, 260L))
+    val exact = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_ndv") == exact)
+      assert(r.getAs[Boolean]("within_5rsd"),
+        s"rsd ${r.getAs[Long]("rsd_permille")} out of envelope")
+    }
+  }
+
   test("bitmap distinct: popcount sum equals the built-in distinct everywhere") {
     val rows = queries.SqlSurface.bitmapDistinct(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)

@@ -438,6 +438,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bpe apply: symbol accounting telescopes from chars to merges") {
+    import org.apache.spark.sql.functions._
+    val r = operators.TextAnalysis.bpeApply(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    assert(row.getAs[Long]("n_words") == words.count())
+    // before-symbols = one per character, regardless of merges
+    val chars = words.agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(row.getAs[Long]("symbols_before") == chars)
+    val after = row.getAs[Long]("symbols_after")
+    assert(after <= chars && after >= row.getAs[Long]("n_words"))
+    assert(row.getAs[Long]("symbols_saved") == chars - after)
+    assert(row.getAs[Double]("compression") ==
+      after.toDouble / chars.toDouble)
+    // three merges must actually have fused something
+    assert(after < chars)
+  }
+
   test("stopword discovery: df recomputed independently, cut respected") {
     import org.apache.spark.sql.functions._
     val rows = operators.TextAnalysis.stopwordDiscovery(spark, sf).collect()
