@@ -706,7 +706,10 @@ object SqlSurface {
       approx_count_distinct(col("user_id"), 0.08).as("e_80"),
       approx_count_distinct(col("user_id"), 0.023).as("e_23"),
       approx_count_distinct(col("user_id"), 0.01).as("e_10"))
-    val j = est.crossJoin(broadcast(exact))
+    // stage the 1-row (estimates × exact) relation once: the four
+    // output branches below would otherwise each re-run the corpus
+    // agg (union branches don't share subplans)
+    val j = est.crossJoin(broadcast(exact)).localCheckpoint()
     def row(permille: Int, c: String) =
       j.select(lit(permille.toLong).as("rsd_permille"), col("exact_ndv"),
         (abs(col(c) - col("exact_ndv")).cast("double") /
