@@ -106,6 +106,7 @@ object SparkEntry {
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_user_lifetime"     -> Analytic.userLifetime _,
+    "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
     "ev_user_stats"      -> Analytic.userStats _,
@@ -220,6 +221,7 @@ object SparkEntry {
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "mm_audio_frames"    -> Multimodal.audioFrames _,
+    "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
@@ -252,6 +254,7 @@ object SparkEntry {
     // (bounded replay), value-checked against the batch oracles
     "stream_tumbling_agg"  -> graft.streaming.StreamQueries.tumblingAgg _,
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
+    "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
@@ -854,6 +857,56 @@ object SparkEntry {
         |  CAST(sum(n * len(string_split(s, ' '))) AS DOUBLE)
         |    / CAST(sum(n * length(replace(s, ' ', ''))) AS DOUBLE) AS compression
         |FROM v3""".stripMargin,
+    // aHash signatures + pigeonhole blocking + exact hamming verify
+    "mm_image_ahash" ->
+      """WITH thumb AS (
+        |  SELECT doc_id,
+        |    substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64) AS t
+        |  FROM documents),
+        |hexed AS (
+        |  SELECT doc_id,
+        |    md5(t || '#px0') || md5(t || '#px1') || md5(t || '#px2') || md5(t || '#px3') AS hex
+        |  FROM thumb),
+        |px AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 59),
+        |      i -> CAST(('0x' || substring(hex, 2*i + 1, 2)) AS BIGINT)) AS ps
+        |  FROM hexed),
+        |tot AS (
+        |  SELECT doc_id, ps, list_reduce(ps, (a, b) -> a + b) AS total FROM px),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 60),
+        |        i -> CASE WHEN ps[i] * 60 > total THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS ahash
+        |  FROM tot),
+        |expl AS (
+        |  SELECT doc_id, ahash, unnest(generate_series(0, 3)) AS blk,
+        |    unnest(list_transform(generate_series(0, 3), b -> (ahash >> (b*15)) & 32767)) AS key
+        |  FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM expl a JOIN expl b
+        |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact least-squares daily-volume trend, one double division
+    "ev_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(day*day) AS BIGINT) AS sxx, CAST(sum(day*n) AS BIGINT) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, m, m*sxy - sx*sy AS num, m*sxx - sx*sx AS den,
+        |  CAST(m*sxy - sx*sy AS DOUBLE) / CAST(m*sxx - sx*sx AS DOUBLE) AS slope_per_day,
+        |  CAST(CASE WHEN m*sxy - sx*sy > 0 THEN 1 WHEN m*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
+        |FROM s ORDER BY event_type""".stripMargin,
     // 25ms/10ms framing grid over the stubbed waveform
     "mm_audio_frames" ->
       """WITH d AS (
@@ -1669,6 +1722,13 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS s, event_type, value FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([(s//1800)*1800 - 1800, (s//1800)*1800]) AS win_start FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "stream_session_agg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),

@@ -54,6 +54,63 @@ object Multimodal {
       .select("doc_id", "n_frames", "frame_idx", "frame_md5")
       .orderBy("doc_id", "frame_idx")
 
+  /** Perceptual-hash media dedup (average-hash / aHash family) — the
+    * near-duplicate IMAGE detector a media lake runs where byte
+    * digests (mm_dedup_binary) miss re-encodes: decode to a tiny
+    * grayscale thumbnail, threshold each pixel against the mean, and
+    * compare the resulting bit signatures by hamming distance. The
+    * decode is the documented stub (60 deterministic pseudo-pixels
+    * from md5 over the normalized 64-char payload prefix — this
+    * container ships no codecs, and the prefix plays the thumbnail's
+    * role: near-duplicate payloads share it, so they land at hamming
+    * 0 the way visually-near re-encodes would under a real decoder;
+    * unrelated payloads get independent signatures). The plumbing is
+    * the operator and it is exactly
+    * dedup_simhash's scale shape: per-doc signature in one
+    * projection, 4×15-bit pigeonhole blocking (hamming ≤ 3 ⇒ some
+    * block equal), exact bit_count verify on candidates only — never
+    * an all-pairs compare. Mean threshold is exact integer math
+    * (pixel·60 > Σpixels). */
+  def imageAHash(spark: SparkSession, dir: String): DataFrame = {
+    val thumb =
+      expr("substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, 64)")
+    val hexed = documents(spark, dir).select(col("doc_id"),
+      concat((0 until 4).map(k => md5(concat(thumb, lit(s"#px$k")))): _*)
+        .as("hex"))
+    val pxCols = (0 until 60).map(i =>
+      expr(s"CAST(conv(substring(hex, ${2 * i + 1}, 2), 16, 10) AS BIGINT)")
+        .as(s"p$i"))
+    val total = (0 until 60).map(i => col(s"p$i")).reduce(_ + _)
+    // materialization barrier: without it CollapseProject inlines the
+    // md5/conv pixel subtree into every one of the 60 threshold
+    // conditions AND the 60-term mean under each — a multiplicative
+    // tree explosion (observed: the optimizer never returned). The
+    // staged thumbnail relation is 61 longs per doc — tiny at any
+    // corpus size, and the natural "decoded thumbnails" handoff a
+    // real decoder stage would produce anyway.
+    val px = hexed.select(col("doc_id") +: pxCols: _*)
+      .withColumn("total", total)
+      .localCheckpoint()
+    val hash = (0 until 60)
+      .map(i => when(col(s"p$i") * 60 > col("total"), lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = px.select(col("doc_id"), hash.as("ahash"))
+    val exploded = sigs
+      .withColumn("blocks", expr(
+        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(ahash, b*15) & 32767 AS key))"))
+      .select(col("doc_id"), col("ahash"), explode(col("blocks")).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.blk"), col("bk.key"))
+    exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.ahash ^ b.ahash) AS BIGINT)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Audio framing plan — the 25 ms window / 10 ms hop frame grid
     * every speech pipeline (MFCC, wav2vec-style encoders) lays over a
     * waveform BEFORE any decode. Sample-rate metadata is a

@@ -1031,6 +1031,32 @@ object Analytic {
       .orderBy("type_a", "type_b")
   }
 
+  /** Daily-volume trend slope per event type — exact least-squares
+    * over (epoch-day, count): the "is this stream growing or dying"
+    * readout next to ev_autocorr's seasonality. Same discipline:
+    * corpus collapses to the tiny (type, day) relation, slope
+    * numerator/denominator are exact BIGINT power sums
+    * (m·Σxy−Σx·Σy over m·Σxx−Σx²), the slope itself is ONE double
+    * division — engine-bitwise. Slope sign is also exported as
+    * integer so the directional readout is float-free. */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"),
+        sum("day").as("sx"), sum("n").as("sy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("n")).as("sxy"))
+      .select(col("event_type"), col("m"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_per_day",
+        col("num").cast("double") / col("den").cast("double"))
+      .withColumn("direction",
+        when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L))
+      .orderBy("event_type")
+
   /** User-lifetime histogram — the survival-curve input growth
     * accounting reads next to ev_new_vs_returning: per user the
     * first→last activity span, bucketed to weeks. One user-keyed

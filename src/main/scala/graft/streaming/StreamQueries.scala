@@ -99,6 +99,24 @@ object StreamQueries {
       .orderBy("hour_sec", "event_type")
   }
 
+  /** Streaming sliding windows — the readStream twin of
+    * Analytic.slidingWindow (1h windows on a 30m slide), sharing its
+    * oracle: window() expands each event into its 2 covering windows
+    * before the stateful agg, exactly as in batch; complete output
+    * for the bounded-replay parity (see tumblingAgg). */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    runBounded(spark, agg, "complete")
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Streaming session windows — the readStream twin of
     * Analytic.sessionWindowAgg (native session_window, 30 min gap),
     * sharing its oracle. */

@@ -576,6 +576,27 @@ class AnalyticSpec extends SparkSpec {
     assert(got == exp.toMap)
   }
 
+  test("trend slope: power sums recomputed independently per type") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.trendSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val g = daily(r.getAs[String]("event_type"))
+        .map(x => (x.getAs[Long]("day"), x.getAs[Long]("n")))
+      val m = g.length.toLong
+      val (sx, sy) = (g.map(_._1).sum, g.map(_._2).sum)
+      val (sxx, sxy) = (g.map(p => p._1 * p._1).sum, g.map(p => p._1 * p._2).sum)
+      assert(r.getAs[Long]("m") == m)
+      assert(r.getAs[Long]("num") == m * sxy - sx * sy)
+      assert(r.getAs[Long]("den") == m * sxx - sx * sx)
+      assert(r.getAs[Long]("direction") == (m * sxy - sx * sy).sign)
+    }
+  }
+
   test("user lifetime: histogram partitions users and brackets spans") {
     import org.apache.spark.sql.functions._
     val rows = queries.Analytic.userLifetime(spark, sf).collect()

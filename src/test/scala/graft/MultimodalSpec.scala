@@ -82,6 +82,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image ahash: shared-thumbnail docs collide at hamming 0") {
+    val pairs = operators.Multimodal.imageAHash(spark, sf).collect()
+    pairs.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+    // identical stub thumbnails (normalized 64-char prefix) must land
+    // at distance 0 — recompute that pair set directly
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val norm = r.getAs[String]("text").toLowerCase
+          .replaceAll("\\s+", " ").trim
+        (r.getAs[Long]("doc_id"), norm.substring(0, math.min(64, norm.length)))
+      }
+    val dupPairs = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val zeroPairs = pairs.filter(_.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(dupPairs.nonEmpty, "corpus has no shared-prefix docs?")
+    assert(dupPairs.subsetOf(zeroPairs),
+      s"missing dup pairs: ${dupPairs -- zeroPairs}")
+  }
+
   test("audio frames: grid arithmetic and digests replay per doc") {
     val rows = operators.Multimodal.audioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
