@@ -40,10 +40,16 @@ class ScaleTrendSpec extends SparkSpec {
   // dedup_repeated_spans: the token-mass positional-shingle path
   // (corpus-count window + per-doc islands — the heaviest new shape);
   // ann_refine_topk: the quantized-scan + rerank two-stage plan
+  // ev_asof_native: the custom AsOfJoinExec merge (quadratic only if
+  // the per-key candidate state leaked into a cross product);
+  // vocab_bpe_merges: the iterative compressed-vocab loop (its rounds
+  // must stay vocabulary-sized as the corpus grows);
+  // mm_image_ahash: the pigeonhole-blocked signature pair path
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
-      "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk")) {
+      "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk",
+      "ev_asof_native", "vocab_bpe_merges", "mm_image_ahash")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
