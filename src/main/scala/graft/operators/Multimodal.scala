@@ -71,10 +71,16 @@ object Multimodal {
     * block equal), exact bit_count verify on candidates only — never
     * an all-pairs compare. Mean threshold is exact integer math
     * (pixel·60 > Σpixels). */
-  def imageAHash(spark: SparkSession, dir: String): DataFrame = {
+  def imageAHash(spark: SparkSession, dir: String): DataFrame =
+    imageAHashOn(documents(spark, dir))
+
+  /** Generic core: aHash near-dup pairs over any (doc_id, text)
+    * payload relation — the library entry point (and the seam the
+    * spec drives with planted payloads whose collisions are known). */
+  def imageAHashOn(docs: DataFrame): DataFrame = {
     val thumb =
       expr("substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, 64)")
-    val hexed = documents(spark, dir).select(col("doc_id"),
+    val hexed = docs.select(col("doc_id"),
       concat((0 until 4).map(k => md5(concat(thumb, lit(s"#px$k")))): _*)
         .as("hex"))
     val pxCols = (0 until 60).map(i =>

@@ -107,6 +107,19 @@ class MultimodalSpec extends SparkSpec {
       s"missing dup pairs: ${dupPairs -- zeroPairs}")
   }
 
+  test("generic ahash core: planted shared-prefix payloads collide, others don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header content " * 4 + "tail one"),   // same 64-prefix
+      (2L, "shared header content " * 4 + "another tail"),
+      (3L, "completely different body with its own words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Multimodal.imageAHashOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+  }
+
   test("audio frames: grid arithmetic and digests replay per doc") {
     val rows = operators.Multimodal.audioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
