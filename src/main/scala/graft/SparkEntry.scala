@@ -62,6 +62,7 @@ object SparkEntry {
     "expr_bitwise"        -> Exprs.bitwise _,
     "expr_array_ops"      -> Exprs.arrayOps _,
     "expr_try_arith"      -> Exprs.tryArith _,
+    "expr_string_kernel2" -> Exprs.stringKernel2 _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
     "expr_date_interval"  -> Exprs.dateInterval _,
@@ -135,6 +136,8 @@ object SparkEntry {
     "agg_bitmap_distinct" -> SqlSurface.bitmapDistinct _,
     "sql_group_by_all"    -> SqlSurface.groupByAll _,
     "agg_hll_precision_sweep" -> SqlSurface.hllPrecisionSweep _,
+    "sql_window_clause"   -> SqlSurface.windowClause _,
+    "agg_argminmax"       -> SqlSurface.argMinMax _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -801,6 +804,38 @@ object SparkEntry {
         |  CAST(m * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS acf
         |FROM stats ORDER BY event_type, lag""".stripMargin,
+    // named WINDOW clause shared by three analytic functions; the
+    // (date, key) order is unique so RANGE == ROWS
+    "sql_window_clause" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend,
+        |  lag(o_orderkey) OVER w AS prev_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    // argmax over a packed (cents, orderkey, linenumber) scalar key
+    "agg_argminmax" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000000 + l_orderkey * 10 + l_linenumber AS okey
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  arg_max(l_orderkey, okey) AS max_price_order,
+        |  arg_min(l_orderkey, okey) AS min_price_order,
+        |  max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-width formatting + char-mapping string kernels
+    "expr_string_kernel2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '.') AS brand_lpad,
+        |  rpad(p_brand, 12, '_') AS brand_rpad,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  left(p_type, 5) AS type_left5,
+        |  right(p_type, 4) AS type_right4
+        |FROM part ORDER BY p_partkey""".stripMargin,
     // sketch estimates are engine-specific: export exact + booleans
     "agg_hll_precision_sweep" ->
       """WITH x AS (SELECT count(DISTINCT user_id) AS exact_ndv FROM events)

@@ -32,6 +32,23 @@ object Exprs {
       trim(col("p_name")).as("name_trim"))
       .orderBy("p_partkey")
 
+  /** Second string-kernel row: pad / translate / repeat / reverse /
+    * left / right — the fixed-width formatting and char-mapping
+    * surface (scalar-fn-call.cc's string builtins beyond
+    * expr_string_funcs' slice/case family). All codegen'd built-ins
+    * with byte-identical semantics on both engines. */
+  def stringKernel2(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, ".").as("brand_lpad"),
+      rpad(col("p_brand"), 12, "_").as("brand_rpad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+      reverse(col("p_name")).as("name_rev"),
+      expr("repeat(p_brand, 2)").as("brand_x2"),
+      expr("left(p_type, 5)").as("type_left5"),
+      expr("right(p_type, 4)").as("type_right4"))
+      .orderBy("p_partkey")
+
   /** Arithmetic + CASE WHEN + cast + floor/ceil. */
   def mathCase(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).select(

@@ -687,6 +687,46 @@ object SqlSurface {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Named WINDOW clause — the SQL:2003 dialect form that declares a
+    * window once and shares it across several analytic functions:
+    * one WindowExec pass serves rank + running sum + lag because the
+    * three functions reference the same named spec (ad-hoc per-column
+    * OVERs with equal specs collapse the same way, but the named form
+    * is what ported BI SQL actually contains). Same query text runs
+    * on both engines. */
+  def windowClause(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"orders_wc_${math.abs(dir.hashCode)}"
+    orders(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(row_number() OVER w AS BIGINT) AS rn,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend,
+         |  lag(o_orderkey) OVER w AS prev_order
+         |FROM $v
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, rn""".stripMargin)
+  }
+
+  /** min_by / max_by argmin-argmax aggregates (DuckDB/Snowflake
+    * arg_min/arg_max) — "which ORDER had the max price", the
+    * accompanying-column selection GROUP BY can't express without a
+    * self-join or window. Tie discipline: the ordering key packs
+    * (price-cents, orderkey, linenumber) into ONE BIGINT so the
+    * winner is total-ordered and both engines' argmax agrees
+    * (DuckDB's arg_max takes scalar keys only — struct keys don't
+    * bind); cents ≤ ~1e7 × 1e11 stays far inside BIGINT. */
+  def argMinMax(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .withColumn("okey", expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 100000000000L + l_orderkey * 10L + l_linenumber"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("max_by(l_orderkey, okey)").as("max_price_order"),
+        expr("min_by(l_orderkey, okey)").as("min_price_order"),
+        max("l_extendedprice").as("max_price"),
+        min("l_extendedprice").as("min_price"))
+      .orderBy("l_returnflag")
+
   /** HLL precision-tuning sweep — the sketch-sizing decision
     * agg_approx_stats' single point can't inform: the SAME scan
     * carries four approx_count_distinct aggregates at rsd 26% → 1%

@@ -126,6 +126,19 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("string kernel 2: pads fixed-width, translate maps vowels, slices bound") {
+    val rows = queries.Exprs.stringKernel2(spark, sf).limit(200).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("brand_lpad").length == 12)
+      assert(r.getAs[String]("brand_rpad").length == 12)
+      assert(!r.getAs[String]("type_vowels").exists("aeiou".contains(_)))
+      assert(r.getAs[String]("type_left5").length <= 5)
+      assert(r.getAs[String]("type_right4").length <= 4)
+      val rev = r.getAs[String]("name_rev")
+      assert(rev.reverse.reverse == rev)
+    }
+  }
+
   test("try arithmetic: null counts equal the directly-computed boundaries") {
     import org.apache.spark.sql.functions._
     val rows = queries.Exprs.tryArith(spark, sf).collect()

@@ -394,6 +394,44 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("window clause: one named spec drives rank, running sum, lag coherently") {
+    val rows = queries.SqlSurface.windowClause(spark, sf).collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq ==
+        (1L to sorted.length.toLong))
+      val spend = sorted.map(_.getAs[Double]("run_spend"))
+      assert(spend.zip(spend.tail).forall { case (a, b) => a <= b + 1e-9 })
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_order")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("prev_order") == a.getAs[Long]("o_orderkey"))
+        case _ =>
+      }
+    }
+  }
+
+  test("argminmax: the selected order really carries the extreme price") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SqlSurface.argMinMax(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    rows.foreach { r =>
+      val g = li(r.getAs[String]("l_returnflag"))
+      val maxP = g.map(_.getAs[Double]("l_extendedprice")).max
+      val minP = g.map(_.getAs[Double]("l_extendedprice")).min
+      assert(r.getAs[Double]("max_price") == maxP)
+      assert(r.getAs[Double]("min_price") == minP)
+      // the argmax order must own a row at the extreme price
+      assert(g.exists(x => x.getAs[Long]("l_orderkey") == r.getAs[Long]("max_price_order")
+        && x.getAs[Double]("l_extendedprice") == maxP))
+      assert(g.exists(x => x.getAs[Long]("l_orderkey") == r.getAs[Long]("min_price_order")
+        && x.getAs[Double]("l_extendedprice") == minP))
+    }
+  }
+
   test("hll precision sweep: four sketches land inside their envelopes") {
     val rows = queries.SqlSurface.hllPrecisionSweep(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("rsd_permille")).toSeq ==
