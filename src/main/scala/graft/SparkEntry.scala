@@ -138,6 +138,8 @@ object SparkEntry {
     "agg_hll_precision_sweep" -> SqlSurface.hllPrecisionSweep _,
     "sql_window_clause"   -> SqlSurface.windowClause _,
     "agg_argminmax"       -> SqlSurface.argMinMax _,
+    "agg_bool"            -> SqlSurface.boolAgg _,
+    "sql_values_inline"   -> SqlSurface.valuesInline _,
     "mm_dedup_binary"     -> Multimodal.binaryDedup _,
     "ev_new_vs_returning" -> Analytic.newVsReturning _,
     "text_ngram_topk_lang" -> TextAnalysis.ngramTopkLang _,
@@ -804,6 +806,23 @@ object SparkEntry {
         |  CAST(m * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)) AS acf
         |FROM stats ORDER BY event_type, lag""".stripMargin,
+    // SQL:1999 EVERY/SOME predicate aggregates
+    "agg_bool" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_and(l_discount < 0.5) AS all_sane_discount,
+        |  bool_or(l_discount > 0.05) AS any_deep_discount,
+        |  bool_or(l_tax = 0) AS any_tax_free
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // inline VALUES dimension range-joined to the fact
+    "sql_values_inline" ->
+      """SELECT b.band_name, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN (VALUES ('small', 0, 10), ('medium', 10, 30), ('large', 30, 1000000))
+        |  AS b(band_name, lo, hi)
+        |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY b.band_name ORDER BY b.band_name""".stripMargin,
     // named WINDOW clause shared by three analytic functions; the
     // (date, key) order is unique so RANGE == ROWS
     "sql_window_clause" ->

@@ -687,6 +687,40 @@ object SqlSurface {
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** bool_and / bool_or (SQL:1999 EVERY / SOME) — predicate
+    * aggregates: "did EVERY line ship discounted", "did ANY line
+    * carry tax" per group, the data-quality assertions a pipeline
+    * runs as one scan instead of two count comparisons. Both map-side
+    * combine (AND/OR are associative-commutative). */
+  def boolAgg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+        expr("bool_and(l_discount < 0.5)").as("all_sane_discount"),
+        expr("bool_or(l_discount > 0.05)").as("any_deep_discount"),
+        expr("bool_or(l_tax = 0)").as("any_tax_free"))
+      .orderBy("l_returnflag")
+
+  /** VALUES inline table — the literal lookup dimension ad-hoc SQL
+    * ships inside the query text (band definitions, code→name maps)
+    * instead of a side table: a three-row VALUES relation of
+    * quantity bands range-joined to the fact, then aggregated. The
+    * inline relation is a LocalRelation — broadcast for free, no
+    * scan, no catalog object. Same text both engines. */
+  def valuesInline(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_vi_${math.abs(dir.hashCode)}"
+    lineitem(spark, dir).createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT b.band_name, count(*) AS n_rows,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM $v l
+         |JOIN (VALUES ('small', 0, 10), ('medium', 10, 30), ('large', 30, 1000000))
+         |  AS b(band_name, lo, hi)
+         |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+         |GROUP BY b.band_name ORDER BY b.band_name""".stripMargin)
+  }
+
   /** Named WINDOW clause — the SQL:2003 dialect form that declares a
     * window once and shares it across several analytic functions:
     * one WindowExec pass serves rank + running sum + lag because the

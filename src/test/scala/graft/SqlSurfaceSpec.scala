@@ -394,6 +394,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bool aggregates match the directly-counted predicates") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SqlSurface.boolAgg(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_discount", "l_tax").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    rows.foreach { r =>
+      val g = li(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Boolean]("all_positive_qty") ==
+        g.forall(_.getAs[Double]("l_quantity") > 0))
+      assert(r.getAs[Boolean]("any_deep_discount") ==
+        g.exists(_.getAs[Double]("l_discount") > 0.05))
+      assert(r.getAs[Boolean]("any_tax_free") ==
+        g.exists(_.getAs[Double]("l_tax") == 0))
+    }
+  }
+
+  test("values inline bands partition the fact rows exactly once") {
+    val rows = queries.SqlSurface.valuesInline(spark, sf).collect()
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
+      "bands overlap or leave gaps")
+    assert(rows.map(_.getAs[String]("band_name")).toSet ==
+      Set("small", "medium", "large"))
+  }
+
   test("window clause: one named spec drives rank, running sum, lag coherently") {
     val rows = queries.SqlSurface.windowClause(spark, sf).collect()
       .groupBy(_.getAs[Long]("o_custkey"))
