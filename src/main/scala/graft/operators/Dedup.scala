@@ -76,14 +76,20 @@ object Dedup {
     // docs yields N² candidate pairs); near-dup recall lives in the
     // rarer shingles, so a generous cap is recall-neutral (DedupSpec
     // proves pair-set equality at test scale) while bounding the
-    // worst posting list at 100 TB. The df count windows over the
-    // SAME h-partitioning the posting join shuffles on. The doc's
-    // jaccard denominator n_sh counts KEPT shingles, so capped runs
-    // compare documents by their kept shingle sets consistently.
+    // worst posting list at 100 TB. The df is a groupBy(h) hash agg
+    // joined back on h — map-side combined and AQE-splittable, so a
+    // boilerplate shingle repeated 10⁹× collapses to partial counts
+    // instead of buffering one task's window (a count() window over
+    // h would put every occurrence of a hot shingle in one task).
+    // The doc's jaccard denominator n_sh counts KEPT shingles, so
+    // capped runs compare documents by their kept shingle sets
+    // consistently.
     val capped = dfCap match {
       case Some(cap) =>
-        post.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-          .filter(col("df") <= cap).drop("df")
+        post.join(
+          post.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("h"),
+          Seq("h"), "inner")
       case None => post
     }
     capped.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -107,13 +113,20 @@ object Dedup {
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOn(documents(spark, dir))
 
-  /** generic core: exact dedup over any (doc_id, text) relation. */
+  /** generic core: exact dedup over any (doc_id, text) relation.
+    * The per-digest group size / canonical id is a groupBy(digest)
+    * hash agg joined back on the digest — NOT a window over the
+    * digest: a window puts every row of a hot key (the empty page,
+    * the parked-domain boilerplate — 10⁸-10⁹ copies at 100 TB) into
+    * ONE task's buffer with no partial aggregation and no AQE skew
+    * split, while the groupBy form combines map-side and the
+    * join-back is an ordinary AQE-splittable shuffle join. */
   def exactOn(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("digest")
-    docs
-      .withColumn("digest", expr(s"md5($normTextExpr)"))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("canonical_id", min("doc_id").over(w))
+    val hashed = docs.withColumn("digest", expr(s"md5($normTextExpr)"))
+    val groups = hashed.groupBy("digest")
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"))
+    hashed
+      .join(groups, Seq("digest"), "inner")
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .select("doc_id", "digest", "group_size", "canonical_id", "is_canonical")
       .orderBy("doc_id")
@@ -300,19 +313,23 @@ object Dedup {
     * this doc. The continuous-crawl curation signal — a recrawled or
     * templated page scores near 0, genuinely new text near 1 — and
     * the metric behind "% novel tokens per snapshot" dashboards.
-    * Shape: the shingle-first-seen resolution is a min() window over
-    * the high-cardinality shingle hash (the same partitioning the
-    * posting join shuffles on), then one per-doc hash agg; no pair
+    * Shape: the shingle-first-seen resolution is a groupBy(h) hash
+    * agg (map-side combined, AQE-splittable — a min() window over h
+    * would buffer every occurrence of a boilerplate shingle in one
+    * task) joined back on h, then one per-doc hash agg; no pair
     * join at all, so it runs BEFORE pairing decisions at 100 TB.
     * Novelty is one int/int division — oracle parity exact. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
-    shinglePostings(spark, dir)
-      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("h")))
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir)
+    val firstSeen = post.groupBy("h").agg(min("doc_id").as("first_doc"))
+    post
+      .join(firstSeen, Seq("h"), "inner")
       .groupBy("doc_id")
       .agg(max("n_sh").as("n_sh"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
       .withColumn("novelty", expr("CAST(novel AS DOUBLE) / n_sh"))
       .orderBy("doc_id")
+  }
 
   /** Connected components over the near-dup pair graph. Pairs are
     * only half the dedup story: a release keeps ONE document per
@@ -333,10 +350,15 @@ object Dedup {
   def components(spark: SparkSession, dir: String): DataFrame = {
     val labels = minLabelComponents(
       ngramJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("component_id")
-    labels
       .select(col("node").as("doc_id"), col("label").as("component_id"))
-      .withColumn("component_size", count(lit(1)).over(w))
+    // size via groupBy + join-back: a count window over component_id
+    // would buffer a mega-cluster (the 10⁸-copy boilerplate page) in
+    // one task; the hash agg combines map-side and AQE can split it
+    val sizes = labels.groupBy("component_id")
+      .agg(count(lit(1)).as("component_size"))
+    labels
+      .join(sizes, Seq("component_id"), "inner")
+      .select("doc_id", "component_id", "component_size")
       .orderBy("doc_id")
   }
 
@@ -397,17 +419,20 @@ object Dedup {
     * paraphrase groups that share no n-grams still collapse to one
     * cluster. Same [[minLabelComponents]] propagation as the lexical
     * [[components]]; one representative per cluster (min vec_id) and
-    * the cluster size ride a bounded window over the dup subgraph
-    * only — vectors with no near-dup pair are not clustered, exactly
-    * as the lexical form treats pairless docs. */
+    * the cluster size via a map-side-combined groupBy + join-back
+    * over the dup subgraph only — vectors with no near-dup pair are
+    * not clustered, exactly as the lexical form treats pairless
+    * docs. */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = minLabelComponents(
       embeddingCosine(spark, dir).select("vec_a", "vec_b"), "vec_a", "vec_b")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    labels
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, Seq("cluster_id"), "inner")
       .withColumn("is_representative", col("vec_id") === col("cluster_id"))
+      .select("vec_id", "cluster_id", "cluster_size", "is_representative")
       .orderBy("vec_id")
   }
 
@@ -424,22 +449,24 @@ object Dedup {
     *
     * Shape: the pair-graph closure runs over the (tiny) duplicate
     * subgraph; the quality pass is one corpus scan; the final pick is
-    * a row_number window partitioned by component — at 100 TB the
-    * window partitions are near-dup groups (bounded), never the
-    * corpus. */
+    * a groupBy(component_id) argmax (max_by over the total order
+    * (quality_score, -doc_id)) joined back — map-side combined and
+    * AQE-splittable where a per-component window would buffer a
+    * mega-cluster in one task. */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
     val comp = components(spark, dir).select("doc_id", "component_id")
     val quality = TextAnalysis.quality(spark, dir).select("doc_id", "quality_score")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("component_id")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-    documents(spark, dir).select("doc_id", "lang")
+    val scored = documents(spark, dir).select("doc_id", "lang")
       .join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
       .join(quality, "doc_id")
-      .withColumn("component_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component_id")))
-      .withColumn("keep", row_number().over(w) === 1)
+    val groups = scored.groupBy("component_id").agg(
+      count(lit(1)).as("component_size"),
+      max_by(col("doc_id"),
+        struct(col("quality_score"), -col("doc_id"))).as("keeper_id"))
+    scored
+      .join(groups, Seq("component_id"), "inner")
+      .withColumn("keep", col("doc_id") === col("keeper_id"))
       .select("doc_id", "component_id", "component_size", "quality_score", "keep")
       .orderBy("doc_id")
   }
@@ -610,9 +637,13 @@ object Dedup {
   }
 
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("chunk_md5")
-    TextAnalysis.chunks(spark, dir)
-      .withColumn("n_same", count(lit(1)).over(w))
+    val chunks = TextAnalysis.chunks(spark, dir)
+    // per-chunk occurrence count as a map-side-combined groupBy +
+    // join-back — not a window over chunk_md5, where a license-block
+    // chunk repeated 10⁸× at 100 TB becomes one task's buffer
+    val counts = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("n_same"))
+    chunks
+      .join(counts, Seq("chunk_md5"), "inner")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -636,12 +667,14 @@ object Dedup {
     * text" mass that drives span-level (not doc-level) removal.
     *
     * Scale: positional postings explode to corpus token mass
-    * (linear); recurrence is one count-window over the shingle hash
-    * (high-cardinality key — the digest-window shape); span merging
-    * windows per doc_id (partitions bounded by doc length); coverage
-    * is a distinct-count over flagged positions only. No pair join
-    * anywhere — cost is O(tokens), never O(dups²), which is what
-    * makes span accounting feasible where pairwise diffing is not. */
+    * (linear); recurrence is a groupBy(h) hash agg semi-joined back
+    * (map-side combined and AQE-splittable — a count window over h
+    * would buffer a boilerplate trigram's 10⁹ occurrences in one
+    * task); span merging windows per doc_id (partitions bounded by
+    * doc length); coverage is a distinct-count over flagged
+    * positions only. No pair join anywhere — cost is O(tokens),
+    * never O(dups²), which is what makes span accounting feasible
+    * where pairwise diffing is not. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val words = documents(spark, dir)
@@ -656,9 +689,10 @@ object Dedup {
       .withColumn("w2", lead("w", 2).over(byDoc))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("pos"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
+    val recurring = sh.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("h")
     val flagged = sh
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("occ") > 1)
+      .join(recurring, Seq("h"), "left_semi")
       .select("doc_id", "pos")
       .localCheckpoint() // staged once: feeds both span merge and coverage
     val spanStats = flagged

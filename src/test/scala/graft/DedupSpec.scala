@@ -408,4 +408,31 @@ class DedupSpec extends SparkSpec {
     val ex = Seq(500, 700, 800, 900).map(t => row.getAs[Long](s"exact_ge_$t"))
     assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
   }
+
+  test("no WindowExec partitions on a skewable hash/content key in any dedup plan") {
+    // A window partitioned by a content-derived key (digest, shingle
+    // hash, chunk md5, component id) has no map-side combine and no
+    // AQE skew split: one hot key = one task's buffer at 100 TB. The
+    // per-key aggregates must be groupBy + join-back instead; the
+    // only legitimate window partitionings here are per-doc (bounded
+    // by doc length). This pins the executed plans to that contract.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val banned = Set("h", "digest", "chunk_md5", "component_id", "cluster_id")
+    val plans = Seq(
+      "dedup_exact" -> operators.Dedup.exact(spark, sf),
+      "dedup_ngram_novelty" -> operators.Dedup.ngramNovelty(spark, sf),
+      "dedup_chunks" -> operators.Dedup.chunkDedup(spark, sf),
+      "dedup_repeated_spans" -> operators.Dedup.repeatedSpans(spark, sf),
+      "dedup_components" -> operators.Dedup.components(spark, sf),
+      "dedup_keep_best" -> operators.Dedup.keepBest(spark, sf),
+      "dedup_jaccard_capped" -> operators.Dedup.ngramJaccard(spark, sf, Some(50)))
+    plans.foreach { case (name, df) =>
+      df.collect() // force AQE-final plan
+      val windowKeys = df.queryExecution.executedPlan.collect {
+        case w: WindowExec => w.partitionSpec.flatMap(_.references.map(_.name))
+      }.flatten.toSet
+      val hit = windowKeys.intersect(banned)
+      assert(hit.isEmpty, s"$name windows over skewable key(s) $hit")
+    }
+  }
 }
