@@ -50,6 +50,7 @@ object SparkEntry {
     "scan_runtime_dpp"   -> Scans.dppPrunedJoin _,
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
     "scan_bloom_pointlookup" -> SourcesSinks.bloomPointLookup _,
+    "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
@@ -1265,6 +1266,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(('0x'||substring(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT)
         |      = 886263699231969848""".stripMargin,
+    // the dictionary-page skipping must be invisible in the values:
+    // the oracle replays the low-NDV tag probe on the base table
+    "scan_dict_filter" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS okey,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 16 = 7""".stripMargin,
     // salting must be invisible in the output: the oracle is unsalted.
     "join_salted_skew" ->
       """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)

@@ -477,6 +477,63 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** Dictionary-page row-group filtering — the FOURTH skipping
+    * granularity after row-group min/max (sink_sorted_skipping),
+    * page column indexes (sink_zorder_skipping), and bloom filters
+    * (scan_bloom_pointlookup), and the closest Spark analog of the
+    * reference evaluating predicates directly on DICT-ENCODED data
+    * before materializing values (/root/reference/dict-encoding.h:1;
+    * simple-predicates.h:37-80): parquet-mr's row-group filter reads
+    * the (tiny) dictionary page and drops the whole group when no
+    * dictionary entry satisfies the predicate.
+    *
+    * The layout is built so NOTHING ELSE can skip: the tag column has
+    * 16 values whose parity splits them across two file sets (a
+    * directory partition on parity — a physical separation AQE
+    * cannot re-coalesce), so within each file the tag strings
+    * interleave across the whole sort domain — every row group's
+    * min/max spans the probe constant and stats filtering keeps it —
+    * bloom filters are off (parquet default), and the probe predicate
+    * is on dict_tag only, so directory pruning never fires. Probing
+    * an ODD tag ('t07') therefore keeps every even-file row group
+    * under min/max, but the even files' dictionaries hold only even
+    * tags, so dictionary filtering drops that half of the corpus
+    * without decoding a row. SourcesSpec runs the same read against a
+    * dictionary-disabled control layout and asserts the materialized-
+    * rows gap. At 100 TB this is the skip path for low-NDV
+    * categorical predicates (source tags, language codes, status
+    * enums) where sorting is owned by some other column and bloom
+    * filters are not worth their bytes on a 16-value domain. */
+  private[graft] def dictFilterWrite(spark: SparkSession, dir: String, tag: String,
+      dict: Boolean): String = {
+    val path = tmp(spark, dir, tag)
+    lineitem(spark, dir)
+      .select(
+        concat(lit("t"), lpad((col("l_orderkey") % 16).cast("string"), 2, "0"))
+          .as("dict_tag"),
+        (col("l_orderkey") % 2).as("parity"),
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartition(1)
+      .write.mode("overwrite")
+      .partitionBy("parity")
+      .option("parquet.block.row.count.limit", "512")
+      .option("parquet.enable.dictionary#dict_tag", dict.toString)
+      .parquet(path)
+    path
+  }
+
+  /** the point-read half, reusable against the dict-less control. */
+  private[graft] def dictFilterRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("dict_tag") === "t07")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("okey"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+
+  def dictFilterScan(spark: SparkSession, dir: String): DataFrame =
+    dictFilterRead(spark, dictFilterWrite(spark, dir, "lineitem_dictfilter", dict = true))
+
   /** Parquet schema evolution — a corpus written over months grows
     * columns; readers must union old and new footers without a
     * rewrite. Batch 1 (even order keys) predates the status column,

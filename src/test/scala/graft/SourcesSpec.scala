@@ -319,6 +319,26 @@ class SourcesSpec extends SparkSpec {
       s"bloom skipped nothing: bloom=$bloomRows control=$controlRows")
   }
 
+  test("dictionary filtering skips row groups whose dictionary lacks the probe value") {
+    import org.apache.spark.sql.functions._
+    val dictPath = queries.SourcesSinks.dictFilterWrite(spark, sf, "lineitem_dict", dict = true)
+    val controlPath = queries.SourcesSinks.dictFilterWrite(spark, sf, "lineitem_nodict", dict = false)
+    // identical answers either way...
+    val a = queries.SourcesSinks.dictFilterRead(spark, dictPath).collect()(0)
+    val b = queries.SourcesSinks.dictFilterRead(spark, controlPath).collect()(0)
+    assert(a == b, s"$a != $b")
+    assert(a.getLong(0) > 0, "probe matched nothing — the measurement is vacuous")
+    // ...but the dict-encoded read materializes roughly half the
+    // rows: tag strings interleave within each file so min/max spans
+    // the probe in every group, bloom filters are off, and the only
+    // structure that can rule out the even-parity file's groups is
+    // the dictionary page (which holds only even tags there)
+    val dictRows = scanRows(queries.SourcesSinks.dictFilterRead(spark, dictPath))
+    val controlRows = scanRows(queries.SourcesSinks.dictFilterRead(spark, controlPath))
+    assert(dictRows.toDouble <= 0.7 * controlRows,
+      s"dictionary filter skipped nothing: dict=$dictRows control=$controlRows")
+  }
+
   test("column-index page-level skipping beats row-group-only stats on the same file") {
     import org.apache.spark.sql.functions._
     // one big row group (its min/max spans the whole key range, so
