@@ -259,6 +259,7 @@ object SparkEntry {
     // readStream pipelines run to completion with Trigger.AvailableNow
     // (bounded replay), value-checked against the batch oracles
     "stream_tumbling_agg"  -> graft.streaming.StreamQueries.tumblingAgg _,
+    "stream_tumbling_append" -> graft.streaming.StreamQueries.tumblingAppend _,
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
@@ -1786,6 +1787,20 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
+    // append mode emits a window only once the watermark (max event
+    // time in FLOORED MILLISECONDS minus the 2h delay — Spark's
+    // watermark arithmetic) passes its end; the tail windows are
+    // withheld. The oracle replays that eviction boundary exactly.
+    "stream_tumbling_append" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS us,
+        |        epoch_ns(ts)//1000000000//3600*3600 AS hour_sec, event_type, value
+        |      FROM events),
+        |wm AS (SELECT max(us)//1000 - 7200000 AS wm_ms FROM e)
+        |SELECT hour_sec, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e, wm GROUP BY hour_sec, event_type, wm_ms
+        |HAVING (hour_sec + 3600) * 1000 <= wm_ms
+        |ORDER BY hour_sec, event_type""".stripMargin,
     "stream_sliding_agg" ->
       """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS s, event_type, value FROM events),
         |x AS (SELECT event_type, value,

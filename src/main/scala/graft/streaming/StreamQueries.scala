@@ -19,10 +19,14 @@ import org.apache.spark.sql.streaming.Trigger
   * analog: the scan pipeline of hdfs-parquet-scanner.h:1 feeding
   * incremental consumers).
   *
-  * Scale notes: the watermark declarations bound every stateful
-  * operator's store exactly as in the unbounded deployment (dedup
+  * Scale notes: in the update/append pipelines the watermark bounds
+  * the stateful stores exactly as in the unbounded deployment (dedup
   * state evicts 2h behind the max event time; the interval join holds
-  * each side ≤ horizon+1h). The memory sink is the parity-check
+  * each side ≤ horizon+1h; [[tumblingAppend]] evicts closed windows).
+  * The complete-mode window replays retain every window by the MODE's
+  * definition — there it is the bounded replay INPUT, not the
+  * watermark, that bounds state; the append row is the one carrying
+  * the production eviction contract. The memory sink is the parity-check
   * harness sink only — its contents are localCheckpoint'd off the
   * driver and the temp view dropped immediately, and a production run
   * would land on a file/Kafka sink (StreamingSpec's foreachBatch row
@@ -94,6 +98,34 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(D)).cast("double").as("sum_value"))
     runBounded(spark, agg, "complete")
+      .select(unix_timestamp(col("w.start")).as("hour_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_sec", "event_type")
+  }
+
+  /** Append-mode tumbling replay — the PRODUCTION output contract an
+    * unbounded deployment runs, driven through the oracle gate. In
+    * append mode a window row is emitted exactly once, when the
+    * watermark passes its end, and the state store EVICTS it — state
+    * stays bounded by the watermark horizon forever, where the
+    * complete-mode replays above retain every window (fine for a
+    * bounded replay, fatal unbounded). The flip side is the held-back
+    * tail: windows the final watermark (max event time − 2h) never
+    * passes are withheld, so this result is tumblingAgg MINUS the
+    * last ≥2h of windows — the oracle replays exactly that eviction
+    * contract (window_end_ms ≤ floor(max_event_us/1000) − 7 200 000,
+    * matching Spark's millisecond watermark arithmetic). The final
+    * emit itself relies on the no-data micro-batch AvailableNow runs
+    * after the backlog drains, purely to advance the watermark and
+    * flush closed windows — the same mechanism that caps emit
+    * latency in an idle production stream. */
+  def tumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    runBounded(spark, agg, "append")
       .select(unix_timestamp(col("w.start")).as("hour_sec"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("hour_sec", "event_type")

@@ -508,4 +508,22 @@ class StreamingSpec extends SparkSpec {
     val want = rowSet(queries.Analytic.rangeJoin(spark, sf))
     assert(want.nonEmpty && got == want)
   }
+
+  test("append-mode tumbling replay emits exactly the watermark-closed window prefix") {
+    import org.apache.spark.sql.functions._
+    // the production eviction contract: append = complete minus every
+    // window whose end the final watermark (max event ms - 2h) never
+    // passed. Exact-prefix equality, and the held-back tail must be
+    // non-empty (otherwise the mode distinction measured nothing).
+    val append = rowSet(graft.streaming.StreamQueries.tumblingAppend(spark, sf))
+    val completeDf = graft.streaming.StreamQueries.tumblingAgg(spark, sf)
+    val complete = rowSet(completeDf)
+    val maxUs = graft.sources.Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000")).as("us")).collect()(0).getAs[Long]("us")
+    val wmMs = maxUs / 1000 - 2 * 3600 * 1000
+    val want = rowSet(completeDf.filter((col("hour_sec") + 3600) * 1000 <= wmMs))
+    assert(append == want, s"append=${append.size} closed-prefix=${want.size}")
+    assert(append.nonEmpty && append.size < complete.size,
+      s"no held-back tail: append=${append.size} complete=${complete.size}")
+  }
 }
