@@ -685,35 +685,59 @@ object Analytic {
 
   /** Event-sequence pattern matching — the MATCH_RECOGNIZE / CEP
     * surface Spark SQL lacks, composed from relational primitives:
-    * each user's event history collapses to an ordered one-letter
-    * string (c/e/p/s/v), and patterns become regexes over it.
-    * Reported per user: adjacent view→click→purchase conversions
-    * (the strict funnel, count of non-overlapping 'vcp'), whether a
-    * gapped funnel v…c…p exists at all, and the longest consecutive
-    * error run (the reliability signal an alerting pipeline keys on).
+    * patterns over each user's (ts, event_id)-ordered event-type
+    * sequence. Reported per user: adjacent view→click→purchase
+    * conversions (the strict funnel 'vcp'), whether a gapped funnel
+    * v…c…p exists at all, and the longest consecutive error run
+    * (the reliability signal an alerting pipeline keys on).
     *
-    * Determinism: collect_list order is engine-arbitrary, so the
-    * struct array is sort_array-canonicalized on the unique
-    * (ts, event_id) key before the fold — both engines then fold the
-    * IDENTICAL sequence, and all outputs are exact integers.
-    * Scale shape: one shuffle on user_id (high cardinality); the
-    * per-user sequence is bounded by per-user activity, not corpus
-    * size — the same bound every sessionizer in the repo rides. At
-    * 100 TB the regex scan is map-side work after the agg. */
-  def patternMatch(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    * Scale shape — the AUTOMATON form, never a per-user string: a
+    * collect_list concat would buffer a whale user's (bot, scraper)
+    * entire history as one in-memory array in the agg hash map with
+    * no spill path. Instead every pattern runs as streaming window
+    * passes over the per-user order: strict funnels are a lead(1)/
+    * lead(2) conjunction (3-row frame), the gapped funnel is three
+    * chained running max/flag prefix frames (the v→vc→vcp automaton
+    * states, O(1) state per row), and error runs are lag-detected
+    * run starts + a running run-id sum, grouped per (user, run).
+    * All frames share one partitionBy(user_id) sort whose buffers
+    * SPILL (ExternalAppendOnlyUnsafeRowBuffer) — a 10⁵-event whale
+    * degrades to disk, not OOM (AnalyticSpec plants one). The
+    * streaming twin (StreamQueries.cepFunnels) holds the same
+    * automaton as constant per-key state. All outputs are exact
+    * integers; the per-user order (ts, event_id) is total, so both
+    * engines fold the identical sequence. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("c"))
-      .groupBy("user_id")
+      .withColumn("strict",
+        (col("c") === "v" && lead("c", 1).over(w) === "c" &&
+          lead("c", 2).over(w) === "p").cast("long"))
+      .withColumn("is_e", (col("c") === "e").cast("long"))
+      .withColumn("run_start", (col("is_e") === 1L &&
+        coalesce(lag("is_e", 1).over(w), lit(0L)) === 0L).cast("long"))
+      .withColumn("e_run_id", sum("run_start").over(pre))
+      .withColumn("has_v", max((col("c") === "v").cast("int")).over(pre))
+      .withColumn("vc", (col("c") === "c" && col("has_v") === 1).cast("int"))
+      .withColumn("has_vc", max("vc").over(pre))
+      .withColumn("vcp", (col("c") === "p" && col("has_vc") === 1).cast("int"))
+      .localCheckpoint() // staged once: feeds both the per-user agg and the run agg
+    val runs = base.filter(col("is_e") === 1L)
+      .groupBy("user_id", "e_run_id").agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id").agg(max("run_len").as("max_error_run"))
+    base.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        expr("array_join(transform(sort_array(collect_list(struct(ts, event_id, c))), x -> x.c), '')")
-          .as("seq"))
-      .select(col("user_id"), col("n_events"),
-        size(expr("regexp_extract_all(seq, 'vcp', 0)")).cast("bigint").as("n_strict_funnels"),
-        when(col("seq").rlike("v.*c.*p"), lit(1L)).otherwise(lit(0L)).as("has_gap_funnel"),
-        coalesce(expr("array_max(transform(regexp_extract_all(seq, 'e+', 0), x -> length(x)))"),
-          lit(0)).cast("bigint").as("max_error_run"))
+        sum("strict").as("n_strict_funnels"),
+        max("vcp").cast("long").as("has_gap_funnel"))
+      .join(runs, Seq("user_id"), "left")
+      .na.fill(0L, Seq("max_error_run"))
+      .select("user_id", "n_events", "n_strict_funnels",
+        "has_gap_funnel", "max_error_run")
       .orderBy("user_id")
+  }
 
   /** Point-in-time SCD2 lookup — the leakage-safe feature join ML
     * training pipelines require: every `view` event reads the

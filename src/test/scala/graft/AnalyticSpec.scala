@@ -323,6 +323,31 @@ class AnalyticSpec extends SparkSpec {
       4L -> ((0L, 0L, 0L))))
   }
 
+  test("pattern match survives a planted 100k-event whale user with exact counts") {
+    // the automaton form must fold a bot/whale user's history through
+    // spillable window frames — never one in-memory per-user string.
+    // 33,333 adjacent v,c,p cycles then a 7-long error run, exact.
+    val dir = java.nio.file.Files.createTempDirectory("graft_whale").toFile
+    dir.deleteOnExit()
+    spark.range(100006)
+      .selectExpr(
+        "id AS event_id",
+        "1704067200000000000L + id * 1000000000L AS ts",
+        "9L AS user_id",
+        """CASE WHEN id >= 99999 THEN 'error'
+          | WHEN id % 3 = 0 THEN 'view'
+          | WHEN id % 3 = 1 THEN 'click'
+          | ELSE 'purchase' END AS event_type""".stripMargin,
+        "1.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val r = queries.Analytic.patternMatch(spark, dir.getAbsolutePath).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_events") == 100006L)
+    assert(r(0).getAs[Long]("n_strict_funnels") == 33333L)
+    assert(r(0).getAs[Long]("has_gap_funnel") == 1L)
+    assert(r(0).getAs[Long]("max_error_run") == 7L)
+  }
+
   test("rfm: sharded ntile is bit-identical to the global-window ntile formulation") {
     import org.apache.spark.sql.expressions.Window
     val got = queries.Analytic.rfmSegments(spark, sf).collect()
