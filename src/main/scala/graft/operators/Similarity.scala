@@ -619,19 +619,22 @@ object Similarity {
   def knnClassifyOn(vectors: DataFrame, probeSet: DataFrame,
       labels: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the topk and pred relations grow with |probes|·k — linear in
+    // the corpus at leave-one-out density — so neither is FORCED to
+    // broadcast: plain equi-joins let AQE broadcast them at runtime
+    // when they measure small and fall back to shuffle joins when a
+    // dense probe set makes them corpus-scale
     val topk = bruteForceTopKOn(vectors, probeSet, k, excludeSelf = true)
       .select("probe_id", "vec_id")
-    val votes = labels.join(broadcast(topk), "vec_id")
+    val votes = labels.join(topk, "vec_id")
       .groupBy("probe_id", "label").agg(count(lit(1)).as("votes"))
     val byVotes = Window.partitionBy("probe_id")
       .orderBy(desc("votes"), asc("label"))
     val pred = votes.withColumn("rk", row_number().over(byVotes))
       .filter(col("rk") === 1)
       .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
-    // the prediction set is the tiny side — broadcast it into the
-    // label scan, never the corpus-wide label relation the other way
     labels.withColumnRenamed("label", "true_label")
-      .join(broadcast(pred), col("probe_id") === col("vec_id"))
+      .join(pred, col("probe_id") === col("vec_id"))
       .select(col("probe_id"), col("true_label"), col("pred_label"),
         col("votes"), (col("pred_label") === col("true_label")).as("correct"))
       .orderBy("probe_id")

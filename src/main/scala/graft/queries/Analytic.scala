@@ -1075,8 +1075,11 @@ object Analytic {
       .select(col("event_type"), col("m"),
         (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("m") * col("sxx") - col("sx") * col("sx")).as("den"))
+      // den = 0 for a type active on a single day: null (the
+      // oracle's division-by-zero semantics), not NaN/Inf
       .withColumn("slope_per_day",
-        col("num").cast("double") / col("den").cast("double"))
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double")))
       .withColumn("direction",
         when(col("num") > 0, 1L).when(col("num") < 0, -1L).otherwise(0L))
       .orderBy("event_type")
@@ -1138,8 +1141,12 @@ object Analytic {
           (col("m") * col("syy") - col("sy") * col("sy")).as("den_y"))
     }
     lags.reduce(_.unionByName(_))
-      .withColumn("acf", col("num").cast("double") /
-        sqrt(col("den_x").cast("double") * col("den_y").cast("double")))
+      // a constant series has zero variance on either side: null acf
+      // (the oracle's division-by-zero semantics), not NaN
+      .withColumn("acf",
+        when(col("den_x") =!= 0 && col("den_y") =!= 0,
+          col("num").cast("double") /
+            sqrt(col("den_x").cast("double") * col("den_y").cast("double"))))
       .orderBy("event_type", "lag")
   }
 
