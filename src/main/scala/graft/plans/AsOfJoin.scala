@@ -30,7 +30,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * match is the LAST in (ts, tieBreaks) ascending order — a total
   * order the caller must provide for deterministic payloads; left
   * rows with no qualifying right row emit null-padded right columns
-  * (LEFT OUTER).
+  * (LEFT OUTER). With `tolerance` set (pandas merge_asof's bound,
+  * kdb wj's window edge) a match additionally requires
+  * leftTs − rightTs ≤ tolerance, in the timestamp column's own
+  * units — the latest-≤ candidate is by construction the closest,
+  * so the bound is one comparison at emission. NULL contract (SQL
+  * join semantics, unlike raw natural-ordering comparison where
+  * null == null): a null in any key or timestamp on either side
+  * never matches — such left rows null-pad, such right rows are
+  * skipped by the merge.
   *
   * Reference scope: Impala executes this class of query as
   * analytic-fn rewrites (the window form §2.6 keeps); the native
@@ -43,6 +51,7 @@ case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightTies: Seq[Expression],
+    tolerance: Option[Long],
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -54,8 +63,8 @@ case class AsOfJoinPlan(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lts, rts, ties, l, r) =>
-      AsOfJoinExec(lk, rk, lts, rts, ties, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lts, rts, ties, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lts, rts, ties, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -66,6 +75,7 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightTies: Seq[Expression],
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -102,41 +112,71 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(out, out)
-      // one copied lookahead row + one copied candidate: O(1) state
+      // leftTs/rightTs dataTypes are require()d equal by the API, so
+      // one physical-long getter serves both sides of the tolerance
+      val tsAsLong: InternalRow => Long = lTsExpr.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+        case _ => r => r.getLong(0)
+      }
+      val tol = tolerance
+      // one copied lookahead row + one copied candidate: O(1) state.
+      // Right rows with a null key or null timestamp can never match
+      // any left row (SQL null semantics) — the advance skips them;
+      // natural ordering sorts them first, so they drain immediately.
       var rCur: InternalRow = null
-      def advanceRight(): Unit =
-        rCur = if (rIter.hasNext) rIter.next().copy() else null
+      def advanceRight(): Unit = {
+        rCur = null
+        while (rCur == null && rIter.hasNext) {
+          val n = rIter.next()
+          if (!rKeyProj(n).anyNull && !rTsProj(n).isNullAt(0))
+            rCur = n.copy()
+        }
+      }
       advanceRight()
       var candidate: InternalRow = null
       var candidateKey: InternalRow = null
+      var candidateTs = 0L
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        // stale candidate from an earlier key can never match again
-        if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
-          candidate = null
-          candidateKey = null
-        }
-        var done = false
-        while (!done && rCur != null) {
-          val rKey = rKeyProj(rCur)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) {
-            advanceRight() // right key already passed by every left row
-          } else if (c == 0 &&
-              tsOrd.compare(rTsProj(rCur), lTsProj(lRow)) <= 0) {
-            // qualifying; later qualifying rows overwrite → LAST wins
-            candidate = rCur
-            candidateKey = rKey.copy()
-            advanceRight()
-          } else {
-            done = true // right is ahead of this left row
+        val lTsRow = lTsProj(lRow)
+        if (lKey.anyNull || lTsRow.isNullAt(0)) {
+          // a null key or timestamp matches nothing: null-pad without
+          // touching the merge state (nulls sort first, so no right
+          // row for a later real key has been passed)
+          outProj(joined(lRow, nullRight)): InternalRow
+        } else {
+          // stale candidate from an earlier key can never match again
+          if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null
+            candidateKey = null
           }
+          var done = false
+          while (!done && rCur != null) {
+            val rKey = rKeyProj(rCur)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) {
+              advanceRight() // right key already passed by every left row
+            } else if (c == 0 &&
+                tsOrd.compare(rTsProj(rCur), lTsRow) <= 0) {
+              // qualifying; later qualifying rows overwrite → LAST wins
+              candidate = rCur
+              candidateKey = rKey.copy()
+              if (tol.isDefined) candidateTs = tsAsLong(rTsProj(rCur))
+              advanceRight()
+            } else {
+              done = true // right is ahead of this left row
+            }
+          }
+          // the latest-≤ candidate is the closest one, so the
+          // tolerance bound is a single comparison at emission
+          val rightSide =
+            if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0 &&
+                tol.forall(t => tsAsLong(lTsRow) - candidateTs <= t))
+              candidate
+            else nullRight
+          outProj(joined(lRow, rightSide)): InternalRow
         }
-        val rightSide =
-          if (candidate != null && keyOrd.compare(candidateKey, lKey) == 0)
-            candidate
-          else nullRight
-        outProj(joined(lRow, rightSide)): InternalRow
       }
     }
   }
@@ -151,13 +191,24 @@ object AsOf {
   /** LEFT OUTER as-of join: every row of `left` plus the latest
     * `right` row with equal `keys` and `rightTs` ≤ `leftTs` (ties on
     * the timestamp resolved by `rightTies` ascending, LAST wins —
-    * pass enough columns for a total order). Output carries ALL
-    * columns of both sides; name the sides disjointly before calling.
-    * The right side is re-aliased internally so a self-join (both
-    * sides carved from the same scan) cannot alias attribute ids. */
+    * pass enough columns for a total order). `tolerance` (if set)
+    * additionally bounds the match to leftTs − rightTs ≤ tolerance,
+    * in the timestamp column's own units — pandas merge_asof's
+    * `tolerance`, completing the full backward-merge primitive.
+    * Output carries ALL columns of both sides; the sides MUST carry
+    * disjoint column names (require()d — also what guarantees fresh
+    * right-side exprIds survive optimization for self-joins), and
+    * each key pair plus the two timestamp columns must agree in
+    * dataType (require()d — the merge compares raw ordered bytes, so
+    * a silent type mismatch would silently mis-order). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTs: String, rightTs: String, rightTies: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightTies: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"as-of join requires disjoint column names across sides; " +
+        s"shared: ${dup.toSeq.sorted.mkString(", ")}")
     val spark = left.sparkSession
     AsOfStrategy.synchronized {
       if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
@@ -174,10 +225,26 @@ object AsOf {
     val ra = rightFresh.queryExecution.analyzed
     val lRes = la.output.map(a => a.name -> a).toMap
     val rRes = ra.output.map(a => a.name -> a).toMap
+    keys.foreach { case (lk, rk) =>
+      require(lRes(lk).dataType == rRes(rk).dataType,
+        s"as-of key type mismatch: $lk is ${lRes(lk).dataType.sql}, " +
+          s"$rk is ${rRes(rk).dataType.sql}")
+    }
+    require(lRes(leftTs).dataType == rRes(rightTs).dataType,
+      s"as-of timestamp type mismatch: $leftTs is " +
+        s"${lRes(leftTs).dataType.sql}, $rightTs is ${rRes(rightTs).dataType.sql}")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      require(Set[DataType](LongType, IntegerType, DateType, TimestampType,
+          TimestampNTZType).contains(lRes(leftTs).dataType),
+        s"tolerance requires an integer/date/timestamp time column, " +
+          s"got ${lRes(leftTs).dataType.sql}")
+      require(tolerance.get >= 0, "tolerance must be non-negative")
+    }
     org.apache.spark.sql.GraftFunctions.ofRows(spark,
       AsOfJoinPlan(
         keys.map(k => lRes(k._1)), keys.map(k => rRes(k._2)),
         lRes(leftTs), rRes(rightTs), rightTies.map(rRes(_)),
-        la, ra))
+        tolerance, la, ra))
   }
 }

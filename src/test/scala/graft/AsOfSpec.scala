@@ -54,4 +54,68 @@ class AsOfSpec extends SparkSpec {
       .filter(col("event_type") === "purchase").count()
     assert(n == purchases)
   }
+
+  test("tolerance bounds the match; a just-outside candidate null-pads, never falls back") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // candidate ts 90, gap 10
+      (2L, 10L, 90L),  // candidate ts 90, gap 0
+      (3L, 20L, 100L)  // candidate ts 50, gap 50
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (101L, 10L, 50L), (102L, 10L, 90L), (201L, 20L, 50L)
+    ).toDF("rid", "rk", "rts")
+    def run(tol: Option[Long]): Map[Long, Option[Long]] =
+      graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
+          "ts", "rts", Seq("rid"), tol)
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // inclusive bound: gap 10 matches at tol 10...
+    assert(run(Some(10L)) == Map(1L -> Some(102L), 2L -> Some(102L), 3L -> None))
+    // ...and null-pads at tol 9 — it must NOT fall back to the older
+    // in-tolerance-looking rid 101 (ts 50 is farther, gap 50)
+    assert(run(Some(9L)) == Map(1L -> None, 2L -> Some(102L), 3L -> None))
+    // no tolerance: everything with a preceding row matches
+    assert(run(None) == Map(1L -> Some(102L), 2L -> Some(102L), 3L -> Some(201L)))
+  }
+
+  test("null keys and null timestamps never match on either side") {
+    import spark.implicits._
+    val L = (x: Long) => java.lang.Long.valueOf(x)
+    val nl: java.lang.Long = null
+    val left = Seq(
+      (L(1L), nl, L(100L)),   // null key → null-pad
+      (L(2L), L(10L), nl),    // null ts → null-pad
+      (L(3L), L(10L), L(100L)) // real match
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (L(900L), nl, L(50L)),   // null key: skipped by the merge
+      (L(901L), L(10L), nl),   // null ts: skipped by the merge
+      (L(101L), L(10L), L(90L))
+    ).toDF("rid", "rk", "rts")
+    val out = graft.plans.AsOf.join(left, right, Seq("k" -> "rk"),
+        "ts", "rts", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some(101L)))
+  }
+
+  test("mismatched shapes fail fast instead of silently mis-comparing") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "ts")
+    val shared = Seq((2L, 10L, 50L)).toDF("lid", "rk", "rts") // 'lid' collides
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, shared, Seq("k" -> "rk"), "ts", "rts", Seq.empty)
+    }
+    val badKey = Seq((2, 10, 50L)).toDF("rid", "rk", "rts") // int key vs long
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, badKey, Seq("k" -> "rk"), "ts", "rts", Seq.empty)
+    }
+    val badTs = Seq((2L, 10L, "x")).toDF("rid", "rk", "rts") // string ts
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(left, badTs, Seq("k" -> "rk"), "ts", "rts", Seq.empty)
+    }
+  }
 }
