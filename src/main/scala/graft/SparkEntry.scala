@@ -183,6 +183,7 @@ object SparkEntry {
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
+    "emb_recall_trained"  -> Similarity.recallTrained _,
     "emb_knn_classify"    -> Similarity.knnClassify _,
     "ann_range_search"    -> Similarity.rangeSearch _,
     // §2.9 text analysis
@@ -290,12 +291,99 @@ object SparkEntry {
     * the SQL lives in exactly one place. */
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
-    m + ("ann_ivf_indexed" -> m("ann_ivf_topk")) +
+    // the persistent index serves a TrainIters-Lloyd-trained
+    // quantizer, so its oracle replays the training loop (generated:
+    // one CTE pair per round); emb_recall_trained audits the same
+    // trained quantizer against the exact top-k
+    m + ("ann_ivf_indexed" -> IvfOracle.trainedSearchSql) +
+      ("emb_recall_trained" -> IvfOracle.trainedRecallSql) +
       // same contract: the inverted index is a layout change only
       ("text_bm25_indexed" -> m("text_bm25")) +
       // the streaming CEP replay must land on the batch
       // MATCH_RECOGNIZE answer exactly
       ("stream_cep_funnels" -> m("ev_pattern_match"))
+  }
+
+  /** DuckDB replay of the Lloyd-TRAINED IVF quantizer
+    * (operators/Similarity.scala trainedCentroids): the mod-sample
+    * start, then TrainIters rounds of assign-to-nearest →
+    * integer-grid re-mean, each round one generated CTE pair — the
+    * same arithmetic as ann_ivf_topk's literal oracle, iterated. */
+  private object IvfOracle {
+    private def dot(u: String, v: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $u[i]*$v[i])), (a,b) -> a+b)"
+    private def cos(u: String, v: String): String =
+      s"${dot(u, v)} / (sqrt(${dot(u, u)}) * sqrt(${dot(v, v)}))"
+    /** integer-grid means of (cell, vd) rows in `src` → CTE `out`. */
+    private def means(src: String, out: String): String =
+      s"""${out}_dims AS (
+         |  SELECT cell, unnest(generate_series(1, 64)) AS d,
+         |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+         |  FROM $src
+         |), ${out}_cd AS (
+         |  SELECT cell, d, CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+         |  FROM ${out}_dims GROUP BY cell, d
+         |), $out AS (SELECT cell, list(cx ORDER BY d) AS cv FROM ${out}_cd GROUP BY cell)""".stripMargin
+    /** nearest-centroid assignment of every vector → CTE `out`. */
+    private def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, vd, cell FROM (
+         |    SELECT v.vec_id, v.vd, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${cos("vd", "cv")} DESC, c.cell) AS rn
+         |    FROM vecs v CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    /** vecs + probes + cents_0..cents_T + final `cents`/`assigned`. */
+    private def trainedChain: String = {
+      val iters = graft.operators.Similarity.TrainIters
+      val rounds = (1 to iters).map { t =>
+        assign(s"cents_${t - 1}", s"assigned_$t") + ",\n" +
+          means(s"assigned_$t", s"cents_$t")
+      }.mkString(",\n")
+      s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+         |${means("(SELECT vec_id % 16 AS cell, vd FROM vecs)", "cents_0")},
+         |$rounds,
+         |cents AS (SELECT cell, cv FROM cents_$iters),
+         |${assign("cents", "assigned")},
+         |probe_cells AS (
+         |  SELECT probe_id, pv, cell FROM (
+         |    SELECT p.probe_id, p.pv, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        ${cos("pv", "cv")} DESC, c.cell) AS rn
+         |    FROM probes p CROSS JOIN cents c)
+         |  WHERE rn <= 4),
+         |ivf_scored AS (
+         |  SELECT pc.probe_id, av.vec_id, av.cell, ${cos("pv", "vd")} AS cosine
+         |  FROM assigned av JOIN probe_cells pc ON av.cell = pc.cell AND av.vec_id <> pc.probe_id),
+         |ivf_topk AS (
+         |  SELECT probe_id, vec_id, cell, cosine,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM ivf_scored)""".stripMargin
+    }
+    def trainedSearchSql: String =
+      trainedChain +
+        "\nSELECT probe_id, vec_id, cell, cosine, rank FROM ivf_topk WHERE rank <= 10" +
+        "\nORDER BY probe_id, rank"
+    def trainedRecallSql: String =
+      trainedChain + s""",
+         |exact_scored AS (
+         |  SELECT probe_id, v.vec_id, ${cos("pv", "vd")} AS cosine
+         |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id),
+         |exact_topk AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM exact_scored) WHERE rank <= 10),
+         |hits AS (SELECT probe_id, vec_id FROM ivf_topk WHERE rank <= 10)
+         |SELECT e.probe_id,
+         |  count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact_topk e LEFT JOIN hits h
+         |  ON e.probe_id = h.probe_id AND e.vec_id = h.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -93,28 +93,56 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** (cell, centroid array<double>) — deterministic means over the
-    * vec_id-mod sample, assembled per-dimension then re-packed to an
-    * array so graft_dot can consume it.
-    *
-    * Engine-exact: a plain avg(double) depends on partial-sum order,
-    * so it can't be replayed by an oracle. Instead each component is
-    * quantized to an exact integer grid (floor(x·1e9) — one IEEE
-    * multiply + floor, identical in any engine), summed exactly as
-    * BIGINT (order-free), and divided back once. The ~1e-9 centroid
-    * perturbation is irrelevant to clustering quality, and the whole
-    * operator becomes deterministic end-to-end. */
-  private def centroids(spark: SparkSession, dir: String): DataFrame = {
-    val dims = vecs(spark, dir)
-      .select(col("vec_id") % NumCells, posexplode(col("vd")))
-      .toDF("cell", "d", "x")
-    dims.groupBy("cell", "d")
+  /** Lloyd iterations the persistent index build runs on the coarse
+    * quantizer (fixed, not drift-adaptive: a data-dependent round
+    * count could not be replayed bit-exactly by the oracle; a
+    * deployment loops [[kmeansStep]] to a drift_cos threshold and
+    * 2-3 rounds is where these embeddings converge — drift_cos is
+    * already ≈1 after two). */
+  val TrainIters = 2
+
+  /** Integer-grid per-cell means over (cell, vd) rows → the
+    * (cell, cv, cnrm) centroid relation. Engine-exact: a plain
+    * avg(double) depends on partial-sum order, so it can't be
+    * replayed by an oracle. Instead each component is quantized to an
+    * exact integer grid (floor(x·1e9) — one IEEE multiply + floor,
+    * identical in any engine), summed exactly as BIGINT (order-free),
+    * and divided back once. The ~1e-9 centroid perturbation is
+    * irrelevant to clustering quality, and every consumer becomes
+    * deterministic end-to-end. */
+  private def meansBy(rows: DataFrame): DataFrame =
+    rows.select(col("cell"), posexplode(col("vd"))).toDF("cell", "d", "x")
+      .groupBy("cell", "d")
       .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
         (count(lit(1)).cast("double") * lit(1e9))).as("cx"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("packed"))
       .select(col("cell"), expr("transform(packed, s -> s.cx)").as("cv"))
       .withColumn("cnrm", Vectors.norm(col("cv")))
+
+  /** (cell, centroid array<double>) — the 0-iteration quantizer:
+    * deterministic means over the vec_id-mod sample (a fixed sample,
+    * no RNG — the k-means++ stand-in both engines can replay). */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    meansBy(vecs(spark, dir)
+      .select((col("vec_id") % NumCells).as("cell"), col("vd")))
+
+  /** Lloyd-trained quantizer: `iters` rounds of assign-to-nearest →
+    * integer-grid re-mean, from the mod-sample start. Each round is
+    * the [[kmeansStep]] update applied in place — two tiny-agg
+    * shuffles per round, zero corpus shuffles (assignment is the
+    * shuffle-free projection), the driver loop holding only the
+    * NumCells-row centroid relation (localCheckpoint keeps lineage
+    * flat). A cell that loses every member drops out, identically in
+    * both engines. */
+  private[graft] def trainedCentroids(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    var cents = centroids(spark, dir).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cents = meansBy(assignTo(vecs(spark, dir), cents)
+        .select(col("cell"), col("vd"))).localCheckpoint(true)
+    }
+    cents
   }
 
   /** Per-label embedding quality stats — the monitoring pass an
@@ -173,8 +201,13 @@ object Similarity {
     * already complete. try_element_at guards the (impossible at any
     * real SF) short-centroid-list case: a null-sim struct sorts
     * below every real candidate. */
-  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame = {
-    val centsRow = centroids(spark, dir)
+  private[graft] def assignedVectors(spark: SparkSession, dir: String): DataFrame =
+    assignTo(vecs(spark, dir), centroids(spark, dir))
+
+  /** the generic nearest-centroid projection over any (vec_id, vd,
+    * vnrm) relation and any ≤NumCells centroid relation. */
+  private[graft] def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
       .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("cnrm"))))
         .as("cents"))
     val cands = (1 to NumCells).map { i =>
@@ -184,7 +217,7 @@ object Similarity {
           c.getField("cnrm")).as("sim"),
         (-c.getField("cell")).as("negcell"))
     }
-    vecs(spark, dir).crossJoin(broadcast(centsRow))
+    vectors.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), col("vd"), col("vnrm"),
         (-greatest(cands: _*).getField("negcell")).as("cell"))
   }
@@ -229,9 +262,13 @@ object Similarity {
     * change invalidates it — rebuild is a re-run of this method, and
     * determinism makes the rebuild reproducible bit-for-bit. */
   def ivfBuildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    centroids(spark, dir).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
-    assignedVectors(spark, dir).write.mode("overwrite")
+    // the persistent index ships a TRAINED quantizer: TrainIters
+    // Lloyd rounds tighten the mod-sample start before assignment
+    // (the ad-hoc ivfTopK path keeps the 0-iteration quantizer — the
+    // one-shot query shape that cannot amortize training)
+    val cents = trainedCentroids(spark, dir, TrainIters)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignTo(vecs(spark, dir), cents).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$indexDir/assignments")
   }
 
@@ -286,14 +323,8 @@ object Similarity {
   def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val olds = centroids(spark, dir)
     val assigned = assignedVectors(spark, dir)
-    val ndims = assigned.select(col("cell"), posexplode(col("vd"))).toDF("cell", "d", "x")
-    val newCents = ndims.groupBy("cell", "d")
-      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
-        (count(lit(1)).cast("double") * lit(1e9))).as("nx"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("d"), col("nx")))).as("packed"))
-      .select(col("cell"), expr("transform(packed, s -> s.nx)").as("nv"))
-      .withColumn("nnrm", Vectors.norm(col("nv")))
+    val newCents = meansBy(assigned.select(col("cell"), col("vd")))
+      .select(col("cell"), col("cv").as("nv"), col("cnrm").as("nnrm"))
     val stats = assigned.join(broadcast(olds), "cell")
       .withColumn("cos",
         Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")))
@@ -324,6 +355,36 @@ object Similarity {
   def recallAtK(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir).select(col("probe_id"), col("vec_id"))
     val hit = ivfTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(hit, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("probe_id")
+  }
+
+  /** Recall@K of the TRAINED quantizer — the acceptance gate a
+    * rebuild with [[TrainIters]] Lloyd rounds must pass before the
+    * persistent index serves traffic, next to [[recallAtK]]'s
+    * 0-iteration baseline: the two queries together surface the
+    * recall delta training buys (the decision input for spending
+    * more rounds). Same exact-vs-approx intersection shape; the
+    * trained search is the ann_ivf_indexed plan run in-memory, so
+    * the audited quantizer is bit-identical to the shipped one. */
+  /** the ann_ivf_indexed search run in memory (same trained
+    * quantizer, no staging) — the spec/audit twin of the index. */
+  private[graft] def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentroids(spark, dir, TrainIters)
+    searchCells(assignTo(vecs(spark, dir), cents),
+      probeCells(spark, dir, cents))
+  }
+
+  def recallTrained(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hit = ivfTopKTrained(spark, dir)
+      .select(col("probe_id"), col("vec_id"))
       .withColumn("hit", lit(1L))
     exact.join(hit, Seq("probe_id", "vec_id"), "left")
       .groupBy("probe_id")

@@ -63,8 +63,12 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < operators.Similarity.NumCells))
   }
 
-  test("ivf indexed: staged-index query matches the direct plan and prunes cells") {
-    val direct = operators.Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+  test("ivf indexed: staged-index query matches the in-memory trained plan and prunes cells") {
+    // the persistent index ships the TrainIters-Lloyd-trained
+    // quantizer, so its ground truth is the trained in-memory search
+    // (ivfTopK keeps the 0-iteration quantizer for the one-shot path)
+    val direct = operators.Similarity.ivfTopKTrained(spark, sf)
+      .collect().map(_.toSeq).toSeq
     val indexed = operators.Similarity.ivfIndexed(spark, sf)
     assert(indexed.collect().map(_.toSeq).toSeq == direct)
     // the probe-cell join key IS the on-disk partition column, so the
@@ -88,6 +92,19 @@ class SimilaritySpec extends SparkSpec {
     // the probe-side pruning logic recovers at least a conservative
     // share of the true top-10 without making the test flaky.
     assert(recall >= 0.15, f"ivf recall@10 $recall%.2f below floor 0.15")
+  }
+
+  test("trained quantizer recall meets a floor above the untrained bound") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val bf = pairs(operators.Similarity.bruteForceTopK(spark, sf))
+    val trained = pairs(operators.Similarity.ivfTopKTrained(spark, sf))
+    val recall = (bf intersect trained).size.toDouble / bf.size
+    info(f"trained ivf recall@10 = $recall%.2f")
+    // measured: 0.50 at sf0.001, 0.60 at sf0.01 (vs 0.52 untrained
+    // there — the delta TrainIters buys); the floor is conservative
+    // but well above the untrained 0.15 worst-case bound
+    assert(recall >= 0.35, f"trained recall@10 $recall%.2f below floor 0.35")
   }
 
   test("recall@k audit equals the set intersection of the two searches") {
