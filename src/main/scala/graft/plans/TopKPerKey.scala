@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -18,12 +18,28 @@ import org.apache.spark.sql.types.LongType
   * (memory O(keys·k), time O(n·log k)) after the same hash
   * repartition, and emits rows with their 1-based rank.
   *
+  * SPILL-AWARE: the heap map's bytes are registered with the task's
+  * TaskMemoryManager through a MemoryConsumer, so the operator
+  * participates in executor memory arbitration like SortExec does.
+  * When the manager refuses more memory (or asks this consumer to
+  * give some back, or the in-memory key count passes
+  * maxKeysPerPartition), the current heap contents are sorted by
+  * (key, order) and written to a local spill run, and the heaps
+  * restart empty — rows a full heap has already discarded stay
+  * discarded, which is safe because k better rows of that key are in
+  * memory or a run. If nothing ever spills, emission is the original
+  * heap walk (no sort across keys); with runs, a k-way merge of the
+  * sorted runs + the sorted in-memory tail streams row_number ≤ k
+  * per key. An unbounded key domain therefore degrades to roughly
+  * the window formulation's sort-with-spills instead of OOMing.
+  *
   * Wired through the full custom-operator ladder: logical node
   * (TopKPerKeyPlan) → strategy (TopKStrategy, injected via the public
   * spark.experimental.extraStrategies hook at session setup) →
   * physical UnaryExecNode with requiredChildDistribution driving the
   * exchange. Semantics are EXACTLY row_number ≤ k for a total
-  * ordering, which TopKSpec asserts against the window formulation.
+  * ordering, which TopKSpec asserts against the window formulation —
+  * including under forced spilling.
   */
 case class TopKPerKeyPlan(
     groupExprs: Seq[Expression],
@@ -61,57 +77,190 @@ case class TopKPerKeyExec(
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numSpilledRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spilled sorted runs"),
+    "spillSize" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "spill size"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val group = groupExprs
     val order = orderExprs
     val limit = k
     val maxKeys = maxKeysPerPartition
     val childOutput = child.output
+    val out = output
+    val numSpilledRuns = longMetric("numSpilledRuns")
+    val spillSize = longMetric("spillSize")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord: Ordering[InternalRow] = RowOrdering.create(order, childOutput)
+      // merge/runs ordering: (key asc, order) — the row_number order
+      val fullOrd: Ordering[InternalRow] = RowOrdering.create(
+        group.map(SortOrder(_, Ascending)) ++ order, childOutput)
       // Children aren't guaranteed to emit UnsafeRow (an interpreted
       // operator whose partitioning already satisfies the required
       // distribution can feed this node directly) — normalize first.
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // max-heap by ord: head = current worst of the kept k
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val runs = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+      val taskCtx = org.apache.spark.TaskContext.get()
+
+      // ---- memory accounting: every copied key/row byte is acquired
+      // from the task's memory manager; refusal or an arbitration
+      // callback dumps the heaps to a sorted on-disk run.
+      var usedBytes = 0L    // estimate of live heap bytes
+      var grantedBytes = 0L // what the manager has granted us
+      def sortedHeapRows(): Array[UnsafeRow] = {
+        val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](
+          heaps.size() * limit)
+        heaps.values().forEach(h => h.forEach(r => { buf += r; () }))
+        val arr = buf.toArray
+        java.util.Arrays.sort(arr, fullOrd.asInstanceOf[java.util.Comparator[UnsafeRow]])
+        arr
+      }
+      lazy val consumer: org.apache.spark.memory.MemoryConsumer =
+        new org.apache.spark.memory.MemoryConsumer(
+            org.apache.spark.graft.TaskMemoryBridge.memoryManager(taskCtx),
+            org.apache.spark.graft.TaskMemoryBridge.memoryManager(taskCtx).pageSizeBytes(),
+            org.apache.spark.memory.MemoryMode.ON_HEAP) {
+          override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long =
+            spillHeapsToRun()
+        }
+      def spillHeapsToRun(): Long = {
+        if (heaps.isEmpty) return 0L
+        val rows = sortedHeapRows()
+        val file = java.io.File.createTempFile("graft_topk_spill_", ".run")
+        file.deleteOnExit()
+        val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(file), 1 << 16))
+        try {
+          rows.foreach { r =>
+            dos.writeInt(r.getSizeInBytes)
+            dos.write(r.getBytes)
+          }
+        } finally dos.close()
+        runs += file
+        numSpilledRuns += 1
+        spillSize += file.length()
+        heaps.clear()
+        val freed = usedBytes
+        usedBytes = 0L
+        if (taskCtx != null && grantedBytes > 0) consumer.freeMemory(grantedBytes)
+        grantedBytes = 0L
+        freed
+      }
+      def reserve(bytes: Long): Unit = if (taskCtx != null) {
+        usedBytes += bytes
+        if (usedBytes > grantedBytes) {
+          val want = math.max(bytes, 1L << 22) // 4 MB chunks
+          val got = consumer.acquireMemory(want)
+          grantedBytes += got
+          if (usedBytes > grantedBytes) {
+            spillHeapsToRun() // manager refused: give the memory back
+            // re-reserve for the row about to be inserted post-spill
+            usedBytes += bytes
+            grantedBytes += consumer.acquireMemory(math.max(bytes, 1L << 22))
+          }
+        }
+      }
+      if (taskCtx != null) {
+        taskCtx.addTaskCompletionListener[Unit] { _ =>
+          if (grantedBytes > 0) { consumer.freeMemory(grantedBytes); grantedBytes = 0 }
+          runs.foreach(_.delete())
+        }
+      }
+
       while (iter.hasNext) {
         val row = toUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          // bounded-keys contract, ENFORCED: the heap map is plain
-          // on-heap (no TaskMemoryManager accounting, no spill), so an
-          // unbounded key domain must fail fast with a clear message,
-          // not degrade into an executor OOM mid-task.
-          if (heaps.size() >= maxKeys) {
-            throw new IllegalStateException(
-              s"TopKPerKey: partition exceeded maxKeysPerPartition=$maxKeys distinct keys. " +
-                "The per-key heap map is on-heap and not spill-tracked — for unbounded " +
-                "high-cardinality keys use the row_number() window formulation (sorts but " +
-                "spills), or raise maxKeysPerPartition if the domain is genuinely bounded.")
-          }
+          // in-memory key budget: past it, degrade to a sorted run
+          // (NOT an error — the merge restores exact semantics)
+          if (heaps.size() >= maxKeys) spillHeapsToRun()
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reverse)
-          heaps.put(key.copy(), heap)
+          val keyCopy = key.copy()
+          reserve(keyCopy.getSizeInBytes + 64L)
+          heaps.put(keyCopy, heap)
         }
         if (heap.size < limit) {
+          reserve(row.getSizeInBytes + 32L)
           heap.add(row.copy())
         } else if (ord.lt(row, heap.peek())) {
+          // replacing an equal-count row: no net accounting change
           heap.poll()
           heap.add(row.copy())
         }
       }
+
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       // downstream operators require UnsafeRow — normalize the output
-      val outProj = UnsafeProjection.create(output, output)
+      val outProj = UnsafeProjection.create(out, out)
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { heap =>
-        val rows = heap.toArray(new Array[UnsafeRow](heap.size)).sorted(ord)
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.setLong(0, i + 1L)
-          outProj(joined(r, rankRow)): InternalRow
+      if (runs.isEmpty) {
+        // fast path: everything fit — emit per-heap, no cross-key sort
+        heaps.values().asScala.iterator.flatMap { heap =>
+          val rows = heap.toArray(new Array[UnsafeRow](heap.size)).sorted(ord)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.setLong(0, i + 1L)
+            outProj(joined(r, rankRow)): InternalRow
+          }
+        }
+      } else {
+        // k-way merge of the sorted runs + the sorted in-memory tail,
+        // streaming row_number ≤ k per key off the (key, order) order
+        val nFields = childOutput.size
+        def runIter(f: java.io.File): Iterator[UnsafeRow] = {
+          val dis = new java.io.DataInputStream(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f), 1 << 16))
+          new Iterator[UnsafeRow] {
+            private var nextLen = readLen()
+            private def readLen(): Int =
+              try dis.readInt() catch { case _: java.io.EOFException => dis.close(); -1 }
+            override def hasNext: Boolean = nextLen >= 0
+            override def next(): UnsafeRow = {
+              val bytes = new Array[Byte](nextLen)
+              dis.readFully(bytes)
+              val r = new UnsafeRow(nFields)
+              r.pointTo(bytes, nextLen)
+              nextLen = readLen()
+              r
+            }
+          }
+        }
+        val sources: Seq[Iterator[UnsafeRow]] =
+          runs.toSeq.map(runIter) :+ sortedHeapRows().iterator
+        val pq = new java.util.PriorityQueue[(UnsafeRow, Iterator[UnsafeRow])](
+          sources.size.max(1),
+          (a: (UnsafeRow, Iterator[UnsafeRow]), b: (UnsafeRow, Iterator[UnsafeRow])) =>
+            fullOrd.compare(a._1, b._1))
+        sources.foreach(it => if (it.hasNext) pq.add((it.next(), it)))
+        var curKey: UnsafeRow = null
+        var curRank = 0L
+        new Iterator[InternalRow] {
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && !pq.isEmpty) {
+              val (row, src) = pq.poll()
+              if (src.hasNext) pq.add((src.next(), src))
+              val key = keyProj(row)
+              if (curKey == null || !key.equals(curKey)) {
+                curKey = key.copy(); curRank = 1L
+              } else curRank += 1L
+              if (curRank <= limit) {
+                rankRow.setLong(0, curRank)
+                pending = outProj(joined(row, rankRow)).copy()
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val r = pending; pending = null; r
+          }
         }
       }
     }
@@ -130,16 +279,16 @@ object TopK {
     * pairs forming a total order for deterministic results — with a
     * `rank` column appended.
     *
-    * Memory: O(distinct keys per partition × k) on-heap, NOT spill-
-    * tracked — suited to bounded key domains (brands, probe ids,
-    * shards). For unbounded high-cardinality keys prefer the
-    * row_number window formulation, which sorts but spills. The
-    * contract is enforced: a partition that sees more than
-    * `maxKeysPerPartition` distinct keys fails the task with a clear
-    * error instead of OOMing the executor. The default (1M keys ×
-    * k rows ≈ low hundreds of MB at k≤10) leaves comfortable headroom
-    * under a normal executor heap while catching genuinely unbounded
-    * domains long before they exhaust it. */
+    * Memory: O(distinct keys per partition × k) on-heap, acquired
+    * from the task's TaskMemoryManager. When the manager refuses
+    * more (or asks this operator to give memory back, or the
+    * in-memory key count passes `maxKeysPerPartition`), the heaps
+    * degrade to sorted on-disk runs merged at emission — the same
+    * graceful path SortExec takes — so unbounded key domains
+    * complete instead of OOMing; bounded domains (brands, probe ids,
+    * shards) never leave the fast heap path. The default budget
+    * (1M keys × k rows ≈ low hundreds of MB at k≤10) keeps the fast
+    * path for every realistic bounded domain. */
   def perKey(df: DataFrame, keys: Seq[String],
              order: Seq[(String, Boolean)], k: Int,
              maxKeysPerPartition: Int = 1 << 20): DataFrame = {

@@ -18,11 +18,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * without being rewritten by hand.
   *
   * Deliberately opt-in via [[GraftOptimizations.install]] rather than
-  * always-on: TopKPerKeyExec's per-key heap map is bounded-keys by
-  * contract (it fails fast past `maxKeysPerPartition` instead of
-  * spilling — plans/TopKPerKey.scala), and an optimizer cannot know
-  * key cardinality; the session owner opts in where the domain is
-  * known bounded. The rewrite fires only on the exact safe shape:
+  * always-on: TopKPerKeyExec's per-key heap map is fastest on
+  * bounded key domains and degrades to sorted spill runs past
+  * `maxKeysPerPartition` (plans/TopKPerKey.scala) — an optimizer
+  * cannot know key cardinality, so the session owner opts in where
+  * the heap fast path is the expected regime. The rewrite fires only
+  * on the exact safe shape:
   * a single row_number window expression whose rank is filtered by a
   * literal bound (`<= k`, `< k`, `= 1`), with the rank attribute
   * preserved (cast back to its original int type and exprId) so
@@ -98,8 +99,9 @@ object GraftOptimizations {
   /** Installs the top-N-per-key rewrite (and the strategy that plans
     * its logical node) into `spark`'s experimental hooks. Per-session:
     * a `newSession()` starts clean. `maxKeysPerPartition` is the
-    * bounded-keys contract bound passed through to the physical
-    * operator; re-installing with a different bound REPLACES the
+    * in-memory key budget passed through to the physical operator
+    * (past it, heaps spill to sorted runs — not an error);
+    * re-installing with a different bound REPLACES the
     * installed rule (last call wins — previously a differing bound
     * was silently ignored). */
   def install(spark: SparkSession, maxKeysPerPartition: Int = 1 << 20): Unit =

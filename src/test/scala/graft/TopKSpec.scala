@@ -40,20 +40,25 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("topk fails fast with a clear error when keys exceed the bounded-domain contract") {
+  test("topk degrades to sorted spill runs past the key budget, result exact") {
     // p_partkey is effectively unique per row — far more than 10 keys
-    // per partition. The operator must refuse loudly, not OOM.
-    val e = intercept[Exception] {
-      TopK.perKey(graft.sources.Tables.part(spark, sf),
-        Seq("p_partkey"), Seq("p_retailprice" -> false, "p_partkey" -> true),
-        k = 2, maxKeysPerPartition = 10)
-        .collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val all = messages(e).mkString("\n")
-    assert(all.contains("maxKeysPerPartition"), all.take(2000))
-    assert(all.contains("window formulation"), all.take(2000))
+    // per partition, so a 10-key budget forces spills on every
+    // partition. The operator must complete via the run merge with
+    // EXACTLY the window formulation's answer, not refuse or OOM.
+    val df = TopK.perKey(graft.sources.Tables.part(spark, sf),
+      Seq("p_partkey"), Seq("p_retailprice" -> false, "p_partkey" -> true),
+      k = 2, maxKeysPerPartition = 10)
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("rank"))).sorted.toSeq
+    // it really spilled (the degradation path, not the fast path)
+    assert(TopKSpec.spills(df) > 0, "expected the 10-key budget to force spill runs")
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val want = graft.sources.Tables.part(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("rank"))).sorted.toSeq
+    assert(got == want)
   }
 
   test("optimizer rule rewrites the plain window formulation onto the native exec") {
@@ -153,14 +158,19 @@ class TopKSpec extends SparkSpec {
     def topk() = graft.sources.Tables.part(s, sf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 1)
-    // bound=2 must fail fast: p_partkey has far more than 2 keys/partition
-    val e = intercept[Exception] { topk().collect() }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).mkString("\n").contains("maxKeysPerPartition"))
-    // re-install with a workable bound — previously silently ignored
+    // bound=2 must spill: p_partkey has far more than 2 keys/partition
+    val tight = topk()
+    tight.collect()
+    assert(TopKSpec.spills(tight) > 0, "2-key budget should have forced spill runs")
+    assert(tight.count() == graft.sources.Tables.part(s, sf).count())
+    // re-install with a comfortable bound — previously silently
+    // ignored; now the fast heap path with zero spills proves the
+    // replacement took effect
     graft.plans.GraftOptimizations.install(s, maxKeysPerPartition = 1 << 20)
-    assert(topk().count() == graft.sources.Tables.part(s, sf).count())
+    val wide = topk()
+    wide.collect()
+    assert(TopKSpec.spills(wide) == 0, "1M-key budget should stay on the heap fast path")
+    assert(wide.count() == graft.sources.Tables.part(s, sf).count())
   }
 
   test("optimizer rule leaves rank()/dense_rank() windows alone — tie semantics differ") {
@@ -215,5 +225,22 @@ class TopKSpec extends SparkSpec {
     assert(got.length == 5)
     val prices = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("p_retailprice"))
     assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+}
+
+object TopKSpec {
+  /** total spilled-run count across every TopKPerKeyExec in the
+    * (AQE-final) executed plan — run AFTER an action. */
+  def spills(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec => find(q.plan)
+      case t: graft.plans.TopKPerKeyExec =>
+        t.metrics("numSpilledRuns").value + t.children.map(find).sum
+      case other => other.children.map(find).sum
+    }
+    find(df.queryExecution.executedPlan)
   }
 }
