@@ -262,6 +262,7 @@ object SparkEntry {
     "stream_tumbling_agg"  -> graft.streaming.StreamQueries.tumblingAgg _,
     "stream_tumbling_append" -> graft.streaming.StreamQueries.tumblingAppend _,
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
+    "stream_session_append" -> graft.streaming.StreamQueries.sessionAppend _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
@@ -1910,6 +1911,24 @@ object SparkEntry {
     // instances); the oracle is the clean single-copy aggregate — it
     // matches only if dropDuplicatesWithinWatermark removed exactly
     // the planted redeliveries
+    // append-mode sessions: the same island sessionization, emitting
+    // only sessions whose end (last event + gap) the final watermark
+    // passed — µs-precise end vs the ms-floored watermark, Spark's
+    // exact eviction arithmetic
+    "stream_session_append" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+        |        epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+        | wm AS (SELECT (max(us)//1000 - 7200000) * 1000 AS wm_us FROM e),
+        | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s, wm GROUP BY user_id, session_id, wm_us
+        |HAVING max(us) + 1800000000 <= wm_us
+        |ORDER BY user_id, start_sec""".stripMargin,
     "stream_dedup_agg" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -166,6 +166,28 @@ object StreamQueries {
       .orderBy("user_id", "start_sec")
   }
 
+  /** Append-mode session replay — the production eviction contract
+    * for SESSION windows, completing [[tumblingAppend]]'s story for
+    * the merging-window case: a session emits once when the watermark
+    * passes its end (last event + 30 min gap) and its state evicts;
+    * sessions still extendable at end-of-stream (the last ≥2h of
+    * activity) are withheld. The oracle replays the same boundary at
+    * Spark's precision: session_end_µs ≤ (max event ms − 2h)·1000,
+    * on top of the batch lag/island sessionization. */
+  def sessionAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("session_value"))
+    runBounded(spark, agg, "append")
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("start_sec"),
+        unix_timestamp(col("sw.end")).as("end_sec"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_sec")
+  }
+
   /** Streaming exact dedup under duplicate delivery: the same file
     * read by TWO independent stream sources and unioned — every event
     * arrives exactly twice, the at-least-once redelivery a real feed
