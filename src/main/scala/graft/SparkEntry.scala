@@ -107,6 +107,7 @@ object SparkEntry {
     "win_rolling_median"   -> Analytic.rollingMedian _,
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_asof_native"       -> Analytic.asofNative _,
+    "ev_asof_tolerance"    -> Analytic.asofTolerance _,
     "ev_user_lifetime"     -> Analytic.userLifetime _,
     "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
@@ -867,6 +868,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.event_id
         |      ORDER BY c.c_sec DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rk
         |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.ts_sec)
+        |SELECT event_id, user_id, ts_sec, click_id, c_sec AS last_click_sec,
+        |  ts_sec - c_sec AS gap_sec
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
+    // the tolerance-bounded variant: a click only attributes within
+    // the trailing hour; an out-of-window nearest click null-pads
+    "ev_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts_sec AS c_sec FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts_sec, c.click_id, c.c_sec,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.c_sec DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rk
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_sec <= p.ts_sec
+        |    AND p.ts_sec - c.c_sec <= 3600)
         |SELECT event_id, user_id, ts_sec, click_id, c_sec AS last_click_sec,
         |  ts_sec - c_sec AS gap_sec
         |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,

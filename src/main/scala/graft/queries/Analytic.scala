@@ -186,6 +186,29 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** [[asofNative]] with merge_asof's TOLERANCE bound: the latest
+    * preceding click only counts within the trailing hour — the
+    * attribution-window contract marketing pipelines actually run
+    * (an unbounded as-of credits a week-old click). One extra
+    * comparison at emission inside AsOfJoinExec; purchases whose
+    * nearest click is older than the bound null-pad rather than
+    * falling back to it. */
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("ts_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_sec").as("c_sec"))
+    graft.plans.AsOf.join(purchases, clicks, Seq("user_id" -> "c_user"),
+        "ts_sec", "c_sec", Seq("click_id"), tolerance = Some(3600L))
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("click_id"),
+        col("c_sec").as("last_click_sec"),
+        (col("ts_sec") - col("c_sec")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** Time-range join via bucketing: each purchase counts the same
     * user's clicks in the preceding hour. The naive formulation — an
     * inequality join on `c.ts BETWEEN p.ts-1h AND p.ts` — has no
