@@ -183,6 +183,7 @@ object SparkEntry {
     "emb_label_stats"     -> Similarity.labelStats _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
+    "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
     "emb_recall_trained"  -> Similarity.recallTrained _,
     "emb_knn_classify"    -> Similarity.knnClassify _,
@@ -2503,6 +2504,59 @@ object SparkEntry {
     // PQ: fixed codebook (vec_id<16 subvectors), argmin-L2 encode
     // replayed as argmax(dot - half-self-dot); ADC sums fold ordered
     // by subspace via list_reduce so the double tree matches Spark's
+    // PQ codebook Lloyd round: same encode replay (vecs..chosen as
+    // ann_pq_topk), then per-(subspace, code) member stats — mean L2²
+    // on the integer grid, per-dim grid means, old↔new drift cosine
+    "emb_pq_train_step" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |codes AS (SELECT vec_id AS code, vd AS cv FROM vecs WHERE vec_id < 16),
+        |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |hc AS (
+        |  SELECT code, s, cv,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> cv[s*8+i]*cv[s*8+i])), (a,b) -> a+b) / 2.0 AS h
+        |  FROM codes CROSS JOIN ss),
+        |esc AS (
+        |  SELECT v.vec_id, x.s, x.code,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> v.vd[x.s*8+i]*x.cv[x.s*8+i])), (a,b) -> a+b) - x.h AS score
+        |  FROM vecs v CROSS JOIN hc x),
+        |chosen AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) AS rn FROM esc)
+        |  WHERE rn = 1),
+        |dom AS (
+        |  SELECT s, code, list_transform(generate_series(1,8), i -> cv[s*8+i]) AS csub
+        |  FROM codes CROSS JOIN ss),
+        |mem AS (
+        |  SELECT ch.s, ch.code,
+        |    list_transform(generate_series(1,8), i -> v.vd[ch.s*8+i]) AS sub
+        |  FROM chosen ch JOIN vecs v USING (vec_id)),
+        |l2 AS (
+        |  SELECT m.s, m.code, count(*) AS n_members,
+        |    CAST(sum(CAST(floor((
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> m.sub[i]*m.sub[i])), (a,b) -> a+b)
+        |      - 2.0 * list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> m.sub[i]*d.csub[i])), (a,b) -> a+b)
+        |      + list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> d.csub[i]*d.csub[i])), (a,b) -> a+b)
+        |      ) * 1000000000.0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_l2_old
+        |  FROM mem m JOIN dom d ON m.s = d.s AND m.code = d.code
+        |  GROUP BY m.s, m.code),
+        |nd AS (
+        |  SELECT m.s, m.code, dd.d,
+        |    CAST(sum(CAST(floor(m.sub[dd.d] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS nx
+        |  FROM mem m CROSS JOIN (SELECT unnest(generate_series(1,8)) AS d) dd
+        |  GROUP BY m.s, m.code, dd.d),
+        |newc AS (SELECT s, code, list(nx ORDER BY d) AS nv FROM nd GROUP BY s, code)
+        |SELECT d.s, d.code,
+        |  coalesce(l.n_members, 0) AS n_members,
+        |  l.mean_l2_old,
+        |  CASE WHEN n.nv IS NOT NULL THEN
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> d.csub[i]*n.nv[i])), (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> d.csub[i]*d.csub[i])), (a,b) -> a+b))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> n.nv[i]*n.nv[i])), (a,b) -> a+b)))
+        |  END AS drift_cos
+        |FROM dom d LEFT JOIN l2 l ON d.s = l.s AND d.code = l.code
+        |LEFT JOIN newc n ON d.s = n.s AND d.code = n.code
+        |ORDER BY d.s, d.code""".stripMargin,
     "ann_pq_topk" ->
       """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |codes AS (SELECT vec_id AS code, vd AS cv FROM vecs WHERE vec_id < 16),

@@ -340,6 +340,64 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** One Lloyd refinement round over the PQ CODEBOOK, per subspace —
+    * [[kmeansStep]]'s twin for the product quantizer: the shipped
+    * codebook is a deterministic low-id sample (see [[pqCodebook]]),
+    * and this is the maintenance job that refines it. For every
+    * (subspace, code): the member count (how much of the corpus that
+    * code represents), the members' mean L2² to the old code
+    * subvector (the quantization error PQ pays before the move), and
+    * the old↔new code cosine (drift — ≈1 means that code converged;
+    * the retrain trigger). Engine-exact by the repo's standard
+    * constructions: per-member L2² in one fixed-order expression
+    * (‖v‖² − 2·v·c + ‖c‖²) quantized to the floor(x·1e9) integer
+    * grid before the order-free BIGINT mean; new subvectors as
+    * integer-grid per-dim means; assignment reuses the native
+    * graft_pq_encode picks, which the oracle already replays.
+    * Scale: encode is a broadcast-codebook projection; the stats are
+    * two hash aggs over (subspace, code)-sized relations — 128 rows
+    * out, zero corpus shuffles beyond the aggs. */
+  def pqTrainStep(spark: SparkSession, dir: String): DataFrame = {
+    val enc = pqEncode(spark, dir)
+    val v = vecs(spark, dir).select(col("vec_id"), col("vd"))
+    val assigned = enc.select(col("vec_id"),
+        posexplode(array((0 until SubSpaces).map(s => col(s"code_$s")): _*))
+          .as(Seq("s", "code")))
+      .join(v, "vec_id")
+      .withColumn("sub", expr(s"slice(vd, s * $SubDim + 1, $SubDim)"))
+    val codeSubs = vecs(spark, dir).filter(col("vec_id") < NumCodes)
+      .select(col("vec_id").as("code"), col("vd").as("cv"))
+      .crossJoin(spark.range(SubSpaces).select(col("id").cast("int").as("s")))
+      .withColumn("csub", expr(s"slice(cv, s * $SubDim + 1, $SubDim)"))
+      .select(col("s"), col("code"), col("csub"))
+    val l2 = assigned.join(codeSubs, Seq("s", "code"))
+      .withColumn("l2", Vectors.dot(col("sub"), col("sub"))
+        - lit(2.0) * Vectors.dot(col("sub"), col("csub"))
+        + Vectors.dot(col("csub"), col("csub")))
+      .groupBy("s", "code")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(floor(col("l2") * lit(1e9))).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("mean_l2_old"))
+    val nd = assigned
+      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("d", "x")))
+      .groupBy("s", "code", "d")
+      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("nx"))
+      .groupBy("s", "code")
+      .agg(array_sort(collect_list(struct(col("d"), col("nx")))).as("packed"))
+      .select(col("s"), col("code"), expr("transform(packed, p -> p.nx)").as("nv"))
+    codeSubs
+      .join(l2, Seq("s", "code"), "left")
+      .join(nd, Seq("s", "code"), "left")
+      .select(col("s").cast("bigint").as("s"), col("code"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        col("mean_l2_old"),
+        when(col("nv").isNotNull,
+          Vectors.dot(col("csub"), col("nv")) /
+            (Vectors.norm(col("csub")) * Vectors.norm(col("nv")))).as("drift_cos"))
+      .orderBy("s", "code")
+  }
+
   /** Recall@K audit — THE acceptance metric for any ANN index: how
     * many of the exact top-K neighbors does the IVF search return?
     * Runs both paths (exact brute force and IVF with the same K) and

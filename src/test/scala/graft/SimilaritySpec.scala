@@ -247,6 +247,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq train step: members partition the corpus per subspace, drift and error sane") {
+    val rows = operators.Similarity.pqTrainStep(spark, sf).collect()
+    assert(rows.length ==
+      operators.Similarity.SubSpaces * operators.Similarity.NumCodes)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    // every vector is assigned exactly one code per subspace
+    (0 until operators.Similarity.SubSpaces).foreach { s =>
+      val members = rows.filter(_.getAs[Long]("s") == s)
+        .map(_.getAs[Long]("n_members")).sum
+      assert(members == n, s"subspace $s members $members != corpus $n")
+    }
+    rows.filter(_.getAs[Long]("n_members") > 0).foreach { r =>
+      assert(r.getAs[Double]("mean_l2_old") >= 0.0)
+      val drift = r.getAs[Double]("drift_cos")
+      assert(drift <= 1.0 + 1e-9 && drift >= -1.0 - 1e-9)
+    }
+  }
+
   test("int8 quantization audit: grid saturated, error bounded by half a step") {
     val df = graft.operators.Similarity.quantizeInt8(spark, sf).collect()
     assert(df.length == 64)
