@@ -37,6 +37,21 @@ object StreamQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Child session sized for the bounded replay. The state-store
+    * instance count of every stateful operator equals
+    * spark.sql.shuffle.partitions AT STREAM START — it is the
+    * stream's state layout, fixed per deployment, not a planner
+    * choice. The batch surface keeps the session's 32; a replay over
+    * one bounded file is right-sized at 8 (measured: the interval
+    * join's per-batch store commit overhead drops 6.0→2.5 s steady
+    * at sf0.1, values identical). A 100 TB deployment sets this to
+    * its own state parallelism; nothing else here changes. */
+  private def replaySession(spark0: SparkSession): SparkSession = {
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** The events stream: schema pinned from the batch footer (schema
     * inference is unavailable — and over 100 TB undesirable — for
     * streams), ts normalized to the repo-wide epoch-ns contract by
@@ -91,7 +106,8 @@ object StreamQueries {
     * because a bounded replay must emit ALL windows including the
     * ones the final watermark never passes (append would hold back
     * the stream's tail hour — the classic parity trap). */
-  def tumblingAgg(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingAgg(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
@@ -119,7 +135,8 @@ object StreamQueries {
     * after the backlog drains, purely to advance the watermark and
     * flush closed windows — the same mechanism that caps emit
     * latency in an idle production stream. */
-  def tumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingAppend(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
@@ -136,7 +153,8 @@ object StreamQueries {
     * oracle: window() expands each event into its 2 covering windows
     * before the stateful agg, exactly as in batch; complete output
     * for the bounded-replay parity (see tumblingAgg). */
-  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+  def slidingAgg(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("win"),
@@ -152,7 +170,8 @@ object StreamQueries {
   /** Streaming session windows — the readStream twin of
     * Analytic.sessionWindowAgg (native session_window, 30 min gap),
     * sharing its oracle. */
-  def sessionAgg(spark: SparkSession, dir: String): DataFrame = {
+  def sessionAgg(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
@@ -174,7 +193,8 @@ object StreamQueries {
     * activity) are withheld. The oracle replays the same boundary at
     * Spark's precision: session_end_µs ≤ (max event ms − 2h)·1000,
     * on top of the batch lag/island sessionization. */
-  def sessionAppend(spark: SparkSession, dir: String): DataFrame = {
+  def sessionAppend(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
@@ -198,7 +218,8 @@ object StreamQueries {
     * happens in batch over the sunk rows (chaining a second stateful
     * operator behind dedup is append-only territory; the parity
     * replay needs the complete result). */
-  def dedupAgg(spark: SparkSession, dir: String): DataFrame = {
+  def dedupAgg(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     def side(): DataFrame = eventsStream(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
     val deduped = side().unionAll(side())
@@ -231,7 +252,7 @@ object StreamQueries {
     // arbitrary-state v2 requires the RocksDB state store; run on a
     // child session so the provider choice never leaks into the
     // caller's other streaming queries
-    val spark = spark0.newSession()
+    val spark = replaySession(spark0)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
@@ -259,7 +280,8 @@ object StreamQueries {
     * joins emit eagerly per micro-batch, so a bounded replay loses no
     * tail rows in append mode; the per-purchase rollup runs in batch
     * over the sunk pairs. */
-  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
     // event time truncated to SECONDS so the join bound is the exact
     // integer-second predicate the batch twin and the oracle use —
     // sub-second precision in the bound would flip boundary pairs
