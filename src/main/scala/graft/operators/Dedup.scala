@@ -272,10 +272,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Generic stage-once helper: compute → scratch parquet on first
+    * use per (app, sf dir), read the staged copy after — the
+    * deployed shape for every relation with multiple consumers
+    * (calibration pairs, pair graphs, closures), same discipline as
+    * the IVF / BM25 indexes. */
+  private def staged(spark: SparkSession, dir: String, tag: String)(
+      compute: => DataFrame): DataFrame = {
+    val path = graft.queries.SourcesSinks.tmp(spark, dir, tag)
+    if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      compute.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a posting-list equi-join on
-    * the shingle hash (pairs only form for docs sharing a shingle). */
+    * the shingle hash (pairs only form for docs sharing a shingle).
+    * Staged once per (app, sf): the pair graph feeds this query, the
+    * connected components, and keep-best — one posting join, not
+    * three. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccard(spark, dir, None)
+    stagedJaccard(spark, dir).orderBy("doc_a", "doc_b")
+
+  private def stagedJaccard(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "ngram_jaccard_pairs")(ngramJaccard(spark, dir, None))
 
   /** dfCap as in [[shinglePostings]]: bounds the worst posting list
     * (the N² pair mass of boilerplate shingles) at 100 TB; None is
@@ -347,20 +366,25 @@ object Dedup {
     * algorithm analog of the postings staging above). Output: every
     * clustered doc with its canonical (minimum) doc id and the
     * cluster size. */
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    val labels = minLabelComponents(
-      ngramJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
-      .select(col("node").as("doc_id"), col("label").as("component_id"))
-    // size via groupBy + join-back: a count window over component_id
-    // would buffer a mega-cluster (the 10⁸-copy boilerplate page) in
-    // one task; the hash agg combines map-side and AQE can split it
-    val sizes = labels.groupBy("component_id")
-      .agg(count(lit(1)).as("component_size"))
-    labels
-      .join(sizes, Seq("component_id"), "inner")
-      .select("doc_id", "component_id", "component_size")
-      .orderBy("doc_id")
-  }
+  def components(spark: SparkSession, dir: String): DataFrame =
+    stagedComponents(spark, dir).orderBy("doc_id")
+
+  /** the closure is staged too: its other consumer (keep-best) must
+    * not re-run the propagation fixpoint. */
+  private def stagedComponents(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "dedup_components") {
+      val labels = minLabelComponents(
+        stagedJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("component_id"))
+      // size via groupBy + join-back: a count window over component_id
+      // would buffer a mega-cluster (the 10⁸-copy boilerplate page) in
+      // one task; the hash agg combines map-side and AQE can split it
+      val sizes = labels.groupBy("component_id")
+        .agg(count(lit(1)).as("component_size"))
+      labels
+        .join(sizes, Seq("component_id"), "inner")
+        .select("doc_id", "component_id", "component_size")
+    }
 
   /** Iterative min-label propagation over an undirected pair graph —
     * the distributed transitive closure shared by every clustering
@@ -425,7 +449,7 @@ object Dedup {
     * docs. */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = minLabelComponents(
-      embeddingCosine(spark, dir).select("vec_a", "vec_b"), "vec_a", "vec_b")
+      stagedEmbeddingCosine(spark, dir).select("vec_a", "vec_b"), "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
@@ -454,7 +478,7 @@ object Dedup {
     * AQE-splittable where a per-component window would buffer a
     * mega-cluster in one task. */
   def keepBest(spark: SparkSession, dir: String): DataFrame = {
-    val comp = components(spark, dir).select("doc_id", "component_id")
+    val comp = stagedComponents(spark, dir).select("doc_id", "component_id")
     val quality = TextAnalysis.quality(spark, dir).select("doc_id", "quality_score")
     val scored = documents(spark, dir).select("doc_id", "lang")
       .join(comp, Seq("doc_id"), "left_outer")
@@ -475,8 +499,15 @@ object Dedup {
     * bits (md5-seeded, engine-reproducible) → 4-band LSH candidates →
     * exact cosine ≥ 0.4 verify. Approximate-by-design: the candidate
     * set is the LSH one, but deterministic, so the oracle replays it
-    * exactly. */
-  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    * exactly. Staged once per (app, sf): the pair relation also
+    * seeds the semantic-cluster closure. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    stagedEmbeddingCosine(spark, dir).orderBy("vec_a", "vec_b")
+
+  private def stagedEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "embedding_cosine_pairs")(embeddingCosineCompute(spark, dir))
+
+  private def embeddingCosineCompute(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Vectors.signatures(embeddings(spark, dir))
       .withColumn("bands", expr(
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
@@ -571,12 +602,8 @@ object Dedup {
     * threshold sweep (and any later retune), so the signature +
     * posting pipeline runs once, not once per consumer. Same
     * stage-once discipline as the IVF / BM25 indexes. */
-  private def stagedAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.queries.SourcesSinks.tmp(spark, dir, "minhash_accuracy")
-    if (!new java.io.File(s"$path/_SUCCESS").isFile)
-      minhashAccuracyCompute(spark, dir).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+  private def stagedAccuracy(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "minhash_accuracy")(minhashAccuracyCompute(spark, dir))
 
   private def minhashAccuracyCompute(spark: SparkSession, dir: String): DataFrame = {
     val post = shinglePostings(spark, dir).localCheckpoint()
