@@ -54,8 +54,16 @@ object Dedup {
     * partitioning from the lead() window is reused, so neither the
     * distinct nor the count adds a shuffle. */
   private[graft] def shinglePostings(spark: SparkSession, dir: String,
-      dfCap: Option[Int] = None): DataFrame =
-    shinglePostingsOf(documents(spark, dir), dfCap)
+      dfCap: Option[Int] = None): DataFrame = dfCap match {
+    // the canonical (uncapped) posting relation feeds seven
+    // operators (simhash, jaccard, containment, novelty, signatures,
+    // calibration, fuzzy verify) — stage it once per (app, sf dir)
+    // instead of re-exploding the corpus per consumer; capped forms
+    // are knob experiments and compute directly
+    case None => staged(spark, dir, "shingle_postings")(
+      shinglePostingsOf(documents(spark, dir), None))
+    case some => shinglePostingsOf(documents(spark, dir), some)
+  }
 
   /** Generic core over ANY corpus relation with (doc_id, text) —
     * the library entry point; the (spark, dir) forms are the
@@ -175,14 +183,19 @@ object Dedup {
   }
 
   def minhashLsh(spark: SparkSession, dir: String, dfCap: Option[Int]): DataFrame =
-    minhashLshOn(documents(spark, dir), dfCap)
+    dfCap match {
+      // uncapped: consume the staged posting relation (already
+      // materialized — no checkpoint needed)
+      case None => minhashLshFromPost(shinglePostings(spark, dir))
+      case some => minhashLshOn(documents(spark, dir), some)
+    }
 
   /** generic core: MinHash+LSH near-dup pairs over any (doc_id, text)
     * relation — the library entry point a user calls on their own
     * corpus (requires graft_minhash_sig registered on the session,
     * which Tables.table does per session; call
     * GraftFunctions.register(spark) when bypassing Tables). */
-  def minhashLshOn(docs: DataFrame, dfCap: Option[Int] = None): DataFrame = {
+  def minhashLshOn(docs: DataFrame, dfCap: Option[Int] = None): DataFrame =
     // Stage postings once: the signature branch and the jaccard-verify
     // branch both consume them, but the candidate filter on the verify
     // side breaks exchange-subtree identity, so ReuseExchange cannot
@@ -190,7 +203,9 @@ object Dedup {
     // materializes the (small relative to the corpus) posting list a
     // single time and truncates lineage — the 100 TB shape is the
     // same: stage postings to a temp table, then fan out.
-    val post = shinglePostingsOf(docs, dfCap).localCheckpoint()
+    minhashLshFromPost(shinglePostingsOf(docs, dfCap).localCheckpoint())
+
+  private def minhashLshFromPost(post: DataFrame): DataFrame = {
     val cand = lshCandidates(minhashSigs(post))
     // verify with exact jaccard — postings filtered to candidate docs
     // first, so at scale the verify join is proportional to the
@@ -606,7 +621,7 @@ object Dedup {
     staged(spark, dir, "minhash_accuracy")(minhashAccuracyCompute(spark, dir))
 
   private def minhashAccuracyCompute(spark: SparkSession, dir: String): DataFrame = {
-    val post = shinglePostings(spark, dir).localCheckpoint()
+    val post = shinglePostings(spark, dir) // staged: already materialized
     val sigs = minhashSigs(post)
     val cand = lshCandidates(sigs)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -664,7 +679,7 @@ object Dedup {
     * Standard DP levenshtein is engine-identical, so the whole
     * refinement replays in the oracle. */
   def fuzzyVerify(spark: SparkSession, dir: String): DataFrame = {
-    val post = shinglePostings(spark, dir).localCheckpoint()
+    val post = shinglePostings(spark, dir) // staged: already materialized
     val cand = lshCandidates(minhashSigs(post))
     val pfx = documents(spark, dir)
       .select(col("doc_id"), substring(expr(normTextExpr), 1, 64).as("pfx"))
