@@ -748,6 +748,10 @@ object Dedup {
       .withColumn("w2", lead("w", 2).over(byDoc))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("pos"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
+      // staged once: the recurrence agg and the semi-join back both
+      // consume the token-mass positional postings — without the
+      // checkpoint each branch would re-explode the corpus
+      .localCheckpoint()
     val recurring = sh.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1).select("h")
     val flagged = sh
