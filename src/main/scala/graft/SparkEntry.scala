@@ -51,6 +51,7 @@ object SparkEntry {
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
     "scan_bloom_pointlookup" -> SourcesSinks.bloomPointLookup _,
     "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
+    "sink_encrypted_roundtrip" -> SourcesSinks.encryptedRoundtrip _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
     "expr_string_funcs"   -> Exprs.stringFuncs _,
@@ -1373,6 +1374,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(('0x'||substring(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT)
         |      = 886263699231969848""".stripMargin,
+    // encryption must be invisible in the values: the oracle runs the
+    // same aggregate on the plain table
+    "sink_encrypted_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the dictionary-page skipping must be invisible in the values:
     // the oracle replays the low-NDV tag probe on the base table
     "scan_dict_filter" ->

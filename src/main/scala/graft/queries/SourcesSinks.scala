@@ -534,6 +534,44 @@ object SourcesSinks {
   def dictFilterScan(spark: SparkSession, dir: String): DataFrame =
     dictFilterRead(spark, dictFilterWrite(spark, dir, "lineitem_dictfilter", dict = true))
 
+  /** Parquet MODULAR ENCRYPTION roundtrip — encryption at rest, the
+    * compliance requirement every 100 TB lake carries: column data
+    * and the footer are AES-GCM encrypted per parquet-format's
+    * modular spec (readable only through the KMS; the file tail
+    * carries the PARE magic instead of PAR1, spec-asserted), while
+    * scan structure survives — the reader still prunes columns and
+    * pushes predicates because each column is independently
+    * encrypted. Keys flow through parquet-mr's pluggable KmsClient
+    * ([[graft.sources.GraftKms]] here; production points the same
+    * config at its vault) with local envelope wrapping, so the KMS
+    * is contacted per master key, not per file. The sensitive
+    * columns get their own key (column-scoped access control), the
+    * footer its own. Values must be invisible to the oracle: the
+    * aggregate equals the plain table's. */
+  def encryptedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    // inert for plain files: the factory only encrypts when key
+    // options are present on the write, and only decrypts files that
+    // carry crypto metadata
+    hc.set("parquet.crypto.factory.class",
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+    hc.set("parquet.encryption.kms.client.class", "graft.sources.GraftKms")
+    val path = tmp(spark, dir, "lineitem_encrypted")
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite")
+      .option("parquet.encryption.footer.key", "kf")
+      .option("parquet.encryption.column.keys",
+        "kc:l_extendedprice,l_quantity")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Parquet schema evolution — a corpus written over months grows
     * columns; readers must union old and new footers without a
     * rewrite. Batch 1 (even order keys) predates the status column,

@@ -319,6 +319,37 @@ class SourcesSpec extends SparkSpec {
       s"bloom skipped nothing: bloom=$bloomRows control=$controlRows")
   }
 
+  test("encrypted sink: files carry the PARE magic, values roundtrip exactly") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SourcesSinks.encryptedRoundtrip(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == want)
+    // the parquet modular-encryption spec replaces the plaintext PAR1
+    // tail magic with PARE when the footer is encrypted — the
+    // on-disk proof the sink really encrypted, not just roundtripped
+    val dir = new java.io.File(
+      queries.SourcesSinks.tmp(spark, sf, "lineitem_encrypted"))
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        raf.seek(f.length() - 4)
+        val magic = new Array[Byte](4)
+        raf.readFully(magic)
+        assert(new String(magic, "US-ASCII") == "PARE",
+          s"${f.getName} not footer-encrypted: ${new String(magic, "US-ASCII")}")
+      } finally raf.close()
+    }
+  }
+
   test("dictionary filtering skips row groups whose dictionary lacks the probe value") {
     import org.apache.spark.sql.functions._
     val dictPath = queries.SourcesSinks.dictFilterWrite(spark, sf, "lineitem_dict", dict = true)
