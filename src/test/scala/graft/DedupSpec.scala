@@ -409,6 +409,27 @@ class DedupSpec extends SparkSpec {
     assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
   }
 
+  test("exact dedup survives a planted hot digest with exact group accounting") {
+    // the scenario the groupBy+join-back shape exists for: one
+    // boilerplate text repeated 200k times (the empty/parked page at
+    // corpus scale) next to a handful of unique docs. The hot key
+    // must flow through map-side-combined partial aggregation and an
+    // AQE-splittable join — and the accounting must stay exact.
+    import spark.implicits._
+    val hot = spark.range(200000)
+      .selectExpr("id AS doc_id", "'same boilerplate page text' AS text")
+    val unique = spark.range(200000, 200005)
+      .selectExpr("id AS doc_id", "concat('unique ', id) AS text")
+    val out = operators.Dedup.exactOn(hot.unionAll(unique))
+    val rows = out.collect()
+    assert(rows.length == 200005)
+    val hotRows = rows.filter(_.getAs[Long]("group_size") == 200000L)
+    assert(hotRows.length == 200000)
+    assert(hotRows.forall(_.getAs[Long]("canonical_id") == 0L))
+    assert(hotRows.count(_.getAs[Boolean]("is_canonical")) == 1)
+    assert(rows.count(_.getAs[Long]("group_size") == 1L) == 5)
+  }
+
   test("no WindowExec partitions on a skewable hash/content key in any dedup plan") {
     // A window partitioned by a content-derived key (digest, shingle
     // hash, chunk md5, component id) has no map-side combine and no
