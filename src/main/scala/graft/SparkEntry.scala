@@ -118,6 +118,8 @@ object SparkEntry {
     "ev_retention"       -> Analytic.retention _,
     "ev_asof_attribution" -> Analytic.asofAttribution _,
     "ev_range_join"       -> Analytic.rangeJoin _,
+    "ev_multitouch"       -> Analytic.multitouch _,
+    "ev_value_cdf"        -> Analytic.valueCdf _,
     "ev_histogram"        -> Analytic.valueHistogram _,
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
@@ -1858,6 +1860,28 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // linear multi-touch: 1/n conversion shares as exact integer
+    // nano-credits (10^9 div n), so the per-click sums are order-free
+    "ev_multitouch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, sec AS c_sec FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |pr AS (SELECT p.purchase_id, c.click_id FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec),
+        |n AS (SELECT purchase_id, count(*) AS n_touch FROM pr GROUP BY purchase_id)
+        |SELECT click_id, count(*) AS n_purchases,
+        |  CAST(sum(1000000000 // n_touch) AS BIGINT) AS credit_nanos,
+        |  CAST(CAST(sum(1000000000 // n_touch) AS BIGINT) AS DOUBLE) / 1000000000.0 AS credit
+        |FROM pr JOIN n USING (purchase_id)
+        |GROUP BY click_id ORDER BY click_id""".stripMargin,
+    // global per-type empirical CDF: cume_dist's exact count(<=v)/n
+    // integer ratio, replayed over the full event relation
+    "ev_value_cdf" ->
+      """SELECT event_id, event_type,
+        | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        | cume_dist() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(value AS DECIMAL(18,2))) AS cd
+        |FROM events ORDER BY event_id""".stripMargin,
     // integer bucket math (cents via DECIMAL(18,2)) so boundaries are
     // engine-exact; both engines floor-divide non-negative bigints
     "ev_histogram" ->

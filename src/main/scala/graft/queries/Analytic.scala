@@ -240,6 +240,64 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** Linear multi-touch attribution — the credit model BETWEEN
+    * last-touch ([[asofNative]]/[[asofTolerance]]) and the raw pair
+    * counts ([[rangeJoin]]): every click in a purchase's trailing
+    * hour receives an equal 1/n share of that conversion, summed per
+    * click. Exact accounting: the share is the INTEGER division
+    * 10⁹ div n (nano-credits) so per-click sums are order-free
+    * BIGINT arithmetic, never a float sum of 1/n — both engines
+    * agree to the last nano. Shape: the same bucketed equi-join as
+    * rangeJoin (never an inequality BNLJ), one tiny per-purchase
+    * count joined back, one per-click agg. */
+  def multitouch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("sec").as("c_sec"), expr("sec div 3600").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("p_sec"))
+      .withColumn("bucket",
+        explode(array(expr("p_sec div 3600 - 1"), expr("p_sec div 3600"))))
+    val pairs = purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_sec") >= col("p_sec") - 3600 && col("c_sec") < col("p_sec"))
+      .select("purchase_id", "click_id")
+    val n = pairs.groupBy("purchase_id").agg(count(lit(1)).as("n_touch"))
+    pairs.join(n, "purchase_id")
+      .withColumn("credit_nanos", expr("CAST(1000000000 AS BIGINT) div n_touch"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("credit_nanos").as("credit_nanos"))
+      .withColumn("credit", col("credit_nanos").cast("double") / lit(1e9))
+      .orderBy("click_id")
+  }
+
+  /** GLOBAL empirical CDF of event values per type — the
+    * distribution readout behind percentile dashboards and outlier
+    * thresholds, in the SCALE-SAFE form: cume_dist() windowed by a
+    * 5-value event_type would put a fifth of the corpus in one
+    * task's sort, so the CDF is computed on the COMPRESSED value
+    * domain instead (values are 2-decimal — the agg_weighted_median
+    * discipline): per (type, value) counts, one running sum over the
+    * domain-bounded relation, joined back to events. cume_dist's
+    * exact integer ratio count(≤v)/n survives, engine-identical. */
+  def valueCdf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("event_type"),
+      col("value").cast(D).as("v"))
+    val counts = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val byV = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum("c").over(byV))
+    val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ev.join(cum, Seq("event_type", "v"))
+      .join(tot, "event_type")
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+      .orderBy("event_id")
+  }
+
   /** Relative-rank surface: percent_rank and cume_dist per customer.
     * The unique (totalprice, orderkey) order means no ties, so both
     * are exact small-integer ratios — engine-identical doubles. */
