@@ -47,12 +47,14 @@ class ScaleTrendSpec extends SparkSpec {
   // mm_image_ahash: the pigeonhole-blocked signature pair path
   // emb_knn_classify: the leave-one-out vote path whose topk/pred
   // relations grow with |probes|·k (AQE decides their join sides)
+  // ev_value_cdf: the compressed-domain CDF join-back (its window
+  // must stay value-domain-bounded, never corpus-bounded)
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
       "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk",
       "ev_asof_native", "vocab_bpe_merges", "mm_image_ahash",
-      "emb_knn_classify")) {
+      "emb_knn_classify", "ev_value_cdf")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
