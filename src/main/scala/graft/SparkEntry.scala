@@ -197,6 +197,7 @@ object SparkEntry {
     "text_quality"     -> TextAnalysis.quality _,
     "text_readability" -> TextAnalysis.readability _,
     "text_tokens"      -> TextAnalysis.tokens _,
+    "text_diversity"   -> TextAnalysis.diversity _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
@@ -2793,6 +2794,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(norm) AS DOUBLE) / len(regexp_extract_all(norm, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Simpson diversity, not Shannon: ln() differs across engine
+    // libm builds; (n^2 - sum(c^2))/n^2 is exact integer arithmetic
+    "text_diversity" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        count(*) AS n_types,
+        |        CAST(sum(c*c) AS BIGINT) AS sumsq,
+        |        max(c) AS max_c
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_tokens*n_tokens - sumsq AS DOUBLE)
+        |    / CAST(n_tokens*n_tokens AS DOUBLE) AS simpson_diversity,
+        |  CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

@@ -147,6 +147,31 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
+  /** Lexical diversity / repetition per doc — the quality signal
+    * that catches low-diversity spam (keyword stuffing, template
+    * loops) that length/punct ratios miss: type-token ratio, the
+    * Gini–Simpson diversity 1 − Σp² (the probability two random
+    * tokens differ — deliberately NOT Shannon entropy, whose ln()
+    * differs across engine libm builds; Simpson is pure integer
+    * arithmetic: (n² − Σc²)/n², engine-exact), and the top token's
+    * share. One explode → per-(doc, token) hash agg → per-doc agg;
+    * all partitions bounded by doc vocabulary. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sumsq"),
+        max("c").as("max_c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        ((col("n_tokens") * col("n_tokens") - col("sumsq")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson_diversity"),
+        (col("max_c").cast("double") / col("n_tokens").cast("double")).as("top_token_share"))
+      .orderBy("doc_id")
+
   /** one shared shingling pipeline for the occurrence-count family:
     * (doc_id, lang, trigram) via posexplode + 2x lead — a single
     * definition so a normalization/shingle change cannot silently
