@@ -109,6 +109,7 @@ object SparkEntry {
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
+    "ev_asof_next"         -> Analytic.asofNext _,
     "ev_user_lifetime"     -> Analytic.userLifetime _,
     "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
@@ -890,6 +891,21 @@ object SparkEntry {
         |    AND p.ts_sec - c.c_sec <= 3600)
         |SELECT event_id, user_id, ts_sec, click_id, c_sec AS last_click_sec,
         |  ts_sec - c_sec AS gap_sec
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
+    // forward direction: earliest purchase >= the view's ts within
+    // 24h; ties at a second resolve to the LARGEST purchase id
+    "ev_asof_next" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |v AS (SELECT event_id, user_id, sec AS ts_sec FROM e WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT v.event_id, v.user_id, v.ts_sec, p.purchase_id, p.p_sec,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY p.p_sec ASC NULLS LAST, p.purchase_id DESC NULLS LAST) AS rk
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.p_sec >= v.ts_sec
+        |    AND p.p_sec - v.ts_sec <= 86400)
+        |SELECT event_id, user_id, ts_sec, purchase_id,
+        |  p_sec AS next_purchase_sec, p_sec - ts_sec AS wait_sec
         |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
     // lag-1..3 Pearson ACF from exact BIGINT power sums
     "ev_autocorr" ->

@@ -247,4 +247,27 @@ object AsOf {
         lRes(leftTs), rRes(rightTs), rightTies.map(rRes(_)),
         tolerance, la, ra))
   }
+
+  /** FORWARD as-of join (merge_asof direction='forward' — the
+    * time-to-next-event primitive): every row of `left` plus the
+    * EARLIEST `right` row with equal `keys` and `rightTs` ≥ `leftTs`
+    * (ties at the same timestamp resolved to the LARGEST
+    * `rightTies` — pass a total order); `tolerance` (if set) bounds
+    * the match to rightTs − leftTs ≤ tolerance. Implemented as the
+    * backward merge on NEGATED timestamps — the same AsOfJoinExec,
+    * zero new operator code; the timestamp columns must therefore be
+    * numeric (bigint/int — the repo's epoch convention), not
+    * timestamp-typed. */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTs: String, rightTs: String, rightTies: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lNeg = "__graft_neg_lts"
+    val rNeg = "__graft_neg_rts"
+    join(
+      left.withColumn(lNeg, -col(leftTs)),
+      right.withColumn(rNeg, -col(rightTs)),
+      keys, lNeg, rNeg, rightTies, tolerance)
+      .drop(lNeg, rNeg)
+  }
 }

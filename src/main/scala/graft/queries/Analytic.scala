@@ -209,6 +209,29 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of on the native operator ([[graft.plans.AsOf.joinForward]]):
+    * per view event, the user's NEXT purchase within 24 h — the
+    * time-to-convert readout funnels chart, and merge_asof's
+    * direction='forward' completing the backward/tolerance surface.
+    * Views with no purchase inside the day null-pad (LEFT OUTER);
+    * ties at the same second resolve to the largest purchase id (the
+    * forward merge's documented total order). */
+  def asofNext(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), tsSec.as("ts_sec"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_sec").as("p_sec"))
+    graft.plans.AsOf.joinForward(views, purchases, Seq("user_id" -> "p_user"),
+        "ts_sec", "p_sec", Seq("purchase_id"), tolerance = Some(86400L))
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("purchase_id"),
+        col("p_sec").as("next_purchase_sec"),
+        (col("p_sec") - col("ts_sec")).as("wait_sec"))
+      .orderBy("event_id")
+  }
+
   /** Time-range join via bucketing: each purchase counts the same
     * user's clicks in the preceding hour. The naive formulation — an
     * inequality join on `c.ts BETWEEN p.ts-1h AND p.ts` — has no

@@ -102,6 +102,36 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> None, 3L -> Some(101L)))
   }
 
+  test("forward join: earliest at-or-after match, largest-tie rule, tolerance bound") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // rights at 100 (two: 103,104) and 150 → ts 100, rid 104
+      (2L, 10L, 120L), // next right is 150
+      (3L, 10L, 200L), // no right at/after 200 → null
+      (4L, 20L, 50L)   // right at 500: gap 450 — outside tolerance 100
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (103L, 10L, 100L), (104L, 10L, 100L), (105L, 10L, 150L),
+      (201L, 20L, 500L)
+    ).toDF("rid", "rk", "rts")
+    def run(tol: Option[Long]): Map[Long, Option[(Long, Long)]] =
+      graft.plans.AsOf.joinForward(left, right, Seq("k" -> "rk"),
+          "ts", "rts", Seq("rid"), tol)
+        .select("lid", "rid", "rts").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(run(None) == Map(
+      1L -> Some((104L, 100L)), // inclusive bound + largest-tie rule
+      2L -> Some((105L, 150L)),
+      3L -> None,
+      4L -> Some((201L, 500L))))
+    assert(run(Some(100L)) == Map(
+      1L -> Some((104L, 100L)),
+      2L -> Some((105L, 150L)), // gap 30 ≤ 100
+      3L -> None,
+      4L -> None)) // gap 450 > 100: no fallback
+  }
+
   test("mismatched shapes fail fast instead of silently mis-comparing") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("lid", "k", "ts")
