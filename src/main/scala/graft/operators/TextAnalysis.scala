@@ -157,7 +157,12 @@ object TextAnalysis {
     * share. One explode → per-(doc, token) hash agg → per-doc agg;
     * all partitions bounded by doc vocabulary. */
   def diversity(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    diversityOn(documents(spark, dir))
+
+  /** generic core: lexical diversity over any (doc_id, text)
+    * relation — the library entry point. */
+  def diversityOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")

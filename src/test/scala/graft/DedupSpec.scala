@@ -372,6 +372,12 @@ class DedupSpec extends SparkSpec {
     val q = operators.TextAnalysis.quality(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality_score"))).toMap
     assert(q2 == q)
+    val d2 = operators.TextAnalysis.diversityOn(docs2).collect()
+      .map(r => (r.getAs[Long]("doc_id") - 5000,
+        r.getAs[Double]("simpson_diversity"))).toMap
+    val d = operators.TextAnalysis.diversity(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("simpson_diversity"))).toMap
+    assert(d2 == d)
   }
 
   test("generic ANN core: known cosine ordering on a hand-built vector relation") {
