@@ -270,6 +270,7 @@ object SparkEntry {
     "stream_tumbling_append" -> graft.streaming.StreamQueries.tumblingAppend _,
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
     "stream_session_append" -> graft.streaming.StreamQueries.sessionAppend _,
+    "stream_late_drop"     -> graft.streaming.StreamQueries.lateDrop _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
@@ -1977,6 +1978,19 @@ object SparkEntry {
     // instances); the oracle is the clean single-copy aggregate — it
     // matches only if dropDuplicatesWithinWatermark removed exactly
     // the planted redeliveries
+    // late-data drop: rows of the late-delivered 5% slice older than
+    // the post-batch-1 watermark (max on-time event ms - 2h) are
+    // dropped by the stateful agg; everything else aggregates
+    "stream_late_drop" ->
+      """WITH e AS (SELECT event_id, event_type, value, epoch_ns(ts)//1000 AS us,
+        |        epoch_ns(ts)//1000000000//3600*3600 AS hour_sec FROM events),
+        |wm AS (SELECT max(us)//1000 - 7200000 AS wm_ms FROM e WHERE event_id % 20 <> 0),
+        |kept AS (SELECT e.* FROM e, wm
+        |         WHERE event_id % 20 <> 0 OR (hour_sec + 3600) * 1000 > wm_ms)
+        |SELECT hour_sec, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM kept GROUP BY hour_sec, event_type
+        |ORDER BY hour_sec, event_type""".stripMargin,
     // append-mode sessions: the same island sessionization, emitting
     // only sessions whose end (last event + gap) the final watermark
     // passed — µs-precise end vs the ms-floored watermark, Spark's

@@ -37,7 +37,7 @@ object SourcesSinks {
     s"$root/${tag}_${math.abs(dir.hashCode)}"
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // never descend through a symlink: a link planted under the
     // scratch root must not have its TARGET's contents deleted —
     // remove the link itself only

@@ -208,6 +208,82 @@ object StreamQueries {
       .orderBy("user_id", "start_sec")
   }
 
+  /** Three-file staging for the LATE-DATA replay: a 5% slice of
+    * events (event_id % 20 == 0) is withheld from the first file and
+    * delivered LAST, after a small "tick" slice (% 20 == 1) — the
+    * at-least-once redelivery / out-of-order upstream a real feed
+    * produces. Three files because of Spark's two-watermark batch
+    * contract (late-events filtering uses the PREVIOUS batch's
+    * watermark, state eviction the current one): the tick batch is
+    * what activates the on-time batch's watermark for late-event
+    * filtering, so the third batch's stale rows are genuinely
+    * dropped. The file source orders its backlog by mtime, so with
+    * maxFilesPerTrigger=1 the batch order is deterministic. */
+  private def stageLateDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = graft.queries.SourcesSinks.tmp(spark, dir, "events_stream_late")
+      val marker = java.nio.file.Paths.get(d, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmpDir = s"$d/__tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(d, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime): Unit
+          graft.queries.SourcesSinks.deleteRecursively(new java.io.File(tmpDir))
+        }
+        val t0 = 1600000000000L // fixed epoch-ms: replay-stable ordering
+        writeOne(ev.filter(col("event_id") % 20 > 1), "a_ontime", t0)
+        writeOne(ev.filter(col("event_id") % 20 === 1), "c_tick", t0 + 60000)
+        writeOne(ev.filter(col("event_id") % 20 === 0), "d_late", t0 + 120000)
+        java.nio.file.Files.createFile(marker)
+      }
+      d
+    }
+
+  /** LATE-DATA DROP accounting — the out-of-order contract an
+    * unbounded deployment lives with, which the single-file replays
+    * above never exercise: once the watermark from the first two
+    * batches is active for late-event filtering, rows of the
+    * final (late-redelivered) batch whose window closed are DROPPED
+    * by the stateful aggregation — exactly the data a production
+    * pipeline silently loses when an upstream redelivers beyond the
+    * lateness SLA (numRowsDroppedByWatermark is the metric that
+    * counts them; the probe measured all 50 planted late rows
+    * landing there). Update output (complete mode never drops —
+    * the mode keeps all state, so nothing is "too late"); the
+    * newest per-window emission wins in the parity fold (counts are
+    * monotone). The oracle replays the drop rule exactly: a late
+    * row survives iff its window END is beyond the late-filter
+    * watermark (max on-time∪tick event ms − 2 h), per Spark's
+    * previous-batch watermark contract. */
+  def lateDrop(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val path = stageLateDir(spark, dir)
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+      .withColumn("ts", Tables.epochNsOf(phys, "ts"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    runBounded(spark, agg, "update")
+      .groupBy(unix_timestamp(col("w.start")).as("hour_sec"), col("event_type"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+      .select(col("hour_sec"), col("event_type"),
+        col("s.n_events").as("n_events"), col("s.sum_value").as("sum_value"))
+      .orderBy("hour_sec", "event_type")
+  }
+
   /** Streaming exact dedup under duplicate delivery: the same file
     * read by TWO independent stream sources and unioned — every event
     * arrives exactly twice, the at-least-once redelivery a real feed

