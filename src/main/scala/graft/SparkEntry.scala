@@ -234,6 +234,7 @@ object SparkEntry {
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
+    "mm_scene_cuts"      -> Multimodal.sceneCuts _,
     "mm_audio_frames"    -> Multimodal.audioFrames _,
     "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -3384,6 +3385,27 @@ object SparkEntry {
         |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // scene cuts: the same frame grid, signature = first md5 hex digit
+    // (the stub frame distance), islands on signature changes
+    "mm_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) >= 32),
+        |f AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx, text
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |    CAST(('0x' || substring(md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)), 1, 1)) AS BIGINT) AS fsig
+        |  FROM f),
+        |l AS (SELECT *, lag(fsig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM s),
+        |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> fsig THEN 1 ELSE 0 END AS is_cut FROM l),
+        |g AS (SELECT *, CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id FROM c),
+        |sc AS (SELECT doc_id, scene_id, count(*) AS scene_frames FROM g GROUP BY doc_id, scene_id)
+        |SELECT doc_id, CAST(sum(scene_frames) AS BIGINT) AS n_sampled,
+        |  count(*) AS n_scenes, max(scene_frames) AS longest_scene
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // §2.11 wider SQL surface
     "sql_earliest_order" ->

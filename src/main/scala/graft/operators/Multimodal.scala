@@ -54,6 +54,45 @@ object Multimodal {
       .select("doc_id", "n_frames", "frame_idx", "frame_md5")
       .orderBy("doc_id", "frame_idx")
 
+  /** Shot/scene segmentation over the sampled frame grid — the video
+    * curation pass that turns raw footage into training clips: walk
+    * the sampled frames in order, flag a CUT where consecutive frame
+    * signatures differ, and segment the frames into scenes (the
+    * island trick on the cut flags), reporting per asset the scene
+    * count and the longest scene. The frame signature is the
+    * documented stub (a 4-bit bucket of the frame bytes' md5 — a
+    * real deployment swaps in a perceptual frame distance; the stub
+    * keeps the boundary statistics non-trivial and both engines
+    * replay it exactly). The SHAPE is the operator: per-asset
+    * lag/running-sum windows bounded by frames-per-asset, one
+    * scene-level agg, one asset-level rollup — never a self-join of
+    * frames, and sampling happens before any per-frame work. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val frames = documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_frames", expr("octet_length(payload) div 32").cast("bigint"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 4)")).as("frame_idx"))
+      .withColumn("fsig", expr(
+        "CAST(conv(substring(md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)), 1, 1), 16, 10) AS BIGINT)"))
+    frames
+      .withColumn("prev", lag("fsig", 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNull || col("prev") =!= col("fsig"), 1L).otherwise(0L))
+      .withColumn("scene_id", sum("is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "scene_id")
+      .agg(count(lit(1)).as("scene_frames"))
+      .groupBy("doc_id")
+      .agg(sum("scene_frames").as("n_sampled"),
+        count(lit(1)).as("n_scenes"),
+        max("scene_frames").as("longest_scene"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash media dedup (average-hash / aHash family) — the
     * near-duplicate IMAGE detector a media lake runs where byte
     * digests (mm_dedup_binary) miss re-encodes: decode to a tiny
