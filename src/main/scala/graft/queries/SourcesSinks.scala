@@ -451,6 +451,9 @@ object SourcesSinks {
   private[graft] def bloomWrite(spark: SparkSession, dir: String, tag: String,
       bloom: Boolean): String = {
     val path = tmp(spark, dir, tag)
+    // fixture layout, staged once per (app, sf): the measured
+    // capability is the SCAN's bloom skipping, not the write
+    if (new java.io.File(s"$path/_SUCCESS").isFile) return path
     lineitem(spark, dir)
       .select(
         expr(graft.operators.Hash60.sql("CAST(l_orderkey AS STRING)"))
@@ -507,6 +510,9 @@ object SourcesSinks {
   private[graft] def dictFilterWrite(spark: SparkSession, dir: String, tag: String,
       dict: Boolean): String = {
     val path = tmp(spark, dir, tag)
+    // fixture layout, staged once per (app, sf): the measured
+    // capability is the SCAN's dictionary filtering, not the write
+    if (new java.io.File(s"$path/_SUCCESS").isFile) return path
     lineitem(spark, dir)
       .select(
         concat(lit("t"), lpad((col("l_orderkey") % 16).cast("string"), 2, "0"))
