@@ -256,6 +256,7 @@ object SparkEntry {
     "agg_multi_distinct"     -> SqlSurface.multiDistinct _,
     "sql_unpivot"            -> SqlSurface.unpivotRevenue _,
     "agg_corr_exact"         -> SqlSurface.corrExact _,
+    "agg_moments_exact"      -> SqlSurface.momentsExact _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
@@ -3881,6 +3882,35 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderstatus, 'rev_high', rev_high FROM wide
         |  UNION ALL SELECT o_orderstatus, 'rev_other', rev_other FROM wide)
         |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    // 3rd/4th moments from DECIMAL(38,0) power sums; the central-
+    // moment expression mirrors the Spark side's operation order
+    // exactly so the doubles agree bitwise
+    "agg_moments_exact" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(c AS DECIMAL(38,0))) AS s1,
+        |    sum(CAST(c*c AS DECIMAL(38,0))) AS s2,
+        |    sum(CAST(c*c*c AS DECIMAL(38,0))) AS s3,
+        |    sum(CAST(c*c*c*c AS DECIMAL(38,0))) AS s4
+        |  FROM (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events)
+        |  GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+        |  FROM g),
+        |c AS (
+        |  SELECT event_type, n, mu,
+        |    p2 - mu * mu AS m2,
+        |    p3 - 3.0 * mu * p2 + 2.0 * mu * mu * mu AS m3,
+        |    p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2 - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT event_type, n, mu / 100.0 AS mean_value, m2 AS m2_cents,
+        |  CASE WHEN m2 <> 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+        |  CASE WHEN m2 <> 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
+        |FROM c ORDER BY event_type""".stripMargin,
     "agg_corr_exact" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

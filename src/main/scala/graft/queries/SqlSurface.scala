@@ -407,6 +407,47 @@ object SqlSurface {
     * The built-in corr() is asserted against the exact value within
     * 1e-9 as a pinned boolean, the same contract pattern as
     * agg_approx_stats. */
+  /** Exact distribution-shape statistics — skewness and excess
+    * kurtosis per event type from ORDER-FREE integer power sums,
+    * extending [[corrExact]]'s discipline to the 3rd/4th moments:
+    * values quantize to cents (exact — the data is 2-decimal), the
+    * four power sums accumulate as DECIMAL(38,0) (c⁴ ≤ 10¹⁶ per row,
+    * so even 10¹² rows stay inside 38 digits — the 100 TB headroom
+    * ev_ab_test documents), and the central moments + ratios are a
+    * FIXED-order double expression both engines evaluate identically
+    * (skew/kurtosis are scale-invariant, so the cents unit cancels).
+    * The built-in skewness()/kurtosis() are order-dependent float
+    * folds — fine for one engine, unreplayable across two; this is
+    * the deterministic form a monitoring pipeline can diff across
+    * runs. Zero-variance groups yield NULL, the oracle's
+    * division-by-zero semantics. */
+  def momentsExact(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(D) * 100).cast("bigint").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).as("s1"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"),
+        sum((col("c") * col("c") * col("c")).cast(DecimalType(38, 0))).as("s3"),
+        sum((col("c") * col("c") * col("c") * col("c"))
+          .cast(DecimalType(38, 0))).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD - lit(3.0) * mu *
+      (col("s2").cast("double") / nD) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD - lit(4.0) * mu *
+      (col("s3").cast("double") / nD) + lit(6.0) * mu * mu *
+      (col("s2").cast("double") / nD) - lit(3.0) * mu * mu * mu * mu
+    g.select(col("event_type"), col("n"),
+        (mu / lit(100.0)).as("mean_value"),
+        m2.as("m2_cents"),
+        when(m2 =!= 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(m2 =!= 0.0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
   def corrExact(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .select(col("l_returnflag"),
