@@ -257,6 +257,7 @@ object SparkEntry {
     "sql_unpivot"            -> SqlSurface.unpivotRevenue _,
     "agg_corr_exact"         -> SqlSurface.corrExact _,
     "agg_moments_exact"      -> SqlSurface.momentsExact _,
+    "agg_bitmap_native"      -> SqlSurface.bitmapNative _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
@@ -3882,6 +3883,19 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderstatus, 'rev_high', rev_high FROM wide
         |  UNION ALL SELECT o_orderstatus, 'rev_other', rev_other FROM wide)
         |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    // the native bitmap aggregates must reproduce COUNT(DISTINCT)
+    // exactly; the bucket formula mirrors Spark's 1-based
+    // bitmap_bucket_number (positive ids 1-based, id 0 in bucket 0)
+    "agg_bitmap_native" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN user_id > 0 THEN (user_id - 1) // 32768 + 1
+        |         ELSE CAST(user_id / 32768 AS BIGINT) END AS bucket
+        |  FROM events)
+        |SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT bucket) AS n_buckets
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     // 3rd/4th moments from DECIMAL(38,0) power sums; the central-
     // moment expression mirrors the Spark side's operation order
     // exactly so the doubles agree bitwise

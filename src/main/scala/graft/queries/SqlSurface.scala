@@ -886,4 +886,25 @@ object SqlSurface {
         "n_buckets", "bitmap_matches")
       .orderBy("event_type")
   }
+
+  /** The NATIVE Spark 4 bitmap-aggregate surface
+    * (bitmap_bucket_number / bitmap_bit_position /
+    * bitmap_construct_agg / bitmap_count) — the engine-level twin of
+    * [[bitmapDistinct]]'s hand-rolled 63-bit partials: exact distinct
+    * users per event type as a two-level bitmap rollup (32 Ki-bit
+    * bitmaps per bucket, map-side combinable, shuffle payload =
+    * universe/32768 bitmaps per group instead of raw ids). The
+    * oracle is plain COUNT(DISTINCT) — the value the bitmaps must
+    * reproduce exactly. */
+  def bitmapNative(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("event_type", "bucket")
+      .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("bucket_distinct"))
+      .groupBy("event_type")
+      .agg(sum("bucket_distinct").as("n_users"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
 }
