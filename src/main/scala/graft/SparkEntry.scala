@@ -3901,30 +3901,27 @@ object SparkEntry {
     // exactly so the doubles agree bitwise
     "agg_moments_exact" ->
       """WITH g AS (
-        |  SELECT event_type, count(*) AS n,
-        |    sum(CAST(c AS DECIMAL(38,0))) AS s1,
-        |    sum(CAST(c*c AS DECIMAL(38,0))) AS s2,
-        |    sum(CAST(c*c*c AS DECIMAL(38,0))) AS s3,
-        |    sum(CAST(c*c*c*c AS DECIMAL(38,0))) AS s4
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s1,
+        |    sum(CAST(c AS HUGEINT)*c) AS s2,
+        |    sum(CAST(c AS HUGEINT)*c*c) AS s3,
+        |    sum(CAST(c AS HUGEINT)*c*c*c) AS s4
         |  FROM (SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events)
         |  GROUP BY event_type),
         |m AS (
-        |  SELECT event_type, n,
-        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
-        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
-        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
-        |  FROM g),
-        |c AS (
-        |  SELECT event_type, n, mu,
-        |    p2 - mu * mu AS m2,
-        |    p3 - 3.0 * mu * p2 + 2.0 * mu * mu * mu AS m3,
-        |    p4 - 4.0 * mu * p3 + 6.0 * mu * mu * p2 - 3.0 * mu * mu * mu * mu AS m4
-        |  FROM m)
-        |SELECT event_type, n, mu / 100.0 AS mean_value, m2 AS m2_cents,
-        |  CASE WHEN m2 <> 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
-        |  CASE WHEN m2 <> 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_excess
-        |FROM c ORDER BY event_type""".stripMargin,
+        |  SELECT event_type, n, s1,
+        |    n*s2 - s1*s1 AS M2,
+        |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS M3,
+        |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS M4
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+        |  CAST(M2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2_cents,
+        |  CASE WHEN CAST(M2 AS DOUBLE) <> 0.0 THEN
+        |    CAST(M3 AS DOUBLE) / (CAST(M2 AS DOUBLE) * sqrt(CAST(M2 AS DOUBLE))) END AS skewness,
+        |  CASE WHEN CAST(M2 AS DOUBLE) <> 0.0 THEN
+        |    CAST(M4 AS DOUBLE) / (CAST(M2 AS DOUBLE) * CAST(M2 AS DOUBLE)) - 3.0 END AS kurtosis_excess
+        |FROM m ORDER BY event_type""".stripMargin,
     "agg_corr_exact" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -432,19 +432,34 @@ object SqlSurface {
         sum((col("c") * col("c") * col("c")).cast(DecimalType(38, 0))).as("s3"),
         sum((col("c") * col("c") * col("c") * col("c"))
           .cast(DecimalType(38, 0))).as("s4"))
-    val nD = col("n").cast("double")
-    val mu = col("s1").cast("double") / nD
-    val m2 = col("s2").cast("double") / nD - mu * mu
-    val m3 = col("s3").cast("double") / nD - lit(3.0) * mu *
-      (col("s2").cast("double") / nD) + lit(2.0) * mu * mu * mu
-    val m4 = col("s4").cast("double") / nD - lit(4.0) * mu *
-      (col("s3").cast("double") / nD) + lit(6.0) * mu * mu *
-      (col("s2").cast("double") / nD) - lit(3.0) * mu * mu * mu * mu
+    // scaled central sums as EXACT integers (skew/kurtosis are ratios
+    // in which the n-powers cancel: kurt+3 = M4/M2², skew = M3/M2^1.5)
+    // — one float division at the very end, so the doubles are the
+    // correctly-rounded casts of identical integers in any engine. A
+    // double central-moment formula instead diverges in the last ulps
+    // across engines (measured: 3-ulp kurtosis drift), which an exact
+    // value gate rejects. M4 ≈ n³·Σc⁴ stays inside 38 digits through
+    // ~10⁹ rows/group at 4-digit cents; past that a deployment shards
+    // groups or accepts the float formula for monitoring.
+    val nDec = col("n").cast(DecimalType(38, 0))
+    val mM2 = nDec * col("s2") - col("s1") * col("s1")
+    val mM3 = nDec * nDec * col("s3") -
+      lit(3) * nDec * col("s1") * col("s2") +
+      lit(2) * col("s1") * col("s1") * col("s1")
+    val mM4 = nDec * nDec * nDec * col("s4") -
+      lit(4) * nDec * nDec * col("s1") * col("s3") +
+      lit(6) * nDec * col("s1") * col("s1") * col("s2") -
+      lit(3) * col("s1") * col("s1") * col("s1") * col("s1")
+    val m2d = mM2.cast("double")
     g.select(col("event_type"), col("n"),
-        (mu / lit(100.0)).as("mean_value"),
-        m2.as("m2_cents"),
-        when(m2 =!= 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
-        when(m2 =!= 0.0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+        (col("s1").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean_value"),
+        (m2d / (col("n").cast("double") * col("n").cast("double")))
+          .as("m2_cents"),
+        when(m2d =!= 0.0,
+          mM3.cast("double") / (m2d * sqrt(m2d))).as("skewness"),
+        when(m2d =!= 0.0,
+          mM4.cast("double") / (m2d * m2d) - lit(3.0)).as("kurtosis_excess"))
       .orderBy("event_type")
   }
 
