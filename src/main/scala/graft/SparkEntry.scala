@@ -64,6 +64,7 @@ object SparkEntry {
     "expr_bitwise"        -> Exprs.bitwise _,
     "expr_array_ops"      -> Exprs.arrayOps _,
     "expr_try_arith"      -> Exprs.tryArith _,
+    "expr_higher_order"   -> Exprs.higherOrder _,
     "expr_string_kernel2" -> Exprs.stringKernel2 _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
@@ -166,6 +167,9 @@ object SparkEntry {
     "dedup_containment"      -> Dedup.containment _,
     "dedup_ngram_novelty"    -> Dedup.ngramNovelty _,
     "dedup_components"       -> Dedup.components _,
+    "graph_triangles"        -> Graph.dedupTriangles _,
+    "graph_pagerank"         -> Graph.dedupPageRank _,
+    "graph_kcore"            -> Graph.dedupKCore _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
@@ -258,6 +262,7 @@ object SparkEntry {
     "agg_corr_exact"         -> SqlSurface.corrExact _,
     "agg_moments_exact"      -> SqlSurface.momentsExact _,
     "agg_bitmap_native"      -> SqlSurface.bitmapNative _,
+    "agg_mode_exact"         -> SqlSurface.modeExact _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
@@ -2180,6 +2185,171 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // per-node triangle participation in the jaccard >= 0.8 graph;
+    // a < b < c counts each triangle once, as does the oriented join
+    "graph_triangles" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT node, count(*) AS n_tri
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |  GROUP BY node
+        |)
+        |SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY doc_id""".stripMargin,
+    // integer PageRank in millionths, 3 unrolled rounds; // is floor
+    // division on positives = Spark's div, so parity is exact
+    "graph_pagerank" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), dire AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, count(*) AS deg FROM dire GROUP BY u
+        |), nn AS (
+        |  SELECT count(*) AS n FROM deg
+        |), p0 AS (
+        |  SELECT u AS node, deg, 1000000 // n AS pr FROM deg, nn
+        |), s1 AS (
+        |  SELECT d.v AS node, sum(p.pr // p.deg) AS s
+        |  FROM dire d JOIN p0 p ON d.u = p.node GROUP BY d.v
+        |), p1 AS (
+        |  SELECT p0.node, p0.deg, (150000 // nn.n) + ((85 * s1.s) // 100) AS pr
+        |  FROM p0 JOIN s1 USING (node), nn
+        |), s2 AS (
+        |  SELECT d.v AS node, sum(p.pr // p.deg) AS s
+        |  FROM dire d JOIN p1 p ON d.u = p.node GROUP BY d.v
+        |), p2 AS (
+        |  SELECT p1.node, p1.deg, (150000 // nn.n) + ((85 * s2.s) // 100) AS pr
+        |  FROM p1 JOIN s2 USING (node), nn
+        |), s3 AS (
+        |  SELECT d.v AS node, sum(p.pr // p.deg) AS s
+        |  FROM dire d JOIN p2 p ON d.u = p.node GROUP BY d.v
+        |), p3 AS (
+        |  SELECT p2.node, p2.deg, (150000 // nn.n) + ((85 * s3.s) // 100) AS pr
+        |  FROM p2 JOIN s3 USING (node), nn
+        |)
+        |SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg,
+        |  CAST(pr AS BIGINT) AS pr_micro
+        |FROM p3 ORDER BY doc_id""".stripMargin,
+    // 2-core onion peeling, 4 unrolled rounds; absent-from-edges
+    // reads as degree 0 (isolated survivors peel next round)
+    "graph_kcore" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), dire0 AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), n0 AS (
+        |  SELECT a AS node FROM e UNION SELECT b AS node FROM e
+        |), d1 AS (
+        |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n0 n LEFT JOIN
+        |    (SELECT u, count(*) AS d FROM dire0 GROUP BY u) c ON n.node = c.u
+        |), p1 AS (SELECT node FROM d1 WHERE deg < 2
+        |), n1 AS (SELECT node FROM n0 WHERE node NOT IN (SELECT node FROM p1)
+        |), dire1 AS (
+        |  SELECT u, v FROM dire0 WHERE u NOT IN (SELECT node FROM p1)
+        |    AND v NOT IN (SELECT node FROM p1)
+        |), d2 AS (
+        |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n1 n LEFT JOIN
+        |    (SELECT u, count(*) AS d FROM dire1 GROUP BY u) c ON n.node = c.u
+        |), p2 AS (SELECT node FROM d2 WHERE deg < 2
+        |), n2 AS (SELECT node FROM n1 WHERE node NOT IN (SELECT node FROM p2)
+        |), dire2 AS (
+        |  SELECT u, v FROM dire1 WHERE u NOT IN (SELECT node FROM p2)
+        |    AND v NOT IN (SELECT node FROM p2)
+        |), d3 AS (
+        |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n2 n LEFT JOIN
+        |    (SELECT u, count(*) AS d FROM dire2 GROUP BY u) c ON n.node = c.u
+        |), p3 AS (SELECT node FROM d3 WHERE deg < 2
+        |), n3 AS (SELECT node FROM n2 WHERE node NOT IN (SELECT node FROM p3)
+        |), dire3 AS (
+        |  SELECT u, v FROM dire2 WHERE u NOT IN (SELECT node FROM p3)
+        |    AND v NOT IN (SELECT node FROM p3)
+        |), d4 AS (
+        |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n3 n LEFT JOIN
+        |    (SELECT u, count(*) AS d FROM dire3 GROUP BY u) c ON n.node = c.u
+        |), p4 AS (SELECT node FROM d4 WHERE deg < 2
+        |), n4 AS (SELECT node FROM n3 WHERE node NOT IN (SELECT node FROM p4)
+        |), dire4 AS (
+        |  SELECT u, v FROM dire3 WHERE u NOT IN (SELECT node FROM p4)
+        |    AND v NOT IN (SELECT node FROM p4)
+        |), d5 AS (
+        |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n4 n LEFT JOIN
+        |    (SELECT u, count(*) AS d FROM dire4 GROUP BY u) c ON n.node = c.u
+        |)
+        |SELECT node AS doc_id, CAST(layer AS BIGINT) AS layer,
+        |  CAST(core_deg AS BIGINT) AS core_deg
+        |FROM (
+        |  SELECT node, 1 AS layer, 0 AS core_deg FROM p1
+        |  UNION ALL SELECT node, 2, 0 FROM p2
+        |  UNION ALL SELECT node, 3, 0 FROM p3
+        |  UNION ALL SELECT node, 4, 0 FROM p4
+        |  UNION ALL SELECT node, 0, deg FROM d5)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
@@ -2999,6 +3169,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
         |  min(d) AS div_min, max(d) AS div_max
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // array lambdas: every output an integer or canonical string join
+    "expr_higher_order" ->
+      """WITH p AS (
+        |  SELECT p_partkey, string_split(lower(p_type), ' ') AS words FROM part)
+        |SELECT p_partkey,
+        |  array_to_string(list_transform(words, w -> strlen(w)), ',') AS lens_csv,
+        |  CAST(len(list_filter(words, w -> strlen(w) >= 6)) AS BIGINT) AS n_long,
+        |  len(list_filter(words, w -> regexp_matches(w, '^[aeiou]'))) > 0 AS any_vowel_start,
+        |  len(list_filter(words, w -> NOT regexp_matches(w, '^[a-z]+$'))) = 0 AS all_alpha,
+        |  CAST(list_sum(list_transform(words, w -> strlen(w))) AS BIGINT) AS len_sum,
+        |  array_to_string(list_transform(range(1, len(words)+1),
+        |    i -> i || ':' || words[i]), '|') AS idx_words
+        |FROM p ORDER BY p_partkey""".stripMargin,
     // type first-occurrence decile + 10-row cumulative spine
     "text_vocab_growth" ->
       """WITH words AS (
@@ -3896,6 +4079,22 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT bucket) AS n_buckets
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // deterministic mode: tie-break = (count, value) lexicographic max
+    "agg_mode_exact" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, o_orderpriority, count(*) AS cnt
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_nationkey, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cnt DESC, o_orderpriority DESC) AS rn,
+        |    sum(cnt) OVER (PARTITION BY c_nationkey) AS tot,
+        |    max(cnt) OVER (PARTITION BY c_nationkey) AS mx
+        |  FROM c)
+        |SELECT c_nationkey, o_orderpriority AS mode_priority,
+        |  CAST(mx AS BIGINT) AS mode_cnt, CAST(tot AS BIGINT) AS n_orders
+        |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     // 3rd/4th moments from DECIMAL(38,0) power sums; the central-
     // moment expression mirrors the Spark side's operation order
     // exactly so the doubles agree bitwise

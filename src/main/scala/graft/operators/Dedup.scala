@@ -311,6 +311,12 @@ object Dedup {
   private def stagedJaccard(spark: SparkSession, dir: String): DataFrame =
     staged(spark, dir, "ngram_jaccard_pairs")(ngramJaccard(spark, dir, None))
 
+  /** The staged exact-Jaccard pair graph, exposed for graph-analytic
+    * consumers ([[Graph.dedupTriangles]]) so they ride the same
+    * one-per-(app, sf) posting join as jaccard/components/keep-best. */
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    stagedJaccard(spark, dir)
+
   /** dfCap as in [[shinglePostings]]: bounds the worst posting list
     * (the N² pair mass of boilerplate shingles) at 100 TB; None is
     * the oracle-exact form. */

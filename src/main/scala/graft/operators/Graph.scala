@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived pair relations.
+  *
+  * The dedup stack already treats the near-dup pair set as a graph
+  * (connected components → [[Dedup.components]]); triangle counting
+  * is the next structural signal a curation pipeline reads off that
+  * graph: a component whose nodes close many triangles is a true
+  * duplicate CLUSTER (every copy pairwise-similar — safe to collapse
+  * to one representative), while a component that is a long
+  * triangle-free chain is pairwise drift (A~B~C but A≁C — collapsing
+  * it to one doc throws away non-duplicate text). Local triangle
+  * count / degree is exactly the local clustering coefficient that
+  * distinguishes the two.
+  *
+  * Scale design (100 TB): the classic degree-ordered algorithm
+  * (Schank–Wagner ordering, the shape every distributed triangle
+  * count uses). Edges are oriented from the lower-(degree, id)
+  * endpoint to the higher, which caps every node's OUT-degree at
+  * O(√E) regardless of how hot a hub is — the wedge self-join on the
+  * low endpoint then does O(E^{3/2}) work worst-case instead of the
+  * Σdeg² a naive neighbor join pays on a power-law graph. Both
+  * degree computation and the per-node rollup are hash aggregates
+  * (map-side combined, AQE-splittable); no windows, no driver
+  * collection, no cross join anywhere.
+  */
+object Graph {
+
+  /** Per-node triangle participation over an undirected simple graph
+    * given as a pair relation. Returns (node, degree, n_tri) for
+    * every node with at least one incident edge; each triangle
+    * increments all three of its corners. Self-loops are dropped and
+    * parallel/reversed duplicate edges collapse to one undirected
+    * edge, so the result is a pure function of the edge SET. */
+  def trianglesOn(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // Orient each edge from the lower (deg, id) endpoint to the
+    // higher; carry the destination's rank so wedge formation can
+    // order the two out-neighbors without re-joining degrees.
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    val aLow = struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b"))
+    val oriented = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("u"),
+      when(aLow, col("b")).otherwise(col("a")).as("v"),
+      when(aLow, struct(col("deg_b").as("d"), col("b").as("n")))
+        .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rv"))
+
+    // Wedges at the lowest-rank corner u: unordered out-neighbor
+    // pairs {v, w} with rank(v) < rank(w); the closing edge, if it
+    // exists, is oriented v → w by construction.
+    val x = oriented.select(col("u"), col("v").as("v"), col("rv").as("rkv"))
+    val y = oriented.select(col("u"), col("v").as("w"), col("rv").as("rkw"))
+    val wedges = x.join(y, Seq("u")).filter(col("rkv") < col("rkw"))
+      .select("u", "v", "w")
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"), "leftsemi")
+
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Driver query: triangle participation of every document in the
+    * exact 3-gram Jaccard ≥ 0.8 near-dup graph (the SAME staged pair
+    * relation that feeds dedup_ngram_jaccard / components /
+    * keep-best — no additional posting join). n_tri close to
+    * C(deg, 2) ⇒ the doc sits in a clique-like duplicate cluster;
+    * n_tri = 0 with deg ≥ 2 ⇒ pairwise chain drift. */
+  def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+
+  /** PageRank over an undirected simple graph, in EXACT integer
+    * arithmetic: ranks are carried in millionths (pr_micro, starting
+    * at 10⁶ div N) and every update is a floor division —
+    *   pr'(v) = (0.15·10⁶ div N) + (85 · Σ_{u~v} (pr(u) div deg(u))) div 100
+    * — so the result is a pure integer function of the edge set, the
+    * same on any engine and any partitioning (float PageRank differs
+    * in the last ulps with summation order; an oracle gate and a
+    * cross-run diff both need the deterministic form). Undirected ⇒
+    * every node has in-degree ≥ 1, so there is no dangling-mass term.
+    *
+    * Scale shape: the canonical Pregel/Spark iterative workload —
+    * per iteration ONE shuffle join (ranks ⋈ edges on the source) and
+    * ONE map-side-combined sum by destination; the rank relation is
+    * 2 longs per node, degrees computed once. Iterations are a fixed
+    * small constant (the analytics signal saturates in a few rounds);
+    * at real scale each iteration's output would be checkpointed to
+    * truncate lineage, which a 3-round fixed unroll does not need. */
+  def pageRankOn(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val dirE = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+    val n = broadcast(deg.agg(count(lit(1)).as("n")))
+
+    var pr = deg.crossJoin(n).select(col("u").as("node"), col("deg"),
+      col("n"), expr("1000000L div n").as("pr_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = dirE
+        .join(pr, dirE("u") === pr("node"))
+        .select(col("v").as("node"), expr("pr_micro div deg").as("c"))
+      pr = pr.select("node", "deg", "n")
+        .join(contrib.groupBy("node").agg(sum("c").as("s")), Seq("node"))
+        .select(col("node"), col("deg"), col("n"),
+          expr("(150000L div n) + ((85L * s) div 100)").as("pr_micro"))
+    }
+    pr.select(col("node"), col("deg"), col("pr_micro"))
+  }
+
+  /** Driver query: integer PageRank (3 rounds) of every document in
+    * the near-dup graph — the centrality signal that ranks which
+    * documents anchor the largest duplication mass (crawl-prioritize
+    * or down-weight them first), on the SAME staged pair relation as
+    * triangles/components. */
+  def dedupPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b", iters = 3)
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+
+  /** Onion-layer k-core peeling: iteratively remove nodes of degree
+    * < k; a removed node's `layer` is the round that removed it,
+    * survivors form the k-core (`layer` 0) and report their degree
+    * WITHIN the core (`core_deg` ≥ k; 0 for peeled nodes). The core/
+    * layer split is the graph-cleaning primitive on a near-dup graph:
+    * the 2-core is the cyclically-redundant mass (safe to collapse
+    * aggressively), layers 1..R are tree-like fringe whose removal
+    * order doubles as a skeletonization curve.
+    *
+    * Scale shape: each round is one hash-agg degree count plus two
+    * anti-joins on the node key — all map-side-combinable shuffles on
+    * a relation that only SHRINKS; no windows, no driver data. The
+    * round count is a fixed unroll (the oracle replays it CTE by
+    * CTE), and a `require` on the final degree relation turns
+    * non-convergence within `rounds` into a loud error instead of a
+    * wrong answer — the same enforced-fixpoint discipline as the
+    * component propagation. The check is one count on the bounded
+    * degree relation. */
+  def kCoreLayersOn(edges: DataFrame, src: String, dst: String,
+      k: Int = 2, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"k/rounds out of range: $k/$rounds")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    var dirE = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // The alive set must be tracked explicitly: a node whose LAST
+    // edge vanishes with a peeled neighbor drops out of the degree
+    // relation entirely, and "absent" must read as degree 0 (peel
+    // next round), not as survival.
+    var alive = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+
+    def degrees: DataFrame = alive.join(
+      dirE.groupBy("u").agg(count(lit(1)).as("d"))
+        .withColumnRenamed("u", "node"),
+      Seq("node"), "left")
+      .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))
+
+    var layers = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      // Eager localCheckpoint truncates lineage: the peel set feeds
+      // THREE downstream plans per round (alive, and dirE twice), so
+      // without a barrier the plan tree grows ~3^rounds and analysis
+      // itself becomes the bottleneck. The peel relation is the small
+      // side by construction (nodes leaving the graph this round).
+      val peel = degrees.filter(col("deg") < k).select("node")
+        .localCheckpoint()
+      layers = layers :+ peel.select(col("node"),
+        lit(r.toLong).as("layer"), lit(0L).as("core_deg"))
+      alive = alive.join(peel, Seq("node"), "left_anti")
+      dirE = dirE
+        .join(peel.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+        .join(peel.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+        .select("u", "v")
+    }
+    val coreDeg = degrees
+    require(coreDeg.filter(col("deg") < k).isEmpty,
+      s"k-core peeling did not converge within $rounds rounds; raise `rounds`")
+    val core = coreDeg.select(col("node"),
+      lit(0L).as("layer"), col("deg").as("core_deg"))
+    layers.reduce(_ unionAll _).unionAll(core)
+  }
+
+  /** Driver query: 2-core onion layers of the near-dup graph (same
+    * staged pair relation). */
+  def dedupKCore(spark: SparkSession, dir: String): DataFrame =
+    kCoreLayersOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b",
+      k = 2, rounds = 4)
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+}

@@ -309,4 +309,35 @@ object Exprs {
         sum(when(col("dv").isNull, 1L).otherwise(0L)).as("div_nulls"),
         min("dv").as("div_min"), max("dv").as("div_max"))
       .orderBy("l_returnflag")
+
+  /** Array higher-order-function kernel: transform / filter / exists
+    * / forall / aggregate (fold) / zip_with — the lambda surface the
+    * reference expresses as per-value compute functions inside the
+    * scan loop (/root/reference/expr.h:36-60's typed Get*Val chain;
+    * scalar-fn-call.h); Spark's HOFs keep the lambda INSIDE
+    * whole-stage codegen (a `LambdaFunction` bound over the array,
+    * not a UDF), so the loop stays fused with the scan exactly like
+    * the reference's inlined compute fns. Per-row arrays are bounded
+    * by the p_type word count (≤3), so no HOF here ever sees
+    * unbounded input — the discipline that keeps lambda work
+    * per-row-bounded at 100 TB. Every output is either an integer or
+    * a canonical string join, so oracle parity is exact. */
+  def higherOrder(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select(
+      col("p_partkey"), split(lower(col("p_type")), " ").as("words"))
+    p.select(
+      col("p_partkey"),
+      array_join(transform(col("words"), w => length(w).cast("string")), ",")
+        .as("lens_csv"),
+      size(filter(col("words"), w => length(w) >= 6)).cast("long").as("n_long"),
+      exists(col("words"), w => w.rlike("^[aeiou]")).as("any_vowel_start"),
+      forall(col("words"), w => w.rlike("^[a-z]+$")).as("all_alpha"),
+      aggregate(col("words"), lit(0L), (acc, w) => acc + length(w))
+        .as("len_sum"),
+      array_join(
+        zip_with(sequence(lit(1), size(col("words"))), col("words"),
+          (i, w) => concat(i.cast("string"), lit(":"), w)), "|")
+        .as("idx_words"))
+      .orderBy("p_partkey")
+  }
 }

@@ -922,4 +922,28 @@ object SqlSurface {
       .agg(sum("bucket_distinct").as("n_users"),
         count(lit(1)).as("n_buckets"))
       .orderBy("event_type")
+
+  /** Deterministic exact MODE: the most frequent order priority per
+    * customer nation, ties broken by (count, value) lexicographic
+    * max so the answer is a pure function of the row set. Spark's
+    * built-in `mode()` documents nondeterministic tie-breaking, so a
+    * 100 TB pipeline (and an oracle gate) needs this two-level
+    * shape instead: groupBy(group, value) count — map-side combined,
+    * AQE-splittable even when one nation dominates — then
+    * max_by(value, struct(cnt, value)) over the DOMAIN-bounded
+    * per-group frequency relation (≤5 priorities per nation). Never
+    * a window over the raw rows: a hot group would single-task. */
+  def modeExact(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(orders(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy("c_nationkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("c_nationkey")
+      .agg(
+        expr("max_by(o_orderpriority, struct(cnt, o_orderpriority))")
+          .as("mode_priority"),
+        max("cnt").as("mode_cnt"),
+        sum("cnt").as("n_orders"))
+      .orderBy("c_nationkey")
 }

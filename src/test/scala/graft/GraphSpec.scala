@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    operators.Graph
+      .trianglesOn(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri")))
+      .toMap
+
+  test("triangle in a 4-cycle plus chord: corners count, chord-free nodes do not") {
+    // square 1-2-3-4 with chord 1-3: triangles (1,2,3) and (1,3,4)
+    val got = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L))
+    assert(got(1L) == (3L, 2L) && got(3L) == (3L, 2L))
+    assert(got(2L) == (2L, 1L) && got(4L) == (2L, 1L))
+  }
+
+  test("triangle-free path graph yields zero triangles with correct degrees") {
+    val got = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L))
+    assert(got == Map(1L -> (1L, 0L), 2L -> (2L, 0L),
+      3L -> (2L, 0L), 4L -> (1L, 0L)))
+  }
+
+  test("result is a pure function of the edge set: duplicates, reversals, self-loops ignored") {
+    val clean = run(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L))
+    val noisy = run(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      1L -> 3L, 1L -> 3L, 2L -> 2L))
+    assert(clean == noisy)
+    assert(clean == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("K5 clique: every node has degree 4 and sits in C(4,2)=6 triangles") {
+    val nodes = (1L to 5L)
+    val edges = for { a <- nodes; b <- nodes if a < b } yield (a, b)
+    val got = run(edges)
+    nodes.foreach(n => assert(got(n) == (4L, 6L), s"node $n: ${got(n)}"))
+  }
+
+  test("hub star with one closing rim edge: only that wedge closes") {
+    // hub 0 connected to 1..6; rim edge 1-2 closes exactly one triangle
+    val got = run((1L to 6L).map(0L -> _) :+ (1L -> 2L))
+    assert(got(0L) == (6L, 1L))
+    assert(got(1L) == (2L, 1L) && got(2L) == (2L, 1L))
+    (3L to 6L).foreach(n => assert(got(n) == (1L, 0L)))
+  }
+
+  private def prRun(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    operators.Graph
+      .pageRankOn(edges.toDF("s", "d"), "s", "d", iters)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr_micro"))
+      .toMap
+
+  private def prBrute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val nb = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    val n = nb.size
+    var pr = nb.map { case (node, _) => node -> 1000000L / n }
+    for (_ <- 1 to iters) {
+      pr = nb.map { case (node, neigh) =>
+        val s = neigh.map(u => pr(u) / nb(u).size).sum
+        node -> (150000L / n + (85L * s) / 100)
+      }
+    }
+    pr
+  }
+
+  test("integer pagerank matches brute-force replay on a random graph") {
+    val rng = new scala.util.Random(7)
+    val edges = (for (_ <- 1 to 150) yield
+      (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    assert(prRun(edges, 3) == prBrute(edges, 3))
+  }
+
+  test("pagerank is a pure function of the edge set and ranks the star hub highest") {
+    val star = (1L to 8L).map(0L -> _)
+    val noisy = star ++ star.map(_.swap) :+ (3L -> 3L)
+    val got = prRun(star, 3)
+    assert(got == prRun(noisy, 3))
+    assert(got == prBrute(star, 3))
+    val hub = got(0L)
+    (1L to 8L).foreach(n => assert(got(n) < hub, s"leaf $n >= hub"))
+  }
+
+  private def kcRun(edges: Seq[(Long, Long)], rounds: Int = 4): Map[Long, (Long, Long)] =
+    operators.Graph
+      .kCoreLayersOn(edges.toDF("s", "d"), "s", "d", k = 2, rounds = rounds)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("layer"), r.getAs[Long]("core_deg")))
+      .toMap
+
+  test("2-core peeling: chain dissolves layer by layer, middle node peels once isolated") {
+    // a-b-c: endpoints peel round 1; b is then isolated (deg 0) -> round 2
+    assert(kcRun(Seq(1L -> 2L, 2L -> 3L)) ==
+      Map(1L -> (1L, 0L), 3L -> (1L, 0L), 2L -> (2L, 0L)))
+  }
+
+  test("2-core peeling: triangle with a tail keeps the triangle as core") {
+    // triangle 1-2-3, tail 3-4-5: 5 peels r1, 4 peels r2, triangle survives
+    val got = kcRun(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L))
+    assert(got(5L) == (1L, 0L) && got(4L) == (2L, 0L))
+    Seq(1L, 2L, 3L).foreach(n => assert(got(n) == (0L, 2L), s"node $n"))
+  }
+
+  test("2-core peeling covers every node exactly once and fails loudly on non-convergence") {
+    val chain = (1L to 9L).map(i => i -> (i + 1))
+    val got = kcRun(chain, rounds = 5)
+    assert(got.keySet == (1L to 10L).toSet)
+    assert(got.values.forall { case (layer, cd) => layer >= 1 && cd == 0 })
+    intercept[IllegalArgumentException](kcRun(chain, rounds = 2))
+  }
+
+  test("degree orientation matches brute-force count on a random graph") {
+    val rng = new scala.util.Random(42)
+    val edges = (for (_ <- 1 to 120) yield
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val und = edges.map { case (a, b) => (a min b, a max b) }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }
+    val brute = nodes.map { n =>
+      val nb = und.toSeq.collect { case (a, b) if a == n => b
+                                   case (a, b) if b == n => a }
+      val tri = (for { x <- nb; y <- nb if x < y
+                       if und((x min y, x max y)) } yield 1).size
+      n -> (nb.size.toLong, tri.toLong)
+    }.toMap
+    assert(run(edges) == brute)
+  }
+}
