@@ -190,6 +190,7 @@ object SparkEntry {
     "ann_refine_topk"     -> Similarity.refineTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
+    "emb_pca_power"       -> Similarity.pcaPower _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
@@ -235,12 +236,14 @@ object SparkEntry {
     "pipeline_dataset_card"   -> Pipeline.datasetCard _,
     "pipeline_split_contamination" -> Pipeline.splitContamination _,
     "pipeline_winsorize"      -> Pipeline.winsorize _,
+    "pipeline_data_quality"   -> Pipeline.dataQuality _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "mm_scene_cuts"      -> Multimodal.sceneCuts _,
     "mm_audio_frames"    -> Multimodal.audioFrames _,
     "mm_image_ahash"     -> Multimodal.imageAHash _,
+    "mm_image_phash"     -> Multimodal.imagePHash _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
@@ -282,6 +285,7 @@ object SparkEntry {
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
+    "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
     "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_rewrite" -> Analytic.topkRewrite _,
@@ -318,7 +322,62 @@ object SparkEntry {
       ("text_bm25_indexed" -> m("text_bm25")) +
       // the streaming CEP replay must land on the batch
       // MATCH_RECOGNIZE answer exactly
-      ("stream_cep_funnels" -> m("ev_pattern_match"))
+      ("stream_cep_funnels" -> m("ev_pattern_match")) +
+      // the DCT basis is generated from the same Scala table the
+      // operator embeds, so both engines transform identically
+      ("mm_image_phash" -> PhashOracle.sql)
+  }
+
+  /** DuckDB replay of the integer-DCT pHash (operators/Multimodal
+    * imagePHashOn): the 64-entry ×1024 cosine basis arrives as a
+    * generated VALUES list from [[graft.operators.Multimodal.dctTable]]
+    * — one source of truth for both engines. */
+  private object PhashOracle {
+    def sql: String = {
+      val values = graft.operators.Multimodal.dctTable
+        .map { case (u, x, c) => s"($u, $x, $c)" }.mkString(", ")
+      s"""WITH thumb AS (
+         |  SELECT doc_id,
+         |    substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS t
+         |  FROM documents),
+         |hexed AS (
+         |  SELECT doc_id,
+         |    md5(t || '#px0') || md5(t || '#px1') || md5(t || '#px2') || md5(t || '#px3') AS hex
+         |  FROM thumb),
+         |pix AS (
+         |  SELECT doc_id, (i - 1) % 8 AS x, (i - 1) // 8 AS y,
+         |    CAST(('0x' || substring(hex, 2*(i-1) + 1, 2)) AS BIGINT) AS p
+         |  FROM hexed, generate_series(1, 64) t(i)),
+         |basis(u, x, c) AS (VALUES $values),
+         |g AS (
+         |  SELECT doc_id, basis.u, pix.y, sum(p * c) AS g
+         |  FROM pix JOIN basis ON pix.x = basis.x
+         |  GROUP BY doc_id, basis.u, pix.y),
+         |f AS (
+         |  SELECT g.doc_id, g.u, cv.u AS v, sum(g.g * cv.c) AS f
+         |  FROM g JOIN basis cv ON g.y = cv.x
+         |  GROUP BY g.doc_id, g.u, cv.u),
+         |nf AS (SELECT doc_id, u, v, f FROM f WHERE NOT (u = 0 AND v = 0)),
+         |tot AS (SELECT doc_id, sum(f) AS tot FROM nf GROUP BY doc_id),
+         |sigs AS (
+         |  SELECT nf.doc_id,
+         |    CAST(sum(CASE WHEN f * 63 > tot
+         |      THEN CAST(1 AS BIGINT) << CAST(u*8 + v - 1 AS INTEGER)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+         |  FROM nf JOIN tot USING (doc_id) GROUP BY nf.doc_id),
+         |expl AS (
+         |  SELECT doc_id, phash, unnest(generate_series(0, 3)) AS blk,
+         |    unnest(list_transform(generate_series(0, 3), b -> (phash >> (b*16)) & 65535)) AS key
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS ha, b.phash AS hb
+         |  FROM expl a JOIN expl b
+         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   }
 
   /** DuckDB replay of the Lloyd-TRAINED IVF quantizer
@@ -1169,6 +1228,34 @@ object SparkEntry {
         |    + CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS DOUBLE) * min(p95) AS sum_winsorized
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // one-scan constraint audit; BIGINT casts (DuckDB sums are
+    // HUGEINT), integer-division ppm, boolean pass
+    "pipeline_data_quality" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_quantity_range,
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_sla,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v_returnflag_domain,
+        |    CAST(sum(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT) AS v_linestatus_domain,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_keys_nonnull,
+        |    CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+        |      OR CAST(l_shipdate AS DATE) > DATE '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS v_shipdate_window
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT n_rows, 'quantity_range' AS check_name, v_quantity_range AS n_violations FROM a
+        |  UNION ALL SELECT n_rows, 'discount_range', v_discount_range FROM a
+        |  UNION ALL SELECT n_rows, 'discount_sla', v_discount_sla FROM a
+        |  UNION ALL SELECT n_rows, 'returnflag_domain', v_returnflag_domain FROM a
+        |  UNION ALL SELECT n_rows, 'linestatus_domain', v_linestatus_domain FROM a
+        |  UNION ALL SELECT n_rows, 'price_positive', v_price_positive FROM a
+        |  UNION ALL SELECT n_rows, 'keys_nonnull', v_keys_nonnull FROM a
+        |  UNION ALL SELECT n_rows, 'shipdate_window', v_shipdate_window FROM a)
+        |SELECT check_name, n_rows, n_violations,
+        |  n_violations * 1000000 // n_rows AS viol_ppm,
+        |  n_violations = 0 AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2030,6 +2117,25 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // left-outer twin: matched rows as above; an unmatched purchase
+    // appears (0 clicks, null secs) iff its state evicted — p_ms <=
+    // final watermark (min side-max ms - 2h), NON-strict boundary
+    // pinned by StreamingSpec's planted W-1/W/W+1 purchases
+    "stream_outer_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec FROM events),
+        |c AS (SELECT user_id, sec AS c_sec FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(c_sec) FROM c), (SELECT max(p_sec) FROM p)) * 1000
+        |         - 7200000 AS wm_ms),
+        |j AS (SELECT p.purchase_id, p.p_sec, c.c_sec
+        |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |        AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec)
+        |SELECT purchase_id, count(c_sec) AS n_clicks_1h,
+        |  min(c_sec) AS first_click_sec, max(c_sec) AS last_click_sec
+        |FROM j, wm
+        |GROUP BY purchase_id, p_sec, wm_ms
+        |HAVING count(c_sec) > 0 OR p_sec * 1000 <= wm_ms
+        |ORDER BY purchase_id""".stripMargin,
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
@@ -3369,6 +3475,33 @@ object SparkEntry {
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> nv[i]*nv[i])), (a,b) -> a+b))) AS drift_cos
         |FROM stats s JOIN cents USING (cell) JOIN ncents USING (cell)
         |ORDER BY cell""".stripMargin,
+    // matrix-free integer power iteration: HUGEINT replays the
+    // DECIMAL(38,0) sums; // on positive operands = Spark div
+    "emb_pca_power" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims0 AS (SELECT vec_id, i - 1 AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
+        |sc AS (SELECT max(abs(x)) AS s FROM dims0),
+        |dims AS (SELECT vec_id, d,
+        |    CAST(CASE WHEN s > 0 THEN floor(x / s * 127.0 + 0.5) ELSE 0.0 END AS HUGEINT) AS q
+        |  FROM dims0, sc),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM vecs),
+        |sd AS (SELECT d, sum(q) AS s_d FROM dims GROUP BY d),
+        |t0all AS (SELECT sum(s_d) AS t0a FROM sd),
+        |t0 AS (SELECT vec_id, sum(q) AS t0 FROM dims GROUP BY vec_id),
+        |y1s AS (SELECT d, sum(q * t0) AS s1 FROM dims JOIN t0 USING (vec_id) GROUP BY d),
+        |y1 AS (SELECT d, n * s1 - s_d * t0a AS y1 FROM y1s JOIN sd USING (d), nn, t0all),
+        |v1 AS (SELECT d, (CASE WHEN y1 < 0 THEN -1 ELSE 1 END)
+        |         * CAST(abs(y1) // (n * n) AS BIGINT) AS v1 FROM y1, nn),
+        |t1 AS (SELECT vec_id, sum(q * v1) AS t1 FROM dims JOIN v1 USING (d) GROUP BY vec_id),
+        |sv1 AS (SELECT sum(s_d * v1) AS sv FROM sd JOIN v1 USING (d)),
+        |y2s AS (SELECT d, sum(q * t1) AS s2 FROM dims JOIN t1 USING (vec_id) GROUP BY d),
+        |y2 AS (SELECT d, s_d, n * s2 - s_d * sv AS y2 FROM y2s JOIN sd USING (d), nn, sv1),
+        |m2 AS (SELECT max(abs(y2)) AS m FROM y2)
+        |SELECT d, CAST(s_d AS BIGINT) AS q_sum, v1.v1 AS v1,
+        |  (CASE WHEN y2 < 0 THEN -1 ELSE 1 END)
+        |    * CAST(abs(y2) // (m // 1000000 + 1) AS BIGINT) AS dir_ppm
+        |FROM y2 JOIN v1 USING (d), m2
+        |ORDER BY d""".stripMargin,
     "emb_quantize_int8" ->
       """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |dims AS (SELECT i - 1 AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),

@@ -262,4 +262,90 @@ object Multimodal {
       .select("payload_md5", "n_copies", "n_bytes", "canonical_id",
         "reclaimable_bytes")
       .orderBy("payload_md5")
+
+  /** Integer DCT-II basis, scaled ×1024 and rounded: c(u,x) =
+    * round(1024·cos(π(2x+1)u/16)) for the 8-point transform. One
+    * Scala source feeds BOTH engines (the operator embeds it as a
+    * 64-row literal relation, the oracle as a generated VALUES list —
+    * the Vectors.plane precedent), so the transform is exact integer
+    * arithmetic everywhere. */
+  private[graft] val dctTable: Seq[(Long, Long, Long)] =
+    for (u <- 0L until 8L; x <- 0L until 8L) yield
+      (u, x, math.round(1024.0 * math.cos(math.Pi * (2 * x + 1) * u / 16.0)))
+
+  /** Perceptual-hash media dedup, DCT variant (pHash family) — the
+    * re-encode-robust upgrade of [[imageAHash]]: aHash thresholds raw
+    * pixels, so local brightness noise flips bits; pHash thresholds the
+    * LOW-FREQUENCY DCT coefficients, which survive resampling and
+    * recompression. Same stub decoder (the 8×8 = 64 md5 pseudo-pixel
+    * thumbnail), then:
+    *
+    *  1. Separable 2-D DCT as TWO join+aggregate stages over the long
+    *     (doc, x, y, p) layout — G[u,y] = Σₓ p·c(u,x), then
+    *     F[u,v] = Σ_y G·c(v,y). Each stage is an 8× fan-out against
+    *     the broadcast 64-row basis followed by a map-side-combined
+    *     hash agg: the plan a cluster DCT actually wants (never a
+    *     4096-term projection, which is also what janino would choke
+    *     on — the PQ kernel lesson).
+    *  2. Mean-variant pHash signature: bit(u,v) = F·63 > ΣF over the
+    *     63 non-DC coefficients — exact integer compare, no doubles
+    *     anywhere (the classic median variant needs an order
+    *     statistic; the mean variant is the same family and keeps the
+    *     fold order-free).
+    *  3. The dedup tail is [[imageAHashOn]]'s: 4×16-bit pigeonhole
+    *     blocks (hamming ≤ 3 ⇒ some block equal), exact bit_count on
+    *     candidates only.
+    *
+    * All magnitudes are long-safe by construction: p ≤ 255 ⇒
+    * |G| ≤ 8·255·1024 ≈ 2.1e6 ⇒ |F| ≤ 1.7e10 ⇒ F·63 ≤ 1.1e12. */
+  def imagePHash(spark: SparkSession, dir: String): DataFrame =
+    imagePHashOn(documents(spark, dir))
+
+  /** Generic core of [[imagePHash]] over any (doc_id, text) payload
+    * relation. */
+  def imagePHashOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val basis = broadcast(dctTable.toDF("u", "x", "c"))
+
+    val thumb =
+      expr("substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, 64)")
+    val hexed = docs.select(col("doc_id"),
+      concat((0 until 4).map(k => md5(concat(thumb, lit(s"#px$k")))): _*)
+        .as("hex"))
+    val pix = hexed
+      .select(col("doc_id"), col("hex"), explode(expr("sequence(0, 63)")).as("i"))
+      .select(col("doc_id"), expr("CAST(i % 8 AS BIGINT)").as("x"),
+        expr("CAST(i div 8 AS BIGINT)").as("y"),
+        expr("CAST(conv(substring(hex, 2*i + 1, 2), 16, 10) AS BIGINT)").as("p"))
+
+    val g = pix.join(basis, "x")
+      .groupBy(col("doc_id"), col("u"), col("y"))
+      .agg(sum(col("p") * col("c")).as("g"))
+    val f = g.join(basis.select(col("u").as("v"), col("x").as("y"), col("c").as("cy")), "y")
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(sum(col("g") * col("cy")).as("f"))
+      .filter(!(col("u") === 0 && col("v") === 0))
+    val tot = f.groupBy("doc_id").agg(sum("f").as("tot"))
+    val sigs = f.join(tot, "doc_id")
+      .select(col("doc_id"),
+        when(col("f") * 63 > col("tot"),
+          expr("shiftleft(1L, CAST(u*8 + v - 1 AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("doc_id").agg(sum("bit").as("phash"))
+
+    val exploded = sigs
+      .withColumn("blocks", expr(
+        "transform(sequence(0, 3), b -> struct(b AS blk, shiftright(phash, b*16) & 65535 AS key))"))
+      .select(col("doc_id"), col("phash"), explode(col("blocks")).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.blk"), col("bk.key"))
+    exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -444,4 +444,54 @@ object Pipeline {
         "p05", "p95", "sum_winsorized")
       .orderBy("lang")
   }
+
+  /** Declarative data-quality audit (the Deequ/expectation-suite
+    * shape): EIGHT constraint checks — range, domain, non-null,
+    * positivity, date-window, and one deliberately-tight SLA — over
+    * the fact table in ONE scan. Every check is a conditional-sum
+    * column of a single aggregate (map-side combined, no per-check
+    * pass), then the 1-row result unpivots to a (check, violations)
+    * scorecard via stack — the constant-size relation a pipeline
+    * gates a release on. At 100 TB this is the audit you run INSIDE
+    * the ingest pass for free: one scan, one 1-row shuffle,
+    * violation ppm exact by integer division. The tight
+    * discount ≤ 0.05 SLA is expected to fail (viol_ppm > 0) so the
+    * scorecard demonstrably distinguishes passing from failing
+    * constraints (a quality gate that can only say PASS measures
+    * nothing). Reference analog: the scanner's row-level conjunct
+    * evaluation (/root/reference/hdfs-parquet-scanner.h:1) — here
+    * the conjuncts become audit counters instead of filters. */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val a = li.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)
+        .as("v_quantity_range"),
+      viol(col("l_discount") < 0.0 || col("l_discount") > 0.10)
+        .as("v_discount_range"),
+      viol(col("l_discount") > 0.05).as("v_discount_sla"),
+      viol(!col("l_returnflag").isin("R", "A", "N")).as("v_returnflag_domain"),
+      viol(!col("l_linestatus").isin("O", "F")).as("v_linestatus_domain"),
+      viol(col("l_extendedprice") <= 0.0).as("v_price_positive"),
+      viol(col("l_orderkey").isNull || col("l_partkey").isNull ||
+        col("l_suppkey").isNull).as("v_keys_nonnull"),
+      viol(to_date(col("l_shipdate")) < lit("1992-01-01") ||
+        to_date(col("l_shipdate")) > lit("1998-12-31")).as("v_shipdate_window"))
+    a.select(col("n_rows"), expr(
+      """stack(8,
+        |  'quantity_range',    v_quantity_range,
+        |  'discount_range',    v_discount_range,
+        |  'discount_sla',      v_discount_sla,
+        |  'returnflag_domain', v_returnflag_domain,
+        |  'linestatus_domain', v_linestatus_domain,
+        |  'price_positive',    v_price_positive,
+        |  'keys_nonnull',      v_keys_nonnull,
+        |  'shipdate_window',   v_shipdate_window
+        |) as (check_name, n_violations)""".stripMargin))
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        expr("n_violations * 1000000L div n_rows").as("viol_ppm"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
 }

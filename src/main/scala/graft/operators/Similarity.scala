@@ -780,4 +780,93 @@ object Similarity {
         col("votes"), (col("pred_label") === col("true_label")).as("correct"))
       .orderBy("probe_id")
   }
+
+  /** Top principal direction of the embedding cloud by MATRIX-FREE
+    * power iteration in EXACT integer arithmetic — the distributed
+    * linear-algebra primitive behind PCA whitening, drift monitoring,
+    * and anisotropy audits of an embedding store. Two design choices
+    * carry the 100 TB shape:
+    *
+    *  1. Matrix-free: y = C·v needs only Σ q·(qᵀv) − the d×d Gram/
+    *     covariance matrix is NEVER materialized. Each iteration is
+    *     one per-vector dot (a groupBy(vec_id) hash agg over the long
+    *     (vec_id, d, q) layout, map-side combined) and one d-row
+    *     column sum — the shuffle carries d=64 partials per
+    *     partition, not d² and not the corpus.
+    *  2. Exact integers: vectors quantize to the SAME symmetric
+    *     signed grid as [[refineTopK]] (q = floor(x/s·127 + 0.5));
+    *     the mean-centering uses the fraction-cleared covariance form
+    *     N·Σq(qᵀv) − Sq·(Sqᵀv), so every accumulation is an
+    *     order-free integer sum (DECIMAL(38,0)) and the iterate is a
+    *     pure integer function of the row SET — bit-identical across
+    *     partitionings and engines where float power iteration
+    *     diverges in the last ulps per re-run. Between iterations the
+    *     iterate renormalizes by the sign-safe floor division
+    *     sign(y)·(|y| div N²) (both engines floor on positive
+    *     operands — Spark `div` truncation and DuckDB `//` flooring
+    *     only disagree on negatives), keeping every later magnitude
+    *     N-independent: |v1| ≤ 127²·64, |y2| ≲ (N·127)²·|v1|·64 —
+    *     inside 38 digits past 10¹⁴ rows.
+    *
+    * Output per dimension: the raw quantized column sum, the
+    * first-iterate component, and the second iterate normalized to
+    * ±10⁶ ppm of its max component — two power-iteration rounds,
+    * enough to pull the dominant direction out of an isotropic start
+    * (v₀ = 1) while staying a fixed-depth plan the oracle replays
+    * CTE by CTE. SimilaritySpec pins the direction against a planted
+    * anisotropic cloud. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOn(Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("vd")))
+
+  /** Library core of [[pcaPower]] for any (vec_id, vd: array<double>)
+    * relation. */
+  def pcaPowerOn(vectors: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dims0 = vectors
+      .select(col("vec_id"), posexplode(col("vd"))).toDF("vec_id", "d", "x")
+      .withColumn("d", col("d").cast("bigint"))
+    val scale = dims0.agg(max(abs(col("x"))).as("s"))
+    val dims = dims0.crossJoin(broadcast(scale))
+      .select(col("vec_id"), col("d"),
+        when(col("s") > 0, floor(col("x") / col("s") * lit(127.0) + lit(0.5)))
+          .otherwise(lit(0.0)).cast("bigint").as("q"))
+      // five consumers below (per-dim sums, two per-vector dots, two
+      // column sums): stage the quantized long layout once
+      .localCheckpoint()
+
+    val n1 = broadcast(vectors.agg(count(lit(1)).cast(dec).as("nn")))
+    val sd = dims.groupBy("d").agg(sum(col("q").cast(dec)).as("s_d"))
+    val t0all = broadcast(sd.agg(sum("s_d").as("t0a")))
+
+    // iteration 1, v0 = 1: per-vector dot qᵀ1 is just the row sum
+    val t0 = dims.groupBy("vec_id").agg(sum("q").as("t0"))
+    val y1 = dims.join(t0, "vec_id")
+      .groupBy("d").agg(sum((col("q") * col("t0")).cast(dec)).as("s1"))
+      .join(broadcast(sd), "d").crossJoin(n1).crossJoin(t0all)
+      .select(col("d"),
+        (col("nn") * col("s1") - col("s_d") * col("t0a")).as("y1"),
+        col("nn"))
+    val v1 = y1.select(col("d"),
+      (when(col("y1") < 0, -1L).otherwise(1L) *
+        expr("abs(y1) div (nn * nn)")).as("v1"))
+
+    // iteration 2 against the renormalized iterate
+    val t1 = dims.join(broadcast(v1), "d")
+      .groupBy("vec_id").agg(sum(col("q") * col("v1")).as("t1"))
+    val sv1 = broadcast(sd.join(v1, "d")
+      .agg(sum(col("s_d") * col("v1").cast(dec)).as("sv")))
+    val y2 = dims.join(t1, "vec_id")
+      .groupBy("d").agg(sum((col("q") * col("t1")).cast(dec)).as("s2"))
+      .join(broadcast(sd), "d").crossJoin(n1).crossJoin(sv1)
+      .select(col("d"), col("s_d"),
+        (col("nn") * col("s2") - col("s_d") * col("sv")).as("y2"))
+    val m2 = broadcast(y2.agg(max(abs(col("y2"))).as("m2")))
+
+    y2.crossJoin(m2).join(broadcast(v1), "d")
+      .select(col("d"), col("s_d").cast("long").as("q_sum"), col("v1"),
+        (when(col("y2") < 0, -1L).otherwise(1L) *
+          expr("abs(y2) div (m2 div 1000000 + 1)")).as("dir_ppm"))
+      .orderBy("d")
+  }
 }

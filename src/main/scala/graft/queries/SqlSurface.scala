@@ -420,18 +420,33 @@ object SqlSurface {
     * folds — fine for one engine, unreplayable across two; this is
     * the deterministic form a monitoring pipeline can diff across
     * runs. Zero-variance groups yield NULL, the oracle's
-    * division-by-zero semantics. */
+    * division-by-zero semantics.
+    *
+    * Overflow budget, honestly: the per-row c⁴ runs in DECIMAL from
+    * the FIRST multiply (a bigint chain overflows Long at
+    * c > 55 108 — a $551 event, present from sf0.1 up), exact for
+    * any c ≤ 10⁹ cents. The binding bound is the fraction-clearing
+    * closed form: mM4 carries n³·Σc⁴ ≈ (n·c)⁴, so 38 digits hold
+    * while n·c ≲ 3×10⁹ worst-case (5-digit cents → ~10⁵ rows/group;
+    * in practice the moments track σ, not max c, so real headroom is
+    * 10-100× that). Past it, a deployment rescales the unit
+    * (cents→dollars: exact on a coarser grid) or splits the group by
+    * subkey and diffs the mergeable power sums instead of the
+    * ratios. */
   def momentsExact(spark: SparkSession, dir: String): DataFrame = {
+    // the FIRST multiply already runs in decimal: a bigint c⁴ chain
+    // overflows Long at c > 55 108 cents (value > $551 — present from
+    // sf0.1 up), exactly the poison-row cliff expr_try_arith documents
     val g = events(spark, dir)
       .select(col("event_type"),
-        (col("value").cast(D) * 100).cast("bigint").as("c"))
+        (col("value").cast(D) * 100).cast("bigint")
+          .cast(DecimalType(38, 0)).as("c"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("c").cast(DecimalType(38, 0))).as("s1"),
-        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("s2"),
-        sum((col("c") * col("c") * col("c")).cast(DecimalType(38, 0))).as("s3"),
-        sum((col("c") * col("c") * col("c") * col("c"))
-          .cast(DecimalType(38, 0))).as("s4"))
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
     // scaled central sums as EXACT integers (skew/kurtosis are ratios
     // in which the n-powers cancel: kurt+3 = M4/M2², skew = M3/M2^1.5)
     // — one float division at the very end, so the doubles are the

@@ -361,6 +361,22 @@ object StreamQueries {
     // event time truncated to SECONDS so the join bound is the exact
     // integer-second predicate the batch twin and the oracle use —
     // sub-second precision in the bound would flip boundary pairs
+    val (purchases, clicks) = joinSides(spark, dir)
+    val pairs = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+    runBounded(spark, pairs, "append")
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        min("c_sec").as("first_click_sec"),
+        max("c_sec").as("last_click_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** The two watermarked sides of the purchase⋈click interval joins
+    * (see [[intervalJoin]] for the second-truncation rationale). */
+  private def joinSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val clicks = eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"),
@@ -373,13 +389,39 @@ object StreamQueries {
         expr("timestamp_seconds(ts div 1000000000)").as("p_ts"),
         expr("ts div 1000000000").as("p_sec"))
       .withWatermark("p_ts", "2 hours")
+    (purchases, clicks)
+  }
+
+  /** LEFT OUTER stream-stream interval join — the production contract
+    * [[intervalJoin]] cannot express: purchases with NO preceding-hour
+    * click must still be reported (n_clicks_1h = 0), and in a
+    * stream-stream join that null-padded row can only be emitted once
+    * the watermark PROVES no matching click can still arrive. Matched
+    * pairs emit eagerly per micro-batch exactly as in the inner join;
+    * an unmatched purchase's null row emits when its state evicts —
+    * Spark solves the join condition for the left side's state value
+    * watermark (c_ts < p_ts ⇒ a future click with c_ts ≥ W can only
+    * match purchases with p_ts > W), so purchases at or below the
+    * final watermark finalize and the stream's last ≤2h of unmatched
+    * purchases are withheld — the same held-back-tail contract as
+    * [[tumblingAppend]], here on the JOIN state rather than a window
+    * store. The final no-data micro-batch AvailableNow schedules after
+    * the backlog is what advances the watermark and flushes them. The
+    * oracle replays the batch left join plus exactly that eviction
+    * rule (matched purchases always; unmatched only with
+    * p_sec·1000 < min-side watermark ms − 7 200 000 − the boundary
+    * StreamOuterSpec pins against planted boundary purchases). State
+    * stays bounded by horizon + 1h per side, as in the inner join. */
+  def outerJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val (purchases, clicks) = joinSides(spark, dir)
     val pairs = purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") < col("p_ts"))
+        col("c_ts") < col("p_ts"), "left_outer")
     runBounded(spark, pairs, "append")
       .groupBy("purchase_id")
-      .agg(count(lit(1)).as("n_clicks_1h"),
+      .agg(count(col("c_sec")).as("n_clicks_1h"),
         min("c_sec").as("first_click_sec"),
         max("c_sec").as("last_click_sec"))
       .orderBy("purchase_id")

@@ -120,6 +120,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("phash core: shared-prefix payloads collide at 0, basis is exact DCT") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header content " * 4 + "tail one"),   // same 64-prefix
+      (2L, "shared header content " * 4 + "another tail"),
+      (3L, "completely different body with its own words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Multimodal.imagePHashOn(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)))
+    // the embedded integer basis IS the scaled 8-point DCT-II: DC row
+    // all 1024, and each row's raw cosine is within rounding of c/1024
+    val t = operators.Multimodal.dctTable.map { case (u, x, c) => ((u, x), c) }.toMap
+    (0 until 8).foreach(x => assert(t((0L, x.toLong)) == 1024L))
+    operators.Multimodal.dctTable.foreach { case (u, x, c) =>
+      val exact = 1024.0 * math.cos(math.Pi * (2 * x + 1) * u / 16.0)
+      assert(math.abs(exact - c) <= 0.5, s"basis ($u,$x): $c vs $exact")
+    }
+  }
+
   test("audio frames: grid arithmetic and digests replay per doc") {
     val rows = operators.Multimodal.audioFrames(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -378,6 +378,36 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("pca power iteration finds a planted anisotropic direction exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 vectors: ±0.9 alternating on dim 7 (zero mean, dominant
+    // variance), tiny deterministic jitter elsewhere — the top
+    // principal direction is e7 by construction
+    val rows = (0 until 100).map { i =>
+      val v = Array.tabulate(64) { d =>
+        if (d == 7) (if (i % 2 == 0) 0.9 else -0.9)
+        else ((i * 64 + d) % 13 - 6) / 1000.0
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "vd")
+      .select(col("vec_id"), col("vd").cast("array<double>").as("vd"))
+    val out = operators.Similarity.pcaPowerOn(df).collect()
+    assert(out.length == 64)
+    val ppm = out.map(r => (r.getAs[Long]("d"), r.getAs[Long]("dir_ppm"))).toMap
+    val top = ppm.maxBy { case (_, p) => math.abs(p) }
+    assert(top._1 == 7L, s"dominant dim ${top._1}, ppm map $ppm")
+    // the planted axis must dominate every other component decisively
+    val rest = ppm.filter(_._1 != 7L).values.map(p => math.abs(p)).max
+    assert(math.abs(ppm(7L)) >= 10 * math.max(rest, 1L),
+      s"axis 7 ppm ${ppm(7L)} vs max other $rest")
+    // exact-integer contract: the result is a pure function of the
+    // row set — any repartitioning produces identical bytes
+    val out2 = operators.Similarity.pcaPowerOn(df.repartition(7)).collect()
+    assert(out.map(_.toString).sorted.sameElements(out2.map(_.toString).sorted))
+  }
+
   test("knn classify on the corpus: one row per probe, leave-one-out votes") {
     val rows = operators.Similarity.knnClassify(spark, sf).collect()
     val nProbes = graft.sources.Tables.embeddings(spark, sf)

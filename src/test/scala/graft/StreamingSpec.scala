@@ -541,4 +541,52 @@ class StreamingSpec extends SparkSpec {
     assert(append.nonEmpty && append.size < complete.size,
       s"no held-back tail: append=${append.size} complete=${complete.size}")
   }
+
+  test("outer-join null rows emit exactly at the watermark eviction boundary") {
+    import org.apache.spark.sql.functions._
+    // Planted boundary purchases around W = min(max click, max
+    // purchase) - 2h = 92800s: null rows must appear for p_sec <= W
+    // (NON-strict — the boundary the oracle HAVING clause encodes)
+    // and the tail purchase above W must be withheld.
+    val T = 100000L
+    val rows = Seq(
+      (1L, 49000L, 10L, "click", 1.0, "{}"),
+      (2L, 50000L, 10L, "purchase", 2.0, "{}"), // matched: 1 click
+      (3L, 92799L, 20L, "purchase", 1.0, "{}"), // W-1: emitted
+      (4L, 92800L, 21L, "purchase", 1.0, "{}"), // W exactly: emitted
+      (5L, 92801L, 22L, "purchase", 1.0, "{}"), // W+1: withheld
+      (6L, T, 30L, "click", 1.0, "{}"),         // click watermark anchor
+      (7L, T, 31L, "purchase", 1.0, "{}"))      // purchase anchor: withheld
+    import spark.implicits._
+    val df = rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_seconds(sec)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val dir = java.nio.file.Files.createTempDirectory("ojspec").toString
+    val tmp = s"$dir/__w"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val got = graft.streaming.StreamQueries.outerJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val want = Set(
+      (2L, 1L, Some(49000L: Any), Some(49000L: Any)),
+      (3L, 0L, None: Option[Any], None: Option[Any]),
+      (4L, 0L, None: Option[Any], None: Option[Any]))
+    assert(got == want, s"got $got")
+  }
+
+  test("outer join on the sf dir: supersets the inner join with only-null extras") {
+    // every inner row appears unchanged, every extra row is an
+    // unmatched purchase (0 clicks), and at least one extra exists
+    val inner = rowSet(graft.streaming.StreamQueries.intervalJoin(spark, sf))
+    val outerDf = graft.streaming.StreamQueries.outerJoin(spark, sf)
+    val outer = rowSet(outerDf)
+    assert(inner.subsetOf(outer), "inner rows must survive unchanged")
+    val extras = outerDf.filter(org.apache.spark.sql.functions.col("n_clicks_1h") > 0)
+    assert(rowSet(extras) == inner, "matched outer rows must equal the inner join")
+    assert(outer.size > inner.size, "no unmatched purchase below the watermark")
+  }
 }
