@@ -286,6 +286,7 @@ object SparkEntry {
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
+    "stream_upsert_sink"   -> graft.streaming.StreamQueries.upsertSink _,
     "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_rewrite" -> Analytic.topkRewrite _,
@@ -2117,6 +2118,18 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // the versioned foreachBatch MERGE must land on the plain batch
+    // per-user profile: total count + argmax-(ns, event_id) last event
+    "stream_upsert_sink" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ns FROM events),
+        |c AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, ns // 1000000000 AS last_sec, event_id AS last_event_id,
+        |        event_type AS last_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ns DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT c.user_id, c.n_events, r.last_sec, r.last_event_id, r.last_type
+        |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1
+        |ORDER BY c.user_id""".stripMargin,
     // left-outer twin: matched rows as above; an unmatched purchase
     // appears (0 clicks, null secs) iff its state evicted — p_ms <=
     // final watermark (min side-max ms - 2h), NON-strict boundary

@@ -392,6 +392,114 @@ object StreamQueries {
     (purchases, clicks)
   }
 
+  /** Three-file staging for the multi-batch UPSERT replay: events
+    * split by event_id % 3 with strictly increasing mtimes, so
+    * maxFilesPerTrigger=1 yields three deterministic micro-batches —
+    * each containing a fresh slice of most users' histories, forcing
+    * genuine cross-batch updates (not first-batch inserts only). */
+  private def stageUpsertDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = graft.queries.SourcesSinks.tmp(spark, dir, "events_stream_upsert")
+      val marker = java.nio.file.Paths.get(d, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmpDir = s"$d/__tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(d, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime): Unit
+          graft.queries.SourcesSinks.deleteRecursively(new java.io.File(tmpDir))
+        }
+        val t0 = 1600000000000L
+        writeOne(ev.filter(col("event_id") % 3 === 0), "a_first", t0)
+        writeOne(ev.filter(col("event_id") % 3 === 1), "b_second", t0 + 60000)
+        writeOne(ev.filter(col("event_id") % 3 === 2), "c_third", t0 + 120000)
+        java.nio.file.Files.createFile(marker)
+      }
+      d
+    }
+
+  /** foreachBatch MERGE upsert — the dominant PRODUCTION sink shape
+    * (Structured Streaming → per-micro-batch MERGE INTO a keyed
+    * table) driven through the oracle gate. Each micro-batch folds to
+    * per-user partials (count + argmax-by-(ts, event_id) last event —
+    * both MERGEABLE, so the per-batch shuffle carries users touched
+    * this batch, not history), then reconciles into the profile table
+    * by one FULL OUTER key join (the sink_merge_upsert combine). The
+    * exactly-once contract is IDEMPOTENT WRITES KEYED BY batchId:
+    * batch b reads profile version v_b and overwrites v_{b+1}, so a
+    * replayed batch rewrites the same version with the same bytes
+    * instead of double-counting — the checkpoint/sink handshake every
+    * foreachBatch deployment relies on (a Delta MERGE gets this from
+    * txn versioning; plain parquet needs the version-per-batchId
+    * discipline shown here). Three real micro-batches
+    * (maxFilesPerTrigger=1 over mtime-ordered thirds) make the MERGE
+    * genuinely incremental: most users exist in all three slices, so
+    * their counts accumulate and their last-event payloads are
+    * REPLACED twice before the final read. No watermark: this
+    * pipeline is stateless inside Spark — all state lives in the
+    * versioned profile table, which is why the pattern scales to
+    * unbounded key domains that a state store cannot hold. */
+  def upsertSink(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val path = stageUpsertDir(spark, dir)
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+      .withColumn("ns", Tables.epochNsOf(phys, "ts"))
+      .select(col("user_id"), col("ns"), col("event_id"), col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_state")
+      .toString
+    val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val agg = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("b_n"),
+            max(struct(col("ns"), col("event_id"), col("event_type")))
+              .as("b_last"))
+        val prev = s"$base/v$id"
+        val merged =
+          if (!new java.io.File(prev).exists()) {
+            agg.select(col("user_id"), col("b_n").as("n_events"),
+              col("b_last").as("last"))
+          } else {
+            val state = s.read.parquet(prev)
+            state.join(agg, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("n_events"), lit(0L)) +
+                  coalesce(col("b_n"), lit(0L))).as("n_events"),
+                when(col("last").isNull, col("b_last"))
+                  .when(col("b_last").isNull, col("last"))
+                  .when(col("b_last") > col("last"), col("b_last"))
+                  .otherwise(col("last")).as("last"))
+          }
+        // idempotence: the write is keyed by batchId — a replay of
+        // batch `id` overwrites v_{id+1} with identical bytes
+        merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
+        lastVersion.set(math.max(lastVersion.get(), id + 1))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(s"$base/v${lastVersion.get()}")
+      .select(col("user_id"), col("n_events"),
+        expr("last.ns div 1000000000").as("last_sec"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"))
+      .orderBy("user_id")
+      .localCheckpoint(true)
+    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
+    out
+  }
+
   /** LEFT OUTER stream-stream interval join — the production contract
     * [[intervalJoin]] cannot express: purchases with NO preceding-hour
     * click must still be reported (n_clicks_1h = 0), and in a

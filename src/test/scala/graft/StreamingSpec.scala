@@ -542,6 +542,29 @@ class StreamingSpec extends SparkSpec {
       s"no held-back tail: append=${append.size} complete=${complete.size}")
   }
 
+  test("upsert sink: versioned foreachBatch merge equals the batch profile") {
+    import org.apache.spark.sql.functions._
+    val got = rowSet(graft.streaming.StreamQueries.upsertSink(spark, sf))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val want = rowSet(ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+      .select(col("user_id"), col("n_events"),
+        expr("l.ts div 1000000000").as("last_sec"),
+        col("l.event_id").as("last_event_id"),
+        col("l.event_type").as("last_type"))
+      .orderBy("user_id"))
+    assert(want.nonEmpty && got == want)
+    // the merge must be genuinely incremental: most users span at
+    // least two of the three event_id % 3 slices, so their profile
+    // rows were UPDATED across micro-batches, not just inserted
+    val spanning = ev.groupBy("user_id")
+      .agg(countDistinct(expr("event_id % 3")).as("slices"))
+      .filter(col("slices") >= 2).count()
+    assert(spanning > ev.select("user_id").distinct().count() / 2,
+      s"only $spanning users span 2+ micro-batches")
+  }
+
   test("outer-join null rows emit exactly at the watermark eviction boundary") {
     import org.apache.spark.sql.functions._
     // Planted boundary purchases around W = min(max click, max
