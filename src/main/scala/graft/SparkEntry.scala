@@ -214,6 +214,7 @@ object SparkEntry {
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_oov_rate"     -> TextAnalysis.oovRate _,
+    "text_lm_familiarity" -> TextAnalysis.lmFamiliarity _,
     "text_contamination" -> TextAnalysis.contamination _,
     "text_bm25"          -> TextAnalysis.bm25 _,
     "text_bm25_indexed"  -> TextAnalysis.bm25Indexed _,
@@ -621,6 +622,20 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // bigram-LM coverage: top-1000 model by (count desc, bigram asc),
+    // per-doc occurrence hit ratio in exact integer ppm
+    "text_lm_familiarity" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1), i -> words[i] || ' ' || words[i+1])) AS bg
+        |       FROM docs WHERE len(words) >= 2),
+        |c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+        |top AS (SELECT bg FROM c ORDER BY cnt DESC, bg LIMIT 1000),
+        |pd AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_familiar
+        |  FROM bg b LEFT JOIN top t USING (bg) GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams, n_familiar,
+        |  n_familiar * 1000000 // n_bigrams AS familiar_ppm
+        |FROM pd ORDER BY doc_id""".stripMargin,
     "pipeline_shard_manifest" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
         |d AS (SELECT doc_id, md5(norm) AS digest,

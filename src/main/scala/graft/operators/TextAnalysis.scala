@@ -955,4 +955,50 @@ object TextAnalysis {
         .as("dup_fraction"))
     row(3).unionByName(row(5)).unionByName(row(7)).orderBy("n")
   }
+
+  /** Bigram language-model familiarity — the KenLM-shaped quality
+    * gate reduced to its exact-arithmetic core: train a corpus bigram
+    * "model" (the global top-1000 bigrams by frequency), then score
+    * each document by the fraction of its bigram OCCURRENCES the
+    * model covers. Fluent prose reuses the corpus's high-frequency
+    * transitions (high familiarity); gibberish, boilerplate-free
+    * tails, and wrong-language text don't — the same signal a real
+    * LM perplexity filter thresholds, but as a pure integer ratio
+    * (hits·10⁶ div total) both engines reproduce bit-exactly, where
+    * log-prob scoring would drift in float summation order.
+    * Complements [[oovRate]] (unigram vocabulary coverage): a doc of
+    * real words in scrambled ORDER passes OOV but fails here.
+    *
+    * Scale shape: the bigram relation is long-layout (one row per
+    * occurrence); training is one map-side-combined count then the
+    * top-1000 via per-partition heaps (TakeOrdered — k rows per
+    * partition to the driver, never the tail); scoring joins the
+    * occurrences against the BROADCAST 1000-row model. Ties at the
+    * top-1000 boundary break by (count desc, bigram asc) so the
+    * model is a pure function of the corpus. */
+  def lmFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    lmFamiliarityOn(documents(spark, dir))
+
+  /** Generic core of [[lmFamiliarity]] over any (doc_id, text)
+    * relation — train the top-1000 bigram model on the SAME corpus
+    * being scored (the self-scoring curation shape; score a fixed
+    * release against a frozen model by passing that corpus here). */
+  def lmFamiliarityOn(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(expr(normTextExpr), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words)-2), i -> concat(words[i], ' ', words[i+1]))"))
+        .as("bg"))
+    val top = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bg")).limit(1000)
+      .select(col("bg"), lit(1L).as("hit"))
+    bg.join(broadcast(top), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_familiar"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
+        expr("n_familiar * 1000000L div n_bigrams").as("familiar_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -503,4 +503,26 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("new_types")).sum ==
       last.getAs[Long]("vocab_size"))
   }
+
+  test("lm familiarity: fluent reuse scores high, scrambled word salad scores low") {
+    import spark.implicits._
+    // 8 "fluent" docs repeat the same transitions; the salad doc uses
+    // the SAME vocabulary in unseen orders — unigram OOV can't tell
+    // them apart, the bigram model can
+    val fluent = (1L to 8L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog " * 5))
+    val salad = (9L, "dog the fox brown lazy jumps quick over the " +
+      "brown dog quick the over fox lazy the jumps")
+    // 1100 count-2 filler bigrams push the model past its 1000-entry
+    // cutoff, so the count-1 salad transitions fall OUT of the model
+    // (a sub-cutoff corpus admits every bigram and scores everything 1)
+    val filler = (1 to 1100).map(i =>
+      (100L + i, f"u$i%04da u$i%04db u$i%04da u$i%04db"))
+    val out = operators.TextAnalysis.lmFamiliarityOn(
+        (fluent ++ filler :+ salad).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("familiar_ppm"))
+      .toMap
+    (1L to 8L).foreach(i => assert(out(i) == 1000000L, s"doc $i: ${out(i)}"))
+    assert(out(9L) < 500000L, s"salad scored ${out(9L)}")
+  }
 }
