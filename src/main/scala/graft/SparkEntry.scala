@@ -644,7 +644,7 @@ object SparkEntry {
         |SELECT h60 % 16 AS shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-        |  CAST(sum(h60 % 1000000007) AS BIGINT) AS checksum
+        |  CAST(sum(h60 % 1000000007) % 1000000007 AS BIGINT) AS checksum
         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
     "pipeline_dataset_card" ->
       """WITH t AS (

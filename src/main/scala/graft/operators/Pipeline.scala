@@ -261,17 +261,16 @@ object Pipeline {
           lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_char")) +
           lit(0.2) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
           lit(0.1) * (lit(1.0) - col("n_digit").cast("double") / col("n_char")))
-      // 1e6 grid (not the 1e9 used elsewhere): the σ computation sums
-      // q², so each row contributes ≤1e12 and the BIGINT sum holds to
-      // ~9·10^6 docs — the corrExact overflow-budget pattern; for
-      // larger corpora, split the power sums by subkey and re-add
-      // (or widen to DECIMAL(38,0)). 1e-6 score resolution is far
-      // below any band-assignment consequence.
+      // 1e6 grid: 1e-6 score resolution is far below any
+      // band-assignment consequence. The σ computation sums q²
+      // (≤1e12 per row), which exhausts a BIGINT within ~9·10^6 docs
+      // — the agg_moments_exact overflow class — so that sum runs in
+      // DECIMAL(38,0) from the first multiply: corpus-size-proof.
       .withColumn("q", floor(col("quality_score") * lit(1e6)).cast("bigint"))
       .localCheckpoint(eager = false) // one tokenization pass feeds both branches
     val moments = scored.agg(
       count(lit(1)).as("n"), sum("q").as("sq"),
-      sum(col("q") * col("q")).as("sqq"))
+      sum(col("q").cast("decimal(38,0)") * col("q")).as("sqq"))
     val banded = scored.crossJoin(broadcast(moments))
       .withColumn("mu", col("sq").cast("double") / col("n").cast("double"))
       .withColumn("sigma",
@@ -295,10 +294,12 @@ object Pipeline {
     * hash of its CONTENT digest (so re-runs and re-crawls land
     * identically — the same digest-keyed rationale as leakageSplit),
     * and the manifest reports per shard the doc count, token mass,
-    * doc_id span, and an ORDER-FREE content checksum (sum of each
-    * digest's hash mod a prime — bounded far below 2^63 at any shard
-    * size, and bit-identical on any partitioning/engine) that a
-    * downstream loader re-derives to detect a corrupt or stale shard.
+    * doc_id span, and an ORDER-FREE content checksum (each digest's
+    * hash mod a prime, summed in DECIMAL(38,0) and folded mod the
+    * same prime — shard-size-proof where a bigint sum of ~10⁹-per-row
+    * terms would overflow past ~9·10⁹ docs/shard, and bit-identical
+    * on any partitioning/engine) that a downstream loader re-derives
+    * to detect a corrupt or stale shard.
     * The physical partitioned write itself is covered by
     * sink_partitioned_prune; this is the pure manifest plan: one
     * projection → one n_shards-row hash agg, no window, no join. */
@@ -338,7 +339,8 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
-        sum("chk").as("checksum"))
+        (sum(col("chk").cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("checksum"))
       .orderBy("shard")
   }
 

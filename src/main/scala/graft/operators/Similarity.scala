@@ -649,7 +649,10 @@ object Similarity {
         min("mn").as("mn"), min("mx").as("mx"),
         max("qv").as("q_max"), min("qv").as("q_min"),
         max("eq").as("max_err_q"),
-        (sum("eq").cast("double") / (count(lit(1)).cast("double") * lit(1e12)))
+        // eq ≈ 2e9 per row: a bigint sum overflows past ~4e9 vectors
+        // (the agg_moments_exact class) — accumulate in DECIMAL(38,0)
+        (sum(col("eq").cast("decimal(38,0)")).cast("double")
+          / (count(lit(1)).cast("double") * lit(1e12)))
           .as("mean_err"))
       .orderBy("d")
   }

@@ -398,12 +398,13 @@ object SqlSurface {
     * (non-deterministic on a cluster and unreplayable by an oracle);
     * instead both moments' inputs are exact integers (quantity is
     * integral, price in cents via the DECIMAL cast), the five
-    * power sums fold as order-free BIGINTs, and the closed-form
+    * power sums fold order-free (BIGINT where a row contributes
+    * ≤ 10⁹ — sx, sy, sxx — and DECIMAL(38,0) for the price-squared
+    * terms syy/sxy, whose ~10¹³-per-row contributions would exhaust a
+    * BIGINT within ~10⁶ rows/group: the agg_moments_exact overflow
+    * class, fixed the same way), and the closed-form
     * corr/covar/stddev evaluate once per group in doubles from those
     * exact sums — bit-identical on any partitioning, any engine.
-    * Overflow budget: sxy ≤ 50·10^7 per row ⇒ the BIGINT sum holds
-    * past 10^10 rows per group; beyond that, split sums by subkey and
-    * re-add (or move the two largest sums to DECIMAL(38,0)).
     * The built-in corr() is asserted against the exact value within
     * 1e-9 as a pinned boolean, the same contract pattern as
     * agg_approx_stats. */
@@ -489,8 +490,11 @@ object SqlSurface {
       .agg(count(lit(1)).as("n"),
         sum("xi").as("sx"), sum("yi").as("sy"),
         sum(col("xi") * col("xi")).as("sxx"),
-        sum(col("yi") * col("yi")).as("syy"),
-        sum(col("xi") * col("yi")).as("sxy"),
+        // yi² ≈ 10¹³ per row (7-digit cents squared): a bigint sum has
+        // only ~10⁶ rows/group of headroom — the agg_moments_exact
+        // overflow class. Decimal from the first multiply, like there.
+        sum(col("yi").cast(DecimalType(38, 0)) * col("yi")).as("syy"),
+        sum(col("xi").cast(DecimalType(38, 0)) * col("yi")).as("sxy"),
         corr(col("xd"), col("yd")).as("corr_builtin"))
       .select(col("l_returnflag"), col("n"),
         ((col("n").cast("double") * col("sxy").cast("double") -

@@ -153,13 +153,16 @@ class PipelineSpec extends SparkSpec {
       val s = r.getAs[Long]("shard"); s >= 0 && s < 16
     })
     // checksum re-derived independently for one shard: order-free sum
-    // of the digest-hash residues
+    // of the digest-hash residues, folded mod the prime (the
+    // shard-size-proof form the operator ships)
     val want = docs
       .select(md5(col("norm")).as("digest"))
       .selectExpr(
         operators.Hash60.sql("digest") + " % 16 AS shard",
         operators.Hash60.sql("digest") + " % 1000000007 AS chk")
-      .groupBy("shard").agg(sum("chk").as("checksum"))
+      .groupBy("shard")
+      .agg((sum(col("chk").cast("decimal(38,0)")) % 1000000007L)
+        .cast("long").as("checksum"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       assert(r.getAs[Long]("checksum") == want(r.getAs[Long]("shard")))
