@@ -49,12 +49,18 @@ class ScaleTrendSpec extends SparkSpec {
   // relations grow with |probes|·k (AQE decides their join sides)
   // ev_value_cdf: the compressed-domain CDF join-back (its window
   // must stay value-domain-bounded, never corpus-bounded)
+  // graph_triangles: the degree-ordered wedge join (O(E^1.5) by the
+  // orientation — a hub-degree regression would trend quadratic);
+  // emb_pca_power: two matrix-free passes over the long (vec, d, q)
+  // layout (quadratic only if the d×d Gram ever materialized);
+  // mm_image_phash: the separable-DCT join+agg chain + pigeonhole
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
       "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk",
       "ev_asof_native", "vocab_bpe_merges", "mm_image_ahash",
-      "emb_knn_classify", "ev_value_cdf")) {
+      "emb_knn_classify", "ev_value_cdf",
+      "graph_triangles", "emb_pca_power", "mm_image_phash")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)
