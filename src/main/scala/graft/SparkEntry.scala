@@ -65,6 +65,7 @@ object SparkEntry {
     "expr_array_ops"      -> Exprs.arrayOps _,
     "expr_try_arith"      -> Exprs.tryArith _,
     "expr_higher_order"   -> Exprs.higherOrder _,
+    "expr_struct_ops"     -> Exprs.structOps _,
     "expr_string_kernel2" -> Exprs.stringKernel2 _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
@@ -3303,6 +3304,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
         |  min(d) AS div_min, max(d) AS div_max
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // struct ordering replayed as SQL row-value comparisons — the
+    // same lexicographic semantics Spark's struct comparator uses
+    "expr_struct_ops" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS sz,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 50 AS k2
+        |  FROM part)
+        |SELECT p_partkey,
+        |  p_brand AS brand_field,
+        |  (sz, p_partkey) < (k2, p_partkey) AS s1_lt_s2,
+        |  CASE WHEN (sz, p_partkey) <= (k2, p_partkey) THEN sz ELSE k2 END AS min_k,
+        |  CASE WHEN (sz, 'size') <= (k2, 'price') THEN 'size,price'
+        |       ELSE 'price,size' END AS order_tags,
+        |  TRUE AS eq_self
+        |FROM p ORDER BY p_partkey""".stripMargin,
     // array lambdas: every output an integer or canonical string join
     "expr_higher_order" ->
       """WITH p AS (

@@ -322,6 +322,38 @@ object Exprs {
     * unbounded input — the discipline that keeps lambda work
     * per-row-bounded at 100 TB. Every output is either an integer or
     * a canonical string join, so oracle parity is exact. */
+  /** STRUCT as a first-class value — the row-type surface §2.3 was
+    * missing: named_struct construction + field access, lexicographic
+    * struct ORDERING (the comparator behind every argmax/as-of/top-k
+    * in this repo, here surfaced directly), least/greatest over
+    * structs, and array_sort over an array of structs (field-order
+    * comparison, tag travels with the key). The oracle replays struct
+    * ordering as standard SQL row-value comparisons — (a, b) < (c, d)
+    * — which is exactly the semantics Spark's struct comparator
+    * implements, so the engines agree on every tie-break. All outputs
+    * scalar (string/bool/bigint); pure projection, codegen-fused. */
+  def structOps(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("bigint").as("sz"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 50")
+          .as("k2"))
+    p.select(
+      col("p_partkey"),
+      expr("named_struct('brand', p_brand, 'size', sz).brand").as("brand_field"),
+      (struct(col("sz").as("a"), col("p_partkey").as("b")) <
+        struct(col("k2").as("a"), col("p_partkey").as("b"))).as("s1_lt_s2"),
+      least(struct(col("sz").as("a"), col("p_partkey").as("b")),
+        struct(col("k2").as("a"), col("p_partkey").as("b")))
+        .getField("a").as("min_k"),
+      expr("""array_join(transform(array_sort(array(
+        named_struct('k', sz, 'tag', 'size'),
+        named_struct('k', k2, 'tag', 'price'))), s -> s.tag), ',')""")
+        .as("order_tags"),
+      expr("named_struct('x', sz, 'y', p_brand) = named_struct('x', sz, 'y', p_brand)")
+        .as("eq_self"))
+      .orderBy("p_partkey")
+  }
+
   def higherOrder(spark: SparkSession, dir: String): DataFrame = {
     val p = part(spark, dir).select(
       col("p_partkey"), split(lower(col("p_type")), " ").as("words"))
