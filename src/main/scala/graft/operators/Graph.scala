@@ -53,11 +53,14 @@ object Graph {
       .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
     val aLow = struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b"))
+    // three consumers (both wedge sides + the closing-edge probe)
+    // would each re-run the degree joins: pin the oriented edge list
     val oriented = withDeg.select(
       when(aLow, col("a")).otherwise(col("b")).as("u"),
       when(aLow, col("b")).otherwise(col("a")).as("v"),
       when(aLow, struct(col("deg_b").as("d"), col("b").as("n")))
         .otherwise(struct(col("deg_a").as("d"), col("a").as("n"))).as("rv"))
+      .localCheckpoint()
 
     // Wedges at the lowest-rank corner u: unordered out-neighbor
     // pairs {v, w} with rank(v) < rank(w); the closing edge, if it

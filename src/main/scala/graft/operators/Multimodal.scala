@@ -333,6 +333,9 @@ object Multimodal {
           expr("shiftleft(1L, CAST(u*8 + v - 1 AS INT))"))
           .otherwise(lit(0L)).as("bit"))
       .groupBy("doc_id").agg(sum("bit").as("phash"))
+      // both sides of the pigeonhole self-join consume the signature
+      // relation: pin it once so the DCT chain runs once, not twice
+      .localCheckpoint()
 
     val exploded = sigs
       .withColumn("blocks", expr(

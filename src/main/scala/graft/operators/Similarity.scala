@@ -850,9 +850,12 @@ object Similarity {
       .select(col("d"),
         (col("nn") * col("s1") - col("s_d") * col("t0a")).as("y1"),
         col("nn"))
+    // three consumers (t1, sv1, output join) would each re-derive the
+    // whole first iteration: pin the 64-row iterate once
     val v1 = y1.select(col("d"),
       (when(col("y1") < 0, -1L).otherwise(1L) *
         expr("abs(y1) div (nn * nn)")).as("v1"))
+      .localCheckpoint()
 
     // iteration 2 against the renormalized iterate
     val t1 = dims.join(broadcast(v1), "d")
@@ -864,6 +867,7 @@ object Similarity {
       .join(broadcast(sd), "d").crossJoin(n1).crossJoin(sv1)
       .select(col("d"), col("s_d"),
         (col("nn") * col("s2") - col("s_d") * col("sv")).as("y2"))
+      .localCheckpoint() // feeds both m2 and the output projection
     val m2 = broadcast(y2.agg(max(abs(col("y2"))).as("m2")))
 
     y2.crossJoin(m2).join(broadcast(v1), "d")
