@@ -463,34 +463,36 @@ object Pipeline {
     * nothing). Reference analog: the scanner's row-level conjunct
     * evaluation (/root/reference/hdfs-parquet-scanner.h:1) — here
     * the conjuncts become audit counters instead of filters. */
-  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
+  def dataQuality(spark: SparkSession, dir: String): DataFrame =
+    dataQualityOn(lineitem(spark, dir), Seq(
+      "quantity_range" -> (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+      "discount_range" -> (col("l_discount") < 0.0 || col("l_discount") > 0.10),
+      "discount_sla" -> (col("l_discount") > 0.05),
+      "returnflag_domain" -> !col("l_returnflag").isin("R", "A", "N"),
+      "linestatus_domain" -> !col("l_linestatus").isin("O", "F"),
+      "price_positive" -> (col("l_extendedprice") <= 0.0),
+      "keys_nonnull" -> (col("l_orderkey").isNull || col("l_partkey").isNull ||
+        col("l_suppkey").isNull),
+      "shipdate_window" -> (to_date(col("l_shipdate")) < lit("1992-01-01") ||
+        to_date(col("l_shipdate")) > lit("1998-12-31"))))
+
+  /** Generic core of [[dataQuality]]: run any (name → violation
+    * predicate) suite over any relation in ONE aggregate pass.
+    * NULL predicate results count as non-violations (SQL three-valued
+    * semantics — write `isNull` checks explicitly when null itself is
+    * the defect). */
+  def dataQualityOn(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
     def viol(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-    val a = li.agg(
-      count(lit(1)).as("n_rows"),
-      viol(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)
-        .as("v_quantity_range"),
-      viol(col("l_discount") < 0.0 || col("l_discount") > 0.10)
-        .as("v_discount_range"),
-      viol(col("l_discount") > 0.05).as("v_discount_sla"),
-      viol(!col("l_returnflag").isin("R", "A", "N")).as("v_returnflag_domain"),
-      viol(!col("l_linestatus").isin("O", "F")).as("v_linestatus_domain"),
-      viol(col("l_extendedprice") <= 0.0).as("v_price_positive"),
-      viol(col("l_orderkey").isNull || col("l_partkey").isNull ||
-        col("l_suppkey").isNull).as("v_keys_nonnull"),
-      viol(to_date(col("l_shipdate")) < lit("1992-01-01") ||
-        to_date(col("l_shipdate")) > lit("1998-12-31")).as("v_shipdate_window"))
+    val a = df.agg(count(lit(1)).as("n_rows"),
+      checks.map { case (n, c) => viol(c).as(s"v_$n") }: _*)
+    val stackArgs = checks
+      .map { case (n, _) => s"'$n', v_$n" }.mkString(", ")
     a.select(col("n_rows"), expr(
-      """stack(8,
-        |  'quantity_range',    v_quantity_range,
-        |  'discount_range',    v_discount_range,
-        |  'discount_sla',      v_discount_sla,
-        |  'returnflag_domain', v_returnflag_domain,
-        |  'linestatus_domain', v_linestatus_domain,
-        |  'price_positive',    v_price_positive,
-        |  'keys_nonnull',      v_keys_nonnull,
-        |  'shipdate_window',   v_shipdate_window
-        |) as (check_name, n_violations)""".stripMargin))
+      s"stack(${checks.size}, $stackArgs) as (check_name, n_violations)"))
       .select(col("check_name"), col("n_rows"), col("n_violations"),
         expr("n_violations * 1000000L div n_rows").as("viol_ppm"),
         (col("n_violations") === 0L).as("pass"))

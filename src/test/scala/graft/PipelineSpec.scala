@@ -169,6 +169,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("data quality core: planted violations count exactly, null predicates don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 5.0, "x"), (2L, -1.0, "y"), (3L, 200.0, null))
+      .toDF("id", "v", "s")
+    val rows = operators.Pipeline.dataQualityOn(df, Seq(
+        "v_range" -> (col("v") < 0.0 || col("v") > 100.0),
+        "s_nonnull" -> col("s").isNull,
+        // null comparison result (s = 'x' when s is null) must count
+        // as NON-violation, not explode or count as one
+        "s_is_x" -> (col("s") =!= "x")))
+      .collect().map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(rows("v_range") == ((2L, false)))
+    assert(rows("s_nonnull") == ((1L, false)))
+    assert(rows("s_is_x") == ((1L, false))) // only row 2 ('y'); null row skipped
+    val dup = intercept[IllegalArgumentException] {
+      operators.Pipeline.dataQualityOn(df, Seq(
+        "a" -> col("v").isNull, "a" -> col("s").isNull))
+    }
+    assert(dup.getMessage.contains("unique"))
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()
