@@ -415,7 +415,7 @@ object Dedup {
     * the driver reads only a convergence counter; rounds are bounded
     * by cluster diameter with a loud require on cap-out (a capped
     * fixpoint is WRONG labels and must never ship silently). */
-  private def minLabelComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+  private[operators] def minLabelComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
     val edges = pairs.select(col(a), col(b))
       .union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")

@@ -124,7 +124,7 @@ object Graph {
 
     var pr = deg.crossJoin(n).select(col("u").as("node"), col("deg"),
       col("n"), expr("1000000L div n").as("pr_micro"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = dirE
         .join(pr, dirE("u") === pr("node"))
         .select(col("v").as("node"), expr("pr_micro div deg").as("c"))
@@ -132,6 +132,11 @@ object Graph {
         .join(contrib.groupBy("node").agg(sum("c").as("s")), Seq("node"))
         .select(col("node"), col("deg"), col("n"),
           expr("(150000L div n) + ((85L * s) div 100)").as("pr_micro"))
+      // truncate lineage on long runs: each round stacks a join+agg
+      // onto the plan, and 10+ unchecked rounds make analysis itself
+      // the bottleneck (the kcore lesson); the rank relation is 3
+      // longs per node, cheap to pin
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr.select(col("node"), col("deg"), col("pr_micro"))
   }
@@ -220,4 +225,13 @@ object Graph {
       k = 2, rounds = 4)
       .withColumnRenamed("node", "doc_id")
       .orderBy("doc_id")
+
+  /** Connected components over any pair relation: (node, label) with
+    * label = the component's minimum node id — the generic entry
+    * point for the same enforced-fixpoint min-label propagation the
+    * dedup stack runs (one join + one min-agg per round, eagerly
+    * checkpointed, loud `require` on cap-out; see
+    * [[Dedup.minLabelComponents]] for the full contract). */
+  def componentsOn(edges: DataFrame, src: String, dst: String): DataFrame =
+    Dedup.minLabelComponents(edges, src, dst)
 }

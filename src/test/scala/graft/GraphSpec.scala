@@ -135,4 +135,34 @@ class GraphSpec extends SparkSpec {
     }.toMap
     assert(run(edges) == brute)
   }
+
+  test("generic components: min labels on a forest of known components") {
+    import spark.implicits._
+    // two triangles bridged to nothing + an isolated chain
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = operators.Graph.componentsOn(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pagerank with lineage checkpoints (8 rounds) equals the unrolled recurrence") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    // brute-force integer replay of the floor-division recurrence
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val n = adj.size.toLong
+    var pr = adj.keys.map(k => k -> 1000000L / n).toMap
+    for (_ <- 1 to 8) {
+      val s = adj.keys.map(v =>
+        v -> adj(v).map(u => pr(u) / deg(u)).sum).toMap
+      pr = adj.keys.map(v => v -> (150000L / n + 85L * s(v) / 100L)).toMap
+    }
+    val got = operators.Graph.pageRankOn(edges, "a", "b", iters = 8)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr_micro")).toMap
+    assert(got == pr)
+  }
 }
