@@ -239,6 +239,7 @@ object SparkEntry {
     "pipeline_split_contamination" -> Pipeline.splitContamination _,
     "pipeline_winsorize"      -> Pipeline.winsorize _,
     "pipeline_data_quality"   -> Pipeline.dataQuality _,
+    "pipeline_negative_sample" -> Pipeline.negativeSample _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -1245,6 +1246,28 @@ object SparkEntry {
         |    + CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS DOUBLE) * min(p95) AS sum_winsorized
         |FROM documents d JOIN q USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // bucket-draw negative sampling: every id below is a pure md5
+    // function, so the sample replays exactly
+    "pipeline_negative_sample" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |cands AS (SELECT doc_id AS cand_id,
+        |    CAST(('0x' || substring(md5('nsb_' || doc_id), 1, 15)) AS BIGINT) % 16 AS bkt
+        |  FROM docs),
+        |anchors AS (SELECT doc_id, slot,
+        |    CAST(('0x' || substring(md5('nsp_' || doc_id || '_' || slot), 1, 15)) AS BIGINT) % 16 AS bkt
+        |  FROM docs, (SELECT unnest(generate_series(0, 3)) AS slot)
+        |  WHERE doc_id % 10 = 0),
+        |scored AS (
+        |  SELECT a.doc_id, a.slot, c.cand_id,
+        |    CAST(('0x' || substring(md5('nsr_' || a.doc_id || '_' || a.slot || '_' || c.cand_id), 1, 15)) AS BIGINT) AS r
+        |  FROM anchors a JOIN cands c USING (bkt)
+        |  WHERE c.cand_id <> a.doc_id),
+        |best AS (
+        |  SELECT doc_id, slot, cand_id AS neg_id, r AS draw_rank,
+        |    row_number() OVER (PARTITION BY doc_id, slot ORDER BY r, cand_id) AS rn
+        |  FROM scored)
+        |SELECT doc_id, slot, neg_id, draw_rank
+        |FROM best WHERE rn = 1 ORDER BY doc_id, slot""".stripMargin,
     // one-scan constraint audit; BIGINT casts (DuckDB sums are
     // HUGEINT), integer-division ppm, boolean pass
     "pipeline_data_quality" ->

@@ -476,6 +476,47 @@ object Pipeline {
       "shipdate_window" -> (to_date(col("l_shipdate")) < lit("1992-01-01") ||
         to_date(col("l_shipdate")) > lit("1998-12-31"))))
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training pairs —
+    * per anchor, k pseudo-random negatives drawn from the whole
+    * corpus WITHOUT a per-anchor corpus scan. The naive form (rank
+    * all candidates per anchor) is an |anchors|×|corpus| cross join;
+    * the scale-correct form here is bucket-draw: candidates land in B
+    * hash buckets once, each (anchor, slot) probes ONE
+    * slot-keyed pseudo-random bucket, and the draw inside the bucket
+    * is the argmin of a per-(anchor, slot, candidate) hash — so work
+    * per anchor is k·(corpus/B) rows through one equi-join +
+    * map-side-combined min_by, and the sample is a pure md5 function
+    * of the ids: reproducible across runs, engines, partitionings
+    * (the property a training-data release needs — re-generating the
+    * pairs file must not silently reshuffle negatives). Self-pairs
+    * are excluded in the join; at corpus scale a deployment also
+    * anti-joins the near-dup component closure so a duplicate of the
+    * anchor can't be drawn as its negative (the relation
+    * dedup_components already ships). An empty probed bucket drops
+    * that slot row deterministically on both engines — choose
+    * B ≪ corpus so buckets are never empty in practice. */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val b = 16L
+    val k = 4
+    val docs = documents(spark, dir).select(col("doc_id"))
+    val cands = docs.select(col("doc_id").as("cand_id"))
+      .withColumn("bkt",
+        expr(Hash60.sql("concat('nsb_', cand_id)") + s" % $b"))
+    val anchors = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("slot", explode(typedlit((0 until k).map(_.toLong))))
+      .withColumn("bkt",
+        expr(Hash60.sql("concat('nsp_', doc_id, '_', slot)") + s" % $b"))
+    anchors.join(cands, Seq("bkt"))
+      .filter(col("cand_id") =!= col("doc_id"))
+      .withColumn("r",
+        expr(Hash60.sql("concat('nsr_', doc_id, '_', slot, '_', cand_id)")))
+      .groupBy("doc_id", "slot")
+      .agg(min(struct(col("r"), col("cand_id"))).as("m"))
+      .select(col("doc_id"), col("slot"),
+        col("m.cand_id").as("neg_id"), col("m.r").as("draw_rank"))
+      .orderBy("doc_id", "slot")
+  }
+
   /** Generic core of [[dataQuality]]: run any (name → violation
     * predicate) suite over any relation in ONE aggregate pass.
     * NULL predicate results count as non-violations (SQL three-valued
