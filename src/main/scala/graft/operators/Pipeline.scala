@@ -492,21 +492,38 @@ object Pipeline {
     * are excluded in the join; at corpus scale a deployment also
     * anti-joins the near-dup component closure so a duplicate of the
     * anchor can't be drawn as its negative (the relation
-    * dedup_components already ships). An empty probed bucket drops
-    * that slot row deterministically on both engines — choose
-    * B ≪ corpus so buckets are never empty in practice. */
+    * dedup_components already ships).
+    *
+    * Sizing rule (the knob that carries 100 TB): B must GROW with the
+    * corpus so the bucket SIZE stays a constant (≈32-1000 rows) — the
+    * per-anchor work is k·(corpus/B), so a fixed small B would turn
+    * the bucket join back into a near-cross-join at scale, while
+    * B ∝ corpus keeps it k·O(1) per anchor and the join key NDV high
+    * enough that no bucket is a hot key. An empty probed bucket drops
+    * that slot row deterministically on both engines — bucket size
+    * ≥32 makes that probability negligible. */
   def negativeSample(spark: SparkSession, dir: String): DataFrame = {
-    val b = 16L
-    val k = 4
     val docs = documents(spark, dir).select(col("doc_id"))
-    val cands = docs.select(col("doc_id").as("cand_id"))
+    // test-scale sizing: 500-5000 docs / 16 buckets ≈ 31-312 per bucket
+    negativeSampleOn(docs, docs.filter(col("doc_id") % 10 === 0),
+      buckets = 16L, k = 4)
+      .orderBy("doc_id", "slot")
+  }
+
+  /** Generic core of [[negativeSample]]: draw `k` deterministic
+    * negatives per anchor from `pool` (both single-column id
+    * relations named doc_id). Set `buckets` ≈ |pool| / 64. */
+  def negativeSampleOn(pool: DataFrame, anchors: DataFrame,
+      buckets: Long, k: Int): DataFrame = {
+    require(buckets >= 1 && k >= 1, s"bad sizing: $buckets/$k")
+    val cands = pool.select(col("doc_id").as("cand_id"))
       .withColumn("bkt",
-        expr(Hash60.sql("concat('nsb_', cand_id)") + s" % $b"))
-    val anchors = docs.filter(col("doc_id") % 10 === 0)
+        expr(Hash60.sql("concat('nsb_', cand_id)") + s" % $buckets"))
+    val probes = anchors.select(col("doc_id"))
       .withColumn("slot", explode(typedlit((0 until k).map(_.toLong))))
       .withColumn("bkt",
-        expr(Hash60.sql("concat('nsp_', doc_id, '_', slot)") + s" % $b"))
-    anchors.join(cands, Seq("bkt"))
+        expr(Hash60.sql("concat('nsp_', doc_id, '_', slot)") + s" % $buckets"))
+    probes.join(cands, Seq("bkt"))
       .filter(col("cand_id") =!= col("doc_id"))
       .withColumn("r",
         expr(Hash60.sql("concat('nsr_', doc_id, '_', slot, '_', cand_id)")))
@@ -514,7 +531,6 @@ object Pipeline {
       .agg(min(struct(col("r"), col("cand_id"))).as("m"))
       .select(col("doc_id"), col("slot"),
         col("m.cand_id").as("neg_id"), col("m.r").as("draw_rank"))
-      .orderBy("doc_id", "slot")
   }
 
   /** Generic core of [[dataQuality]]: run any (name → violation
