@@ -290,6 +290,7 @@ object SparkEntry {
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
     "stream_upsert_sink"   -> graft.streaming.StreamQueries.upsertSink _,
+    "stream_static_enrich" -> graft.streaming.StreamQueries.staticEnrich _,
     "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
     "win_topk_rewrite" -> Analytic.topkRewrite _,
@@ -2157,6 +2158,21 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // the stream-static dimension join must land on its batch form
+    "stream_static_enrich" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_life FROM events GROUP BY user_id),
+        |g AS (SELECT sum(n_life) AS total, count(*) AS n_users FROM u),
+        |t AS (
+        |  SELECT user_id,
+        |    CASE WHEN n_life * n_users * 20 >= total * 21 THEN 'heavy'
+        |         WHEN n_life * n_users >= total THEN 'mid'
+        |         ELSE 'light' END AS tier
+        |  FROM u, g)
+        |SELECT tier, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN t USING (user_id)
+        |GROUP BY tier, event_type
+        |ORDER BY tier, event_type""".stripMargin,
     // the versioned foreachBatch MERGE must land on the plain batch
     // per-user profile: total count + argmax-(ns, event_id) last event
     "stream_upsert_sink" ->

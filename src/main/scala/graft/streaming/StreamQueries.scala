@@ -500,6 +500,45 @@ object StreamQueries {
     out
   }
 
+  /** Stream-static enrichment — the OTHER ubiquitous production join:
+    * each micro-batch joins against a STATIC dimension snapshot (here
+    * a batch-computed per-user activity tier). No state store at all —
+    * the static side is re-planned per micro-batch (broadcast when
+    * small, the usual dimension case), so this scales to any stream
+    * length with zero streaming state; the tradeoff vs [[upsertSink]]
+    * is snapshot semantics (the dimension is frozen at plan time,
+    * updates need a restart or a Delta-style reload). The rollup runs
+    * in batch over the sunk enriched rows; the oracle is the same
+    * join expressed fully in batch. */
+  def staticEnrich(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    // the dimension snapshot: per-user lifetime event tier, computed
+    // batch-side from the same landing data a real dim table would
+    // be. Tiers are RELATIVE to the corpus mean (cross-multiplied, so
+    // the comparison is exact integer): ≥5% above mean = heavy,
+    // ≥ mean = mid — absolute thresholds would collapse to one tier
+    // as the per-user volume scales with sf
+    val perUser = spark.read
+      .parquet(stageStreamDir(spark, dir) + "/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n_life"))
+    val totals = perUser.agg(sum("n_life").as("total"),
+      count(lit(1)).as("n_users"))
+    val tiers = perUser.crossJoin(broadcast(totals))
+      .select(col("user_id"),
+        when(col("n_life") * col("n_users") * 20 >= col("total") * 21, "heavy")
+          .when(col("n_life") * col("n_users") >= col("total"), "mid")
+          .otherwise("light").as("tier"))
+    val enriched = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(tiers, Seq("user_id"))
+    runBounded(spark, enriched, "append")
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("tier", "event_type")
+  }
+
   /** LEFT OUTER stream-stream interval join — the production contract
     * [[intervalJoin]] cannot express: purchases with NO preceding-hour
     * click must still be reported (n_clicks_1h = 0), and in a
