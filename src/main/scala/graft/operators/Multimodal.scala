@@ -286,7 +286,15 @@ object Multimodal {
     *     the broadcast 64-row basis followed by a map-side-combined
     *     hash agg: the plan a cluster DCT actually wants (never a
     *     4096-term projection, which is also what janino would choke
-    *     on — the PQ kernel lesson).
+    *     on — the PQ kernel lesson). MEASURED alternative rejected: a
+    *     per-doc nested higher-order-function loop (transform over
+    *     the 64 (u,v) pairs × aggregate over 64 pixels) is 6× SLOWER
+    *     (19 s vs 3.3 s at sf0.1) because Spark's HOF lambdas are
+    *     CodegenFallback — the 4096 multiply-adds run interpreted per
+    *     row, while the join+agg layout keeps every stage in
+    *     whole-stage codegen. HOFs earn their keep on SHORT per-row
+    *     arrays (expr_higher_order); dense per-row compute belongs in
+    *     relational operators or a native kernel.
     *  2. Mean-variant pHash signature: bit(u,v) = F·63 > ΣF over the
     *     63 non-DC coefficients — exact integer compare, no doubles
     *     anywhere (the classic median variant needs an order

@@ -192,6 +192,29 @@ class PipelineSpec extends SparkSpec {
     assert(dup.getMessage.contains("unique"))
   }
 
+  test("negative sampling: full slot coverage, no self-pairs, run-reproducible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pool = (1L to 256L).toDF("doc_id")
+    val anchors = (1L to 16L).toDF("doc_id")
+    def run() = operators.Pipeline
+      .negativeSampleOn(pool, anchors, buckets = 4L, k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("slot"),
+        r.getAs[Long]("neg_id"))).sorted.toSeq
+    val s = run()
+    // 4 buckets over 256 docs: no bucket can be empty, so every
+    // (anchor, slot) must produce a draw
+    assert(s.length == 16 * 3, s"got ${s.length} rows")
+    s.foreach { case (a, _, n) => assert(a != n, s"self-pair $a") }
+    // the sample is a pure function of the ids: a second run (and a
+    // repartitioned pool) reproduces it exactly
+    assert(run() == s)
+    assert(operators.Pipeline
+      .negativeSampleOn(pool.repartition(7), anchors, buckets = 4L, k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("slot"),
+        r.getAs[Long]("neg_id"))).sorted.toSeq == s)
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()
