@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> Dedup.semanticClusters _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
+    "ann_mips_topk"       -> Similarity.mipsTopK _,
     "ann_ivf_topk"        -> Similarity.ivfTopK _,
     "ann_pq_topk"         -> Similarity.pqTopK _,
     "ann_ivfpq_topk"      -> Similarity.ivfpqTopK _,
@@ -2857,6 +2858,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT probe_id, vec_id, cell, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+    // raw inner product, no normalization: the recommender ranking
+    "ann_mips_topk" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b) AS dot
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, dot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, vec_id, dot, rank FROM ranked WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),

@@ -51,6 +51,29 @@ object Similarity {
     bruteForceTopKOn(vecs(spark, dir), probes(spark, dir), K,
       excludeSelf = true)
 
+  /** Exact top-k by MAX INNER PRODUCT (MIPS) — the scoring semantics
+    * recommenders and reward models actually rank by, and a DIFFERENT
+    * answer from cosine whenever vector norms vary: cosine asks
+    * "closest direction", the dot product rewards magnitude, so a
+    * long off-angle vector can out-score a short aligned one (the
+    * popularity prior an untied norm encodes). Same scan shape as
+    * [[bruteForceTopK]] — broadcast probes, one corpus pass, native
+    * bounded-heap top-k — but the kernel is the raw codegen
+    * `graft_dot` with no normalization (and no norm cache needed at
+    * all). The standard LSH reduction for approximate MIPS
+    * (norm-augment to a sphere, then cosine-LSH) composes with the
+    * hyperplane machinery in [[Dedup.embeddingCosine]]; the exact
+    * baseline here is its acceptance oracle. */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = vecs(spark, dir)
+      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Vectors.dot(col("pv"), col("vd")).as("dot"))
+    graft.plans.TopK.perKey(scored, Seq("probe_id"),
+        Seq("dot" -> false, "vec_id" -> true), K)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Generic core: exact top-k cosine neighbors of each probe over
     * any vector relation — the library entry point. `vectors` must
     * carry (vec_id, vd: array<double>, vnrm), `probeSet`
