@@ -1818,13 +1818,16 @@ object SparkEntry {
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
-    // session_window end is exclusive: the island rule is >= gap
-    // (win_sessionize's lag form below uses > gap — one-instant
-    // boundary difference between the two operators, both exact)
+    // session_window MERGES an event at exactly session end (probe:
+    // a 1800s gap joins, 1801s splits — the [start, end] closed merge
+    // rule), so the island split is STRICTLY > gap, same as
+    // win_sessionize's lag form. An >=-gap oracle diverges one row
+    // per exactly-30min gap — caught by the full sf0.1 sweep, pinned
+    // by AnalyticSpec's planted boundary pair.
     "ev_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
-        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new FROM w),
         | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,
@@ -2104,7 +2107,7 @@ object SparkEntry {
     "stream_session_agg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
-        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new FROM w),
         | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,
@@ -2137,7 +2140,7 @@ object SparkEntry {
         |        epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | wm AS (SELECT (max(us)//1000 - 7200000) * 1000 AS wm_us FROM e),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
-        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        | f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new FROM w),
         | s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) + 1800 AS end_sec,

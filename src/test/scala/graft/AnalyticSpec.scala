@@ -93,28 +93,36 @@ class AnalyticSpec extends SparkSpec {
     assert(total == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("session_window merges an exactly-gap event and splits one second past") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the boundary rule the sf0.1 oracle sweep caught: gap == 1800s
+    // MERGES ([start, end] closed), 1801s splits — an >=-gap island
+    // oracle diverges one row per exact-gap pair
+    val df = Seq((1L, 1000L), (1L, 2800L), (2L, 1000L), (2L, 2801L))
+      .toDF("user_id", "sec")
+      .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts"))
+    val got = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), expr("unix_timestamp(sw.start)").as("st"),
+        expr("unix_timestamp(sw.end)").as("en"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 1000L, 4600L, 2L),
+      (2L, 1000L, 2800L, 1L), (2L, 2801L, 4601L, 1L)), s"got $got")
+  }
+
   test("native session_window agrees with the lag+cumsum sessionizer") {
     import org.apache.spark.sql.functions._
-    // the two operators deliberately differ at EXACT-gap boundaries
-    // (session_window's end is exclusive: >= 1800 splits; the lag
-    // form's > 1800 merges), so users with an exact-1800s consecutive
-    // gap are compared only in aggregate, not session-by-session
-    // (sf0.1's events contain such a pair; this SF may gain one too)
-    val boundaryUsers = {
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts_sec", "event_id")
-      graft.sources.Tables.events(spark, sf)
-        .withColumn("ts_sec", expr("ts div 1000000000"))
-        .withColumn("gap", col("ts_sec") - lag("ts_sec", 1).over(byUser))
-        .filter(col("gap") === 1800L)
-        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
-    }
+    // both operators MERGE an event at exactly gap distance (probed:
+    // a 1800s gap joins, 1801s splits — [start, end] closed merge),
+    // so the two forms agree on EVERY session including exact-gap
+    // boundaries; the planted-boundary test below pins the rule
     val native = queries.Analytic.sessionWindowAgg(spark, sf).collect()
-      .filterNot(r => boundaryUsers(r.getLong(0)))
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     val lagForm = queries.Analytic.sessionize(spark, sf).collect()
-      .filterNot(r => boundaryUsers(r.getLong(0)))
       .map(r => (r.getLong(0), r.getAs[Long]("start_sec")) ->
         ((r.getAs[Long]("end_sec"), r.getAs[Long]("n_events"),
           r.getAs[Double]("session_value")))).toMap
