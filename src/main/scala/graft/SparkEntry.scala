@@ -2377,16 +2377,16 @@ object SparkEntry {
         |  SELECT doc_id, len(sh) AS n_sh,
         |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
         |  FROM sh0 WHERE len(sh) > 0
-        |), post AS (
+        |), post AS MATERIALIZED (
         |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
         |), pc AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
         |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM pc
         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
-        |), deg AS (
+        |), deg AS MATERIALIZED (
         |  SELECT node, count(*) AS deg FROM (
         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
         |  GROUP BY node
@@ -2417,33 +2417,33 @@ object SparkEntry {
         |  SELECT doc_id, len(sh) AS n_sh,
         |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
         |  FROM sh0 WHERE len(sh) > 0
-        |), post AS (
+        |), post AS MATERIALIZED (
         |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
         |), pc AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
         |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM pc
         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
-        |), dire AS (
+        |), dire AS MATERIALIZED (
         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
         |), deg AS (
         |  SELECT u, count(*) AS deg FROM dire GROUP BY u
         |), nn AS (
         |  SELECT count(*) AS n FROM deg
-        |), p0 AS (
+        |), p0 AS MATERIALIZED (
         |  SELECT u AS node, deg, 1000000 // n AS pr FROM deg, nn
         |), s1 AS (
         |  SELECT d.v AS node, sum(p.pr // p.deg) AS s
         |  FROM dire d JOIN p0 p ON d.u = p.node GROUP BY d.v
-        |), p1 AS (
+        |), p1 AS MATERIALIZED (
         |  SELECT p0.node, p0.deg, (150000 // nn.n) + ((85 * s1.s) // 100) AS pr
         |  FROM p0 JOIN s1 USING (node), nn
         |), s2 AS (
         |  SELECT d.v AS node, sum(p.pr // p.deg) AS s
         |  FROM dire d JOIN p1 p ON d.u = p.node GROUP BY d.v
-        |), p2 AS (
+        |), p2 AS MATERIALIZED (
         |  SELECT p1.node, p1.deg, (150000 // nn.n) + ((85 * s2.s) // 100) AS pr
         |  FROM p1 JOIN s2 USING (node), nn
         |), s3 AS (
@@ -2470,49 +2470,49 @@ object SparkEntry {
         |  SELECT doc_id, len(sh) AS n_sh,
         |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
         |  FROM sh0 WHERE len(sh) > 0
-        |), post AS (
+        |), post AS MATERIALIZED (
         |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
         |), pc AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
         |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4
-        |), e AS (
+        |), e AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM pc
         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
-        |), dire0 AS (
+        |), dire0 AS MATERIALIZED (
         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
         |), n0 AS (
         |  SELECT a AS node FROM e UNION SELECT b AS node FROM e
         |), d1 AS (
         |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n0 n LEFT JOIN
         |    (SELECT u, count(*) AS d FROM dire0 GROUP BY u) c ON n.node = c.u
-        |), p1 AS (SELECT node FROM d1 WHERE deg < 2
-        |), n1 AS (SELECT node FROM n0 WHERE node NOT IN (SELECT node FROM p1)
-        |), dire1 AS (
+        |), p1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg < 2
+        |), n1 AS MATERIALIZED (SELECT node FROM n0 WHERE node NOT IN (SELECT node FROM p1)
+        |), dire1 AS MATERIALIZED (
         |  SELECT u, v FROM dire0 WHERE u NOT IN (SELECT node FROM p1)
         |    AND v NOT IN (SELECT node FROM p1)
         |), d2 AS (
         |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n1 n LEFT JOIN
         |    (SELECT u, count(*) AS d FROM dire1 GROUP BY u) c ON n.node = c.u
-        |), p2 AS (SELECT node FROM d2 WHERE deg < 2
-        |), n2 AS (SELECT node FROM n1 WHERE node NOT IN (SELECT node FROM p2)
-        |), dire2 AS (
+        |), p2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg < 2
+        |), n2 AS MATERIALIZED (SELECT node FROM n1 WHERE node NOT IN (SELECT node FROM p2)
+        |), dire2 AS MATERIALIZED (
         |  SELECT u, v FROM dire1 WHERE u NOT IN (SELECT node FROM p2)
         |    AND v NOT IN (SELECT node FROM p2)
         |), d3 AS (
         |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n2 n LEFT JOIN
         |    (SELECT u, count(*) AS d FROM dire2 GROUP BY u) c ON n.node = c.u
-        |), p3 AS (SELECT node FROM d3 WHERE deg < 2
-        |), n3 AS (SELECT node FROM n2 WHERE node NOT IN (SELECT node FROM p3)
-        |), dire3 AS (
+        |), p3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg < 2
+        |), n3 AS MATERIALIZED (SELECT node FROM n2 WHERE node NOT IN (SELECT node FROM p3)
+        |), dire3 AS MATERIALIZED (
         |  SELECT u, v FROM dire2 WHERE u NOT IN (SELECT node FROM p3)
         |    AND v NOT IN (SELECT node FROM p3)
         |), d4 AS (
         |  SELECT n.node, coalesce(c.d, 0) AS deg FROM n3 n LEFT JOIN
         |    (SELECT u, count(*) AS d FROM dire3 GROUP BY u) c ON n.node = c.u
-        |), p4 AS (SELECT node FROM d4 WHERE deg < 2
-        |), n4 AS (SELECT node FROM n3 WHERE node NOT IN (SELECT node FROM p4)
-        |), dire4 AS (
+        |), p4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg < 2
+        |), n4 AS MATERIALIZED (SELECT node FROM n3 WHERE node NOT IN (SELECT node FROM p4)
+        |), dire4 AS MATERIALIZED (
         |  SELECT u, v FROM dire3 WHERE u NOT IN (SELECT node FROM p4)
         |    AND v NOT IN (SELECT node FROM p4)
         |), d5 AS (
