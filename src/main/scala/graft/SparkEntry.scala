@@ -66,6 +66,7 @@ object SparkEntry {
     "expr_try_arith"      -> Exprs.tryArith _,
     "expr_higher_order"   -> Exprs.higherOrder _,
     "expr_struct_ops"     -> Exprs.structOps _,
+    "expr_collation"      -> Exprs.collation _,
     "expr_string_kernel2" -> Exprs.stringKernel2 _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
@@ -270,6 +271,7 @@ object SparkEntry {
     "agg_moments_exact"      -> SqlSurface.momentsExact _,
     "agg_bitmap_native"      -> SqlSurface.bitmapNative _,
     "agg_mode_exact"         -> SqlSurface.modeExact _,
+    "sql_semi_anti"          -> SqlSurface.semiAnti _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
@@ -3361,6 +3363,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
         |  min(d) AS div_min, max(d) AS div_max
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // UTF8_LCASE equality ≡ lower() equality on ASCII data; outputs
+    // are deterministic functions of the merged group only
+    "expr_collation" ->
+      """WITH n AS (
+        |  SELECT CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN lower(p_brand)
+        |           WHEN 1 THEN upper(p_brand) ELSE p_brand END AS noisy
+        |  FROM part)
+        |SELECT lower(noisy) AS brand_lc, count(*) AS n_parts,
+        |  CAST(count(DISTINCT noisy) AS BIGINT) AS n_variants,
+        |  min(noisy) AS rep_binary_min,
+        |  CAST(sum(CASE WHEN contains(lower(noisy), 'brand') THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_contains
+        |FROM n GROUP BY lower(noisy) ORDER BY brand_lc""".stripMargin,
     // struct ordering replayed as SQL row-value comparisons — the
     // same lexicographic semantics Spark's struct comparator uses
     "expr_struct_ops" ->
@@ -4313,6 +4327,25 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  count(DISTINCT bucket) AS n_buckets
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // semi/anti via EXISTS — the decorrelated form of the same joins
+    "sql_semi_anti" ->
+      """WITH w AS (
+        |  SELECT c_nationkey, count(*) AS n_with_orders FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey),
+        |wo AS (
+        |  SELECT c_nationkey, count(*) AS n_without_orders FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey),
+        |base AS (SELECT c_nationkey, count(*) AS n_customers
+        |         FROM customer GROUP BY c_nationkey)
+        |SELECT base.c_nationkey, n_customers,
+        |  coalesce(n_with_orders, 0) AS n_with_orders,
+        |  coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM base
+        |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
+        |ORDER BY base.c_nationkey""".stripMargin,
     // deterministic mode: tie-break = (count, value) lexicographic max
     "agg_mode_exact" ->
       """WITH c AS (

@@ -322,6 +322,35 @@ object Exprs {
     * unbounded input — the discipline that keeps lambda work
     * per-row-bounded at 100 TB. Every output is either an integer or
     * a canonical string join, so oracle parity is exact. */
+  /** Spark 4 COLLATION surface: case-insensitive EQUALITY as a
+    * column PROPERTY (collate(col, 'UTF8_LCASE')) rather than an
+    * expression rewrite — the group-by merges planted case variants
+    * of the same brand inside the hash aggregate itself, with no
+    * lower() in the grouping key (at 100 TB that means the collation
+    * participates in partial aggregation and shuffle partitioning
+    * natively). Case noise is planted deterministically
+    * (partkey%3 → lower/upper/as-is), and every OUTPUT is a
+    * deterministic function of the merged group — binary-min
+    * representative, lowercased key, member count, distinct-variant
+    * count, a case-insensitive contains flag — because the collated
+    * group's "first" member is order-dependent and must never be
+    * emitted raw. Oracle parity: for ASCII data UTF8_LCASE equality
+    * ≡ equality of lower(), which is how DuckDB replays it. */
+  def collation(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .withColumn("noisy", expr(
+        """CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN lower(p_brand)
+          |WHEN 1 THEN upper(p_brand) ELSE p_brand END""".stripMargin))
+      .groupBy(expr("collate(noisy, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(expr("collate(noisy, 'UTF8_BINARY')")).as("n_variants"),
+        min(expr("collate(noisy, 'UTF8_BINARY')")).as("rep_binary_min"),
+        sum(when(expr("contains(collate(noisy, 'UTF8_LCASE'), 'BRAND')"), 1L)
+          .otherwise(0L)).as("n_ci_contains"))
+      .select(lower(col("k")).as("brand_lc"), col("n_parts"),
+        col("n_variants"), col("rep_binary_min"), col("n_ci_contains"))
+      .orderBy("brand_lc")
+
   /** STRUCT as a first-class value — the row-type surface §2.3 was
     * missing: named_struct construction + field access, lexicographic
     * struct ORDERING (the comparator behind every argmax/as-of/top-k

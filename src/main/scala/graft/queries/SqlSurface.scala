@@ -965,4 +965,38 @@ object SqlSurface {
         max("cnt").as("mode_cnt"),
         sum("cnt").as("n_orders"))
       .orderBy("c_nationkey")
+
+  /** Explicit LEFT SEMI / LEFT ANTI join SYNTAX — the join types
+    * q21/q22 reach through EXISTS subqueries, surfaced as first-class
+    * dialect (the planner's semi/anti operators are what every
+    * "has-a"/"lacks-a" filter compiles to; writing them directly
+    * skips the subquery-decorrelation step). Semi/anti joins carry
+    * only the LEFT side's columns and never duplicate a left row no
+    * matter how many right matches exist — which is why n_with +
+    * n_without = n_customers holds exactly, the invariant the output
+    * exposes per nation. Both joins broadcast the dimension-side
+    * key set at this shape; at fact-scale right sides they shuffle on
+    * the key like any equi-join. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("sa_customer")
+    orders(spark, dir).createOrReplaceTempView("sa_orders")
+    spark.sql(
+      """WITH w AS (
+        |  SELECT c_nationkey, count(*) AS n_with_orders
+        |  FROM sa_customer LEFT SEMI JOIN sa_orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey),
+        |wo AS (
+        |  SELECT c_nationkey, count(*) AS n_without_orders
+        |  FROM sa_customer LEFT ANTI JOIN sa_orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey),
+        |base AS (SELECT c_nationkey, count(*) AS n_customers
+        |         FROM sa_customer GROUP BY c_nationkey)
+        |SELECT base.c_nationkey, n_customers,
+        |  coalesce(n_with_orders, 0) AS n_with_orders,
+        |  coalesce(n_without_orders, 0) AS n_without_orders
+        |FROM base
+        |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
+        |ORDER BY base.c_nationkey""".stripMargin)
+  }
 }
