@@ -67,6 +67,7 @@ object SparkEntry {
     "expr_higher_order"   -> Exprs.higherOrder _,
     "expr_struct_ops"     -> Exprs.structOps _,
     "expr_collation"      -> Exprs.collation _,
+    "expr_map_hof"        -> Exprs.mapHof _,
     "expr_string_kernel2" -> Exprs.stringKernel2 _,
     "expr_url_parse"      -> Exprs.urlParse _,
     "expr_map_ops"        -> Exprs.mapOps _,
@@ -3363,6 +3364,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
         |  min(d) AS div_min, max(d) AS div_max
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // map lambdas replayed relationally: per-mille division, the >=4
+    // threshold, and the zip-with difference all on the (brand, type,
+    // n) long layout with sorted-entry serialization
+    "expr_map_hof" ->
+      """WITH c AS (SELECT p_brand, p_type, count(*) AS n FROM part GROUP BY 1, 2),
+        |t AS (SELECT p_brand, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.p_brand,
+        |  string_agg(p_type || ':' || (n * 1000 // tot), '|' ORDER BY p_type) AS permille_csv,
+        |  CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_major_types,
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 0 ELSE n END) AS BIGINT) AS non_promo_mass
+        |FROM c JOIN t USING (p_brand)
+        |GROUP BY c.p_brand ORDER BY c.p_brand""".stripMargin,
     // UTF8_LCASE equality ≡ lower() equality on ASCII data; outputs
     // are deterministic functions of the merged group only
     "expr_collation" ->

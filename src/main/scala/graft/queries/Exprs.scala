@@ -221,6 +221,40 @@ object Exprs {
         expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").as("n_parts"))
       .orderBy("p_brand")
 
+  /** Map higher-order functions — [[higherOrder]]'s twin for the MAP
+    * type ([[mapOps]] covers construction/probing; this row covers
+    * the lambda surface): transform_values (rescale every value
+    * in-place), map_filter (threshold pruning), and map_zip_with
+    * (combine two maps key-wise — the merge a per-key metrics join
+    * would otherwise need an explode + full-outer join for). Maps
+    * have no canonical entry order, so every map-valued result is
+    * serialized through sorted entries before comparison — the same
+    * canonicalization discipline as [[mapOps]]; scalar outputs
+    * (sizes, folded sums) are order-free by construction. */
+  def mapHof(spark: SparkSession, dir: String): DataFrame = {
+    val perBrand = part(spark, dir)
+      .groupBy("p_brand", "p_type").agg(count(lit(1)).as("n"))
+      .groupBy("p_brand")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("p_type"), col("n"))))).as("m"))
+    perBrand.select(
+      col("p_brand"),
+      // transform_values: counts → per-mille of the brand total
+      expr("""array_join(transform(array_sort(map_entries(
+          transform_values(m, (k, v) -> v * 1000L div
+            aggregate(map_values(m), 0L, (a, x) -> a + x)))),
+          e -> concat(e.key, ':', e.value)), '|')""").as("permille_csv"),
+      // map_filter: keep types with at least 4 parts
+      size(expr("map_filter(m, (k, v) -> v >= 4)")).cast("bigint")
+        .as("n_major_types"),
+      // map_zip_with: symmetric difference mass vs the PROMO-only map
+      expr("""aggregate(map_values(map_zip_with(m,
+          map_filter(m, (k, v) -> startswith(k, 'PROMO')),
+          (k, a, b) -> coalesce(a, 0L) - coalesce(b, 0L))),
+          0L, (acc, x) -> acc + x)""").as("non_promo_mass"))
+      .orderBy("p_brand")
+  }
+
   /** Bitwise kernel (bit-util.h analog): shifts, masks, popcount,
     * and the bit_and/or/xor aggregates — all codegen built-ins. */
   def bitwise(spark: SparkSession, dir: String): DataFrame =
