@@ -123,6 +123,7 @@ object SparkEntry {
     "ev_retention"       -> Analytic.retention _,
     "ev_asof_attribution" -> Analytic.asofAttribution _,
     "ev_range_join"       -> Analytic.rangeJoin _,
+    "ev_range_native"     -> Analytic.rangeNative _,
     "ev_multitouch"       -> Analytic.multitouch _,
     "ev_value_cdf"        -> Analytic.valueCdf _,
     "ev_histogram"        -> Analytic.valueHistogram _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "ev_interval_union"   -> Analytic.intervalUnion _,
     "ev_ab_test"          -> Analytic.abTest _,
     "ev_dau_mau"          -> Analytic.dauMau _,
+    "ev_rolling_distinct" -> Analytic.rollingDistinct _,
     "ev_power_users"      -> Analytic.powerUsers _,
     "ev_funnel_latency"   -> Analytic.funnelLatency _,
     "ev_anomaly_mad"      -> Analytic.hourlyAnomalyMad _,
@@ -171,6 +173,8 @@ object SparkEntry {
     "dedup_ngram_novelty"    -> Dedup.ngramNovelty _,
     "dedup_components"       -> Dedup.components _,
     "graph_triangles"        -> Graph.dedupTriangles _,
+    "graph_edge_jaccard"     -> Graph.dedupEdgeSim _,
+    "graph_cluster_coeff"    -> Graph.dedupClusterCoeff _,
     "graph_pagerank"         -> Graph.dedupPageRank _,
     "graph_kcore"            -> Graph.dedupKCore _,
     "dedup_keep_best"        -> Dedup.keepBest _,
@@ -334,7 +338,10 @@ object SparkEntry {
       ("stream_cep_funnels" -> m("ev_pattern_match")) +
       // the DCT basis is generated from the same Scala table the
       // operator embeds, so both engines transform identically
-      ("mm_image_phash" -> PhashOracle.sql)
+      ("mm_image_phash" -> PhashOracle.sql) +
+      // the native band join is a physical strategy change over the
+      // bucketed form — identical answer, one shared oracle
+      ("ev_range_native" -> m("ev_range_join"))
   }
 
   /** DuckDB replay of the integer-DCT pHash (operators/Multimodal
@@ -2406,6 +2413,96 @@ object SparkEntry {
         |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
         |ORDER BY doc_id""".stripMargin,
+    // local clustering coefficient in integer micro; // is floor
+    // division on non-negatives = Spark's div, so parity is exact
+    "graph_cluster_coeff" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), tc AS (
+        |  SELECT node, count(*) AS n_tri
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |  GROUP BY node
+        |)
+        |SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.deg >= 2
+        |    THEN (2000000 * coalesce(tc.n_tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS coeff_micro
+        |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY doc_id""".stripMargin,
+    // edge-level common-neighbor count + integer neighborhood
+    // jaccard (micro, floor division — engine-independent); the tri
+    // CTE enumerates each triangle once as x < y < z, so its three
+    // edges are already a < b normalized
+    "graph_edge_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node
+        |), tri AS MATERIALIZED (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), et AS (
+        |  SELECT ea, eb, count(*) AS common FROM (
+        |    SELECT x AS ea, y AS eb FROM tri
+        |    UNION ALL SELECT x AS ea, z AS eb FROM tri
+        |    UNION ALL SELECT y AS ea, z AS eb FROM tri)
+        |  GROUP BY ea, eb
+        |)
+        |SELECT e.a AS doc_a, e.b AS doc_b,
+        |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST(coalesce(et.common, 0) AS BIGINT) AS common,
+        |  CAST((1000000 * coalesce(et.common, 0)) // (da.deg + db.deg - coalesce(et.common, 0)) AS BIGINT) AS jacc_micro
+        |FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+        |LEFT JOIN et ON e.a = et.ea AND e.b = et.eb
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // integer PageRank in millionths, 3 unrolled rounds; // is floor
     // division on positives = Spark's div, so parity is exact
     "graph_pagerank" ->
@@ -4146,6 +4243,18 @@ object SparkEntry {
         |mau AS (SELECT day, count(*) AS mau FROM ex GROUP BY 1)
         |SELECT day, dau, mau, dau * 1000 // mau AS stickiness_permille
         |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin,
+    // trailing-7-day rolling distinct; the oracle states the VALUE
+    // contract (a windowed COUNT(DISTINCT)) that the bitmap partials
+    // must reproduce exactly
+    "ev_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |ex AS (SELECT DISTINCT user_id, day + i AS day
+        |       FROM ud CROSS JOIN generate_series(0, 6) AS t(i)),
+        |w AS (SELECT day, count(*) AS users_7d FROM ex GROUP BY 1)
+        |SELECT day, dau, users_7d
+        |FROM dau JOIN w USING (day) ORDER BY day""".stripMargin,
     "ev_new_vs_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    epoch_ns(ts)//1000000000//86400 AS day FROM events),

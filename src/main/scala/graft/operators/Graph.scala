@@ -29,13 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Per-node triangle participation over an undirected simple graph
-    * given as a pair relation. Returns (node, degree, n_tri) for
-    * every node with at least one incident edge; each triangle
-    * increments all three of its corners. Self-loops are dropped and
-    * parallel/reversed duplicate edges collapse to one undirected
-    * edge, so the result is a pure function of the edge SET. */
-  def trianglesOn(edges: DataFrame, src: String, dst: String): DataFrame = {
+  /** Normalized undirected simple edge set (a < b, no self-loops, no
+    * duplicates), node degrees, and the triangle list (one row per
+    * triangle, corners u/v/w in low-to-high degree-rank order) — the
+    * shared core behind [[trianglesOn]] and [[edgeSimilarityOn]]. */
+  private def triangleCore(edges: DataFrame, src: String, dst: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = edges
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))
@@ -71,6 +70,17 @@ object Graph {
       .select("u", "v", "w")
     val closing = oriented.select(col("u").as("v"), col("v").as("w"))
     val tris = wedges.join(closing, Seq("v", "w"), "leftsemi")
+    (e, deg, tris)
+  }
+
+  /** Per-node triangle participation over an undirected simple graph
+    * given as a pair relation. Returns (node, degree, n_tri) for
+    * every node with at least one incident edge; each triangle
+    * increments all three of its corners. Self-loops are dropped and
+    * parallel/reversed duplicate edges collapse to one undirected
+    * edge, so the result is a pure function of the edge SET. */
+  def trianglesOn(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val (e, deg, tris) = triangleCore(edges, src, dst)
 
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -81,6 +91,58 @@ object Graph {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** EDGE-level structural similarity: for every undirected edge
+    * (a, b), the common-neighbor count |N(a)∩N(b)| (= triangles
+    * through the edge) and the exact integer neighborhood Jaccard
+    *   jacc_micro = 10⁶·common div (deg_a + deg_b − common).
+    * This is the per-PAIR refinement of the per-node clustering
+    * signal [[trianglesOn]] reads: a near-dup edge whose endpoints
+    * share most of their neighbors is interior to a duplicate clique
+    * (collapse-safe); an edge with zero common neighbors is a
+    * BRIDGE between drift regions — exactly the edges to cut before
+    * collapsing components, turning chain-merged clusters back into
+    * tight ones. Integer floor division keeps the score a pure
+    * function of the edge set (engine- and order-independent); the
+    * denominator is ≥ 2 because each endpoint is in the union.
+    *
+    * Scale shape: the SAME degree-ordered wedge join as the triangle
+    * count (O(E^{3/2}) worst case), one explode of the triangle list
+    * to its three edges, one map-side-combined count, two degree
+    * joins on the edge list — no windows, no all-pairs. */
+  def edgeSimilarityOn(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val (e, deg, tris) = triangleCore(edges, src, dst)
+
+    // each triangle contributes one common neighbor to each of its
+    // three edges; corners are rank-oriented, so normalize to a < b
+    val edgeTris = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+
+    e.join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(edgeTris, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .withColumn("jacc_micro",
+        expr("(1000000L * common) div (deg_a + deg_b - common)"))
+  }
+
+  /** Driver query: common-neighbor / neighborhood-Jaccard score of
+    * every edge in the near-dup graph (same staged pair relation as
+    * triangles/pagerank/kcore) — the bridge-vs-interior split that
+    * decides which near-dup pairs are safe to collapse through. */
+  def dedupEdgeSim(spark: SparkSession, dir: String): DataFrame =
+    edgeSimilarityOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("deg_a"), col("deg_b"), col("common"), col("jacc_micro"))
+      .orderBy("doc_a", "doc_b")
+
   /** Driver query: triangle participation of every document in the
     * exact 3-gram Jaccard ≥ 0.8 near-dup graph (the SAME staged pair
     * relation that feeds dedup_ngram_jaccard / components /
@@ -89,6 +151,34 @@ object Graph {
     * n_tri = 0 with deg ≥ 2 ⇒ pairwise chain drift. */
   def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+      .orderBy("doc_id")
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT in exact integer micro:
+    *   coeff_micro = (2·10⁶·n_tri) div (deg·(deg−1))   for deg ≥ 2
+    * (0 for degree-1 nodes — no possible neighbor pair). This is the
+    * normalized readout of [[trianglesOn]]: 10⁶ means every neighbor
+    * pair is itself connected (the node is interior to a clique),
+    * 0 means a pure star/chain hub. Floor division keeps the score a
+    * pure integer function of the edge set — identical on any
+    * engine and any partitioning, unlike a float ratio whose last
+    * ulp depends on the division order. Same cost as the triangle
+    * count: the coefficient is one projected column on top of it. */
+  def clusteringCoeffOn(edges: DataFrame, src: String, dst: String): DataFrame =
+    trianglesOn(edges, src, dst)
+      .withColumn("coeff_micro",
+        when(col("deg") >= 2,
+          expr("(2000000L * n_tri) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)))
+
+  /** Driver query: clustering coefficient of every document in the
+    * near-dup graph — the per-node collapse-safety score (the node
+    * form of [[dedupEdgeSim]]'s per-edge split): coefficient ≈ 10⁶ ⇒
+    * the doc's whole neighborhood is one duplicate clique, collapse
+    * freely; low coefficient with high degree ⇒ the doc chains
+    * unrelated near-dup regions and needs edge-level inspection. */
+  def dedupClusterCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
       .orderBy("doc_id")
 

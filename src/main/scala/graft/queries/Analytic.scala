@@ -263,6 +263,31 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** The same trailing-hour correlation on the NATIVE band join
+    * ([[graft.plans.Band.join]], whole-operator extension #3): one
+    * sweep-merge pass whose state is only the clicks currently inside
+    * a purchase's band — no bucket explode, no residual re-filter, no
+    * key-group buffering. Same oracle as [[rangeJoin]]: the operator
+    * is a physical strategy change, the answer is identical. The
+    * half-open window [p−3600, p) maps to the inclusive band
+    * [p−3600, p−1] on integer seconds. */
+  def rangeNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("sec").as("c_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"))
+    graft.plans.Band.join(purchases, clicks, Seq("user_id" -> "c_user"),
+        "p_sec", "c_sec", lo = -3600L, hi = -1L)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        min("c_sec").as("first_click_sec"),
+        max("c_sec").as("last_click_sec"))
+      .orderBy("purchase_id")
+  }
+
   /** Linear multi-touch attribution — the credit model BETWEEN
     * last-touch ([[asofNative]]/[[asofTolerance]]) and the raw pair
     * counts ([[rangeJoin]]): every click in a purchase's trailing
@@ -907,6 +932,65 @@ object Analytic {
     dau.join(mau, "day")
       .withColumn("stickiness_permille", expr("dau * 1000 div mau"))
       .orderBy("day")
+  }
+
+  /** Trailing-7-day rolling DISTINCT users per active day — the
+    * weekly-active readout between [[dauMau]]'s DAU and MAU — via
+    * MERGEABLE BITMAP PARTIALS, the third rolling-distinct shape in
+    * the repo and the one that wins when daily actives are huge:
+    * each day collapses to 63-bit bucket masks (universe div 63
+    * longs — the agg_bitmap_distinct partial), each day-cell fans
+    * out to the ≤ 7 windows it covers, and the window's distinct
+    * count is bit_count of the OR-merged masks. Compare: a running
+    * COUNT(DISTINCT) window has no bounded-state distributed form
+    * (win_distinct_running documents that trap), and [[dauMau]]'s
+    * user-day explode ships |user-days|×w rows where this ships
+    * |universe div 63|×w fixed-width longs — at 10⁹ DAU that is
+    * ~63× less shuffle, and every step is map-side combinable
+    * (bit_or partials). Bits stay in 0..62 (never the sign bit) so
+    * the long arithmetic is engine-identical. */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame =
+    rollingDistinctOn(
+      events(spark, dir).select(col("user_id"),
+        expr("ts div 1000000000 div 86400").as("day")),
+      "user_id", "day", windowDays = 7)
+      .withColumnRenamed("n_day", "dau")
+      .withColumnRenamed("n_window", "users_7d")
+      .orderBy("day")
+
+  /** Generic core behind [[rollingDistinct]]: per active day, the
+    * distinct `id` count that day (`n_day`) and over the trailing
+    * `windowDays` days (`n_window`), for any non-negative integer id
+    * relation. Output (day, n_day, n_window), one row per day with
+    * ≥ 1 row in the input. */
+  def rollingDistinctOn(rows: DataFrame, idCol: String, dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays out of range: $windowDays")
+    // day-level bitmap cells: the compressed mergeable distinct
+    // partial, staged once for the DAU readout AND the window fan-out
+    val cells = rows
+      .select(col(dayCol).as("day"),
+        expr(s"$idCol div 63").as("bucket"),
+        expr(s"shiftleft(1L, CAST($idCol % 63 AS INT))").as("bit"))
+      .groupBy("day", "bucket")
+      .agg(expr("bit_or(bit)").as("mask"))
+      .localCheckpoint()
+    val dau = cells.groupBy("day")
+      .agg(sum(expr("bit_count(mask)")).as("n_day"))
+    // each day-cell is a member of the trailing windows ending on
+    // day .. day+w-1: a bounded w× fan-out of the COMPRESSED relation
+    val win = cells
+      .withColumn("i", explode(sequence(lit(0L), lit(windowDays - 1L))))
+      .select((col("day") + col("i")).as("day"), col("bucket"), col("mask"))
+      .groupBy("day", "bucket")
+      .agg(expr("bit_or(mask)").as("m"))
+      .groupBy("day")
+      .agg(sum(expr("bit_count(m)")).as("n_window"))
+    // inner join against dau = report only days that themselves have
+    // activity (window edges past the data's end carry no day row)
+    dau.join(win, "day")
+      .select(col("day"), col("n_day"), col("n_window"))
   }
 
   /** New-vs-returning daily split — the growth-accounting twin of

@@ -4,6 +4,29 @@ import org.apache.spark.sql.functions._
 
 class AnalyticSpec extends SparkSpec {
 
+  test("rolling bitmap distinct matches brute force incl. bucket-boundary ids") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    // ids straddle the 63-bit bucket boundary (62/63/64) and spread
+    // across buckets; days leave gaps so window edges are exercised
+    val ids = Seq(0L, 1L, 62L, 63L, 64L, 125L, 126L, 200L, 500L, 1000L)
+    val rows = Seq.tabulate(400)(_ =>
+      (ids(rng.nextInt(ids.length)), rng.nextInt(12).toLong * 2))
+    val got = queries.Analytic
+      .rollingDistinctOn(rows.toDF("id", "day"), "id", "day", windowDays = 7)
+      .collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_day"), r.getAs[Long]("n_window"))))
+      .toMap
+    val byDay = rows.groupMap(_._2)(_._1)
+    val expect = byDay.map { case (d, us) =>
+      d -> ((us.distinct.size.toLong,
+        byDay.filter { case (d2, _) => d2 >= d - 6 && d2 <= d }
+          .values.flatten.toSeq.distinct.size.toLong))
+    }
+    assert(got == expect)
+  }
+
   test("rank topN keeps at most 3 parts per brand, rank-ordered") {
     val rows = queries.Analytic.rankTopN(spark, sf).collect()
     val perBrand = rows.groupBy(_.getAs[String]("p_brand"))

@@ -165,4 +165,82 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr_micro")).toMap
     assert(got == pr)
   }
+
+  private def edgeSimRun(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    operators.Graph
+      .edgeSimilarityOn(edges.toDF("s", "d"), "s", "d")
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"),
+          r.getAs[Long]("common"), r.getAs[Long]("jacc_micro"))))
+      .toMap
+
+  private def edgeSimBrute(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val und = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val nb = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    und.map { case (a, b) =>
+      val common = (nb(a) intersect nb(b)).size.toLong
+      val da = nb(a).size.toLong
+      val db = nb(b).size.toLong
+      (a, b) -> ((da, db, common, 1000000L * common / (da + db - common)))
+    }.toMap
+  }
+
+  test("edge jaccard: chord is clique-interior, square edges are not, bridge scores zero") {
+    // square 1-2-3-4 with chord 1-3, plus pendant bridge 4-5
+    val got = edgeSimRun(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+      1L -> 3L, 4L -> 5L))
+    // chord (1,3): common neighbors {2, 4}, degs 3/3 → 2/4
+    assert(got((1L, 3L)) == (3L, 3L, 2L, 500000L))
+    // square edge (1,2): common {3}, degs 3/2 → 1/4
+    assert(got((1L, 2L)) == (3L, 2L, 1L, 250000L))
+    // bridge (4,5): no common neighbors
+    assert(got((4L, 5L)) == (3L, 1L, 0L, 0L))
+    assert(got == edgeSimBrute(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+      1L -> 3L, 4L -> 5L)))
+  }
+
+  test("edge jaccard matches brute force on a random graph") {
+    val rng = new scala.util.Random(1789)
+    val edges = Seq.fill(160)(
+      (rng.nextInt(22).toLong, rng.nextInt(22).toLong))
+    assert(edgeSimRun(edges) == edgeSimBrute(edges))
+  }
+
+  test("clustering coefficient: clique interior 10^6, star hub 0, pendant 0") {
+    // square 1-2-3-4 with chord 1-3, pendant 4-5 (same graph as the
+    // edge-sim case), plus an isolated star 10-{11,12,13}
+    val got = operators.Graph
+      .clusteringCoeffOn(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+        1L -> 3L, 4L -> 5L, 10L -> 11L, 10L -> 12L, 10L -> 13L).toDF("s", "d"),
+        "s", "d")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("coeff_micro"))))
+      .toMap
+    // node 2: deg 2, one triangle (1,2,3) → 2*10^6*1 div 2 = 10^6
+    assert(got(2L) == (2L, 1L, 1000000L))
+    // node 1: deg 3, triangles (1,2,3),(1,3,4) → 4*10^6 div 6
+    assert(got(1L) == (3L, 2L, 666666L))
+    // node 4: deg 3 (3,1,5), one triangle (1,3,4) → 2*10^6 div 6
+    assert(got(4L) == (3L, 1L, 333333L))
+    // pendant 5: deg 1 → defined as 0
+    assert(got(5L) == (1L, 0L, 0L))
+    // star hub 10: deg 3, no triangles → 0; leaves deg 1 → 0
+    assert(got(10L) == (3L, 0L, 0L))
+    assert(got(11L) == (1L, 0L, 0L))
+  }
+
+  test("K5 clique: every edge has 3 common neighbors and jaccard 3/5") {
+    val nodes = (1L to 5L)
+    val edges = for { a <- nodes; b <- nodes if a < b } yield (a, b)
+    val got = edgeSimRun(edges)
+    assert(got.size == 10)
+    got.values.foreach(v => assert(v == (4L, 4L, 3L, 600000L)))
+  }
 }
