@@ -124,6 +124,7 @@ object SparkEntry {
     "ev_asof_attribution" -> Analytic.asofAttribution _,
     "ev_range_join"       -> Analytic.rangeJoin _,
     "ev_range_native"     -> Analytic.rangeNative _,
+    "ev_band_features"    -> Analytic.bandFeatures _,
     "ev_multitouch"       -> Analytic.multitouch _,
     "ev_value_cdf"        -> Analytic.valueCdf _,
     "ev_histogram"        -> Analytic.valueHistogram _,
@@ -175,6 +176,7 @@ object SparkEntry {
     "graph_triangles"        -> Graph.dedupTriangles _,
     "graph_edge_jaccard"     -> Graph.dedupEdgeSim _,
     "graph_cluster_coeff"    -> Graph.dedupClusterCoeff _,
+    "graph_label_prop"       -> Graph.dedupLabelProp _,
     "graph_pagerank"         -> Graph.dedupPageRank _,
     "graph_kcore"            -> Graph.dedupKCore _,
     "dedup_keep_best"        -> Dedup.keepBest _,
@@ -2028,6 +2030,18 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    // multi-horizon trailing features: one 24h band, the 1h horizon
+    // as a conditional sum inside the same group-by
+    "ev_band_features" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS sec, value FROM events),
+        |c AS (SELECT user_id, sec AS c_sec, value AS c_value FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec FROM ev WHERE event_type = 'purchase')
+        |SELECT purchase_id, count(*) AS n_clicks_24h,
+        |  CAST(sum(CASE WHEN c_sec >= p_sec - 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_1h,
+        |  CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value_24h
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_sec >= p.p_sec - 86400 AND c.c_sec < p.p_sec
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     // linear multi-touch: 1/n conversion shares as exact integer
     // nano-credits (10^9 div n), so the per-click sums are order-free
     "ev_multitouch" ->
@@ -2455,6 +2469,54 @@ object SparkEntry {
         |    THEN (2000000 * coalesce(tc.n_tri, 0)) // (d.deg * (d.deg - 1))
         |    ELSE 0 END AS BIGINT) AS coeff_micro
         |FROM deg d LEFT JOIN tc ON d.node = tc.node
+        |ORDER BY doc_id""".stripMargin,
+    // 2 unrolled synchronous LPA rounds; argmax(count desc, label
+    // asc) replayed as max-count join + min(label) — deterministic
+    // in both engines
+    "graph_label_prop" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), de AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), c1 AS (
+        |  SELECT de.u, de.v AS label, count(*) AS c FROM de GROUP BY 1, 2
+        |), m1 AS (
+        |  SELECT u, max(c) AS mc FROM c1 GROUP BY u
+        |), l1 AS MATERIALIZED (
+        |  SELECT c1.u AS node, min(c1.label) AS label
+        |  FROM c1 JOIN m1 ON c1.u = m1.u AND c1.c = m1.mc GROUP BY 1
+        |), c2 AS (
+        |  SELECT de.u, l1.label, count(*) AS c
+        |  FROM de JOIN l1 ON de.v = l1.node GROUP BY 1, 2
+        |), m2 AS (
+        |  SELECT u, max(c) AS mc FROM c2 GROUP BY u
+        |), l2 AS MATERIALIZED (
+        |  SELECT c2.u AS node, min(c2.label) AS label
+        |  FROM c2 JOIN m2 ON c2.u = m2.u AND c2.c = m2.mc GROUP BY 1
+        |), sz AS (
+        |  SELECT label, count(*) AS n_members FROM l2 GROUP BY label
+        |)
+        |SELECT l2.node AS doc_id, l2.label,
+        |  CAST(sz.n_members AS BIGINT) AS n_members
+        |FROM l2 JOIN sz USING (label)
         |ORDER BY doc_id""".stripMargin,
     // edge-level common-neighbor count + integer neighborhood
     // jaccard (micro, floor division — engine-independent); the tri

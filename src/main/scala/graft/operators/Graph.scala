@@ -324,4 +324,60 @@ object Graph {
     * [[Dedup.minLabelComponents]] for the full contract). */
   def componentsOn(edges: DataFrame, src: String, dst: String): DataFrame =
     Dedup.minLabelComponents(edges, src, dst)
+
+  /** SYNCHRONOUS label propagation (Raghavan-style LPA) made fully
+    * DETERMINISTIC: every node starts labeled with its own id, and
+    * each round simultaneously adopts the most frequent label among
+    * its NEIGHBORS, ties broken by the smallest label — so the
+    * result is a pure function of the edge set and the round count
+    * (classic async LPA depends on visit order and coin flips, which
+    * no oracle or cross-run diff can gate). Communities are FINER
+    * than connected components: a chain of cliques that component
+    * propagation merges into one blob splits at sparse cuts, which
+    * is exactly the near-dup signal components over-merge
+    * ([[edgeSimilarityOn]] scores the cut edges; this labels the
+    * sides). Per round: ONE shuffle join (labels ⋈ directed edges)
+    * + ONE map-side-combined (node, label) count + ONE argmin-struct
+    * agg per node — the same Pregel cost shape as [[pageRankOn]];
+    * state is 2 longs per node. Fixed unroll, oracle-replayable. */
+  def labelPropOn(edges: DataFrame, src: String, dst: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val dirE = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // two consumers per round; pin the edge list
+    var lab = dirE.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val nb = dirE.join(lab, dirE("v") === lab("node"))
+        .select(col("u"), col("label"))
+        .groupBy("u", "label").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as one struct-min agg:
+      // no join-back, no window, deterministic
+      lab = nb
+        .groupBy("u")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("u").as("node"), col("m.l").as("label"))
+      if (i % 4 == 0 && i < iters) lab = lab.localCheckpoint()
+    }
+    lab
+  }
+
+  /** Driver query: 2-round deterministic label-propagation
+    * communities of the near-dup graph (same staged pair relation),
+    * with each community's member count joined back — the
+    * finer-than-components clustering that keeps chain-merged
+    * near-dup blobs from collapsing across sparse cuts. */
+  def dedupLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labelPropOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b",
+      iters = 2)
+    lab.join(lab.groupBy("label").agg(count(lit(1)).as("n_members")), "label")
+      .select(col("node").as("doc_id"), col("label"), col("n_members"))
+      .orderBy("doc_id")
+  }
 }

@@ -288,6 +288,38 @@ object Analytic {
       .orderBy("purchase_id")
   }
 
+  /** Multi-horizon trailing-window FEATURES per purchase — the
+    * feature-engineering join a training pipeline runs before every
+    * model refresh: click count in the last hour AND the last day,
+    * plus the 24 h click-value sum. One native band join at the
+    * WIDEST horizon ([[graft.plans.Band.join]], 24 h) and the
+    * narrower horizon as a conditional aggregate inside the same
+    * group-by — never one join per horizon (k horizons would scan
+    * and shuffle the fact k times; the band state stays O(24 h
+    * occupancy) and each extra horizon costs one CASE column).
+    * Value sums ride DECIMAL(18,2) (data is exactly 2-decimal) and
+    * surface as DOUBLE — the repo-wide oracle-parity rule. */
+  def bandFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec.as("sec"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("sec").as("c_sec"),
+        col("value").as("c_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("sec").as("p_sec"))
+    graft.plans.Band.join(purchases, clicks, Seq("user_id" -> "c_user"),
+        "p_sec", "c_sec", lo = -86400L, hi = -1L)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks_24h"),
+        sum(when(col("c_sec") >= col("p_sec") - 3600, 1L).otherwise(0L))
+          .as("n_clicks_1h"),
+        sum(expr("CAST(c_value AS DECIMAL(18,2))")).cast("double")
+          .as("click_value_24h"))
+      .orderBy("purchase_id")
+  }
+
   /** Linear multi-touch attribution — the credit model BETWEEN
     * last-touch ([[asofNative]]/[[asofTolerance]]) and the raw pair
     * counts ([[rangeJoin]]): every click in a purchase's trailing

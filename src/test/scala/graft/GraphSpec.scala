@@ -236,6 +236,48 @@ class GraphSpec extends SparkSpec {
     assert(got(11L) == (1L, 0L, 0L))
   }
 
+  private def lpaBrute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val nb = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    var lab = nb.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = nb.map { case (n, ns) =>
+        val cnt = ns.groupBy(lab).view.mapValues(_.size).toMap
+        n -> cnt.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    lab
+  }
+
+  test("label propagation splits two cliques at the bridge") {
+    val cliqueA = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val cliqueB = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = cliqueA ++ cliqueB :+ (4L -> 5L)
+    val got = operators.Graph.labelPropOn(edges.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    // after 2 synchronous rounds each clique is uniformly labeled and
+    // the labels DIFFER across the bridge (components would merge them)
+    assert((1L to 4L).map(got).toSet.size == 1)
+    assert((5L to 8L).map(got).toSet.size == 1)
+    assert(got(1L) != got(5L))
+    assert(got == lpaBrute(edges, 2))
+  }
+
+  test("label propagation matches the synchronous brute force on a random graph") {
+    val rng = new scala.util.Random(97)
+    val edges = Seq.fill(150)(
+      (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    for (iters <- Seq(1, 3)) {
+      val got = operators.Graph
+        .labelPropOn(edges.toDF("s", "d"), "s", "d", iters = iters)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(got == lpaBrute(edges, iters), s"iters=$iters")
+    }
+  }
+
   test("K5 clique: every edge has 3 common neighbors and jaccard 3/5") {
     val nodes = (1L to 5L)
     val edges = for { a <- nodes; b <- nodes if a < b } yield (a, b)
