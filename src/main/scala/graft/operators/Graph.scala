@@ -374,8 +374,10 @@ object Graph {
     * finer-than-components clustering that keeps chain-merged
     * near-dup blobs from collapsing across sparse cuts. */
   def dedupLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    // two consumers (the size agg + the join) would each re-run the
+    // 2-round propagation chain: pin the final label relation
     val lab = labelPropOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b",
-      iters = 2)
+      iters = 2).localCheckpoint()
     lab.join(lab.groupBy("label").agg(count(lit(1)).as("n_members")), "label")
       .select(col("node").as("doc_id"), col("label"), col("n_members"))
       .orderBy("doc_id")
