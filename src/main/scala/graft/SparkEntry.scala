@@ -222,6 +222,7 @@ object SparkEntry {
     "text_keyword_rake" -> TextAnalysis.keywordRake _,
     "text_stopword_discovery" -> TextAnalysis.stopwordDiscovery _,
     "text_ngram_freq"  -> TextAnalysis.ngramFreq _,
+    "text_collocations" -> TextAnalysis.collocations _,
     "text_gopher_rules" -> TextAnalysis.gopherRules _,
     "text_oov_rate"     -> TextAnalysis.oovRate _,
     "text_lm_familiarity" -> TextAnalysis.lmFamiliarity _,
@@ -3379,6 +3380,23 @@ object SparkEntry {
         |)
         |SELECT trigram, count(*) AS n_occurrences FROM tg GROUP BY trigram
         |ORDER BY n_occurrences DESC, trigram LIMIT 40""".stripMargin,
+    "text_collocations" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), bg AS (
+        |  SELECT words[CAST(i AS INT)] AS w1, words[CAST(i AS INT) + 1] AS w2
+        |  FROM docs, unnest(range(1, len(words))) t(i)
+        |), big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY 1, 2
+        |), lc AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |rc AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n12) AS BIGINT) AS n_total FROM big)
+        |SELECT w1, w2, n12, c1, c2,
+        |  CAST(n12 AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS lift
+        |FROM big JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+        |WHERE n12 >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 40""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
         |SELECT doc_id,

@@ -645,6 +645,51 @@ object TextAnalysis {
       .orderBy(desc("n"), col("pair"))
       .limit(40)
 
+  /** Corpus-wide bigram collocation mining — the top-40 adjacent
+    * word pairs by LIFT (observed/expected co-occurrence over the
+    * bigram event space: n12·N / (c1·c2), the exp(PMI) a phrase
+    * extractor ranks by; Mikolov et al.'s word2phrase score is this
+    * table with a discount). All counting is exact integers; the
+    * lift is one double expression computed identically by the
+    * oracle (every cast is < 2^53 so the doubles are exact inputs
+    * and IEEE division agrees bit-for-bit). Shape at 100 TB: the
+    * bigram explosion is a per-doc lead() window (bounded by doc
+    * length), counts are map-side-combined hash aggs keyed by
+    * vocabulary (≪ corpus), the minCount gate shrinks the pair
+    * table BEFORE the two margin joins, and N is a broadcast 1-row
+    * relation — no unbounded window, no skewed-key window buffer.
+    * Reference analog: the aggregation cascade of
+    * aggregation-node.cc (partial count → merge → final expr). */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOn(documents(spark, dir), minCount = 5)
+
+  /** generic core: collocation lift over any (doc_id, text)
+    * relation; `minCount` drops rare pairs before the margin joins
+    * (rare-pair lift is noise and the filter bounds the join). */
+  def collocationsOn(docs: DataFrame, minCount: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val big = docs
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("wn", lead("w", 1).over(byDoc))
+      .filter(col("wn").isNotNull)
+      .groupBy(col("w").as("w1"), col("wn").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+      // two consumers below (margins + total) — pin the pair census
+      .localCheckpoint()
+    val leftC  = big.groupBy("w1").agg(sum("n12").as("c1"))
+    val rightC = big.groupBy("w2").agg(sum("n12").as("c2"))
+    val total  = big.agg(sum("n12").as("n_total"))
+    big.filter(col("n12") >= minCount)
+      .join(leftC, Seq("w1")).join(rightC, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n12"), col("c1"), col("c2"),
+        (col("n12").cast("double") * col("n_total").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))).as("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(40)
+  }
+
   /** Deterministic k-per-group sampling — "give me exactly 5 docs
     * per language, reproducibly" (per-lang eval subsets, per-source
     * spot-check pulls): rank every doc inside its group by an
