@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
     "dedup_chunks"           -> Dedup.chunkDedup _,
+    "dedup_cdc_chunks"       -> Dedup.cdcChunks _,
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
@@ -3707,6 +3708,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CDC boundary rule must replay EXACTLY: same md5-prefix hash of the
+    // same trailing 8-char window, same mod-64 gate, so both engines cut
+    // identical segments; only counts/fractions are compared
+    "dedup_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, CAST(i AS INT) AS e
+        |  FROM t, unnest(range(8, length(norm))) u(i)
+        |  WHERE CAST(('0x'||substring(md5(substring(norm, CAST(i AS INT) - 7, 8)), 1, 15)) AS BIGINT) % 64 = 0),
+        |ends AS (
+        |  SELECT doc_id, e FROM cuts
+        |  UNION ALL SELECT doc_id, CAST(length(norm) AS INT) FROM t),
+        |seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+        |  FROM ends),
+        |ch AS (
+        |  SELECT seg.doc_id, md5(substring(t.norm, s, e - s + 1)) AS digest,
+        |    CAST(e - s + 1 AS BIGINT) AS clen
+        |  FROM seg JOIN t USING (doc_id)),
+        |sh AS (
+        |  SELECT digest, count(*) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, digest FROM ch) GROUP BY digest)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN clen ELSE 0 END) AS BIGINT) AS shared_chars,
+        |  CAST(sum(clen) AS BIGINT) AS n_chars_norm,
+        |  CASE WHEN sum(clen) > 0 THEN
+        |    CAST(sum(CASE WHEN n_docs > 1 THEN clen ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(clen) AS DOUBLE) END AS shared_frac
+        |FROM ch JOIN sh USING (digest)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents),
         |s AS (SELECT doc_id, words, len(words) AS n,

@@ -717,6 +717,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (CDC) dedup accounting — the
+    * rsync/LBFS/restic boundary rule that fixed-stride chunking
+    * ([[chunkDedup]]) cannot express: a chunk boundary falls AFTER
+    * character i whenever the hash of the trailing 8-char window is
+    * ≡ 0 mod 64 (expected chunk ≈ 64 chars), so an insertion near
+    * the head of a doc re-phases ONE chunk instead of every chunk
+    * after it — alignment self-heals at the next content boundary,
+    * which is why block-level dedup systems ship CDC and not fixed
+    * strides. Per doc: chunk count, chunks shared with another doc,
+    * shared-character mass and fraction.
+    *
+    * Scale shape: the boundary scan explodes per-character positions
+    * (codegen'd md5 per position — deliberately NOT a lambda HOF,
+    * the documented >100× explode-vs-lambda cliff), segments rebuild
+    * with a per-doc window (bounded by doc length), and chunk
+    * sharing is a groupBy(digest) hash agg over DISTINCT (doc,
+    * digest) pairs joined back on the digest — map-side combined and
+    * AQE-splittable, the same no-content-key-window discipline as
+    * every digest count in this file. Reference analog: the
+    * dictionary-page chunk accounting of dict-encoding.h:1 applied
+    * at document granularity. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOn(documents(spark, dir))
+
+  /** generic core: CDC chunk accounting over any (doc_id, text)
+    * relation — the library entry point. */
+  def cdcChunksOn(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), expr(normTextExpr).as("norm"))
+    // cut positions: i in [8, len-1] with Hash60(norm[i-7..i]) ≡ 0 (mod 64);
+    // the greatest() guard keeps sequence() ascending on short docs and
+    // the i < len filter drops the padding element it introduces
+    val cuts = t
+      .select(col("doc_id"), col("norm"),
+        explode(expr("sequence(8, greatest(length(norm), 9) - 1)")).as("i"))
+      .filter(expr(
+        s"i < length(norm) AND ${graft.operators.Hash60.sql("substring(norm, i - 7, 8)")} % 64 = 0"))
+      .select(col("doc_id"), col("i").as("e"))
+    // segment ends = cuts plus the doc tail; starts from lag() per doc
+    val ends = cuts.union(t.select(col("doc_id"), length(col("norm")).as("e")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("e")
+    val seg = ends.withColumn("s",
+      coalesce(lag("e", 1).over(byDoc), lit(0)) + 1)
+    val chunks = seg.join(t, Seq("doc_id"))
+      .select(col("doc_id"),
+        md5(expr("substring(norm, s, e - s + 1)")).as("digest"),
+        (col("e") - col("s") + 1).cast("bigint").as("clen"))
+    val sharing = chunks.select("doc_id", "digest").distinct()
+      .groupBy("digest").agg(count(lit(1)).as("n_docs"))
+    chunks.join(sharing, Seq("digest"), "inner")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("n_docs") > 1, col("clen")).otherwise(0L)).as("shared_chars"),
+        sum(col("clen")).as("n_chars_norm"))
+      .withColumn("shared_frac",
+        when(col("n_chars_norm") > 0,
+          col("shared_chars").cast("double") / col("n_chars_norm").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** Repeated-SUBSTRING spans — the distributed approximation of
     * suffix-array exact-substring dedup ("Deduplicating Training
     * Data Makes Language Models Better", Lee et al. 2022): instead

@@ -436,6 +436,35 @@ class DedupSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("group_size") == 1L) == 5)
   }
 
+  test("CDC chunking self-heals past a prefix insertion; fixed strides cannot") {
+    import spark.implicits._
+    // deterministic ~1500-char base text; doc 2 = doc 1 with a head
+    // insertion (the edit that re-phases EVERY fixed-stride chunk);
+    // doc 3 unrelated
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val base = (0 until 250).map(i => vocab((i * 7 + 3) % vocab.size)).mkString(" ")
+    val other = (0 until 250).map(i => vocab((i * 5 + 1) % vocab.size)).reverse.mkString("x ")
+    val docs = Seq(
+      (1L, base), (2L, "zulu yankee inserted preamble " + base), (3L, other)
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.cdcChunksOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // sanity: chunk chars partition the normalized text exactly
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_chars_norm") > 0)
+      assert(r.getAs[Long]("n_shared_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    assert(out(1L).getAs[Long]("n_chunks") >= 5,
+      "base text long enough to carry several content boundaries")
+    // the CDC contract: everything after the first post-insertion
+    // boundary re-aligns, so the shared mass dominates
+    assert(out(2L).getAs[Double]("shared_frac") > 0.5,
+      s"insertion should re-phase one chunk, not all: ${out(2L)}")
+    assert(out(3L).getAs[Long]("n_shared_chunks") == 0L,
+      "unrelated doc shares nothing")
+  }
+
   test("no WindowExec partitions on a skewable hash/content key in any dedup plan") {
     // A window partitioned by a content-derived key (digest, shingle
     // hash, chunk md5, component id) has no map-side combine and no
@@ -449,6 +478,7 @@ class DedupSpec extends SparkSpec {
       "dedup_exact" -> operators.Dedup.exact(spark, sf),
       "dedup_ngram_novelty" -> operators.Dedup.ngramNovelty(spark, sf),
       "dedup_chunks" -> operators.Dedup.chunkDedup(spark, sf),
+      "dedup_cdc_chunks" -> operators.Dedup.cdcChunks(spark, sf),
       "dedup_repeated_spans" -> operators.Dedup.repeatedSpans(spark, sf),
       "dedup_components" -> operators.Dedup.components(spark, sf),
       "dedup_keep_best" -> operators.Dedup.keepBest(spark, sf),
