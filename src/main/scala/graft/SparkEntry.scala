@@ -206,6 +206,7 @@ object SparkEntry {
     "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
     "emb_recall_trained"  -> Similarity.recallTrained _,
+    "emb_mrl_recall"      -> Similarity.mrlRecall _,
     "emb_knn_classify"    -> Similarity.knnClassify _,
     "ann_range_search"    -> Similarity.rangeSearch _,
     // §2.9 text analysis
@@ -889,6 +890,41 @@ object SparkEntry {
         |JOIN pfx pa ON pa.doc_id = cand.doc_a
         |JOIN pfx pb ON pb.doc_id = cand.doc_b
         |ORDER BY cand.doc_a, cand.doc_b""".stripMargin,
+    // same exact-ground-truth CTE as emb_recall_at_k; the candidate
+    // ranking folds only dims 1..32 (slice + norm on the slice)
+    "emb_mrl_recall" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
+        |exact_scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id
+        |), exact_topk AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM exact_scored) WHERE rank <= 10
+        |), half_scored AS (
+        |  SELECT probe_id, v.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,32), i -> pv[i]*vd[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,32), i -> pv[i]*pv[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,32), i -> vd[i]*vd[i])), (a,b) -> a+b))) AS cosine
+        |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id
+        |), half_topk AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM half_scored) WHERE rank <= 10
+        |)
+        |SELECT e.probe_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM exact_topk e LEFT JOIN half_topk h
+        |  ON e.probe_id = h.probe_id AND e.vec_id = h.vec_id
+        |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
     "emb_recall_at_k" ->
       """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),

