@@ -131,6 +131,7 @@ object SparkEntry {
     "ev_hourly_anomaly"   -> Analytic.hourlyAnomaly _,
     "ev_gap_fill"         -> Analytic.gapFill _,
     "ev_markov_transitions" -> Analytic.markovTransitions _,
+    "ev_top_paths"          -> Analytic.topPaths _,
     "ev_pattern_match"      -> Analytic.patternMatch _,
     "ev_incremental_agg"    -> Analytic.incrementalAgg _,
     "ev_cohort_ltv"       -> Analytic.cohortLtv _,
@@ -1982,6 +1983,21 @@ object SparkEntry {
         |SELECT prev_type, next_type, n_transitions, row_total,
         |  CAST(n_transitions AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
         |FROM r ORDER BY prev_type, next_type""".stripMargin,
+    "ev_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS rn
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_total FROM p)
+        |SELECT path, count(*) AS n_users,
+        |  CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS user_share
+        |FROM p CROSS JOIN tot GROUP BY path, n_total
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, value, epoch_ns(ts)//1000000000//604800 AS week FROM events),

@@ -641,6 +641,38 @@ object Analytic {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Top user-journey paths — the product-analytics "Sankey" query:
+    * each user's FIRST five events (by time) concatenated into an
+    * ordered path string, ranked by how many users share that exact
+    * journey prefix, with each path's share of the user base. The
+    * per-journey Markov matrix ([[markovTransitions]]) loses order
+    * beyond one step; this is the full-prefix census product teams
+    * read funnels out of. Scale shape: "first 5 per user" runs on
+    * the native bounded-heap TopKPerKey — 5 rows of state per user
+    * at ANY per-user event count (the whale-user bound the
+    * pattern-match automaton also honors), never a full per-user
+    * sort; path assembly sorts 5-element arrays; the census is one
+    * map-side-combined hash agg on the path string; the user total
+    * is a broadcast 1-row relation. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+    val first5 = graft.plans.TopK.perKey(ev, Seq("user_id"),
+      Seq("ts_sec" -> true, "event_id" -> true), 5)
+    val paths = first5.groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rank, event_type))), s -> s.event_type)"),
+        ">").as("path"))
+    val total = paths.agg(count(lit(1)).as("n_total"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n_users"),
+        (col("n_users").cast("double") / col("n_total").cast("double"))
+          .as("user_share"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(20)
+  }
+
   /** Cohort LTV triangle — the monetary companion to `retention`:
     * users cohorted by first-seen week (any event), purchase revenue
     * summed per (cohort_week, week_offset) cell, plus the running
