@@ -185,6 +185,7 @@ object SparkEntry {
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
     "dedup_chunks"           -> Dedup.chunkDedup _,
     "dedup_cdc_chunks"       -> Dedup.cdcChunks _,
+    "dedup_cross_source"     -> Dedup.crossSource _,
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
@@ -3760,6 +3761,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_cross_source" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM d a JOIN d b ON a.digest = b.digest AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ta.source AS source_a, tb.source AS source_b,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  CAST(coalesce(n_shared, 0) AS DOUBLE)
+        |    / CAST(ta.n + tb.n - coalesce(n_shared, 0) AS DOUBLE) AS digest_jaccard
+        |FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |LEFT JOIN sh ON sh.source_a = ta.source AND sh.source_b = tb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // CDC boundary rule must replay EXACTLY: same md5-prefix hash of the
     // same trailing 8-char window, same mod-64 gate, so both engines cut
     // identical segments; only counts/fractions are compared

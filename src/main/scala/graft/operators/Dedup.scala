@@ -717,6 +717,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — for every pair of corpus
+    * sources, how many exact-content digests they SHARE, next to
+    * each source's distinct-digest count and the digest-set Jaccard
+    * (the "CommonCrawl ∩ C4" overlap table a mixing decision reads:
+    * high overlap means the mixture double-counts that content mass
+    * and the weights need dedup-aware correction). Zero-overlap
+    * pairs are kept (a complete matrix), via the tiny source×source
+    * frame LEFT-joined to the measured overlaps. Scale shape: the
+    * (source, digest) relation is DISTINCT (one row per source-
+    * content pair, map-side combined); the overlap self-join runs
+    * digest⋈digest where both sides end in IDENTICAL exchanges so
+    * ReuseExchange computes the relation once, and a digest present
+    * in s sources yields s² join rows with s bounded by the SOURCE
+    * DOMAIN (a handful) — never a content-hot-key explosion; the
+    * matrix frame is a broadcast of the per-source totals. */
+  def crossSource(spark: SparkSession, dir: String): DataFrame = {
+    val ds = documents(spark, dir)
+      .select(col("source"), expr(s"md5($normTextExpr)").as("digest"))
+      .distinct()
+    val tot = ds.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = ds.as("a").join(ds.as("b").hint("shuffle_hash"),
+        col("a.digest") === col("b.digest") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(tot.select(col("source").as("source_a"), col("n").as("n_a")))
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("n_b"))),
+        col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("digest_jaccard",
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Content-defined chunking (CDC) dedup accounting — the
     * rsync/LBFS/restic boundary rule that fixed-stride chunking
     * ([[chunkDedup]]) cannot express: a chunk boundary falls AFTER
