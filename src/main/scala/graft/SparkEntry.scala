@@ -254,6 +254,7 @@ object SparkEntry {
     "pipeline_winsorize"      -> Pipeline.winsorize _,
     "pipeline_data_quality"   -> Pipeline.dataQuality _,
     "pipeline_negative_sample" -> Pipeline.negativeSample _,
+    "pipeline_quantile_norm"  -> Pipeline.quantileNorm _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -1322,6 +1323,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, slot, neg_id, draw_rank
         |FROM best WHERE rn = 1 ORDER BY doc_id, slot""".stripMargin,
+    // within-source percentile normalization: percent_rank's exact
+    // (rank-1)/(n-1) ratio as floor-ppm + cume_dist double — both
+    // pure integer-count functions, engine-identical
+    "pipeline_quantile_norm" ->
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN cnt > 1 THEN ((rnk - 1) * 1000000) // (cnt - 1) ELSE 0 END AS BIGINT) AS pct_ppm,
+        |  cd
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS cnt,
+        |    cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // one-scan constraint audit; BIGINT casts (DuckDB sums are
     // HUGEINT), integer-division ppm, boolean pass
     "pipeline_data_quality" ->

@@ -533,6 +533,48 @@ object Pipeline {
         col("m.cand_id").as("neg_id"), col("m.r").as("draw_rank"))
   }
 
+  /** Per-source QUANTILE NORMALIZATION of document length — the
+    * cross-source comparability transform a mixture-weighting or
+    * curriculum pass runs before comparing raw per-doc statistics
+    * across heterogeneous sources (a "long" web page and a "long"
+    * wiki article sit at very different raw lengths but the same
+    * within-source percentile). Scale shape (the [[Analytic.valueCdf]]
+    * discipline): the corpus NEVER rides a per-source window — a
+    * window partitioned by the handful of source keys would put a
+    * whole source's docs in one task's sort. Instead the CDF is
+    * computed on the COMPRESSED (source, n_chars) value domain (per
+    * value counts → one running sum over the domain-bounded relation)
+    * and equi-joined back to the docs. percent_rank's exact
+    * (rank−1)/(n−1) lower-tie ratio survives as an integer-ppm
+    * (floor) plus the cume_dist double — both pure functions of
+    * exact integer counts, engine-identical. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame =
+    quantileNormOn(documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("bigint").as("v")))
+      .orderBy("doc_id")
+
+  /** Generic core of [[quantileNorm]]: exact within-group percentile
+    * position of `v` over any (doc_id, source, v) relation.
+    * `pct_ppm` = ⌊10⁶·(#rows in the same source with strictly smaller
+    * v)/(n−1)⌋ (the percent_rank convention; 0 for singleton groups),
+    * `cd` = count(≤v)/n (cume_dist). */
+  def quantileNormOn(rows: DataFrame): DataFrame = {
+    val counts = rows.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    // domain-bounded window: one row per distinct (source, v), never per doc
+    val byV = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_le", sum("c").over(byV))
+      .withColumn("cum_lt", col("cum_le") - col("c"))
+    val tot = rows.groupBy("source").agg(count(lit(1)).as("n"))
+    rows.join(cum, Seq("source", "v"))
+      .join(broadcast(tot), "source")
+      .select(col("doc_id"), col("source"), col("v").as("n_chars"),
+        when(col("n") > 1L, expr("cum_lt * 1000000 div (n - 1)"))
+          .otherwise(0L).as("pct_ppm"),
+        (col("cum_le").cast("double") / col("n").cast("double")).as("cd"))
+  }
+
   /** Generic core of [[dataQuality]]: run any (name → violation
     * predicate) suite over any relation in ONE aggregate pass.
     * NULL predicate results count as non-violations (SQL three-valued

@@ -215,6 +215,39 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("neg_id"))).sorted.toSeq == s)
   }
 
+  test("quantile norm: domain-compressed CDF equals the window form incl. ties and singletons") {
+    import spark.implicits._
+    // planted ties (three 10s in src a), a singleton source, and an
+    // all-equal source — the three edge shapes of percent_rank/cume_dist
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 20L), (5L, "a", 30L),
+      (6L, "b", 7L),
+      (7L, "c", 5L), (8L, "c", 5L)
+    ).toDF("doc_id", "source", "v")
+    val got = operators.Pipeline.quantileNormOn(rows)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pct_ppm"),
+        r.getAs[Double]("cd"))).sortBy(_._1).toSeq
+    // window-form truth: rank()/count() integers (percent_rank's
+    // (rank-1)/(n-1) as EXACT ppm floor division, not a double floor)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("v")
+    val truth = rows
+      .withColumn("rnk", rank().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("pct_ppm", when(col("cnt") > 1,
+        expr("(rnk - 1) * 1000000L div (cnt - 1)")).otherwise(0L))
+      .withColumn("cd", cume_dist().over(w))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("pct_ppm"),
+        r.getAs[Double]("cd"))).sortBy(_._1).toSeq
+    assert(got == truth)
+    // repartition-invariant: the result is a pure function of the row set
+    val got2 = operators.Pipeline.quantileNormOn(rows.repartition(5))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pct_ppm"),
+        r.getAs[Double]("cd"))).sortBy(_._1).toSeq
+    assert(got2 == got)
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()
