@@ -110,7 +110,9 @@ object SparkEntry {
     "win_ignore_nulls" -> Analytic.ignoreNullsWindow _,
     "win_distinct_running" -> Analytic.distinctRunning _,
     "win_rolling_median"   -> Analytic.rollingMedian _,
+    "win_groups_frame"     -> Analytic.winGroupsFrame _,
     "ev_autocorr"          -> Analytic.autocorr _,
+    "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
     "ev_asof_next"         -> Analytic.asofNext _,
@@ -180,6 +182,7 @@ object SparkEntry {
     "graph_label_prop"       -> Graph.dedupLabelProp _,
     "graph_pagerank"         -> Graph.dedupPageRank _,
     "graph_kcore"            -> Graph.dedupKCore _,
+    "graph_bfs_distance"     -> Graph.dedupBfsDistance _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
@@ -285,6 +288,8 @@ object SparkEntry {
     "agg_bitmap_native"      -> SqlSurface.bitmapNative _,
     "agg_mode_exact"         -> SqlSurface.modeExact _,
     "sql_semi_anti"          -> SqlSurface.semiAnti _,
+    "sql_distinct_on"        -> SqlSurface.distinctOn _,
+    "sql_quantified"         -> SqlSurface.quantified _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
     "agg_count_min"          -> SqlSurface.countMin _,
@@ -497,6 +502,21 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // GROUPS ±1 frame semantics via dense_rank + RANGE ±1 (DuckDB
+    // lacks GROUPS mode too; one row per peer group makes them equal)
+    "win_groups_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+        |    dense_rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(o_orderdate AS DATE)) AS g
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, d,
+        |  CAST(sum(tp) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS frame_sum,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY g
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS frame_n
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     // 63-bit bitmap partials vs the built-in distinct, self-certified
     "agg_bitmap_distinct" ->
       """WITH cells AS (
@@ -1048,6 +1068,27 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_sec, purchase_id,
         |  p_sec AS next_purchase_sec, p_sec - ts_sec AS wait_sec
         |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
+    // dow profile: integer epoch-day arithmetic (+3 mod 7, Monday=0),
+    // exact ppm deviation (both engines truncate integer division)
+    "ev_seasonal_dow" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST((epoch_ns(ts)//1000000000//86400 + 3) % 7 AS BIGINT) AS dow,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, dow, n_events,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n_events DESC, dow) AS rn
+        |  FROM d)
+        |SELECT r.event_type, dow, n_events,
+        |  (7 * n_events - total) * 1000000 // total AS dev_ppm,
+        |  rn = 1 AS is_peak
+        |FROM r JOIN t ON r.event_type = t.event_type
+        |ORDER BY r.event_type, dow""".stripMargin,
     // lag-1..3 Pearson ACF from exact BIGINT power sums
     "ev_autocorr" ->
       """WITH hourly AS (
@@ -2690,6 +2731,50 @@ object SparkEntry {
         |FROM p3 ORDER BY doc_id""".stripMargin,
     // 2-core onion peeling, 4 unrolled rounds; absent-from-edges
     // reads as degree 0 (isolated survivors peel next round)
+    // canonical-distance BFS: the same reach-CTE component closure,
+    // then a 4-hop-capped recursive min-distance expansion from the
+    // component minima (cap is part of the contract; -1 = beyond)
+    "graph_bfs_distance" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+        |), seeds AS (
+        |  SELECT DISTINCT component_id AS node FROM comp
+        |), bfs(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.dist < 4
+        |), bd AS (
+        |  SELECT node, min(dist) AS dist FROM bfs GROUP BY node
+        |)
+        |SELECT c.doc_id, c.component_id, CAST(coalesce(bd.dist, -1) AS BIGINT) AS dist
+        |FROM comp c LEFT JOIN bd ON c.doc_id = bd.node
+        |ORDER BY c.doc_id""".stripMargin,
     "graph_kcore" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
@@ -4666,6 +4751,22 @@ object SparkEntry {
         |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
         |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
         |ORDER BY base.c_nationkey""".stripMargin,
+    // native DISTINCT ON syntax vs the row_number translation; the
+    // ORDER BY is total so both engines pick the identical row
+    "sql_distinct_on" ->
+      """SELECT DISTINCT ON (c_nationkey, c_mktsegment)
+        |  c_nationkey, c_mktsegment, c_custkey, c_acctbal
+        |FROM customer
+        |ORDER BY c_nationkey, c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    // native quantified comparisons vs the min/max-bound rewrite;
+    // > ALL over an empty set is TRUE, > ANY FALSE
+    "sql_quantified" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |  s_acctbal > ALL (SELECT c_acctbal FROM customer
+        |                   WHERE c_nationkey = s_nationkey) AS gt_all,
+        |  s_acctbal > ANY (SELECT c_acctbal FROM customer
+        |                   WHERE c_nationkey = s_nationkey) AS gt_any
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     // deterministic mode: tie-break = (count, value) lexicographic max
     "agg_mode_exact" ->
       """WITH c AS (

@@ -392,7 +392,7 @@ object Dedup {
 
   /** the closure is staged too: its other consumer (keep-best) must
     * not re-run the propagation fixpoint. */
-  private def stagedComponents(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def stagedComponents(spark: SparkSession, dir: String): DataFrame =
     staged(spark, dir, "dedup_components") {
       val labels = minLabelComponents(
         stagedJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")

@@ -368,6 +368,54 @@ object Graph {
     lab
   }
 
+  /** Bounded multi-source BFS: hop distance from the nearest seed
+    * node, capped at `rounds` hops (nodes further than the cap are
+    * absent from the result — the caller decides the sentinel). Per
+    * round: ONE shuffle join (frontier ⋈ directed edges) + ONE
+    * map-side-combined min-agg — the same Pregel cost shape as
+    * [[pageRankOn]]/[[labelPropOn]]; state is 2 longs per reached
+    * node. The round cap is part of the CONTRACT (dist ≤ rounds),
+    * not a convergence heuristic, so the result is a pure function
+    * of (edge set, seed set, rounds) that an unrolled SQL replay can
+    * gate exactly. `seeds` must expose a `node` column. */
+  def bfsDistanceOn(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    val dirE = edges
+      .select(col(src).as("u"), col(dst).as("v"))
+      .unionAll(edges.select(col(dst).as("u"), col(src).as("v")))
+      .localCheckpoint()
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = dist.join(dirE, col("node") === col("u"))
+        .select(col("v").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Driver query: hop distance of every near-dup graph node from
+    * its component's canonical doc (the component's min doc_id —
+    * what [[Dedup.components]] elects and keep-best collapses to).
+    * Distance 1 = directly similar to the canonical (a true copy);
+    * distance ≥ 2 = only transitively merged (the chain-drift docs a
+    * curation reviewer re-checks before collapsing); -1 = beyond the
+    * 4-hop audit horizon. Reuses the staged component relation, so
+    * the only new work is 4 join+min-agg BFS rounds on the staged
+    * pair graph. */
+  def dedupBfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.stagedComponents(spark, dir)
+      .select("doc_id", "component_id").localCheckpoint()
+    val seeds = comp.select(col("component_id").as("node")).distinct()
+    val dist = bfsDistanceOn(Dedup.jaccardPairs(spark, dir),
+      "doc_a", "doc_b", seeds, rounds = 4)
+    comp.join(dist, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("component_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Driver query: 2-round deterministic label-propagation
     * communities of the near-dup graph (same staged pair relation),
     * with each community's member count joined back — the

@@ -1424,4 +1424,62 @@ object Analytic {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "med7")
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
+
+  /** Day-of-week seasonality profile per event type — the weekly
+    * periodicity readout next to [[autocorr]]'s lag scan and
+    * [[hourlyAnomaly]]'s intra-day profile: traffic-shape drift
+    * between weekday-heavy (work tools) and weekend-heavy
+    * (entertainment) streams is a leading signal for capacity and
+    * sampling decisions. Same discipline as every profile query: the
+    * corpus collapses to the (type, dow) domain in ONE map-side-
+    * combined agg; deviation from the flat-week expectation is an
+    * exact integer ppm (7·n−total over total, truncating div in both
+    * engines); the peak day is a row_number over the ≤7-row
+    * collapsed partitions. Day-of-week from epoch DAYS (integer,
+    * timezone-free): 1970-01-01 was a Thursday, so +3 mod 7 puts
+    * Monday at 0. */
+  def seasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .select(col("event_type"),
+        expr("((ts div 1000000000 div 86400) + 3) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n_events"))
+    val tot = d.groupBy("event_type").agg(sum("n_events").as("total"))
+    val w = Window.partitionBy("event_type").orderBy(desc("n_events"), asc("dow"))
+    d.join(broadcast(tot), "event_type")
+      .withColumn("rn", row_number().over(w))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        expr("(7 * n_events - total) * 1000000 div total").as("dev_ppm"),
+        (col("rn") === 1).as("is_peak"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** GROUPS window frame — the third SQL:2011 frame mode (peer-group
+    * steps instead of row counts or value ranges), which Spark does
+    * NOT implement (only ROWS/RANGE): per order, the revenue and row
+    * count over all orders of the same status whose order DATE is
+    * within one distinct-date step. This row is the translation
+    * recipe: collapse to the (status, date) value domain (one
+    * map-side-combined agg), run a plain ROWS ±1 frame over the
+    * collapsed relation — one row per peer group makes ROWS-on-domain
+    * ≡ GROUPS-on-corpus — and broadcast-join the framed sums back.
+    * Scale: the corpus never rides a window; the windowed relation is
+    * bounded by |statuses|×|dates| (domain-bounded, the
+    * [[Pipeline.quantileNormOn]] discipline), and the join back is a
+    * broadcast of that same bounded relation. Oracle mirrors via
+    * dense_rank + RANGE ±1 (DuckDB lacks GROUPS too). */
+  def winGroupsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast(D).as("tp"))
+    val grp = o.groupBy("o_orderstatus", "d")
+      .agg(sum("tp").as("gs"), count(lit(1)).as("gn"))
+    val w = Window.partitionBy("o_orderstatus").orderBy("d")
+      .rowsBetween(-1, 1)
+    val framed = grp.select(col("o_orderstatus"), col("d"),
+      sum("gs").over(w).as("frame_sum_d"), sum("gn").over(w).as("frame_n"))
+    o.join(broadcast(framed), Seq("o_orderstatus", "d"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("d"),
+        col("frame_sum_d").cast("double").as("frame_sum"), col("frame_n"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -999,4 +999,59 @@ object SqlSurface {
         |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
         |ORDER BY base.c_nationkey""".stripMargin)
   }
+
+  /** DISTINCT ON — the Postgres/DuckDB "first row per group under an
+    * ORDER BY" dialect form (Impala users write the same thing as a
+    * row_number() = 1 analytic filter; scalar-fn-call.cc evaluates
+    * the tie-break exprs either way). Spark has no DISTINCT ON
+    * syntax, so this row IS the translation: a row_number window
+    * over the group keys with the full tie-break order (acctbal
+    * DESC, custkey ASC — total, so both engines pick the identical
+    * row), filtered to rank 1. Scale: one shuffle on the group keys,
+    * window partitions bounded by group size, no join. */
+  def distinctOn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("c_nationkey", "c_mktsegment", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Quantified comparisons — `> ALL (corr. subquery)` / `> ANY`
+    * (SQL:92 surface; Impala/DuckDB evaluate them as subquery
+    * rewrites, which is exactly what this query pins): each
+    * supplier's account balance against ALL/ANY same-nation customer
+    * balances. The scalable rewrite is the textbook one — the
+    * subquery collapses to a per-nation (max, min) aggregate
+    * (map-side combined, 25 rows) broadcast against the outer
+    * relation; `> ALL` over an EMPTY set is TRUE and `> ANY` FALSE
+    * (the left-join null probe carries the vacuous-truth case), the
+    * data is null-free so the NULL-in-set subtleties don't arise.
+    * One corpus scan, zero shuffles on the outer side. */
+  def quantified(spark: SparkSession, dir: String): DataFrame =
+    quantifiedOn(supplier(spark, dir)
+        .select("s_suppkey", "s_nationkey", "s_acctbal"),
+      "s_nationkey", "s_acctbal",
+      customer(spark, dir), "c_nationkey", "c_acctbal")
+      .orderBy("s_suppkey")
+
+  /** Generic core of [[quantified]]: appends `gt_all` / `gt_any`
+    * (outer value > ALL / > ANY inner values sharing its key) to any
+    * outer relation. The inner subquery collapses to per-key
+    * (max, min) bounds — map-side combined, broadcast — and the
+    * left-join null probe carries the empty-set cases (> ALL of
+    * nothing = TRUE, > ANY of nothing = FALSE). Inner values must be
+    * non-null (SQL's NULL-in-set quantified semantics are not
+    * modeled). */
+  def quantifiedOn(outer: DataFrame, keyCol: String, valCol: String,
+      inner: DataFrame, innerKey: String, innerVal: String): DataFrame = {
+    val bounds = inner.groupBy(col(innerKey).as("__qk"))
+      .agg(max(innerVal).as("__mx"), min(innerVal).as("__mn"))
+    outer.join(broadcast(bounds), col(keyCol) === col("__qk"), "left")
+      .withColumn("gt_all", col("__mx").isNull || col(valCol) > col("__mx"))
+      .withColumn("gt_any", col("__mn").isNotNull && col(valCol) > col("__mn"))
+      .drop("__qk", "__mx", "__mn")
+  }
 }

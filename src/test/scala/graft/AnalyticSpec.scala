@@ -738,4 +738,60 @@ class AnalyticSpec extends SparkSpec {
       assert(gotMeds.toSeq == expPairs.toSeq, s"supplier $supp")
     }
   }
+
+  test("groups frame: domain-collapsed ROWS ±1 equals brute-force GROUPS semantics") {
+    val rows = queries.Analytic.winGroupsFrame(spark, sf).collect()
+    val base = graft.sources.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderstatus",
+        "CAST(o_orderdate AS DATE) AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tp")
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderstatus"),
+        r.getAs[java.sql.Date]("d").toString, r.getAs[Double]("tp")))
+    assert(rows.length == base.length)
+    // brute force: per status, frame = orders whose date is within one
+    // DISTINCT-date step of the row's date
+    val byStatus = base.groupBy(_._2)
+    val exp: Map[Long, (BigDecimal, Long)] = byStatus.toSeq.flatMap {
+      case (_, g) =>
+        val dates = g.map(_._3).distinct.sorted
+        val idx = dates.zipWithIndex.toMap
+        g.toSeq.map { case (ok, _, d, _) =>
+          val i = idx(d)
+          val frame = g.filter(r => math.abs(idx(r._3) - i) <= 1)
+          (ok, (frame.map(r => BigDecimal(r._4)).sum, frame.length.toLong))
+        }
+    }.toMap
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      val (es, en) = exp(ok)
+      assert(en == r.getAs[Long]("frame_n"), s"order $ok n")
+      assert(math.abs(es.toDouble - r.getAs[Double]("frame_sum")) < 1e-6,
+        s"order $ok sum")
+    }
+  }
+
+  test("seasonal dow: profile counts, ppm deviation, and unique peak per type") {
+    val rows = queries.Analytic.seasonalDow(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "((ts div 1000000000 div 86400) + 3) % 7 AS dow")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow")))
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("dow"))
+      val n = counts(k); val t = totals(k._1)
+      assert(r.getAs[Long]("n_events") == n, s"$k n")
+      assert(r.getAs[Long]("dev_ppm") == (7 * n - t) * 1000000L / t, s"$k ppm")
+      assert(r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6)
+    }
+    // exactly one peak per type, and it carries the type's max count
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      val peaks = g.filter(_.getAs[Boolean]("is_peak"))
+      assert(peaks.length == 1, s"$t peaks")
+      assert(peaks.head.getAs[Long]("n_events") ==
+        g.map(_.getAs[Long]("n_events")).max, s"$t peak count")
+    }
+  }
 }

@@ -285,4 +285,32 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 10)
     got.values.foreach(v => assert(v == (4L, 4L, 3L, 600000L)))
   }
+
+  private def bfsRun(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    operators.Graph.bfsDistanceOn(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("node"), rounds)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+
+  test("bfs distance: path graph caps at the round horizon, tail absent") {
+    // 1-2-3-4-5-6-7 from seed 1 with 4 rounds: 6 and 7 unreached
+    val path = (1L to 6L).map(i => (i, i + 1))
+    val got = bfsRun(path, Seq(1L), rounds = 4)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfs distance: min over alternative routes and multiple seeds") {
+    // square 1-2-3-4 plus chord 1-3: dist(3) = 1 via the chord, not 2;
+    // second seed 10 in a separate component claims its own side
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+      10L -> 11L, 11L -> 12L)
+    val got = bfsRun(edges, Seq(1L, 10L), rounds = 4)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 0L, 11L -> 1L, 12L -> 2L))
+  }
+
+  test("bfs distance: seed in no edge still reports itself at 0") {
+    val got = bfsRun(Seq(1L -> 2L), Seq(5L), rounds = 2)
+    assert(got == Map(5L -> 0L))
+  }
 }

@@ -487,4 +487,37 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(b <= r.getAs[Long]("n_users_direct"))
     }
   }
+
+  test("quantified: ALL/ANY rewrite incl. vacuous truth on an empty inner set") {
+    import spark.implicits._
+    val outer = Seq((1L, "a", 5.0), (2L, "a", 10.0), (3L, "b", 1.0),
+      (4L, "z", -99.0)).toDF("id", "k", "v")
+    val inner = Seq(("a", 5.0), ("a", 7.0), ("b", 0.5)).toDF("ik", "iv")
+    val got = queries.SqlSurface.quantifiedOn(outer, "k", "v", inner, "ik", "iv")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("gt_all"), r.getAs[Boolean]("gt_any"))).toMap
+    assert(got == Map(
+      1L -> (false, false), // 5 > ALL{5,7} no; 5 > ANY{5,7} no (strict)
+      2L -> (true, true),
+      3L -> (true, true),
+      4L -> (true, false))) // empty set: ALL vacuously true, ANY false
+  }
+
+  test("distinct on: one row per group carrying the group's max balance") {
+    val rows = queries.SqlSurface.distinctOn(spark, sf).collect()
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_mktsegment", "c_custkey", "c_acctbal")
+      .collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("c_custkey"), r.getAs[Double]("c_acctbal")))
+    val groups = cust.groupBy(c => (c._1, c._2))
+    assert(rows.length == groups.size)
+    rows.foreach { r =>
+      val g = groups((r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      // the elected row is the (acctbal DESC, custkey ASC) head
+      val best = g.minBy(c => (-c._4, c._3))
+      assert(r.getAs[Long]("c_custkey") == best._3)
+      assert(r.getAs[Double]("c_acctbal") == best._4)
+    }
+  }
 }
