@@ -113,6 +113,8 @@ object SparkEntry {
     "win_groups_frame"     -> Analytic.winGroupsFrame _,
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
+    "ev_forecast_naive"    -> Analytic.forecastNaive _,
+    "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
     "ev_asof_next"         -> Analytic.asofNext _,
@@ -1089,6 +1091,56 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // calendar equi-join lags (gap-proof), cross-multiplied winner,
+    // truncated integer micro-MAE — engine-exact end to end
+    "ev_forecast_naive" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT a.event_type, count(*) AS n_scored_1,
+        |    CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_1
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day - 1
+        |  GROUP BY 1),
+        |s7 AS (
+        |  SELECT a.event_type, count(*) AS n_scored_7,
+        |    CAST(sum(abs(a.n - b.n)) AS BIGINT) AS abs_err_7
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day - 7
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT event_type, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM d GROUP BY 1)
+        |SELECT base.event_type, n_days, n_events,
+        |  n_scored_1, abs_err_1, n_scored_7, abs_err_7,
+        |  abs_err_1 * 1000000 // n_scored_1 AS mae1_micro,
+        |  abs_err_7 * 1000000 // n_scored_7 AS mae7_micro,
+        |  abs_err_7 * n_scored_1 < abs_err_1 * n_scored_7 AS weekly_better
+        |FROM base LEFT JOIN s1 USING (event_type) LEFT JOIN s7 USING (event_type)
+        |ORDER BY base.event_type""".stripMargin,
+    // exact rational TV distance: HUGEINT cross-products mirror the
+    // engine's DECIMAL(38,0); absent-term mass closed-form
+    "text_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |), sw AS (
+        |  SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2
+        |), wa AS (
+        |  SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY 1
+        |), ns AS (
+        |  SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ns
+        |)
+        |SELECT sw.source,
+        |  max(ns.n_s) AS n_tokens,
+        |  count(*) AS n_terms,
+        |  CAST(((sum(abs(CAST(n_sw AS HUGEINT) * n_total - CAST(n_w AS HUGEINT) * n_s))
+        |       + CAST(max(ns.n_s) AS HUGEINT) * (max(n_total) - CAST(sum(n_w) AS HUGEINT)))
+        |      * 1000000)
+        |    // (2 * CAST(max(ns.n_s) AS HUGEINT) * max(n_total)) AS BIGINT) AS tv_ppm
+        |FROM sw JOIN wa USING (w) JOIN ns USING (source) CROSS JOIN t
+        |GROUP BY sw.source ORDER BY sw.source""".stripMargin,
     // lag-1..3 Pearson ACF from exact BIGINT power sums
     "ev_autocorr" ->
       """WITH hourly AS (

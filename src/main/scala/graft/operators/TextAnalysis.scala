@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables._
 
 /** Text-analysis operators over the `documents` table: language ID,
@@ -1045,5 +1046,53 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
         expr("n_familiar * 1000000L div n_bigrams").as("familiar_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source unigram DISTRIBUTION DRIFT against the whole corpus —
+    * the mixture-monitoring readout a training pipeline watches when
+    * a crawl slice or vendor feed starts looking unlike the rest of
+    * the mix (the alarm before quality regressions, next to
+    * [[Pipeline.sourceStats]]'s volume accounting). The statistic is
+    * the exact TOTAL-VARIATION distance ½·Σ_w |p_s(w) − p(w)| —
+    * deliberately not KL/JSD, whose ln() makes the result
+    * libm-dependent; TV is a pure rational of term counts, exported
+    * as an exact truncated ppm both engines compute bitwise. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOn(documents(spark, dir).select(col("source"),
+      explode(split(expr(normTextExpr), " ")).as("w")))
+      .orderBy("source")
+
+  /** Generic core of [[sourceDrift]] over any (source, w) token
+    * relation. Scale shape: the corpus collapses ONCE to the
+    * (source, term) count relation (map-side combined); global term
+    * counts derive from that relation, not a second corpus pass; the
+    * only wide join is counts⋈counts on the term key. The
+    * absent-term mass — terms the source never uses contribute
+    * Σ_{w∉s} n_w·N_s — is closed-form from the per-source covered
+    * mass, so no outer join materializes the (source × vocab)
+    * cross grid. Cross-multiplied DECIMAL(38,0) numerators keep the
+    * ppm exact at 100 TB token counts (n·N ~ 10²⁶). */
+  def sourceDriftOn(tok: DataFrame): DataFrame = {
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+      .localCheckpoint() // three consumers: global counts, totals, join
+    val wAll = sw.groupBy("w").agg(sum("n_sw").as("n_w"))
+    val ns = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+    val tot = ns.agg(sum("n_s").as("n_total"))
+    sw.join(wAll, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(abs(col("n_sw").cast(DecimalType(38, 0)) * col("n_total") -
+          col("n_w").cast(DecimalType(38, 0)) * col("n_s"))).as("s_present"),
+        sum("n_w").as("covered"),
+        max("n_s").as("n_tokens"),
+        max("n_total").as("n_total"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        expr("""CAST(((s_present +
+          CAST(n_tokens AS DECIMAL(38,0)) * (n_total - covered)) * 1000000)
+          div (2 * CAST(n_tokens AS DECIMAL(38,0)) * n_total) AS BIGINT)""")
+          .as("tv_ppm"))
   }
 }

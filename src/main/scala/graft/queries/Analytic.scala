@@ -1425,6 +1425,43 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Seasonal-naive forecast BACKTEST per event type — the
+    * capacity-planning sanity check next to [[trendSlope]] and
+    * [[seasonalDow]]: score yesterday's count (naive-1) and
+    * last-week's count (naive-7) as forecasts of each day's volume,
+    * and report which baseline wins. A weekly-seasonal stream has
+    * mae7 < mae1; that single boolean is the "do we forecast with
+    * weekly lags" decision. All exact integers: the corpus collapses
+    * once to the (type, day) relation; each lag is a calendar
+    * EQUI-JOIN on (type, day−k) — gap-proof where a row-offset
+    * lag() would silently compare across missing days — and only
+    * days whose lag day exists are scored (absent day = zero events
+    * is not assumed). The winner comparison is cross-multiplied, so
+    * no division rounding; MAE exports as truncated micro-units. */
+  def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumers: base + two lag self-joins
+    def scored(k: Int) = d.as("a")
+      .join(d.as("b"), col("a.event_type") === col("b.event_type") &&
+        col("b.day") === col("a.day") - k)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as(s"n_scored_$k"),
+        sum(abs(col("a.n") - col("b.n"))).as(s"abs_err_$k"))
+    d.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"))
+      .join(scored(1), Seq("event_type"), "left")
+      .join(scored(7), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("n_scored_1"), col("abs_err_1"), col("n_scored_7"), col("abs_err_7"),
+        expr("abs_err_1 * 1000000 div n_scored_1").as("mae1_micro"),
+        expr("abs_err_7 * 1000000 div n_scored_7").as("mae7_micro"),
+        (col("abs_err_7") * col("n_scored_1") <
+          col("abs_err_1") * col("n_scored_7")).as("weekly_better"))
+      .orderBy("event_type")
+  }
+
   /** Day-of-week seasonality profile per event type — the weekly
     * periodicity readout next to [[autocorr]]'s lag scan and
     * [[hourlyAnomaly]]'s intra-day profile: traffic-shape drift

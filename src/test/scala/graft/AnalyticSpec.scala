@@ -771,6 +771,36 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("forecast backtest: lag joins, micro-MAE, and winner replay from day counts") {
+    val rows = queries.Analytic.forecastNaive(spark, sf).collect()
+    val counts = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 1000000000 div 86400 AS day")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = counts.keys.map(_._1).toSeq.distinct
+    assert(rows.map(_.getAs[String]("event_type")).toSeq.sorted == types.sorted)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = counts.collect { case ((`t`, d), n) => d -> n }
+      def lagScore(k: Long): Option[(Long, Long)] = {
+        val pairs = days.toSeq.flatMap { case (d, n) =>
+          days.get(d - k).map(p => math.abs(n - p)) }
+        if (pairs.isEmpty) None else Some((pairs.length.toLong, pairs.sum))
+      }
+      assert(r.getAs[Long]("n_days") == days.size)
+      assert(r.getAs[Long]("n_events") == days.values.sum)
+      (lagScore(1), lagScore(7)) match {
+        case (Some((c1, e1)), Some((c7, e7))) =>
+          assert(r.getAs[Long]("n_scored_1") == c1 && r.getAs[Long]("abs_err_1") == e1)
+          assert(r.getAs[Long]("n_scored_7") == c7 && r.getAs[Long]("abs_err_7") == e7)
+          assert(r.getAs[Long]("mae1_micro") == e1 * 1000000L / c1)
+          assert(r.getAs[Long]("mae7_micro") == e7 * 1000000L / c7)
+          assert(r.getAs[Boolean]("weekly_better") == (e7 * c1 < e1 * c7))
+        case _ => // absent lag pairs surface as nulls; nothing to pin
+      }
+    }
+  }
+
   test("seasonal dow: profile counts, ppm deviation, and unique peak per type") {
     val rows = queries.Analytic.seasonalDow(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)

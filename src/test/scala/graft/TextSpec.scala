@@ -525,4 +525,22 @@ class TextSpec extends SparkSpec {
     (1L to 8L).foreach(i => assert(out(i) == 1000000L, s"doc $i: ${out(i)}"))
     assert(out(9L) < 500000L, s"salad scored ${out(9L)}")
   }
+
+  test("source drift: exact TV ppm on a planted two-source token relation") {
+    import spark.implicits._
+    // A = {x,x,y}, B = {y,z}; corpus p = {x:.4, y:.4, z:.2}
+    // TV(A) = ½(|2/3−.4| + |1/3−.4| + |0−.2|) = 4/15 → 266666 ppm
+    // TV(B) = ½(|0−.4| + |1/2−.4| + |1/2−.2|) = 2/5  → 400000 ppm
+    val tok = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"), ("B", "z"))
+      .toDF("source", "w")
+    val got = operators.TextAnalysis.sourceDriftOn(tok)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("tv_ppm"))).toMap
+    assert(got == Map("A" -> (3L, 2L, 266666L), "B" -> (2L, 2L, 400000L)))
+    // single-source degenerate case: zero drift
+    val one = operators.TextAnalysis.sourceDriftOn(
+      Seq(("S", "a"), ("S", "b")).toDF("source", "w")).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("tv_ppm") == 0L)
+  }
 }
