@@ -245,6 +245,7 @@ object SparkEntry {
     "text_model_filter"  -> TextAnalysis.modelFilter _,
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "sample_per_group"  -> TextAnalysis.samplePerGroup _,
+    "sample_rebalance"  -> Pipeline.rebalance _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
@@ -4177,6 +4178,18 @@ object SparkEntry {
         |WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    // per-class scalar repetition factors, correlated unnest epochs,
+    // h60 interleave salt — all deterministic
+    "sample_rebalance" ->
+      """WITH c AS (SELECT lang AS cls, count(*) AS n_c FROM documents GROUP BY 1),
+        |t AS (SELECT max(n_c) AS target FROM c),
+        |r AS (SELECT cls, CAST((target + n_c - 1) // n_c AS BIGINT) AS n_copies
+        |      FROM c CROSS JOIN t)
+        |SELECT d.doc_id, r.cls, r.n_copies, CAST(u.copy_id AS BIGINT) AS copy_id,
+        |  CAST(('0x'||substring(md5(d.doc_id || ':' || u.copy_id),1,15)) AS BIGINT) AS salt
+        |FROM documents d JOIN r ON d.lang = r.cls
+        |CROSS JOIN unnest(generate_series(1, r.n_copies)) AS u(copy_id)
+        |ORDER BY d.doc_id, copy_id""".stripMargin,
     "sample_per_group" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -575,6 +575,37 @@ object Pipeline {
         (col("cum_le").cast("double") / col("n").cast("double")).as("cd"))
   }
 
+  /** Deterministic CLASS REBALANCING by repetition — the minority-
+    * oversampling materialization a training pipeline runs before a
+    * class-sensitive pass (language balancing, domain balancing):
+    * every class is repeated up to the majority class's volume with a
+    * per-CLASS scalar factor ⌈target/n_c⌉ (the per-source repetition
+    * convention of data-mixing recipes — never a per-doc random draw,
+    * so the output is a pure function of the input), overshoot
+    * bounded by one extra epoch of the class. Each emitted copy
+    * carries a [[Hash60]] salt of (doc_id, copy_id) — the
+    * deterministic shuffle key that interleaves copies downstream
+    * instead of leaving epochs clustered. Scale: class factors are a
+    * |classes|-row broadcast; the explode multiplies only minority
+    * rows (majority factor is 1), no shuffle at all — the output
+    * inherits the input's partitioning. */
+  def rebalance(spark: SparkSession, dir: String): DataFrame =
+    rebalanceOn(documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("cls")))
+      .orderBy("doc_id", "copy_id")
+
+  /** Generic core of [[rebalance]] over any (doc_id, cls) relation. */
+  def rebalanceOn(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("cls").agg(count(lit(1)).as("n_c"))
+    val target = counts.agg(max("n_c").as("target"))
+    val reps = counts.crossJoin(broadcast(target))
+      .select(col("cls"), expr("(target + n_c - 1) div n_c").as("n_copies"))
+    docs.join(broadcast(reps), "cls")
+      .select(col("doc_id"), col("cls"), col("n_copies"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_id"))
+      .withColumn("salt", expr(Hash60.sql("concat(doc_id, ':', copy_id)")))
+  }
+
   /** Generic core of [[dataQuality]]: run any (name → violation
     * predicate) suite over any relation in ONE aggregate pass.
     * NULL predicate results count as non-violations (SQL three-valued

@@ -248,6 +248,26 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("rebalance: ceil repetition factors reach the target with bounded overshoot") {
+    import spark.implicits._
+    // a×5, b×2, c×1 → target 5; factors a=1, b=3, c=5
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "a")) ++
+      Seq((10L, "b"), (11L, "b")) :+ (20L, "c")).toDF("doc_id", "cls")
+    val rows = operators.Pipeline.rebalanceOn(docs).collect()
+    val byCls = rows.groupBy(_.getAs[String]("cls"))
+    assert(byCls("a").length == 5 && byCls("b").length == 6 && byCls("c").length == 5)
+    // every doc carries exactly its class factor of consecutive copies
+    rows.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      val n = g.head.getAs[Long]("n_copies")
+      assert(g.map(_.getAs[Long]("copy_id")).sorted.toSeq == (1L to n))
+    }
+    // overshoot bounded by one extra epoch: total < target + n_c per class
+    assert(byCls.forall { case (_, g) =>
+      g.length < 5 + g.map(_.getAs[Long]("doc_id")).distinct.length })
+    // salts are distinct across (doc, copy) — the interleave key works
+    assert(rows.map(_.getAs[Long]("salt")).distinct.length == rows.length)
+  }
+
   test("sequence packing conserves docs and fills every non-final bin past its boundary") {
     val rows = operators.Pipeline.packSequences(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf).count()
