@@ -114,6 +114,7 @@ object SparkEntry {
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
+    "ev_interpolate_linear" -> Analytic.interpolateLinear _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
@@ -292,6 +293,7 @@ object SparkEntry {
     "agg_mode_exact"         -> SqlSurface.modeExact _,
     "sql_semi_anti"          -> SqlSurface.semiAnti _,
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
+    "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_quantified"         -> SqlSurface.quantified _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
@@ -1092,6 +1094,32 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // exact integer-cents interpolation pair + fixed-order float ops;
+    // IGNORE NULLS directional fills over the day spine
+    "ev_interpolate_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE value > 200 GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.day, d.cents, d.cents IS NULL AS is_gap,
+        |    CASE WHEN d.cents IS NOT NULL THEN s.day END AS obs_day
+        |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+        |f AS (
+        |  SELECT *,
+        |    last_value(obs_day IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(obs_day IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |    first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, is_gap, cents,
+        |  CAST(CASE WHEN is_gap THEN pv*(nd-day) + nv*(day-pd) ELSE cents END AS BIGINT) AS interp_num,
+        |  CAST(CASE WHEN is_gap THEN nd - pd ELSE 1 END AS BIGINT) AS interp_den,
+        |  CAST(CASE WHEN is_gap THEN pv*(nd-day) + nv*(day-pd) ELSE cents END AS DOUBLE)
+        |    / CAST(CASE WHEN is_gap THEN nd - pd ELSE 1 END AS DOUBLE) / 100.0 AS value_interp
+        |FROM f ORDER BY event_type, day""".stripMargin,
     // calendar equi-join lags (gap-proof), cross-multiplied winner,
     // truncated integer micro-MAE — engine-exact end to end
     "ev_forecast_naive" ->
@@ -4816,6 +4844,16 @@ object SparkEntry {
         |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
         |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
         |ORDER BY base.c_nationkey""".stripMargin,
+    // SQL UDF + SQL TVF macro-expanded: oracle inlines the bodies
+    "sql_udf" ->
+      """SELECT b.bucket, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS net_revenue
+        |FROM lineitem l JOIN (SELECT unnest(generate_series(0, 4)) AS bucket) b
+        |  ON l.l_quantity >= b.bucket * 10 + 1
+        | AND l.l_quantity <= b.bucket * 10 + 10
+        |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin,
     // native DISTINCT ON syntax vs the row_number translation; the
     // ORDER BY is total so both engines pick the identical row
     "sql_distinct_on" ->

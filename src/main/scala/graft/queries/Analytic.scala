@@ -1425,6 +1425,57 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** LINEAR interpolation of missing days — the upgrade of
+    * [[gapFill]]'s step-function carry-forward (LOCF) to the
+    * straight-line estimate a reporting/feature pipeline wants for
+    * additive quantities: each absent day of a type's daily revenue
+    * series takes v_prev + (v_next−v_prev)·(d−d_prev)/(d_next−d_prev).
+    * Exactness discipline: daily totals are integer CENTS (the 2-
+    * decimal data is exact in DECIMAL(18,2)·100), the interpolation
+    * survives as the exact integer pair (num, den) = (v_prev·(d_next−d)
+    * + v_next·(d−d_prev), d_next−d_prev) with observed rows at
+    * (cents, 1), and the double value is two fixed-order float
+    * divisions at the end (num/den, then the cents scale) — mirrored
+    * verbatim in the oracle, so engine-bitwise. Scale: the corpus collapses once to (type, day);
+    * the spine, the two directional fill windows, and the join all
+    * live on that domain-bounded relation (≤ day-span rows per type).
+    * Gaps outside the observed span cannot exist (spine = [min, max]
+    * of observed days), so num/den are never null. The series is the
+    * HIGH-VALUE slice (value > 200) — the sparse-by-nature signal
+    * (large transactions) where day gaps actually occur and the
+    * estimator earns its keep; the dense all-events series has no
+    * gaps and is [[gapFill]]'s territory. */
+  def interpolateLinear(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .filter(col("value") > 200)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum((col("value").cast(D) * 100).cast("bigint")).as("cents"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val wPrev = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("is_gap", col("cents").isNull)
+      .withColumn("obs_day", when(col("cents").isNotNull, col("day")))
+      .withColumn("pd", last("obs_day", ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last("cents", ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first("obs_day", ignoreNulls = true).over(wNext))
+      .withColumn("nv", first("cents", ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("day"), col("is_gap"), col("cents"),
+        when(col("is_gap"),
+          col("pv") * (col("nd") - col("day")) + col("nv") * (col("day") - col("pd")))
+          .otherwise(col("cents")).as("interp_num"),
+        when(col("is_gap"), col("nd") - col("pd")).otherwise(lit(1L)).as("interp_den"))
+      .withColumn("value_interp",
+        col("interp_num").cast("double") / col("interp_den").cast("double") / 100.0)
+      .orderBy("event_type", "day")
+  }
+
   /** Seasonal-naive forecast BACKTEST per event type — the
     * capacity-planning sanity check next to [[trendSlope]] and
     * [[seasonalDow]]: score yesterday's count (naive-1) and

@@ -1000,6 +1000,38 @@ object SqlSurface {
         |ORDER BY base.c_nationkey""".stripMargin)
   }
 
+  /** SQL-defined functions (SQL:2016 / Spark 4 `CREATE FUNCTION …
+    * RETURN`) — the reference's scalar-fn-call.cc surface expressed
+    * as CATALOG objects instead of engine built-ins: a scalar SQL UDF
+    * (exact-decimal net revenue) and a TABLE-VALUED SQL UDF (the
+    * quantity band dimension) defined in SQL and composed in one
+    * query. Both are macro-expanded by the analyzer into the plan —
+    * codegen'd like any expression, NEVER an opaque JVM lambda, so
+    * pushdown/pruning see through them (the reason to prefer SQL UDFs
+    * over Scala UDFs at 100 TB). The oracle inlines the bodies: macro
+    * expansion equivalence IS the semantics under test. The band
+    * dimension is a 5-row TVF result broadcast against the fact. */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("udf_lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+        |  ep DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(38,4)
+        |RETURN ep * (CAST(1 AS DECIMAL(18,2)) - d)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_bands(k BIGINT)
+        |RETURNS TABLE (bucket BIGINT)
+        |RETURN SELECT id AS bucket FROM range(10) WHERE id < k""".stripMargin)
+    spark.sql(
+      """SELECT b.bucket, count(*) AS n_items,
+        |  CAST(sum(graft_net(CAST(l_extendedprice AS DECIMAL(18,2)),
+        |                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS net_revenue
+        |FROM udf_lineitem l JOIN graft_qty_bands(5) b
+        |  ON l.l_quantity >= b.bucket * 10 + 1
+        | AND l.l_quantity <= b.bucket * 10 + 10
+        |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin)
+  }
+
   /** DISTINCT ON — the Postgres/DuckDB "first row per group under an
     * ORDER BY" dialect form (Impala users write the same thing as a
     * row_number() = 1 analytic filter; scalar-fn-call.cc evaluates

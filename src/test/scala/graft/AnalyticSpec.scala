@@ -771,6 +771,39 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("linear interpolation: gap rows replay the exact two-point formula") {
+    val rows = queries.Analytic.interpolateLinear(spark, sf).collect()
+    val daily = graft.sources.Tables.events(spark, sf)
+      .filter("value > 200")
+      .selectExpr("event_type", "ts div 1000000000 div 86400 AS day",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("day")), r.getAs[Long]("c")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.nonEmpty)
+    var gaps = 0
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type"); val d = r.getAs[Long]("day")
+      daily.get((t, d)) match {
+        case Some(c) =>
+          assert(!r.getAs[Boolean]("is_gap"))
+          assert(r.getAs[Long]("cents") == c)
+          assert(r.getAs[Long]("interp_num") == c && r.getAs[Long]("interp_den") == 1L)
+        case None =>
+          gaps += 1
+          assert(r.getAs[Boolean]("is_gap"))
+          val obsDays = daily.keys.filter(_._1 == t).map(_._2)
+          val pd = obsDays.filter(_ < d).max; val nd = obsDays.filter(_ > d).min
+          val pv = daily((t, pd)); val nv = daily((t, nd))
+          assert(r.getAs[Long]("interp_num") == pv * (nd - d) + nv * (d - pd), s"$t $d num")
+          assert(r.getAs[Long]("interp_den") == nd - pd, s"$t $d den")
+          assert(r.getAs[Double]("value_interp") ==
+            r.getAs[Long]("interp_num").toDouble / r.getAs[Long]("interp_den").toDouble / 100.0)
+      }
+    }
+    assert(gaps > 0, "test slice produced no gaps — the interpolation path went unexercised")
+  }
+
   test("forecast backtest: lag joins, micro-MAE, and winner replay from day counts") {
     val rows = queries.Analytic.forecastNaive(spark, sf).collect()
     val counts = graft.sources.Tables.events(spark, sf)

@@ -503,6 +503,27 @@ class SqlSurfaceSpec extends SparkSpec {
       4L -> (true, false))) // empty set: ALL vacuously true, ANY false
   }
 
+  test("sql udf: macro-expanded scalar + TVF agree with a direct recompute") {
+    val rows = queries.SqlSurface.sqlUdf(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_quantity",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net")
+      .collect()
+      .map(r => (r.getAs[Double]("l_quantity"), r.getAs[java.math.BigDecimal]("net")))
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 4L))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val in = li.filter { case (q, _) => q >= b * 10 + 1 && q <= b * 10 + 10 }
+      assert(r.getAs[Long]("n_items") == in.length, s"bucket $b count")
+      val exp = in.map(x => BigDecimal(x._2)).sum.toDouble
+      assert(r.getAs[Double]("net_revenue") == exp, s"bucket $b revenue")
+    }
+    // the 5 bands tile quantity 1..50: totals reconcile
+    assert(rows.map(_.getAs[Long]("n_items")).sum ==
+      li.count { case (q, _) => q >= 1 && q <= 50 })
+  }
+
   test("distinct on: one row per group carrying the group's max balance") {
     val rows = queries.SqlSurface.distinctOn(spark, sf).collect()
     val cust = graft.sources.Tables.customer(spark, sf)
