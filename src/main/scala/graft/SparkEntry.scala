@@ -111,6 +111,7 @@ object SparkEntry {
     "win_distinct_running" -> Analytic.distinctRunning _,
     "win_rolling_median"   -> Analytic.rollingMedian _,
     "win_groups_frame"     -> Analytic.winGroupsFrame _,
+    "win_exclude_current"  -> Analytic.winExcludeCurrent _,
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
@@ -506,6 +507,25 @@ object SparkEntry {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
         |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // native EXCLUDE CURRENT ROW vs the subtract-self translation
+    "win_exclude_current" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  count(*) OVER w - 1 AS peer_n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+        |    AS DOUBLE) AS peer_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+        |    AS DOUBLE) / CAST(count(*) OVER w - 1 AS DOUBLE) AS peer_avg
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     // GROUPS ±1 frame semantics via dense_rank + RANGE ±1 (DuckDB
     // lacks GROUPS mode too; one row per peer group makes them equal)

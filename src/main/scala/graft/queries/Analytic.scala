@@ -1541,6 +1541,34 @@ object Analytic {
       .orderBy("event_type", "dow")
   }
 
+  /** EXCLUDE CURRENT ROW frame exclusion — the SQL:2011 window
+    * clause Spark does not implement (peer pricing: each line item
+    * against the average of its ±3 NEIGHBORING items, itself
+    * excluded — the self-exclusion every leave-one-out feature
+    * needs). Translation: full-frame sum/count minus the current
+    * row's own contribution — one extra subtraction, zero extra
+    * shuffles or frames; the empty-exclusion case (single-row
+    * partition) maps to NULL exactly as the native clause yields
+    * NULL over an empty frame. Ordering ends in l_extendedprice, so
+    * full-duplicate ties make the output multiset order-invariant
+    * (the win_rolling_median argument). Oracle runs the native
+    * EXCLUDE CURRENT ROW syntax. */
+  def winExcludeCurrent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .rowsBetween(-3, 3)
+    lineitem(spark, dir)
+      .withColumn("p", col("l_extendedprice").cast(D))
+      .withColumn("peer_n", count(lit(1)).over(w) - 1)
+      .withColumn("peer_sum",
+        when(col("peer_n") > 0,
+          (sum("p").over(w) - col("p")).cast("double")))
+      .withColumn("peer_avg", col("peer_sum") / col("peer_n").cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "peer_n", "peer_sum", "peer_avg")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
   /** GROUPS window frame — the third SQL:2011 frame mode (peer-group
     * steps instead of row counts or value ranges), which Spark does
     * NOT implement (only ROWS/RANGE): per order, the revenue and row

@@ -771,6 +771,38 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("exclude current row: peer sums replay as frame sum minus self") {
+    val rows = queries.Analytic.winExcludeCurrent(spark, sf).collect()
+    val bySupp = graft.sources.Tables.lineitem(spark, sf)
+      .selectExpr("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p")
+      .collect()
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        (r.getAs[Any]("l_shipdate").toString, r.getAs[Long]("l_orderkey"),
+          r.getAs[Int]("l_linenumber"), r.getAs[Double]("p"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity)).toMap
+    val got = rows.groupBy(_.getAs[Long]("l_suppkey"))
+    bySupp.foreach { case (supp, ordered) =>
+      val exp = ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 3), i + 4)
+        val n = frame.length - 1L
+        val s = if (n > 0)
+          Some(frame.map(x => BigDecimal(x._4)).sum - BigDecimal(ordered(i)._4))
+        else None
+        (ordered(i)._2, ordered(i)._3, ordered(i)._4, n, s)
+      }
+      // multiset compare (full-duplicate rows may swap frames; the
+      // rolling-median ordering argument)
+      val gotSet = got(supp).map(r => (r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"), r.getAs[Double]("l_extendedprice"),
+        r.getAs[Long]("peer_n"),
+        Option(r.getAs[java.lang.Double]("peer_sum")).map(v => BigDecimal(v))))
+        .sortBy(x => (x._1, x._2, x._3, x._4))
+      val expSet = exp.sortBy(x => (x._1, x._2, x._3, x._4))
+      assert(gotSet.toSeq == expSet.toSeq, s"supplier $supp")
+    }
+  }
+
   test("linear interpolation: gap rows replay the exact two-point formula") {
     val rows = queries.Analytic.interpolateLinear(spark, sf).collect()
     val daily = graft.sources.Tables.events(spark, sf)
