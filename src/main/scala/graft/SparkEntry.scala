@@ -112,6 +112,7 @@ object SparkEntry {
     "win_rolling_median"   -> Analytic.rollingMedian _,
     "win_groups_frame"     -> Analytic.winGroupsFrame _,
     "win_exclude_current"  -> Analytic.winExcludeCurrent _,
+    "expr_decimal_arith"   -> Exprs.decimalArith _,
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
@@ -508,6 +509,18 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    // fixed-point decimal contract: scale composition, HALF_UP
+    // rounding both directions, fixed-scale rendering — all exact
+    "expr_decimal_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS p_str,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(38,4)) AS VARCHAR) AS prod_str,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS VARCHAR) AS round1_str,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), -2) AS BIGINT) AS round_hundreds,
+        |  CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS fl,
+        |  CAST(ceil(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS ce
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // native EXCLUDE CURRENT ROW vs the subtract-self translation
     "win_exclude_current" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -19,6 +19,34 @@ import graft.sources.Tables._
 object Exprs {
   private val D = DecimalType(18, 2)
 
+  /** Exact-DECIMAL arithmetic surface — the fixed-point type-system
+    * contract every money pipeline relies on (the reference's
+    * DecimalVal leg of expr.h:36-60): product scale composition,
+    * HALF_UP rounding at positive and negative digits, floor/ceil,
+    * and fixed-scale string rendering. Everything here is exact by
+    * construction (2-decimal inputs), so the oracle comparison is
+    * bitwise; divisions are deliberately absent — decimal division
+    * SCALE rules are engine-specific (Spark pads to 6+ fraction
+    * digits, DuckDB keeps the dividend scale), the one fixed-point
+    * corner where dialects legitimately disagree, documented here by
+    * omission. */
+  def decimalArith(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast(D).as("p"),
+      col("l_quantity").cast(DecimalType(9, 2)).as("q"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("p").cast("string").as("p_str"),
+        // (18,2) × (9,2) → scale-4 product, rendered at fixed scale
+        (col("p") * col("q")).cast(DecimalType(38, 4)).cast("string")
+          .as("prod_str"),
+        round(col("p"), 1).cast("string").as("round1_str"),
+        round(col("p"), -2).cast("bigint").as("round_hundreds"),
+        floor(col("p")).cast("bigint").as("fl"),
+        ceil(col("p")).cast("bigint").as("ce"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** String kernel: substr/upper/lower/concat/length/LIKE. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
     part(spark, dir).select(

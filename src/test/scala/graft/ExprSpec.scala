@@ -170,4 +170,23 @@ class ExprSpec extends SparkSpec {
         assert(r.getAs[Long]("mul_max") == okKeys.max * 700000000000000L)
     }
   }
+
+  test("decimal rounding: HALF_UP at exact halves, both digit directions") {
+    // exact .x5 halves — where HALF_UP (Spark) and round-half-away-
+    // from-zero (DuckDB) agree on positives, pinned so a future
+    // half-even regression fails loudly
+    val rows = spark.sql(
+      """SELECT v, CAST(round(v, 1) AS STRING) AS r1,
+        |       CAST(round(v, -2) AS BIGINT) AS rh
+        |FROM VALUES (CAST(0.05 AS DECIMAL(18,2))), (CAST(2.25 AS DECIMAL(18,2))),
+        |  (CAST(2.35 AS DECIMAL(18,2))), (CAST(149.99 AS DECIMAL(18,2))),
+        |  (CAST(150.00 AS DECIMAL(18,2))), (CAST(250.00 AS DECIMAL(18,2))) t(v)
+        |ORDER BY v""".stripMargin).collect()
+      .map(r => (r.getAs[java.math.BigDecimal]("v").toPlainString,
+        r.getAs[String]("r1"), r.getAs[Long]("rh")))
+    assert(rows.toSeq == Seq(
+      ("0.05", "0.1", 0L), ("2.25", "2.3", 0L), ("2.35", "2.4", 0L),
+      ("149.99", "150.0", 100L), ("150.00", "150.0", 200L),
+      ("250.00", "250.0", 300L)))
+  }
 }
