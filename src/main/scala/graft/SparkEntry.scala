@@ -210,6 +210,7 @@ object SparkEntry {
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "ann_refine_topk"     -> Similarity.refineTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
+    "emb_silhouette"      -> Similarity.silhouette _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_pca_power"       -> Similarity.pcaPower _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
@@ -4140,6 +4141,31 @@ object SparkEntry {
         |  max(qv) AS q_max, min(qv) AS q_min, max(eq) AS max_err_q,
         |  CAST(sum(eq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e12) AS mean_err
         |FROM e GROUP BY d ORDER BY d""".stripMargin,
+    // centroid-silhouette margins on the same quantized machinery
+    "emb_silhouette" ->
+      """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |dims AS (SELECT label, i AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),
+        |cent AS (SELECT label, d, CAST(sum(floor(x * 1e9)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS cx
+        |         FROM dims GROUP BY 1, 2),
+        |cvs AS (SELECT label AS clabel, list(cx ORDER BY d) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT v.vec_id, v.label, c.clabel,
+        |    CAST(floor(
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*cv[i])), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> cv[i]*cv[i])), (a,b) -> a+b)))
+        |      * 1e9) AS BIGINT) AS cos_q
+        |  FROM vecs v CROSS JOIN cvs c),
+        |per_vec AS (
+        |  SELECT vec_id, label,
+        |    max(CASE WHEN label = clabel THEN cos_q END) AS own_q,
+        |    max(CASE WHEN label <> clabel THEN cos_q END) AS other_q
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(own_q - other_q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS mean_margin,
+        |  CAST(min(own_q - other_q) AS BIGINT) AS min_margin_q,
+        |  CAST(sum(CASE WHEN own_q < other_q THEN 1 ELSE 0 END) AS BIGINT) AS n_confused
+        |FROM per_vec GROUP BY label ORDER BY label""".stripMargin,
     "emb_label_stats" ->
       """WITH vecs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
         |dims AS (SELECT label, i AS d, vd[i] AS x FROM vecs, generate_series(1, 64) t(i)),

@@ -184,6 +184,50 @@ object Similarity {
     * broadcast of the tiny centroid table, one map-side cosine pass,
     * and a final n_labels-row agg — no window, no shuffle of the
     * vectors themselves beyond the centroid agg. */
+  /** Centroid-silhouette cluster-quality audit — the separation
+    * readout next to [[labelStats]]'s cohesion and
+    * [[knnClassify]]'s confusion: per vector, cosine to its OWN
+    * label centroid minus the best cosine to any OTHER label
+    * centroid (the centroid-based silhouette margin; the classic
+    * all-pairs silhouette is O(n²) and adds nothing at this
+    * granularity). margin < 0 = the vector sits closer to a foreign
+    * centroid — the mislabeled/drifted population a curation pass
+    * reviews. Determinism discipline (the [[labelStats]] pattern):
+    * centroid means and every aggregated cosine go through ×1e9
+    * integer quantization so all sums are order-free exact integers;
+    * the only doubles are fixed-order divisions. Scale: centroids
+    * are a |labels|-row broadcast; one corpus pass scores every
+    * vector against all centroids (|labels|× fan-out, map-side
+    * combined back to one row per vector). */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val v = Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("vd"))
+    val dims = v.select(col("label"), posexplode(col("vd"))).toDF("label", "d", "x")
+    val cents = dims.groupBy("label", "d")
+      .agg((sum(floor(col("x") * lit(1e9))).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("packed"))
+      .select(col("label").as("clabel"), expr("transform(packed, s -> s.cx)").as("cv"))
+      .withColumn("cnrm", Vectors.norm(col("cv")))
+    val scored = v.withColumn("vnrm", Vectors.norm(col("vd")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_q",
+        floor(Vectors.cosinePre(col("vd"), col("cv"), col("vnrm"), col("cnrm")) *
+          lit(1e9)).cast("bigint"))
+    scored.groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("clabel"), col("cos_q"))).as("own_q"),
+        max(when(col("label") =!= col("clabel"), col("cos_q"))).as("other_q"))
+      .select(col("label"), (col("own_q") - col("other_q")).as("margin_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum("margin_q").cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("mean_margin"),
+        min("margin_q").as("min_margin_q"),
+        sum(when(col("margin_q") < 0, 1L).otherwise(0L)).as("n_confused"))
+      .orderBy("label")
+  }
+
   def labelStats(spark: SparkSession, dir: String): DataFrame = {
     val v = Vectors.asDouble(embeddings(spark, dir))
       .select(col("vec_id"), col("label"), col("vd"))

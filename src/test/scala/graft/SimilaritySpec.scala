@@ -420,4 +420,21 @@ class SimilaritySpec extends SparkSpec {
         (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
     }
   }
+
+  test("silhouette: labels partition the corpus; margins bound their aggregates") {
+    val rows = operators.Similarity.silhouette(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.count())
+    assert(rows.length == emb.select("label").distinct().count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      val confused = r.getAs[Long]("n_confused")
+      assert(confused >= 0 && confused <= n)
+      // the min margin cannot exceed the mean
+      assert(r.getAs[Long]("min_margin_q") <=
+        math.ceil(r.getAs[Double]("mean_margin") * 1e9).toLong)
+      // margins live in [-2, 2] cosine space
+      assert(math.abs(r.getAs[Long]("min_margin_q")) <= 2000000000L)
+    }
+  }
 }
