@@ -117,6 +117,7 @@ object SparkEntry {
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
     "ev_interpolate_linear" -> Analytic.interpolateLinear _,
+    "ev_concurrency"       -> Analytic.concurrency _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
@@ -188,6 +189,7 @@ object SparkEntry {
     "graph_pagerank"         -> Graph.dedupPageRank _,
     "graph_kcore"            -> Graph.dedupKCore _,
     "graph_bfs_distance"     -> Graph.dedupBfsDistance _,
+    "graph_modularity"       -> Graph.dedupModularity _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
@@ -1128,6 +1130,33 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // sweep-line concurrency: the oracle runs the plain global
+    // running sum the engine decomposes two-level
+    "ev_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),
+        |f AS (SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new FROM w),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f),
+        |sess AS (SELECT user_id, session_id, min(ts_sec//60) AS m_start, max(ts_sec//60) AS m_end
+        |         FROM s GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT m, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT m_start AS m, 1 AS d FROM sess
+        |    UNION ALL SELECT m_end + 1, -1 FROM sess) u GROUP BY m),
+        |conc AS (
+        |  SELECT m, m//1440 AS day,
+        |    CAST(sum(delta) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |  FROM deltas),
+        |peak AS (
+        |  SELECT day, conc, m, row_number() OVER (PARTITION BY day ORDER BY conc DESC, m) AS rn
+        |  FROM conc),
+        |starts AS (SELECT m_start//1440 AS day, count(*) AS n_starts FROM sess GROUP BY 1)
+        |SELECT CAST(p.day AS BIGINT) AS day,
+        |  CAST(coalesce(n_starts, 0) AS BIGINT) AS n_starts,
+        |  p.conc AS peak_conc, CAST(p.m AS BIGINT) AS peak_minute
+        |FROM peak p LEFT JOIN starts ON p.day = starts.day
+        |WHERE rn = 1 ORDER BY p.day""".stripMargin,
     // exact integer-cents interpolation pair + fixed-order float ops;
     // IGNORE NULLS directional fills over the day spine
     "ev_interpolate_linear" ->
@@ -2699,6 +2728,62 @@ object SparkEntry {
     // 2 unrolled synchronous LPA rounds; argmax(count desc, label
     // asc) replayed as max-count join + min(label) — deterministic
     // in both engines
+    // LPA chain + exact HUGEINT modularity numerators over 4m²
+    "graph_modularity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), de AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), c1 AS (
+        |  SELECT de.u, de.v AS label, count(*) AS c FROM de GROUP BY 1, 2
+        |), m1 AS (
+        |  SELECT u, max(c) AS mc FROM c1 GROUP BY u
+        |), l1 AS MATERIALIZED (
+        |  SELECT c1.u AS node, min(c1.label) AS label
+        |  FROM c1 JOIN m1 ON c1.u = m1.u AND c1.c = m1.mc GROUP BY 1
+        |), c2 AS (
+        |  SELECT de.u, l1.label, count(*) AS c
+        |  FROM de JOIN l1 ON de.v = l1.node GROUP BY 1, 2
+        |), m2 AS (
+        |  SELECT u, max(c) AS mc FROM c2 GROUP BY u
+        |), l2 AS MATERIALIZED (
+        |  SELECT c2.u AS node, min(c2.label) AS label
+        |  FROM c2 JOIN m2 ON c2.u = m2.u AND c2.c = m2.mc GROUP BY 1
+        |), deg AS (
+        |  SELECT u AS node, count(*) AS deg FROM de GROUP BY 1
+        |), mm AS (SELECT count(*) AS m FROM e
+        |), intra AS (
+        |  SELECT la.label, count(*) AS e_in
+        |  FROM e JOIN l2 la ON e.a = la.node JOIN l2 lb ON e.b = lb.node
+        |  WHERE la.label = lb.label GROUP BY 1
+        |), dsum AS (
+        |  SELECT l2.label, count(*) AS n_members, CAST(sum(deg) AS BIGINT) AS d_c
+        |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1
+        |)
+        |SELECT d.label, d.n_members, CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, d_c,
+        |  CAST(4 * CAST(m AS HUGEINT) * coalesce(e_in, 0) - CAST(d_c AS HUGEINT) * d_c AS VARCHAR) AS q_num_str,
+        |  CAST(4 * CAST(m AS HUGEINT) * coalesce(e_in, 0) - CAST(d_c AS HUGEINT) * d_c AS DOUBLE)
+        |    / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) AS q_contrib
+        |FROM dsum d LEFT JOIN intra ON d.label = intra.label CROSS JOIN mm
+        |ORDER BY d.label""".stripMargin,
     "graph_label_prop" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

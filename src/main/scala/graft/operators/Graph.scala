@@ -416,6 +416,52 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Newman MODULARITY accounting per community — the "was this
+    * clustering better than chance" score that turns
+    * [[labelPropOn]]'s communities from a labeling into a judged
+    * labeling: Q = Σ_c [e_c/m − (d_c/2m)²]. Each community's
+    * contribution is exported as the EXACT integer numerator
+    * 4·m·e_c − d_c² over the common denominator 4m² (DECIMAL(38,0) —
+    * d_c² overflows a long at 10¹²-edge scale), rendered as a string
+    * plus one fixed-order double division; a negative contribution
+    * flags a community sparser inside than random — the split a
+    * curation pass should not trust. Scale: degrees and intra-edge
+    * counts are map-side-combined aggregates over the pair relation;
+    * m is a broadcast 1-row count; no window, no pair fan-out beyond
+    * the edge list itself. */
+  def modularityOn(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+    val deg = e.select(col("a").as("u")).unionAll(e.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val intra = e.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    labels.join(deg, col("node") === col("u"))
+      .groupBy("label").agg(count(lit(1)).as("n_members"), sum("deg").as("d_c"))
+      .join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(mRow))
+      .withColumn("qn", expr(
+        "4 * CAST(m AS DECIMAL(38,0)) * e_in - CAST(d_c AS DECIMAL(38,0)) * d_c"))
+      .select(col("label"), col("n_members"), col("e_in"), col("d_c"),
+        col("qn").cast("string").as("q_num_str"),
+        expr("CAST(qn AS DOUBLE) / CAST(4 * CAST(m AS DECIMAL(38,0)) * m AS DOUBLE)")
+          .as("q_contrib"))
+  }
+
+  /** Driver query: modularity scorecard of the 2-round LPA
+    * communities over the staged near-dup pair graph. */
+  def dedupModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(spark, dir).select("doc_a", "doc_b")
+      .localCheckpoint() // consumers: LPA rounds + edge/degree/intra aggs
+    val lab = labelPropOn(pairs, "doc_a", "doc_b", iters = 2).localCheckpoint()
+    modularityOn(pairs, "doc_a", "doc_b", lab).orderBy("label")
+  }
+
   /** Driver query: 2-round deterministic label-propagation
     * communities of the near-dup graph (same staged pair relation),
     * with each community's member count joined back — the

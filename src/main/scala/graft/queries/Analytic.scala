@@ -1425,6 +1425,58 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Peak session CONCURRENCY per day — the capacity number an
+    * operator sizes for (simultaneous active sessions, not event
+    * rate — [[peakRate]]'s complement): sessions are the
+    * [[sessionize]] 30-min-gap intervals, concurrency is the classic
+    * sweep (+1 at session start, −1 after end) accumulated in minute
+    * order. Scale discipline: the corpus collapses to per-MINUTE
+    * delta sums (map-side combined; concurrency is piecewise
+    * constant, so delta minutes carry every extremum), and the
+    * running sum is TWO-LEVEL — an unpartitioned scan only over the
+    * tiny per-day totals (|days| rows, the decile-spine class of
+    * bounded window), carried into per-day partitioned scans — never
+    * one global window over all minutes. Output days are the days
+    * with concurrency CHANGES (a change-free day is its previous
+    * carry by definition); ties at the peak elect the earliest
+    * minute via one struct-max agg. */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val sess = events(spark, dir)
+      .withColumn("ts_sec", tsSec)
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(expr("ts_sec div 60")).as("m_start"),
+        max(expr("ts_sec div 60")).as("m_end"))
+      .localCheckpoint() // consumers: the delta union (twice) + day starts
+    val deltas = sess.select(col("m_start").as("m"), lit(1L).as("d"))
+      .unionAll(sess.select((col("m_end") + 1).as("m"), lit(-1L).as("d")))
+      .groupBy("m").agg(sum("d").as("delta"))
+      .withColumn("day", expr("m div 1440"))
+      .localCheckpoint() // consumers: day totals + the within-day scan
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy("day").agg(sum("delta").as("day_delta"))
+      .withColumn("carry", coalesce(sum("day_delta").over(wDays), lit(0L)))
+      .select("day", "carry")
+    val wInDay = Window.partitionBy("day").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val starts = sess.groupBy(expr("m_start div 1440").as("day"))
+      .agg(count(lit(1)).as("n_starts"))
+    deltas.join(broadcast(carry), "day")
+      .withColumn("conc", col("carry") + sum("delta").over(wInDay))
+      .groupBy("day")
+      .agg(max(struct(col("conc"), (-col("m")).as("negm"))).as("pk"))
+      .join(broadcast(starts), Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        col("pk.conc").as("peak_conc"), (-col("pk.negm")).as("peak_minute"))
+      .orderBy("day")
+  }
+
   /** LINEAR interpolation of missing days — the upgrade of
     * [[gapFill]]'s step-function carry-forward (LOCF) to the
     * straight-line estimate a reporting/feature pipeline wants for

@@ -771,6 +771,44 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("concurrency: sweep peaks replay from a driver-side simulation") {
+    val rows = queries.Analytic.concurrency(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("sec")))
+    // sessionize: per user sort by (sec, event_id), split at >1800s gaps
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map(t => (t._3, t._2)).sortBy(identity)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = sorted.head._1; var prev = sorted.head._1
+      for ((s, _) <- sorted.tail) {
+        if (s - prev > 1800) { buf += ((start, prev)); start = s }
+        prev = s
+      }
+      buf += ((start, prev)); buf
+    }.toSeq.map { case (s, e) => (s / 60, e / 60) }
+    // sweep over minute deltas
+    val deltas = scala.collection.mutable.TreeMap[Long, Long]()
+    sessions.foreach { case (ms, me) =>
+      deltas(ms) = deltas.getOrElse(ms, 0L) + 1
+      deltas(me + 1) = deltas.getOrElse(me + 1, 0L) - 1
+    }
+    var run = 0L
+    val conc = deltas.toSeq.map { case (m, d) => run += d; (m, run) }
+    val expPeaks = conc.groupBy(_._1 / 1440).view.mapValues { g =>
+      val best = g.maxBy(x => (x._2, -x._1)); (best._2, best._1)
+    }.toMap
+    val expStarts = sessions.groupBy(_._1 / 1440).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == expPeaks.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert((r.getAs[Long]("peak_conc"), r.getAs[Long]("peak_minute")) ==
+        expPeaks(d), s"day $d peak")
+      assert(r.getAs[Long]("n_starts") == expStarts.getOrElse(d, 0L), s"day $d starts")
+    }
+  }
+
   test("exclude current row: peer sums replay as frame sum minus self") {
     val rows = queries.Analytic.winExcludeCurrent(spark, sf).collect()
     val bySupp = graft.sources.Tables.lineitem(spark, sf)

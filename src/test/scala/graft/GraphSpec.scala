@@ -313,4 +313,25 @@ class GraphSpec extends SparkSpec {
     val got = bfsRun(Seq(1L -> 2L), Seq(5L), rounds = 2)
     assert(got == Map(5L -> 0L))
   }
+
+  test("modularity: two bridged triangles score the textbook numerators") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: m=7; per community
+    // e_in=3, d_c=7 -> q_num = 4*7*3 - 49 = 35; Q = 70/196
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L).toDF("s", "d")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val rows = operators.Graph.modularityOn(edges, "s", "d", labels)
+      .collect().map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_c"), r.getAs[String]("q_num_str"),
+          r.getAs[Double]("q_contrib"))).toMap
+    assert(rows(10L) == (3L, 3L, 7L, "35", 35.0 / 196.0))
+    assert(rows(20L) == (3L, 3L, 7L, "35", 35.0 / 196.0))
+    // everything in ONE community: Q = 4*7*7 - 196 = 0 exactly
+    val one = operators.Graph.modularityOn(edges, "s", "d",
+        labels.select(col("node"), lit(1L).as("label")))
+      .collect()
+    assert(one.length == 1 && one.head.getAs[String]("q_num_str") == "0")
+  }
 }
