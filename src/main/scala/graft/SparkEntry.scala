@@ -119,6 +119,7 @@ object SparkEntry {
     "ev_interpolate_linear" -> Analytic.interpolateLinear _,
     "ev_concurrency"       -> Analytic.concurrency _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
+    "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
     "ev_asof_next"         -> Analytic.asofNext _,
@@ -1209,6 +1210,24 @@ object SparkEntry {
         |  abs_err_7 * n_scored_1 < abs_err_1 * n_scored_7 AS weekly_better
         |FROM base LEFT JOIN s1 USING (event_type) LEFT JOIN s7 USING (event_type)
         |ORDER BY base.event_type""".stripMargin,
+    // symbol/digit/keyword integer features, pure-integer gate
+    "text_code_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(norm,
+        |      '\b(def|class|return|import|function|var|val|if|else|for|while)\b')) AS BIGINT) AS n_keywords
+        |  FROM d WHERE length(norm) > 0)
+        |SELECT doc_id, n_chars,
+        |  n_sym * 1000000 // n_chars AS sym_ppm,
+        |  n_digit * 1000000 // n_chars AS digit_ppm,
+        |  n_keywords,
+        |  n_sym * 1000000 // n_chars > 30000 AND n_keywords >= 3 AS is_codey
+        |FROM f ORDER BY doc_id""".stripMargin,
     // exact rational TV distance: HUGEINT cross-products mirror the
     // engine's DECIMAL(38,0); absent-term mass closed-form
     "text_source_drift" ->

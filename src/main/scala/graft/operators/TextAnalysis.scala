@@ -1048,6 +1048,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Code-vs-prose detection — the curation gate that routes source
+    * code OUT of a prose corpus (or into a code corpus): code is
+    * symbol-dense (braces, operators, semicolons), keyword-bearing
+    * and digit-heavy in ways prose is not, so the classic heuristic
+    * stack (the one behind every "code filter" in public corpus
+    * pipelines) scores exactly those three signals. All features are
+    * exact integer ppm over the doc's normalized text — counts via
+    * length-difference after class deletion and a keyword
+    * regexp_extract_all, both engine-mirrored — and the gate is a
+    * pure integer predicate, so the oracle comparison is bitwise.
+    * Map-only: one projection pass, no shuffle before the per-doc
+    * output. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeDetectOn(documents(spark, dir)).orderBy("doc_id")
+
+  /** Generic core of [[codeDetect]] over any (doc_id, text) relation. */
+  def codeDetectOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", expr(normTextExpr))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"),
+        length(col("norm")).cast("bigint").as("n_chars"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), "[^a-z0-9 ]", "")))
+          .cast("bigint").as("n_sym"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), "[0-9]", "")))
+          .cast("bigint").as("n_digit"),
+        expr("""CAST(size(regexp_extract_all(norm,
+          '\\b(def|class|return|import|function|var|val|if|else|for|while)\\b', 0)) AS BIGINT)""")
+          .as("n_keywords"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("n_sym * 1000000 div n_chars").as("sym_ppm"),
+        expr("n_digit * 1000000 div n_chars").as("digit_ppm"),
+        col("n_keywords"),
+        (expr("n_sym * 1000000 div n_chars") > 30000 &&
+          col("n_keywords") >= 3).as("is_codey"))
+
   /** Per-source unigram DISTRIBUTION DRIFT against the whole corpus —
     * the mixture-monitoring readout a training pipeline watches when
     * a crawl slice or vendor feed starts looking unlike the rest of

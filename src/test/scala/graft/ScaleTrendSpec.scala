@@ -54,13 +54,18 @@ class ScaleTrendSpec extends SparkSpec {
   // emb_pca_power: two matrix-free passes over the long (vec, d, q)
   // layout (quadratic only if the d×d Gram ever materialized);
   // mm_image_phash: the separable-DCT join+agg chain + pigeonhole
+  // text_source_drift: the counts⋈counts term join (quadratic only
+  // if the absent-term mass ever materialized the source×vocab grid);
+  // ev_concurrency: the two-level sweep (its unpartitioned window
+  // must stay |days|-bounded, never minute- or corpus-bounded)
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
       "ev_pattern_match", "dedup_repeated_spans", "ann_refine_topk",
       "ev_asof_native", "vocab_bpe_merges", "mm_image_ahash",
       "emb_knn_classify", "ev_value_cdf",
-      "graph_triangles", "emb_pca_power", "mm_image_phash")) {
+      "graph_triangles", "emb_pca_power", "mm_image_phash",
+      "text_source_drift", "ev_concurrency")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)

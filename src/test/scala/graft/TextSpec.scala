@@ -526,6 +526,22 @@ class TextSpec extends SparkSpec {
     assert(out(9L) < 500000L, s"salad scored ${out(9L)}")
   }
 
+  test("code detect: planted source code gates codey, prose does not") {
+    import spark.implicits._
+    val code = (1L, "def main(x): { if (x > 0) return x * 2; } " +
+      "var y = [1, 2, 3]; for (i = 0; i < 10; i++) { y += i; } class Foo:")
+    val prose = (2L, "the quiet brown fox wandered through the autumn " +
+      "forest and distant bells rang across the valley at dusk")
+    val rows = operators.TextAnalysis.codeDetectOn(Seq(code, prose).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("sym_ppm"), r.getAs[Long]("n_keywords"),
+          r.getAs[Boolean]("is_codey"))).toMap
+    assert(rows(1L)._3, s"code doc scored ${rows(1L)}")
+    assert(!rows(2L)._3, s"prose doc scored ${rows(2L)}")
+    assert(rows(1L)._2 >= 5 && rows(2L)._2 == 0)
+    assert(rows(1L)._1 > rows(2L)._1)
+  }
+
   test("source drift: exact TV ppm on a planted two-source token relation") {
     import spark.implicits._
     // A = {x,x,y}, B = {y,z}; corpus p = {x:.4, y:.4, z:.2}
