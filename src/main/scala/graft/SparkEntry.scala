@@ -202,6 +202,7 @@ object SparkEntry {
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
+    "dedup_winnowing"        -> Dedup.winnowing _,
     "dedup_semantic_clusters" -> Dedup.semanticClusters _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
@@ -3110,6 +3111,34 @@ object SparkEntry {
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     // positional (non-distinct) trigrams; 1-based pos — span lengths
     // and coverage counts are shift-invariant vs Spark's 0-based
+    // window-min fingerprint selection (1-based pos here, 0-based in
+    // the engine — only relative positions matter)
+    "dedup_winnowing" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), wl AS (
+        |  SELECT doc_id, words FROM docs WHERE len(words) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(words) - 2)) AS pos, words FROM wl
+        |), shh AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x'||substring(md5(words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2]),1,15)) AS BIGINT) AS h
+        |  FROM sh
+        |), fp0 AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM shh
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM fp0 WHERE pos >= 4
+        |), dfq AS (
+        |  SELECT fp, count(*) AS n_docs FROM fps GROUP BY 1
+        |)
+        |SELECT f.doc_id, count(*) AS n_fps,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS shared_ppm
+        |FROM fps f JOIN dfq USING (fp)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "dedup_repeated_spans" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

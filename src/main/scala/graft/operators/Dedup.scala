@@ -813,6 +813,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** WINNOWING fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    * algorithm) — the guaranteed-coverage selective fingerprinting
+    * between MinHash (fixed-size sketch, no locality) and full
+    * postings (everything): from each window of `w` consecutive
+    * shingle hashes keep the MINIMUM, so any shared run of at least
+    * w+k−1 words is guaranteed to share a fingerprint (the winnowing
+    * density/coverage theorem) while storage drops to ~2/(w+1) of
+    * the shingle mass. Per doc: fingerprints kept, fingerprints seen
+    * in another doc, and the shared fraction — the plagiarism-
+    * detector readout at corpus scale.
+    *
+    * Scale: positional shingles explode to corpus token mass
+    * (linear, the repeated-spans path); the window min rides per-doc
+    * windows (bounded by doc length); sharing is a groupBy(fp) hash
+    * agg joined back — map-side combined, never a window over the
+    * fingerprint key (a boilerplate fingerprint stays AQE-splittable).
+    * Docs with fewer than w shingles emit no full window and are
+    * absent — the contract (MOSS ignores sub-window fragments too). */
+  def winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowingOn(documents(spark, dir)).orderBy("doc_id")
+
+  /** Generic core of [[winnowing]] over any (doc_id, text) relation;
+    * k=3-word shingles, window w=4. */
+  def winnowingOn(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = docs
+      .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(byDoc))
+      .withColumn("w2", lead("w", 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"), expr(h60("concat_ws(' ', w, w1, w2)")).as("h"))
+    val fps = sh
+      .withColumn("fp", min("h").over(byDoc.rowsBetween(-3, 0)))
+      .filter(col("pos") >= 3)
+      .select("doc_id", "fp").distinct()
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    fps.join(df, Seq("fp"), "inner")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_fps"))
+      .withColumn("shared_ppm", expr("n_shared_fps * 1000000 div n_fps"))
+  }
+
   /** Repeated-SUBSTRING spans — the distributed approximation of
     * suffix-array exact-substring dedup ("Deduplicating Training
     * Data Makes Language Models Better", Lee et al. 2022): instead

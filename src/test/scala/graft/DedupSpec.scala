@@ -465,6 +465,26 @@ class DedupSpec extends SparkSpec {
       "unrelated doc shares nothing")
   }
 
+  test("winnowing: shared runs >= w+k-1 words are guaranteed a common fingerprint") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8-word shared run
+    val docs = Seq(
+      (1L, s"one two three four five six seven $run"),
+      (2L, s"$run red orange yellow green blue indigo violet"),
+      (3L, "completely different words nowhere near the others at all today"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = operators.Dedup.winnowingOn(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_fps"), r.getAs[Long]("n_shared_fps"))).toMap
+    // the coverage theorem: an 8-word shared run (6 = w+k-1 needed)
+    // must produce at least one common fingerprint in both docs
+    assert(got(1L)._2 >= 1 && got(2L)._2 >= 1, s"guarantee violated: $got")
+    assert(got(3L)._2 == 0, "unrelated doc shares a fingerprint")
+    assert(!got.contains(4L), "sub-window doc must be absent")
+    // density: far fewer fingerprints than shingles
+    assert(got(1L)._1 < 13, s"kept ${got(1L)._1} fps from 13 shingles")
+  }
+
   test("no WindowExec partitions on a skewable hash/content key in any dedup plan") {
     // A window partitioned by a content-derived key (digest, shingle
     // hash, chunk md5, component id) has no map-side combine and no
@@ -482,7 +502,8 @@ class DedupSpec extends SparkSpec {
       "dedup_repeated_spans" -> operators.Dedup.repeatedSpans(spark, sf),
       "dedup_components" -> operators.Dedup.components(spark, sf),
       "dedup_keep_best" -> operators.Dedup.keepBest(spark, sf),
-      "dedup_jaccard_capped" -> operators.Dedup.ngramJaccard(spark, sf, Some(50)))
+      "dedup_jaccard_capped" -> operators.Dedup.ngramJaccard(spark, sf, Some(50)),
+      "dedup_winnowing" -> operators.Dedup.winnowing(spark, sf))
     plans.foreach { case (name, df) =>
       df.collect() // force AQE-final plan
       val windowKeys = df.queryExecution.executedPlan.collect {
