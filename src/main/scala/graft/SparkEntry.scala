@@ -118,6 +118,7 @@ object SparkEntry {
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
     "ev_interpolate_linear" -> Analytic.interpolateLinear _,
     "ev_concurrency"       -> Analytic.concurrency _,
+    "ev_burn_rate"         -> Analytic.burnRate _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
@@ -1132,6 +1133,22 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // multi-window burn: calendar-true trailing sums via range
+    // self-join; cross-multiplied integer thresholds
+    "ev_burn_rate" ->
+      """WITH bk AS (
+        |  SELECT epoch_ns(ts)//1000000000//300 AS b, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT a.b, CAST(sum(c.n_total) AS BIGINT) AS slow_total,
+        |    CAST(sum(c.n_err) AS BIGINT) AS slow_err
+        |  FROM bk a JOIN bk c ON c.b BETWEEN a.b - 11 AND a.b GROUP BY 1)
+        |SELECT CAST(a.b AS BIGINT) AS b, n_total, n_err, slow_total, slow_err,
+        |  n_err * 10 > n_total * 3 AS fast_alert,
+        |  slow_err * 10 > slow_total * 3 AS slow_alert,
+        |  (n_err * 10 > n_total * 3) AND (slow_err * 10 > slow_total * 3) AS page
+        |FROM bk a JOIN sl ON a.b = sl.b ORDER BY a.b""".stripMargin,
     // sweep-line concurrency: the oracle runs the plain global
     // running sum the engine decomposes two-level
     "ev_concurrency" ->

@@ -1425,6 +1425,39 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Multi-window SLO BURN-RATE alerting (the Google SRE workbook's
+    * paging rule): page only when BOTH the fast window (one 5-min
+    * bucket) and the slow window (trailing 1 h = 12 buckets) burn
+    * error budget above threshold — fast-only is noise, slow-only is
+    * stale. Error budget here: error share above 30% (the data's
+    * base error rate is ~20%, so the gate demonstrably distinguishes
+    * buckets). All comparisons are cross-multiplied integers — no
+    * rate division anywhere. Scale discipline: the corpus collapses
+    * to per-bucket counts (map-side combined); the trailing sums are
+    * the bounded 12× EXPLODE of that compressed relation re-grouped
+    * on the target bucket (the ev_dau_mau pattern) — calendar-true
+    * (a missing bucket contributes zero; a ROWS window would
+    * silently reach past gaps) and never a global window. */
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    val bk = events(spark, dir)
+      .select(expr("ts div 1000000000 div 300").as("b"),
+        (col("event_type") === "error").cast("long").as("e"))
+      .groupBy("b").agg(count(lit(1)).as("n_total"), sum("e").as("n_err"))
+      .localCheckpoint() // consumers: the contribution explode + the join
+    val slow = bk
+      .select(col("b"), col("n_total").as("t"), col("n_err").as("er"),
+        explode(expr("sequence(0L, 11L)")).as("i"))
+      .select((col("b") + col("i")).as("b"), col("t"), col("er"))
+      .groupBy("b").agg(sum("t").as("slow_total"), sum("er").as("slow_err"))
+    bk.join(slow, Seq("b"))
+      .select(col("b"), col("n_total"), col("n_err"),
+        col("slow_total"), col("slow_err"),
+        (col("n_err") * 10 > col("n_total") * 3).as("fast_alert"),
+        (col("slow_err") * 10 > col("slow_total") * 3).as("slow_alert"))
+      .withColumn("page", col("fast_alert") && col("slow_alert"))
+      .orderBy("b")
+  }
+
   /** Peak session CONCURRENCY per day — the capacity number an
     * operator sizes for (simultaneous active sessions, not event
     * rate — [[peakRate]]'s complement): sessions are the

@@ -771,6 +771,32 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("burn rate: calendar-true trailing sums and the two-window page rule") {
+    val rows = queries.Analytic.burnRate(spark, sf).collect()
+    val bk = graft.sources.Tables.events(spark, sf)
+      .selectExpr("ts div 1000000000 div 300 AS b",
+        "CAST(event_type = 'error' AS LONG) AS e")
+      .collect().map(r => (r.getAs[Long]("b"), r.getAs[Long]("e")))
+      .groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(rows.length == bk.size)
+    var pages = 0
+    rows.foreach { r =>
+      val b = r.getAs[Long]("b")
+      val (t, e) = bk(b)
+      assert(r.getAs[Long]("n_total") == t && r.getAs[Long]("n_err") == e)
+      // trailing 12 calendar buckets, missing = zero
+      val trail = (0L to 11L).flatMap(i => bk.get(b - i))
+      assert(r.getAs[Long]("slow_total") == trail.map(_._1).sum, s"bucket $b slow_total")
+      assert(r.getAs[Long]("slow_err") == trail.map(_._2).sum, s"bucket $b slow_err")
+      val fast = e * 10 > t * 3
+      val slow = trail.map(_._2).sum * 10 > trail.map(_._1).sum * 3
+      assert(r.getAs[Boolean]("page") == (fast && slow), s"bucket $b page")
+      if (fast && slow) pages += 1
+    }
+    // the gate distinguishes: some buckets page, most do not
+    assert(pages > 0 && pages < rows.length)
+  }
+
   test("concurrency: sweep peaks replay from a driver-side simulation") {
     val rows = queries.Analytic.concurrency(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)
