@@ -302,6 +302,7 @@ object SparkEntry {
     "sql_semi_anti"          -> SqlSurface.semiAnti _,
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
+    "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_quantified"         -> SqlSurface.quantified _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
@@ -5053,6 +5054,17 @@ object SparkEntry {
         |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
         |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
         |ORDER BY base.c_nationkey""".stripMargin,
+    // procedural doubling search vs the declarative closed form
+    "sql_scripting" ->
+      """WITH tot AS (SELECT count(*) AS total FROM orders),
+        |ks AS (SELECT unnest(generate_series(0, 40)) AS k),
+        |cov AS (SELECT k, CAST(1 AS BIGINT) << CAST(k AS INT) AS thr FROM ks),
+        |cnt AS (SELECT c.k, c.thr,
+        |  (SELECT count(*) FROM orders o WHERE o.o_totalprice <= c.thr) AS n_covered
+        |  FROM cov c)
+        |SELECT thr AS threshold, n_covered, total AS n_total
+        |FROM cnt CROSS JOIN tot WHERE n_covered * 10 >= total * 9
+        |ORDER BY k LIMIT 1""".stripMargin,
     // SQL UDF + SQL TVF macro-expanded: oracle inlines the bodies
     "sql_udf" ->
       """SELECT b.bucket, count(*) AS n_items,

@@ -1032,6 +1032,34 @@ object SqlSurface {
         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin)
   }
 
+  /** SQL SCRIPTING (SQL/PSM, Spark 4 BEGIN…END) — procedural control
+    * flow in pure SQL: DECLARE'd state, scalar-subquery assignment,
+    * and a WHILE loop that re-queries the DATA each iteration (a
+    * doubling search for the smallest power-of-two price threshold
+    * covering ≥ 90 % of orders — the iterative-calibration shape that
+    * otherwise needs driver-side Scala). Each iteration is one tiny
+    * aggregate over the table; iteration count is log of the value
+    * domain, never of the row count. The oracle replays the search
+    * declaratively (min k over a generate_series of thresholds) —
+    * fixpoint-vs-closed-form equivalence is the semantics under
+    * test. */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("script_orders")
+    spark.sql(
+      """BEGIN
+        |  DECLARE thr BIGINT DEFAULT 1;
+        |  DECLARE covered BIGINT DEFAULT 0;
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  SET total = (SELECT count(*) FROM script_orders);
+        |  SET covered = (SELECT count(*) FROM script_orders WHERE o_totalprice <= thr);
+        |  WHILE covered * 10 < total * 9 DO
+        |    SET thr = thr * 2;
+        |    SET covered = (SELECT count(*) FROM script_orders WHERE o_totalprice <= thr);
+        |  END WHILE;
+        |  SELECT thr AS threshold, covered AS n_covered, total AS n_total;
+        |END""".stripMargin)
+  }
+
   /** DISTINCT ON — the Postgres/DuckDB "first row per group under an
     * ORDER BY" dialect form (Impala users write the same thing as a
     * row_number() = 1 analytic filter; scalar-fn-call.cc evaluates

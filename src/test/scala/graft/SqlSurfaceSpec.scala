@@ -524,6 +524,18 @@ class SqlSurfaceSpec extends SparkSpec {
       li.count { case (q, _) => q >= 1 && q <= 50 })
   }
 
+  test("sql scripting: the WHILE doubling search lands on the closed-form threshold") {
+    val row = queries.SqlSurface.sqlScripting(spark, sf).collect().head
+    val prices = graft.sources.Tables.orders(spark, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val total = prices.length.toLong
+    val expThr = Iterator.iterate(1L)(_ * 2)
+      .find(t => prices.count(_ <= t) * 10L >= total * 9).get
+    assert(row.getAs[Long]("threshold") == expThr)
+    assert(row.getAs[Long]("n_covered") == prices.count(_ <= expThr))
+    assert(row.getAs[Long]("n_total") == total)
+  }
+
   test("distinct on: one row per group carrying the group's max balance") {
     val rows = queries.SqlSurface.distinctOn(spark, sf).collect()
     val cust = graft.sources.Tables.customer(spark, sf)
