@@ -119,6 +119,7 @@ object SparkEntry {
     "ev_interpolate_linear" -> Analytic.interpolateLinear _,
     "ev_concurrency"       -> Analytic.concurrency _,
     "ev_burn_rate"         -> Analytic.burnRate _,
+    "ev_markov_stationary" -> Analytic.markovStationary _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
@@ -1134,6 +1135,31 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // 3 unrolled integer-ppm power-iteration rounds over the tiny
+    // transition matrix; floor leakage part of the contract
+    "ev_markov_stationary" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |s AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_type FROM e),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM t GROUP BY 1),
+        |p AS (SELECT t.prev_type, t.next_type, CAST(n AS BIGINT) AS n, n_from
+        |      FROM t JOIN rt USING (prev_type)),
+        |st AS (SELECT DISTINCT state FROM (
+        |  SELECT prev_type AS state FROM p UNION ALL SELECT next_type FROM p) u),
+        |kk AS (SELECT count(*) AS k FROM st),
+        |v0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS v FROM st CROSS JOIN kk),
+        |v1 AS (SELECT p.next_type AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM v0 JOIN p ON v0.state = p.prev_type GROUP BY 1),
+        |v2 AS (SELECT p.next_type AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM v1 JOIN p ON v1.state = p.prev_type GROUP BY 1),
+        |v3 AS (SELECT p.next_type AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM v2 JOIN p ON v2.state = p.prev_type GROUP BY 1)
+        |SELECT st.state, CAST(coalesce(v3.v, 0) AS BIGINT) AS v_ppm
+        |FROM st LEFT JOIN v3 ON st.state = v3.state ORDER BY st.state""".stripMargin,
     // multi-window burn: calendar-true trailing sums via range
     // self-join; cross-multiplied integer thresholds
     "ev_burn_rate" ->

@@ -1425,6 +1425,44 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Stationary distribution of the user-journey Markov chain —
+    * "where does the journey converge": 3 unrolled power-iteration
+    * rounds v′ = vP from the uniform start over
+    * [[markovTransitions]]'s count matrix (the [[graft.operators.Graph.pageRankOn]]
+    * discipline applied to behavior flow). Exactness: probabilities
+    * never materialize as floats — each contribution is the integer
+    * floor v·n_ij div n_i at ppm scale, so every round is an exact
+    * integer relation both engines replay bitwise (floor leakage is
+    * part of the contract, like PageRank's). Scale: the corpus
+    * collapses ONCE to the |types|² transition matrix; every
+    * iteration is a join+agg over that tiny relation — cost is
+    * independent of the event mass. States with no incoming
+    * transitions report mass 0 (left join), never vanish. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsSec.as("ts_sec"))
+      .withColumn("prev_type", lag("event_type", 1).over(wSeq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy("prev_type").agg(sum("n").as("n_from"))
+    val p = trans.join(rowTot, "prev_type").localCheckpoint() // 3 iterations + state list
+    val states = p.select(col("prev_type").as("state"))
+      .unionAll(p.select(col("next_type").as("state")))
+      .distinct().localCheckpoint() // consumers: v0, the final left join
+    var v = states.crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), expr("1000000 div k").as("v"))
+    for (_ <- 1 to 3) {
+      v = v.join(p, col("state") === col("prev_type"))
+        .select(col("next_type").as("state"), expr("v * n div n_from").as("c"))
+        .groupBy("state").agg(sum("c").as("v"))
+    }
+    states.join(v, Seq("state"), "left")
+      .select(col("state"), coalesce(col("v"), lit(0L)).as("v_ppm"))
+      .orderBy("state")
+  }
+
   /** Multi-window SLO BURN-RATE alerting (the Google SRE workbook's
     * paging rule): page only when BOTH the fast window (one 5-min
     * bucket) and the slow window (trailing 1 h = 12 buckets) burn

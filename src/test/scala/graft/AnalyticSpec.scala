@@ -771,6 +771,35 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("markov stationary: three integer power rounds replay driver-side") {
+    val rows = queries.Analytic.markovStationary(spark, sf).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Long]("v_ppm")).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000000000 AS sec")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("sec")))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      val seq = g.sortBy(t => (t._4, t._2)).map(_._3)
+      seq.zip(seq.tail)
+    }.toSeq
+    val n = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    var v: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 3) {
+      v = states.map { to =>
+        to -> states.flatMap { from =>
+          n.get((from, to)).flatMap(c => v.get(from).map(_ * c / nFrom(from)))
+        }.sum
+      }.toMap
+    }
+    assert(rows.keySet == states.toSet)
+    states.foreach(s => assert(rows(s) == v(s), s"state $s: ${rows(s)} vs ${v(s)}"))
+    // mass conservation modulo floor leakage: within k ppm per round
+    val mass = rows.values.sum
+    assert(mass <= 1000000L && mass > 1000000L - 3 * 5 * states.length)
+  }
+
   test("burn rate: calendar-true trailing sums and the two-window page rule") {
     val rows = queries.Analytic.burnRate(spark, sf).collect()
     val bk = graft.sources.Tables.events(spark, sf)
