@@ -276,6 +276,7 @@ object SparkEntry {
     "mm_frame_sample"    -> Multimodal.frameSample _,
     "mm_scene_cuts"      -> Multimodal.sceneCuts _,
     "mm_audio_frames"    -> Multimodal.audioFrames _,
+    "mm_silence_detect"  -> Multimodal.silenceDetect _,
     "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_image_phash"     -> Multimodal.imagePHash _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -1480,6 +1481,45 @@ object SparkEntry {
         |  CAST(CASE WHEN m*sxy - sx*sy > 0 THEN 1 WHEN m*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS BIGINT) AS direction
         |FROM s ORDER BY event_type""".stripMargin,
     // 25ms/10ms framing grid over the stubbed waveform
+    // stub-energy VAD: threshold + island merge on the frame grid
+    "mm_silence_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |    CAST(length(text) AS BIGINT) AS n_samples
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, n_samples,
+        |    sample_rate * 25 // 1000 AS win, sample_rate * 10 // 1000 AS hop
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, text, win, hop, (n_samples - win) // hop + 1 AS n_frames
+        |  FROM w WHERE n_samples >= win),
+        |f AS (
+        |  SELECT doc_id, n_frames, text, win, hop,
+        |    unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        |  FROM q),
+        |en AS (
+        |  SELECT doc_id, n_frames, frame_idx,
+        |    CAST(('0x'||substring(md5(substring(text, CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT))), 1, 4)) AS BIGINT) % 1000 AS energy
+        |  FROM f),
+        |sil AS (
+        |  SELECT doc_id, frame_idx,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS g
+        |  FROM en WHERE energy < 150),
+        |runs AS (
+        |  SELECT doc_id, g, count(*) AS run_len FROM sil GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_segments, CAST(max(run_len) AS BIGINT) AS longest_run,
+        |    CAST(sum(run_len) AS BIGINT) AS n_silent
+        |  FROM runs GROUP BY 1),
+        |base AS (SELECT doc_id, max(n_frames) AS n_frames FROM en GROUP BY 1)
+        |SELECT b.doc_id, b.n_frames,
+        |  coalesce(n_silent, 0) AS n_silent,
+        |  coalesce(n_segments, 0) AS n_segments,
+        |  coalesce(longest_run, 0) AS longest_run,
+        |  coalesce(n_silent, 0) * 1000000 // b.n_frames AS silence_ppm
+        |FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "mm_audio_frames" ->
       """WITH d AS (
         |  SELECT doc_id, text, 8000 + (doc_id % 3) * 4000 AS sample_rate,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -183,6 +184,50 @@ object Multimodal {
         md5(expr("CAST(substring(text, CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT)) AS BINARY)")))
       .select("doc_id", "sample_rate", "n_frames", "frame_idx", "frame_md5")
       .orderBy("doc_id", "frame_idx")
+
+  /** Silence detection over the audio frame grid (VAD-style
+    * trim/segment planning — the speech-pipeline twin of
+    * [[sceneCuts]]): per frame a stub energy (md5-derived integer,
+    * the codec stand-in convention — a real deployment swaps ONE
+    * expression for the decoded RMS), frames under the threshold
+    * merge into maximal silence segments via per-doc island
+    * detection (the repeated-spans shape). Per doc: frame counts,
+    * silent mass, segment count, longest run, silence ppm — the
+    * numbers a dataset card reports and a trimming pass acts on.
+    * Scale: the frame grid is an explode bounded by payload length;
+    * islands ride per-doc windows; no shuffle wider than the
+    * per-doc rollup. */
+  def silenceDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val frames = documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("8000 + (doc_id % 3) * 4000").as("sample_rate"),
+        length(col("text")).cast("bigint").as("n_samples"))
+      .withColumn("win", expr("sample_rate * 25 div 1000"))
+      .withColumn("hop", expr("sample_rate * 10 div 1000"))
+      .filter(col("n_samples") >= col("win"))
+      .withColumn("n_frames", expr("(n_samples - win) div hop + 1"))
+      .select(col("doc_id"), col("n_frames"), col("text"), col("win"), col("hop"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1)")).as("frame_idx"))
+      .withColumn("energy", expr(
+        """CAST(conv(substring(md5(CAST(substring(text,
+          |CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT)) AS BINARY)), 1, 4), 16, 10)
+          |AS BIGINT) % 1000""".stripMargin.replace("\n", " ")))
+      .withColumn("silent", (col("energy") < 150).cast("long"))
+    val silent = frames.filter(col("silent") === 1L)
+      .withColumn("g", col("frame_idx") - row_number().over(w))
+    val runs = silent.groupBy("doc_id", "g").agg(count(lit(1)).as("run_len"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), max("run_len").as("longest_run"),
+        sum("run_len").as("n_silent"))
+    frames.groupBy("doc_id").agg(max("n_frames").as("n_frames"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_segments", "longest_run", "n_silent"))
+      .withColumn("silence_ppm", expr("n_silent * 1000000 div n_frames"))
+      .select("doc_id", "n_frames", "n_silent", "n_segments",
+        "longest_run", "silence_ppm")
+      .orderBy("doc_id")
+  }
 
   /** Feature-extract + resize planning over the binary column. The
     * per-payload feature vector is a codec stand-in (md5-derived

@@ -169,4 +169,35 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("silence detect: runs replay from per-frame stub energies") {
+    val rows = operators.Multimodal.silenceDetect(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = docs(id)
+      val rate = 8000 + (id % 3) * 4000
+      val win = (rate * 25 / 1000).toInt; val hop = (rate * 10 / 1000).toInt
+      val nFrames = (text.length - win) / hop + 1
+      assert(r.getAs[Long]("n_frames") == nFrames)
+      val silent = (0 until nFrames).map { i =>
+        val slice = text.substring(i * hop, math.min(i * hop + win, text.length))
+        val hex = md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(4), 16) % 1000 < 150
+      }
+      val runs = silent.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getAs[Long]("n_silent") == silent.count(identity), s"doc $id silent")
+      assert(r.getAs[Long]("n_segments") == runs.length, s"doc $id segments")
+      assert(r.getAs[Long]("longest_run") ==
+        (if (runs.isEmpty) 0L else runs.max.toLong), s"doc $id longest")
+    }
+  }
 }
