@@ -18,6 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 TPC-H-class SQL
     "q1_pricing_summary"        -> Tpch.q1 _,
+    "q2_min_cost_supp"          -> Tpch.q2 _,
+    "q9_product_profit"         -> Tpch.q9 _,
+    "q11_important_stock"       -> Tpch.q11 _,
+    "q16_parts_suppliers"       -> Tpch.q16 _,
+    "q20_potential_promo"       -> Tpch.q20 _,
     "q3_shipping_priority"      -> Tpch.q3 _,
     "q4_order_priority"         -> Tpch.q4 _,
     "q5_local_supplier"         -> Tpch.q5 _,
@@ -1654,6 +1659,88 @@ object SparkEntry {
         |  n_violations * 1000000 // n_rows AS viol_ppm,
         |  n_violations = 0 AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+    // the five derived-partsupp queries share this CTE: partsupp
+    // recovered from the observed (partkey, suppkey) pairs, h60
+    // quantities/costs — identical derivation in both engines
+    "q2_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    CAST(('0x'||substring(md5('psq:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 9999 + 1 AS ps_availqty,
+        |    CAST(('0x'||substring(md5('psc:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 900 + 100 AS ps_supplycost
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) d),
+        |sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |pq AS (SELECT p_partkey FROM part WHERE p_size = 11 AND p_type = 'ECONOMY'),
+        |cand AS (
+        |  SELECT p_partkey, ps_supplycost, ps_suppkey, s_name, s_acctbal, n_name,
+        |    row_number() OVER (PARTITION BY p_partkey ORDER BY ps_supplycost, ps_suppkey) AS rn
+        |  FROM ps JOIN pq ON ps_partkey = p_partkey JOIN sup ON ps_suppkey = s_suppkey)
+        |SELECT p_partkey, ps_supplycost AS min_cost, ps_suppkey AS s_suppkey,
+        |  s_name, s_acctbal, n_name
+        |FROM cand WHERE rn = 1 ORDER BY s_acctbal DESC, p_partkey""".stripMargin,
+    "q9_product_profit" ->
+      """WITH ps AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    CAST(('0x'||substring(md5('psc:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 900 + 100 AS ps_supplycost
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) d),
+        |pr AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+        |sup AS (SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |       - CAST(ps_supplycost * CAST(l_quantity AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN pr ON l_partkey = p_partkey
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN sup ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    CAST(('0x'||substring(md5('psq:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 9999 + 1 AS ps_availqty,
+        |    CAST(('0x'||substring(md5('psc:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 900 + 100 AS ps_supplycost
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) d),
+        |sup AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        WHERE n_name = 'NATION_7'),
+        |base AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+        |         FROM ps JOIN sup ON ps_suppkey = s_suppkey),
+        |tot AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM base),
+        |pp AS (SELECT ps_partkey, CAST(sum(value) AS BIGINT) AS value FROM base GROUP BY 1)
+        |SELECT ps_partkey, value FROM pp CROSS JOIN tot WHERE value * 5000 > total
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q16_parts_suppliers" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem),
+        |pq AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+        |    AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)),
+        |ex AS (SELECT s_suppkey FROM supplier
+        |  WHERE CAST(('0x'||substring(md5('cmpl:' || s_suppkey),1,15)) AS BIGINT) % 10 = 0)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN pq ON ps_partkey = p_partkey
+        |WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM ex)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_potential_promo" ->
+      """WITH ps AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    CAST(('0x'||substring(md5('psq:' || ps_partkey || ':' || ps_suppkey),1,15)) AS BIGINT) % 9999 + 1 AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) d),
+        |promo AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |q97 AS (SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty97
+        |  FROM lineitem JOIN promo ON l_partkey = p_partkey
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 1997 GROUP BY 1, 2),
+        |sup AS (SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |cand AS (SELECT DISTINCT ps_suppkey
+        |  FROM ps JOIN q97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_availqty * 2 > qty97)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM cand JOIN sup ON ps_suppkey = s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -364,4 +364,154 @@ object Tpch {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(50)
   }
+
+  // ------------------------------------------------------------------
+  // Derived partsupp: the driver schema ships no partsupp table, but
+  // its CONTENT is recoverable from the data — the observed
+  // (l_partkey, l_suppkey) pairs ARE the part-supplier relationships
+  // (in real TPC-H, lineitem draws its pairs from partsupp, so the
+  // distinct pairs are exactly the exercised subset). Quantities and
+  // costs attach per pair via the repo's Hash60 convention —
+  // deterministic, and the DuckDB oracles derive the IDENTICAL table
+  // in a CTE, so the five previously schema-blocked Q2/Q9/Q11/Q16/Q20
+  // shapes become fully value-checked. Costs are integer dollars
+  // (100-999) and quantities integer units (1-9999) so every
+  // downstream product stays in exact integer/decimal arithmetic.
+  // ------------------------------------------------------------------
+  private[queries] def partsupp(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty", expr(
+        graft.operators.Hash60.sql("concat('psq:', ps_partkey, ':', ps_suppkey)") +
+          " % 9999 + 1"))
+      .withColumn("ps_supplycost", expr(
+        graft.operators.Hash60.sql("concat('psc:', ps_partkey, ':', ps_suppkey)") +
+          " % 900 + 100"))
+
+  /** Q2 minimum-cost supplier (adapted: p_size=11 ∧ p_type='ECONOMY',
+    * region EUROPE): for each qualifying part, the cheapest EUROPE
+    * supplier (ties → lowest suppkey, via one struct-min agg — no
+    * correlated re-scan). Dimension side (region⋈nation⋈supplier,
+    * filtered parts) broadcasts; partsupp shuffles once. */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)
+        .filter(col("r_name") === "EUROPE")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = part(spark, dir)
+      .filter(col("p_size") === 11 && col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    partsupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("ps_supplycost"), col("ps_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))).as("m"))
+      .select(col("p_partkey"), col("m.ps_supplycost").as("min_cost"),
+        col("m.ps_suppkey").as("s_suppkey"), col("m.s_name").as("s_name"),
+        col("m.s_acctbal").as("s_acctbal"), col("m.n_name").as("n_name"))
+      .orderBy(desc("s_acctbal"), col("p_partkey"))
+  }
+
+  /** Q9 product-type profit (adapted: parts whose name contains
+    * 'red'): revenue minus supply cost per (nation, order year).
+    * lineitem⋈partsupp on the composite (partkey, suppkey) key is
+    * the one wide shuffle; parts and supplier⋈nation broadcast;
+    * orders joins on l_orderkey for the year. Profit stays exact
+    * DECIMAL until the final double cast. */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).filter(col("p_name").contains("red"))
+      .select("p_partkey")
+    val sup = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("amount",
+        discPrice(col("l_extendedprice"), col("l_discount")) -
+          (col("ps_supplycost") * col("l_quantity").cast("bigint")).cast(D))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum("amount").cast("double").as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  /** Q11 important stock (adapted: suppliers of NATION_7, threshold
+    * 1/5000 of the nation's total): per-part stock value filtered by
+    * a cross-multiplied integer share test — no float division, and
+    * the total is ONE broadcast row, never a correlated subquery
+    * re-scan. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir).filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val base = partsupp(spark, dir)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("value", col("ps_supplycost") * col("ps_availqty"))
+      .localCheckpoint() // consumers: the total + the per-part agg
+    val tot = base.agg(sum("value").as("total"))
+    base.groupBy("ps_partkey").agg(sum("value").as("value"))
+      .crossJoin(broadcast(tot))
+      .filter(col("value") * 5000 > col("total"))
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(desc("value"), col("ps_partkey"))
+  }
+
+  /** Q16 parts/supplier relationship (adapted: brand ≠ 'Brand#1',
+    * type ≠ 'ECONOMY', eight sizes; "complaint" suppliers — TPC-H
+    * filters them by comment text the schema lacks — stand in as the
+    * deterministic hash tenth of suppliers): distinct supplier count
+    * per (brand, type, size), the assortment-breadth readout. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = supplier(spark, dir)
+      .filter(expr(graft.operators.Hash60.sql("concat('cmpl:', s_suppkey)") + " % 10 = 0"))
+      .select("s_suppkey")
+    partsupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 potential promotion (adapted: parts named 'red…', 1997
+    * shipments, suppliers of the ASIA region): suppliers holding
+    * MORE than half of what they shipped of a promo part in 1997 —
+    * excess-stock candidates. The share test is the cross-multiplied
+    * integer 2·availqty > Σqty; per-pair 1997 quantities are one
+    * map-side-combined agg. */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val promo = part(spark, dir).filter(col("p_name").startsWith("red"))
+      .select("p_partkey")
+    val qty97 = lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("qty97"))
+    val sup = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    partsupp(spark, dir)
+      .join(qty97, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("qty97"))
+      .select("ps_suppkey").distinct()
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
 }

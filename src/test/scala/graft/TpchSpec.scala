@@ -84,6 +84,50 @@ class TpchSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("derived partsupp: q2 argmin is truly minimal and q11/q20 share tests hold") {
+    import org.apache.spark.sql.functions._
+    // re-derive the table the queries derive (the spec-side replay)
+    val ps = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      .withColumn("aq", expr(
+        operators.Hash60.sql("concat('psq:', pk, ':', sk)") + " % 9999 + 1"))
+      .withColumn("cost", expr(
+        operators.Hash60.sql("concat('psc:', pk, ':', sk)") + " % 900 + 100"))
+      .collect().map(r => ((r.getAs[Long]("pk"), r.getAs[Long]("sk")),
+        (r.getAs[Long]("aq"), r.getAs[Long]("cost")))).toMap
+    assert(ps.values.forall { case (aq, c) =>
+      aq >= 1 && aq <= 9999 && c >= 100 && c <= 999 })
+    // q2: reported min_cost is <= every candidate cost of that part
+    val euroSupp = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    queries.Tpch.q2(spark, sf).collect().foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      val costs = ps.collect { case ((`pk`, sk), (_, c)) if euroSupp(sk) => c }
+      assert(costs.nonEmpty && r.getAs[Long]("min_cost") == costs.min, s"part $pk")
+    }
+    // q11: every reported value clears the cross-multiplied share bar
+    val q11 = queries.Tpch.q11(spark, sf).collect()
+    if (q11.nonEmpty) {
+      val n7 = graft.sources.Tables.supplier(spark, sf).filter("s_nationkey = 7")
+        .select("s_suppkey").collect().map(_.getLong(0)).toSet
+      val total = ps.collect { case ((_, sk), (aq, c)) if n7(sk) => aq * c }.sum
+      q11.foreach(r => assert(r.getAs[Long]("value") * 5000 > total))
+    }
+    // q20: every reported supplier is in ASIA
+    val asia = graft.sources.Tables.supplier(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    queries.Tpch.q20(spark, sf).collect()
+      .foreach(r => assert(asia(r.getAs[Long]("s_suppkey"))))
+  }
+
   test("every SparkEntry query runs and every oracle key exists") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
