@@ -276,6 +276,7 @@ object SparkEntry {
     "pipeline_data_quality"   -> Pipeline.dataQuality _,
     "pipeline_negative_sample" -> Pipeline.negativeSample _,
     "pipeline_quantile_norm"  -> Pipeline.quantileNorm _,
+    "pipeline_rater_kappa"    -> Pipeline.raterKappa _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -3978,6 +3979,49 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    // both gate chains, one contingency row, exact HUGEINT kappa
+    "pipeline_rater_kappa" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS n_distinct_words,
+        |    CAST(length(norm) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(string_split(norm, ' '), w -> list_contains(['the','and','is','of','to','in','that','it'], w))) AS BIGINT) AS stop_hits
+        |  FROM t),
+        |ga AS (
+        |  SELECT doc_id,
+        |    (n_words >= 20 AND n_words <= 100000
+        |     AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) >= 2.0
+        |     AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) <= 12.0
+        |     AND stop_hits >= 1
+        |     AND (CAST(n_distinct_words AS DOUBLE) / n_words) >= 0.2) AS ka
+        |  FROM c),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |gb AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(('0x'||substring(md5(w),1,15)) AS BIGINT) % 2001 - 1000) AS BIGINT) > 0 AS kb
+        |  FROM tok GROUP BY doc_id),
+        |cells AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+        |    CAST(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |    CAST(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |    CAST(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+        |  FROM ga JOIN gb USING (doc_id)),
+        |k AS (
+        |  SELECT *,
+        |    CAST(both_keep + only_a AS HUGEINT) * (both_keep + only_b)
+        |      + CAST(only_b + both_drop AS HUGEINT) * (only_a + both_drop) AS pe_num
+        |  FROM cells)
+        |SELECT n, both_keep, only_a, only_b, both_drop,
+        |  CAST(CAST(n AS HUGEINT) * (both_keep + both_drop) - pe_num AS VARCHAR) AS kappa_num_str,
+        |  CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR) AS kappa_den_str,
+        |  CAST(CAST(n AS HUGEINT) * (both_keep + both_drop) - pe_num AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) AS kappa
+        |FROM k""".stripMargin,
     "text_model_filter" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w

@@ -575,6 +575,48 @@ object Pipeline {
         (col("cum_le").cast("double") / col("n").cast("double")).as("cd"))
   }
 
+  /** Inter-rater agreement (Cohen's κ) between two quality GATES —
+    * the evaluation-methodology readout a curation team computes
+    * before trusting either filter: raw agreement alone is inflated
+    * by class imbalance (two gates that keep almost everything
+    * "agree" by accident), κ subtracts the chance-agreement floor.
+    * Raters here are the repo's two real gates — the Gopher
+    * heuristic rules and the hashed-linear model filter — joined on
+    * doc_id. Exactness: κ = (n·(a+d) − [(a+b)(a+c)+(c+d)(b+d)]) /
+    * (n² − [...]) as DECIMAL(38,0) numerator/denominator
+    * (n² overflows a long at 10¹⁰-doc scale), string-rendered plus
+    * ONE fixed-order double division. Scale: two gate passes + one
+    * doc-keyed join collapse to a single 4-cell contingency row. */
+  def raterKappa(spark: SparkSession, dir: String): DataFrame =
+    raterKappaOn(
+      TextAnalysis.gopherRules(spark, dir).select(col("doc_id"), col("keep").as("ka")),
+      TextAnalysis.modelFilter(spark, dir).select(col("doc_id"), col("keep").as("kb")))
+
+  /** Generic core of [[raterKappa]] over any two (doc_id, flag)
+    * relations (inner-joined on doc_id). */
+  def raterKappaOn(a: DataFrame, b: DataFrame): DataFrame = {
+    val D0 = "DECIMAL(38,0)"
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("ka") && !col("kb"), 1L).otherwise(0L)).as("only_a"),
+        sum(when(!col("ka") && col("kb"), 1L).otherwise(0L)).as("only_b"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("both_drop"))
+      .withColumn("pe_num", expr(
+        s"""CAST(both_keep + only_a AS $D0) * (both_keep + only_b)
+           | + CAST(only_b + both_drop AS $D0) * (only_a + both_drop)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("n"), col("both_keep"), col("only_a"), col("only_b"),
+        col("both_drop"),
+        expr(s"CAST(CAST(n AS $D0) * (both_keep + both_drop) - pe_num AS $D0)")
+          .cast("string").as("kappa_num_str"),
+        expr(s"CAST(CAST(n AS $D0) * n - pe_num AS $D0)")
+          .cast("string").as("kappa_den_str"),
+        expr(s"""CAST(CAST(n AS $D0) * (both_keep + both_drop) - pe_num AS DOUBLE)
+           | / CAST(CAST(n AS $D0) * n - pe_num AS DOUBLE)"""
+          .stripMargin.replace("\n", " ")).as("kappa"))
+  }
+
   /** Deterministic CLASS REBALANCING by repetition — the minority-
     * oversampling materialization a training pipeline runs before a
     * class-sensitive pass (language balancing, domain balancing):

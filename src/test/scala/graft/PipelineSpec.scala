@@ -248,6 +248,36 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("rater kappa: textbook contingency tables score the known kappa values") {
+    import spark.implicits._
+    def kappa(cells: Seq[(Long, Boolean, Boolean)]): (Long, Long, Long, Long, Double) = {
+      val a = cells.map { case (id, ka, _) => (id, ka) }.toDF("doc_id", "ka")
+      val b = cells.map { case (id, _, kb) => (id, kb) }.toDF("doc_id", "kb")
+      val r = operators.Pipeline.raterKappaOn(a, b).collect().head
+      (r.getAs[Long]("both_keep"), r.getAs[Long]("only_a"),
+        r.getAs[Long]("only_b"), r.getAs[Long]("both_drop"),
+        r.getAs[Double]("kappa"))
+    }
+    // perfect agreement: kappa = 1
+    val perfect = (1L to 10L).map(i => (i, i % 2 == 0, i % 2 == 0))
+    assert(kappa(perfect)._5 == 1.0)
+    // textbook 2x2: a=20 b=5 c=10 d=15, n=50 -> po=.7 pe=.5 -> kappa=.4
+    val cells = (1L to 20L).map(i => (i, true, true)) ++
+      (21L to 25L).map(i => (i, true, false)) ++
+      (26L to 35L).map(i => (i, false, true)) ++
+      (36L to 50L).map(i => (i, false, false))
+    val (bk, oa, ob, bd, k) = kappa(cells)
+    assert((bk, oa, ob, bd) == (20L, 5L, 10L, 15L))
+    assert(math.abs(k - 0.4) < 1e-12, s"kappa $k")
+    // independent-looking raters: kappa near 0 (exactly 0 for the
+    // product table a=9 b=21 c=6 d=14: po = pe)
+    val indep = (1L to 9L).map(i => (i, true, true)) ++
+      (10L to 30L).map(i => (i, true, false)) ++
+      (31L to 36L).map(i => (i, false, true)) ++
+      (37L to 50L).map(i => (i, false, false))
+    assert(kappa(indep)._5 == 0.0)
+  }
+
   test("rebalance: ceil repetition factors reach the target with bounded overshoot") {
     import spark.implicits._
     // a×5, b×2, c×1 → target 5; factors a=1, b=3, c=5
