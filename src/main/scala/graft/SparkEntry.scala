@@ -125,6 +125,7 @@ object SparkEntry {
     "ev_concurrency"       -> Analytic.concurrency _,
     "ev_burn_rate"         -> Analytic.burnRate _,
     "ev_markov_stationary" -> Analytic.markovStationary _,
+    "ev_revenue_bridge"    -> Analytic.revenueBridge _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
@@ -1142,6 +1143,28 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // integer-cents waterfall; weeks derived from the data minimum
+    "ev_revenue_bridge" ->
+      """WITH rev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000000000//86400//7 AS wk,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |w0 AS (SELECT min(wk) AS w0 FROM rev),
+        |a AS (SELECT user_id, rev AS rev_a FROM rev CROSS JOIN w0 WHERE wk = w0 + 1),
+        |b AS (SELECT user_id, rev AS rev_b FROM rev CROSS JOIN w0 WHERE wk = w0 + 2),
+        |j AS (
+        |  SELECT CASE WHEN rev_a IS NULL THEN 'new'
+        |              WHEN rev_b IS NULL THEN 'churned'
+        |              WHEN rev_b > rev_a THEN 'expansion'
+        |              WHEN rev_b < rev_a THEN 'contraction'
+        |              ELSE 'flat' END AS category,
+        |    coalesce(rev_a, 0) AS ra, coalesce(rev_b, 0) AS rb
+        |  FROM a FULL OUTER JOIN b USING (user_id))
+        |SELECT category, count(*) AS n_users,
+        |  CAST(sum(ra) AS BIGINT) AS rev_prev_cents,
+        |  CAST(sum(rb) AS BIGINT) AS rev_curr_cents,
+        |  CAST(sum(rb - ra) AS BIGINT) AS delta_cents
+        |FROM j GROUP BY category ORDER BY category""".stripMargin,
     // 3 unrolled integer-ppm power-iteration rounds over the tiny
     // transition matrix; floor leakage part of the contract
     "ev_markov_stationary" ->

@@ -1425,6 +1425,47 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Period-over-period REVENUE BRIDGE (the SaaS waterfall): the
+    * delta between two consecutive full weeks decomposed into the
+    * four populations every growth review reads — NEW (no prior
+    * revenue), CHURNED (no current), EXPANSION and CONTRACTION —
+    * plus FLAT; the category deltas sum exactly to the total
+    * week-over-week delta (the bridge identity, spec-pinned).
+    * Exact integer cents throughout; the compared weeks derive from
+    * the data (first two complete weeks after the minimum — a
+    * broadcast 1-row bound, deterministic at any sf). Scale: one
+    * map-side-combined (user, week) rollup, one user-keyed
+    * full-outer join between two filtered slices, then a 5-row agg. */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val rev = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000000000 div 86400 div 7").as("wk"),
+        (col("value").cast(D) * 100).cast("bigint").as("cents"))
+      .groupBy("user_id", "wk").agg(sum("cents").as("rev"))
+      .localCheckpoint() // consumers: the bound + two week slices
+    val w0 = rev.agg(min("wk").as("w0"))
+    val sliced = rev.crossJoin(broadcast(w0))
+    val a = sliced.filter(col("wk") === col("w0") + 1)
+      .select(col("user_id"), col("rev").as("rev_a"))
+    val b = sliced.filter(col("wk") === col("w0") + 2)
+      .select(col("user_id").as("user_b"), col("rev").as("rev_b"))
+    a.join(b, col("user_id") === col("user_b"), "full_outer")
+      .select(
+        when(col("rev_a").isNull, "new")
+          .when(col("rev_b").isNull, "churned")
+          .when(col("rev_b") > col("rev_a"), "expansion")
+          .when(col("rev_b") < col("rev_a"), "contraction")
+          .otherwise("flat").as("category"),
+        coalesce(col("rev_a"), lit(0L)).as("ra"),
+        coalesce(col("rev_b"), lit(0L)).as("rb"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_users"),
+        sum("ra").as("rev_prev_cents"),
+        sum("rb").as("rev_curr_cents"),
+        sum(col("rb") - col("ra")).as("delta_cents"))
+      .orderBy("category")
+  }
+
   /** Stationary distribution of the user-journey Markov chain —
     * "where does the journey converge": 3 unrolled power-iteration
     * rounds v′ = vP from the uniform start over

@@ -771,6 +771,31 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("revenue bridge: categories partition users and deltas sum to the total") {
+    val rows = queries.Analytic.revenueBridge(spark, sf).collect()
+    val rev = graft.sources.Tables.events(spark, sf)
+      .filter("event_type = 'purchase'")
+      .selectExpr("user_id", "ts div 1000000000 div 86400 div 7 AS wk",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("wk")),
+        r.getAs[Long]("c")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w0 = rev.keys.map(_._2).min
+    val a = rev.collect { case ((u, w), v) if w == w0 + 1 => u -> v }.toMap
+    val b = rev.collect { case ((u, w), v) if w == w0 + 2 => u -> v }.toMap
+    val users = a.keySet ++ b.keySet
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users.size)
+    // the bridge identity: category deltas reassemble the WoW delta
+    assert(rows.map(_.getAs[Long]("delta_cents")).sum ==
+      b.values.sum - a.values.sum)
+    val got = rows.map(r => r.getAs[String]("category") ->
+      r.getAs[Long]("n_users")).toMap
+    assert(got.getOrElse("new", 0L) == users.count(u => !a.contains(u)))
+    assert(got.getOrElse("churned", 0L) == users.count(u => !b.contains(u)))
+    assert(got.getOrElse("expansion", 0L) ==
+      users.count(u => a.contains(u) && b.contains(u) && b(u) > a(u)))
+  }
+
   test("markov stationary: three integer power rounds replay driver-side") {
     val rows = queries.Analytic.markovStationary(spark, sf).collect()
       .map(r => r.getAs[String]("state") -> r.getAs[Long]("v_ppm")).toMap
