@@ -199,6 +199,7 @@ object SparkEntry {
     "graph_kcore"            -> Graph.dedupKCore _,
     "graph_bfs_distance"     -> Graph.dedupBfsDistance _,
     "graph_modularity"       -> Graph.dedupModularity _,
+    "graph_assortativity"    -> Graph.dedupAssortativity _,
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
@@ -2943,6 +2944,47 @@ object SparkEntry {
     // 2 unrolled synchronous LPA rounds; argmax(count desc, label
     // asc) replayed as max-count join + min(label) — deterministic
     // in both engines
+    // Newman r from exact BIGINT power sums over the directed edges
+    "graph_assortativity" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), e AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM pc
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), de AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+        |), deg AS (
+        |  SELECT u, count(*) AS deg FROM de GROUP BY 1
+        |), sums AS (
+        |  SELECT count(*) AS m,
+        |    CAST(sum(x.deg) AS BIGINT) AS sx, CAST(sum(y.deg) AS BIGINT) AS sy,
+        |    CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+        |    CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx,
+        |    CAST(sum(y.deg * y.deg) AS BIGINT) AS syy
+        |  FROM de JOIN deg x ON de.u = x.u JOIN deg y ON de.v = y.u
+        |)
+        |SELECT m, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0 THEN
+        |    CAST(m * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM sums""".stripMargin,
     // LPA chain + exact HUGEINT modularity numerators over 4m²
     "graph_modularity" ->
       """WITH docs AS (

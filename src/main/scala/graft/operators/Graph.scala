@@ -453,6 +453,42 @@ object Graph {
           .as("q_contrib"))
   }
 
+  /** Degree ASSORTATIVITY (Newman's r) — do similar-degree nodes
+    * attach to each other? Positive r = hub-to-hub duplication
+    * (template farms linking templates), negative = hub-and-spoke
+    * (one canonical with many leaf copies — the shape safe to
+    * collapse). Pearson correlation of the endpoint degrees over the
+    * DIRECTED edge list (both orientations, so r is symmetric),
+    * computed from exact BIGINT power sums (the agg_corr_exact
+    * discipline) with the one sqrt+division at the end — engine-
+    * bitwise. Degenerate (regular) graphs yield NULL like the
+    * oracle's ÷0. Scale: degrees are one map-side-combined agg, the
+    * sums another; no window, no pair fan-out beyond the edges. */
+  def assortativityOn(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+    val dirE = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = dirE.groupBy("u").agg(count(lit(1)).as("deg"))
+    dirE
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("m"),
+        sum("du").as("sx"), sum("dv").as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        when(expr("(m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0"),
+          expr("""CAST(m * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+             sqrt(CAST(m * syy - sy * sy AS DOUBLE)))""".replace("\n", " ")))
+          .as("assortativity"))
+  }
+
+  /** Driver query: assortativity of the staged near-dup pair graph. */
+  def dedupAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOn(Dedup.jaccardPairs(spark, dir), "doc_a", "doc_b")
+
   /** Driver query: modularity scorecard of the 2-round LPA
     * communities over the staged near-dup pair graph. */
   def dedupModularity(spark: SparkSession, dir: String): DataFrame = {

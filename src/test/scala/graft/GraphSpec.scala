@@ -314,6 +314,21 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(5L -> 0L))
   }
 
+  test("assortativity: star is perfectly disassortative, regular graph is null") {
+    def run(edges: Seq[(Long, Long)]) =
+      operators.Graph.assortativityOn(edges.toDF("s", "d"), "s", "d")
+        .collect().head
+    // star K1,3: every edge pairs the deg-3 hub with a deg-1 leaf -> r = -1
+    val star = run(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L))
+    assert(math.abs(star.getAs[Double]("assortativity") + 1.0) < 1e-12)
+    // 4-cycle: all degrees equal -> zero variance -> NULL
+    val cycle = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+    assert(cycle.isNullAt(cycle.fieldIndex("assortativity")))
+    // two disjoint K3s: still regular -> NULL; sums sanity
+    val k3s = run(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L))
+    assert(k3s.getAs[Long]("m") == 12L && k3s.isNullAt(k3s.fieldIndex("assortativity")))
+  }
+
   test("modularity: two bridged triangles score the textbook numerators") {
     // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: m=7; per community
     // e_in=3, d_c=7 -> q_num = 4*7*3 - 49 = 35; Q = 70/196
