@@ -263,6 +263,7 @@ object SparkEntry {
     "sample_stratified" -> TextAnalysis.stratifiedSample _,
     "sample_per_group"  -> TextAnalysis.samplePerGroup _,
     "sample_rebalance"  -> Pipeline.rebalance _,
+    "sample_uncertainty" -> TextAnalysis.uncertaintySample _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
@@ -4678,6 +4679,21 @@ object SparkEntry {
         |WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
         |      < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    // smallest-|score| annotation batch off the model-filter chain
+    "sample_uncertainty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(('0x'||substring(md5(w),1,15)) AS BIGINT) % 2001 - 1000) AS BIGINT) AS score_sum
+        |  FROM tok GROUP BY doc_id),
+        |top AS (
+        |  SELECT doc_id, score_sum, abs(score_sum) AS abs_score
+        |  FROM sc ORDER BY abs_score, doc_id LIMIT 100)
+        |SELECT doc_id, score_sum, abs_score,
+        |  row_number() OVER (ORDER BY abs_score, doc_id) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
     // per-class scalar repetition factors, correlated unnest epochs,
     // h60 interleave salt — all deterministic
     "sample_rebalance" ->

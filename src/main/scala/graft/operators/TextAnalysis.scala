@@ -1048,6 +1048,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** UNCERTAINTY SAMPLING — the active-learning batch selector: the
+    * docs the model-based filter is LEAST sure about (smallest
+    * |score|, i.e. nearest the keep/drop boundary) are the ones
+    * worth human annotation budget; batch size 100, rank total via
+    * the (|score|, doc_id) tie-break. Scale: the global top-k by
+    * smallest |score| is a TakeOrdered (per-partition heaps + one
+    * k-row merge — never a full sort), and the rank window runs over
+    * the 100-row RESULT, not the corpus. */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("abs_score", "doc_id") // 100-row bounded relation
+    modelFilter(spark, dir)
+      .select(col("doc_id"), col("score_sum"), abs(col("score_sum")).as("abs_score"))
+      .orderBy("abs_score", "doc_id").limit(100)
+      .withColumn("rank", row_number().over(w))
+      .orderBy("rank")
+  }
+
   /** Code-vs-prose detection — the curation gate that routes source
     * code OUT of a prose corpus (or into a code corpus): code is
     * symbol-dense (braces, operators, semicolons), keyword-bearing

@@ -526,6 +526,20 @@ class TextSpec extends SparkSpec {
     assert(out(9L) < 500000L, s"salad scored ${out(9L)}")
   }
 
+  test("uncertainty sample: the batch is exactly the smallest-|score| docs") {
+    val rows = operators.TextAnalysis.uncertaintySample(spark, sf).collect()
+    val scores = operators.TextAnalysis.modelFilter(spark, sf)
+      .select("doc_id", "score_sum").collect()
+      .map(r => (math.abs(r.getAs[Long]("score_sum")), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_sum")))
+    val exp = scores.sortBy(t => (t._1, t._2)).take(math.min(100, scores.length))
+    assert(rows.length == exp.length)
+    rows.zip(exp).zipWithIndex.foreach { case ((r, (ab, id, s)), i) =>
+      assert(r.getAs[Long]("doc_id") == id && r.getAs[Long]("score_sum") == s &&
+        r.getAs[Long]("abs_score") == ab && r.getAs[Int]("rank") == i + 1)
+    }
+  }
+
   test("code detect: planted source code gates codey, prose does not") {
     import spark.implicits._
     val code = (1L, "def main(x): { if (x > 0) return x * 2; } " +
