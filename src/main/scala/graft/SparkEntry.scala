@@ -126,6 +126,7 @@ object SparkEntry {
     "ev_burn_rate"         -> Analytic.burnRate _,
     "ev_markov_stationary" -> Analytic.markovStationary _,
     "ev_revenue_bridge"    -> Analytic.revenueBridge _,
+    "ev_bot_detect"        -> Analytic.botDetect _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
@@ -1145,6 +1146,30 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // cross-multiplied rate + HUGEINT cv tests over one gap pass
+    "ev_bot_detect" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+        |g AS (
+        |  SELECT user_id, ts_sec,
+        |    ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS span_sec,
+        |    CAST(min(gap) AS BIGINT) AS min_gap,
+        |    count(gap) AS m,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+        |  FROM g GROUP BY user_id HAVING count(*) >= 20)
+        |SELECT user_id, n_events, span_sec, min_gap,
+        |  n_events * 3600 > span_sec * 50 AS fast,
+        |  4 * (CAST(m AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+        |    < CAST(sg AS HUGEINT) * sg AS regular,
+        |  (n_events * 3600 > span_sec * 50) AND
+        |  (4 * (CAST(m AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+        |    < CAST(sg AS HUGEINT) * sg) AS is_bot
+        |FROM u ORDER BY user_id""".stripMargin,
     // integer-cents waterfall; weeks derived from the data minimum
     "ev_revenue_bridge" ->
       """WITH rev AS (

@@ -1425,6 +1425,40 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Heuristic BOT DETECTION — the traffic-hygiene gate an events
+    * pipeline runs before any behavioral analytic trusts the data:
+    * bots are FAST (high event rate over their active span) and
+    * REGULAR (inter-arrival gaps with low coefficient of variation —
+    * humans are bursty, schedulers are metronomes). Both flags are
+    * exact cross-multiplied integer tests: rate = n·3600 > span·50
+    * (over 50 events/hour), regularity = 4·(m·Σg² − (Σg)²) < (Σg)²
+    * (cv < ½), with the Σg² products in DECIMAL(38,0) (a 10⁶-event
+    * user's squared-gap sum overflows a long). Gap power sums ride
+    * ONE per-user ordered window pass (lag), bounded by per-user
+    * activity and spillable — the ev_pattern_match discipline.
+    * Only users with ≥ 20 events are judged (below that the
+    * statistics are noise). */
+  def botDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsSec.as("ts_sec"))
+      .withColumn("gap", col("ts_sec") - lag("ts_sec", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_sec") - min("ts_sec")).as("span_sec"),
+        min("gap").as("min_gap"),
+        count(col("gap")).as("m"),
+        sum("gap").as("sg"),
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("sgg"))
+      .filter(col("n_events") >= 20)
+      .select(col("user_id"), col("n_events"), col("span_sec"), col("min_gap"),
+        (col("n_events") * 3600 > col("span_sec") * 50).as("fast"),
+        expr("""4 * (CAST(m AS DECIMAL(38,0)) * sgg - CAST(sg AS DECIMAL(38,0)) * sg)
+          < CAST(sg AS DECIMAL(38,0)) * sg""".replace("\n", " ")).as("regular"))
+      .withColumn("is_bot", col("fast") && col("regular"))
+      .orderBy("user_id")
+  }
+
   /** Period-over-period REVENUE BRIDGE (the SaaS waterfall): the
     * delta between two consecutive full weeks decomposed into the
     * four populations every growth review reads — NEW (no prior

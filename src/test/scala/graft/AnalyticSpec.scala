@@ -771,6 +771,42 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("bot detect: a planted metronome user flags, a bursty human does not") {
+    import spark.implicits._
+    // replay the operator's aggregate logic on planted gap patterns
+    def judge(gaps: Seq[Long]): (Boolean, Boolean) = {
+      val n = gaps.length + 1
+      val span = gaps.sum
+      val m = gaps.length.toLong
+      val sg = gaps.sum
+      val sgg = gaps.map(g => BigInt(g) * g).sum
+      val fast = n * 3600L > span * 50L
+      val regular = 4 * (m * sgg - BigInt(sg) * sg) < BigInt(sg) * sg
+      (fast, regular)
+    }
+    // metronome: 30 events exactly 10s apart -> fast + perfectly regular
+    assert(judge(Seq.fill(29)(10L)) == (true, true))
+    // bursty human: bursts of 5s separated by hour-long gaps -> not regular
+    val bursty = Seq.tabulate(29)(i => if (i % 5 == 4) 3600L else 5L)
+    assert(judge(bursty)._2 == false)
+    // and the real query agrees with a full driver-side replay
+    val rows = queries.Analytic.botDetect(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("sec")))
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.map(t => (t._3, t._2)).sortBy(identity).map(_._1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val secs = byUser(r.getAs[Long]("user_id"))
+      val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+      assert(r.getAs[Long]("n_events") == secs.length)
+      val (f, reg) = judge(gaps)
+      assert(r.getAs[Boolean]("fast") == f && r.getAs[Boolean]("regular") == reg)
+      assert(r.getAs[Boolean]("is_bot") == (f && reg))
+    }
+  }
+
   test("revenue bridge: categories partition users and deltas sum to the total") {
     val rows = queries.Analytic.revenueBridge(spark, sf).collect()
     val rev = graft.sources.Tables.events(spark, sf)
