@@ -265,6 +265,7 @@ object SparkEntry {
     "sample_per_group"  -> TextAnalysis.samplePerGroup _,
     "sample_rebalance"  -> Pipeline.rebalance _,
     "sample_uncertainty" -> TextAnalysis.uncertaintySample _,
+    "src_json_multiline" -> SourcesSinks.jsonMultiline _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
@@ -2175,6 +2176,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the multiLine array round-trip is a layout change only: the
+    // oracle reads the same dimension straight from parquet
+    "src_json_multiline" ->
+      """SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name,
+        |  CAST(n.n_regionkey AS BIGINT) AS n_regionkey,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin,
     "src_json_lines" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

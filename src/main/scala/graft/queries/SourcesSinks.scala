@@ -297,6 +297,38 @@ object SourcesSinks {
     * the schema — then aggregated. Timestamps travel as epoch-ns
     * longs through the JSON boundary (strings would re-open the
     * nanos-vs-micros parquet trap). */
+  /** multiLine JSON (a single pretty-printed ARRAY document) — the
+    * OTHER json reader mode, exercised on the data it is FOR: small
+    * config/dimension files. A multiLine file cannot be split — the
+    * whole document parses in one task — so the 100 TB contract is
+    * "dimensions only, facts stay JSONL" (src_json_lines), and this
+    * query demonstrates exactly that split: the nation dimension
+    * round-trips through a multiLine array document (deterministic:
+    * rows serialized, sorted, joined into one array literal), then
+    * enriches a fact-side aggregate. */
+  def jsonMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "nation_mljson")
+    nation(spark, dir)
+      .select(to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))).as("j"))
+      .agg(concat(lit("[\n  "),
+        concat_ws(",\n  ", sort_array(collect_list(col("j")))),
+        lit("\n]")).as("doc"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    val ml = spark.read.option("multiLine", "true").schema(schema).json(path)
+    customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(D)).cast("double").as("sum_acctbal"))
+      .join(broadcast(ml), col("c_nationkey") === col("n_nationkey"))
+      .select("n_nationkey", "n_name", "n_regionkey", "n_customers", "sum_acctbal")
+      .orderBy("n_nationkey")
+  }
+
   def jsonLines(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp(spark, dir, "events_json")
     events(spark, dir)

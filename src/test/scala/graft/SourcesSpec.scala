@@ -599,4 +599,20 @@ class SourcesSpec extends SparkSpec {
     val firstLine = scala.io.Source.fromFile(part).getLines().next()
     assert(firstLine.split("::").length == 4, firstLine)
   }
+
+  test("multiline json: one ARRAY document parses whole and enriches the fact agg") {
+    val rows = queries.SourcesSinks.jsonMultiline(spark, sf).collect()
+    val exp = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getAs[Int]("c_nationkey").toLong -> r.getAs[Long]("count")).toMap
+    assert(rows.length == exp.size)
+    rows.foreach(r => assert(r.getAs[Long]("n_customers") ==
+      exp(r.getAs[Long]("n_nationkey"))))
+    // the file on disk is genuinely ONE multi-line array document
+    val path = new java.io.File(
+      queries.SourcesSinks.tmp(spark, sf, "nation_mljson"))
+    val part = path.listFiles().find(_.getName.startsWith("part-")).get
+    val lines = scala.io.Source.fromFile(part).getLines().toSeq
+    assert(lines.head == "[" && lines.last == "]" && lines.length > 3)
+  }
 }
