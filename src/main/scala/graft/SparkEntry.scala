@@ -127,6 +127,7 @@ object SparkEntry {
     "ev_markov_stationary" -> Analytic.markovStationary _,
     "ev_revenue_bridge"    -> Analytic.revenueBridge _,
     "ev_bot_detect"        -> Analytic.botDetect _,
+    "ev_changepoint"       -> Analytic.changepoint _,
     "text_source_drift"    -> TextAnalysis.sourceDrift _,
     "text_code_detect"     -> TextAnalysis.codeDetect _,
     "ev_asof_native"       -> Analytic.asofNative _,
@@ -1147,6 +1148,33 @@ object SparkEntry {
         |  rn = 1 AS is_peak
         |FROM r JOIN t ON r.event_type = t.event_type
         |ORDER BY r.event_type, dow""".stripMargin,
+    // denominator-cleared integer CUSUM; identical argmax election
+    "ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, count(*) AS t_days, CAST(sum(n) AS BIGINT) AS n_total
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT p.event_type, day, t_days, n_total,
+        |    t_days * prefix - rk * n_total AS c
+        |  FROM pre p JOIN tot USING (event_type)),
+        |r AS (
+        |  SELECT *, abs(c) AS ca,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY abs(c) DESC, day) AS rn
+        |  FROM c)
+        |SELECT event_type, t_days, n_total, CAST(day AS BIGINT) AS day_hat,
+        |  c AS cusum, ca AS cusum_abs,
+        |  CASE WHEN c > 0 THEN 'drop_after' WHEN c < 0 THEN 'rise_after'
+        |       ELSE 'flat' END AS shift
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // cross-multiplied rate + HUGEINT cv tests over one gap pass
     "ev_bot_detect" ->
       """WITH e AS (

@@ -1425,6 +1425,43 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Offline CHANGEPOINT detection (max-CUSUM) — "when did this
+    * stream's level shift": the classic single-changepoint estimator
+    * argmax_t |Σ_{i≤t} n_i − t·μ| made INTEGER-exact by clearing the
+    * mean's denominator — C_t = T·prefix_t − t·N (T days, N total)
+    * is an exact BIGINT whose argmax is the same day, so both
+    * engines elect the identical changepoint with no float anywhere;
+    * ties break to the earliest day via one struct-max. The sign of
+    * C at the argmax says which way the level moved (positive =
+    * front-loaded = level DROPPED after day_hat). Scale: corpus
+    * collapses to (type, day); the prefix rides per-type windows
+    * over ≤ day-span rows. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("t_days"), sum("n").as("n_total"))
+    daily
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("prefix", sum("n").over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("c", col("t_days") * col("prefix") - col("rk") * col("n_total"))
+      .groupBy("event_type")
+      .agg(max(struct(abs(col("c")).as("a"), (-col("day")).as("nd"),
+        col("c").as("c"), col("prefix").as("p"))).as("m"),
+        max("t_days").as("t_days"), max("n_total").as("n_total"))
+      .select(col("event_type"), col("t_days"), col("n_total"),
+        (-col("m.nd")).as("day_hat"), col("m.c").as("cusum"),
+        col("m.a").as("cusum_abs"),
+        when(col("m.c") > 0, lit("drop_after"))
+          .when(col("m.c") < 0, lit("rise_after"))
+          .otherwise(lit("flat")).as("shift"))
+      .orderBy("event_type")
+  }
+
   /** Heuristic BOT DETECTION — the traffic-hygiene gate an events
     * pipeline runs before any behavioral analytic trusts the data:
     * bots are FAST (high event rate over their active span) and

@@ -771,6 +771,31 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: the integer CUSUM argmax replays driver-side") {
+    val rows = queries.Analytic.changepoint(spark, sf).collect()
+    val daily = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts div 1000000000 div 86400 AS day")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val days = daily.collect { case ((`t`, d), n) => (d, n) }.toSeq.sortBy(_._1)
+      val tDays = days.length.toLong
+      val nTot = days.map(_._2).sum
+      var prefix = 0L
+      val cs = days.zipWithIndex.map { case ((d, n), i) =>
+        prefix += n; (d, tDays * prefix - (i + 1) * nTot)
+      }
+      val best = cs.maxBy { case (d, c) => (math.abs(c), -d) }
+      assert(r.getAs[Long]("t_days") == tDays && r.getAs[Long]("n_total") == nTot)
+      assert(r.getAs[Long]("day_hat") == best._1, s"$t day")
+      assert(r.getAs[Long]("cusum") == best._2, s"$t cusum")
+      val shift = if (best._2 > 0) "drop_after"
+        else if (best._2 < 0) "rise_after" else "flat"
+      assert(r.getAs[String]("shift") == shift)
+    }
+  }
+
   test("bot detect: a planted metronome user flags, a bursty human does not") {
     import spark.implicits._
     // replay the operator's aggregate logic on planted gap patterns
