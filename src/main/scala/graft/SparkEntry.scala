@@ -283,6 +283,7 @@ object SparkEntry {
     "pipeline_negative_sample" -> Pipeline.negativeSample _,
     "pipeline_quantile_norm"  -> Pipeline.quantileNorm _,
     "pipeline_rater_kappa"    -> Pipeline.raterKappa _,
+    "pipeline_time_split"     -> Pipeline.timeSplit _,
     // §2.10 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMeta _,
     "mm_frame_sample"    -> Multimodal.frameSample _,
@@ -4108,6 +4109,26 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    // data-derived 80% day cutoff; spanning-user leakage audit
+    "pipeline_time_split" ->
+      """WITH ud AS (
+        |  SELECT user_id, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) + (max(day) - min(day)) * 4 // 5 AS cutoff FROM ud),
+        |pu AS (
+        |  SELECT user_id, max(cutoff) AS cutoff_day,
+        |    CAST(sum(CASE WHEN day <= cutoff THEN n ELSE 0 END) AS BIGINT) AS train_ev,
+        |    CAST(sum(CASE WHEN day > cutoff THEN n ELSE 0 END) AS BIGINT) AS val_ev
+        |  FROM ud CROSS JOIN b GROUP BY user_id)
+        |SELECT CAST(max(cutoff_day) AS BIGINT) AS cutoff_day,
+        |  CAST(sum(train_ev) AS BIGINT) AS n_train_events,
+        |  CAST(sum(val_ev) AS BIGINT) AS n_val_events,
+        |  CAST(sum(CASE WHEN train_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_train,
+        |  CAST(sum(CASE WHEN val_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_val,
+        |  CAST(sum(CASE WHEN train_ev > 0 AND val_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+        |  count(*) AS n_users,
+        |  CAST(sum(CASE WHEN train_ev > 0 AND val_ev > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS spanning_ppm
+        |FROM pu""".stripMargin,
     // both gate chains, one contingency row, exact HUGEINT kappa
     "pipeline_rater_kappa" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),

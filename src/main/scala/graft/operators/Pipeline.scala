@@ -575,6 +575,43 @@ object Pipeline {
         (col("cum_le").cast("double") / col("n").cast("double")).as("cd"))
   }
 
+  /** CHRONOLOGICAL train/validation split + boundary-leakage audit —
+    * the time-series discipline [[leakageSplit]]'s digest split
+    * cannot provide: a forecasting/behavior model must validate on
+    * data STRICTLY AFTER everything it trained on, and the audit
+    * that matters is how many USERS span the boundary (a user-level
+    * feature model leaks target signal through them). The cutoff is
+    * data-derived (last ~20 % of active days = validation; exact
+    * integer quantile over the day domain) so the same contract
+    * holds at any sf. One-row scorecard: cutoff, sizes, user
+    * populations, spanning users, spanning ppm. Scale: one
+    * (user, day)-grain collapse, two conditional distincts, zero
+    * windows. */
+  def timeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumers: the cutoff bound + the audit agg
+    // cutoff = the day at the 80% position of the [min,max] span
+    val bound = ud.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("mn + (mx - mn) * 4 div 5").as("cutoff"))
+    ud.crossJoin(broadcast(bound))
+      .withColumn("is_train", col("day") <= col("cutoff"))
+      .groupBy("user_id")
+      .agg(max("cutoff").as("cutoff_day"),
+        sum(when(col("is_train"), col("n")).otherwise(0L)).as("train_ev"),
+        sum(when(!col("is_train"), col("n")).otherwise(0L)).as("val_ev"))
+      .agg(max("cutoff_day").as("cutoff_day"),
+        sum("train_ev").as("n_train_events"),
+        sum("val_ev").as("n_val_events"),
+        sum(when(col("train_ev") > 0, 1L).otherwise(0L)).as("n_users_train"),
+        sum(when(col("val_ev") > 0, 1L).otherwise(0L)).as("n_users_val"),
+        sum(when(col("train_ev") > 0 && col("val_ev") > 0, 1L).otherwise(0L))
+          .as("n_spanning"),
+        count(lit(1)).as("n_users"))
+      .withColumn("spanning_ppm", expr("n_spanning * 1000000 div n_users"))
+  }
+
   /** Inter-rater agreement (Cohen's κ) between two quality GATES —
     * the evaluation-methodology readout a curation team computes
     * before trusting either filter: raw agreement alone is inflated

@@ -248,6 +248,25 @@ class PipelineSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("time split: cutoff, partitions, and the spanning audit replay driver-side") {
+    val r = operators.Pipeline.timeSplit(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts div 1000000000 div 86400 AS day")
+      .collect().map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("day")))
+    val days = ev.map(_._2)
+    val cutoff = days.min + (days.max - days.min) * 4 / 5
+    assert(r.getAs[Long]("cutoff_day") == cutoff)
+    assert(r.getAs[Long]("n_train_events") == ev.count(_._2 <= cutoff))
+    assert(r.getAs[Long]("n_val_events") == ev.count(_._2 > cutoff))
+    val byUser = ev.groupBy(_._1)
+    val span = byUser.values.count(g => g.exists(_._2 <= cutoff) && g.exists(_._2 > cutoff))
+    assert(r.getAs[Long]("n_spanning") == span)
+    assert(r.getAs[Long]("n_users") == byUser.size)
+    assert(r.getAs[Long]("spanning_ppm") == span.toLong * 1000000L / byUser.size)
+    // the partitions reassemble the corpus
+    assert(r.getAs[Long]("n_train_events") + r.getAs[Long]("n_val_events") == ev.length)
+  }
+
   test("rater kappa: textbook contingency tables score the known kappa values") {
     import spark.implicits._
     def kappa(cells: Seq[(Long, Boolean, Boolean)]): (Long, Long, Long, Long, Double) = {
