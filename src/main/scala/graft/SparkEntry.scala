@@ -210,6 +210,7 @@ object SparkEntry {
     "dedup_cross_source"     -> Dedup.crossSource _,
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
+    "dedup_bbit_accuracy"    -> Dedup.bbitAccuracy _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
@@ -879,6 +880,63 @@ object SparkEntry {
         |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same sig/candidate chain + the low-bit lane compare and the
+    // 2m-1 collision-corrected estimator, clamped at 0
+    "dedup_bbit_accuracy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), post AS (
+        |  SELECT DISTINCT doc_id, unnest(hs) AS h FROM shd
+        |), nsh AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), eq AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |    CAST(len(list_filter(generate_series(1,128), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_eq,
+        |    CAST(len(list_filter(generate_series(1,128), i -> sa.sig[i] % 2 = sb.sig[i] % 2)) AS BIGINT) AS n_eq_1bit
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.doc_a
+        |  JOIN sigs sb ON sb.doc_id = cand.doc_b
+        |)
+        |SELECT eq.doc_a, eq.doc_b, eq.n_eq, eq.n_eq_1bit,
+        |  CAST(eq.n_eq AS DOUBLE) / 128.0 AS est_full,
+        |  greatest(0.0, 2 * (CAST(eq.n_eq_1bit AS DOUBLE) / 128.0) - 1.0) AS est_1bit,
+        |  CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter) AS jaccard,
+        |  abs(CAST(eq.n_eq AS DOUBLE) / 128.0
+        |    - CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter)) AS err_full,
+        |  abs(greatest(0.0, 2 * (CAST(eq.n_eq_1bit AS DOUBLE) / 128.0) - 1.0)
+        |    - CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter)) AS err_1bit
+        |FROM eq JOIN pc ON pc.doc_a = eq.doc_a AND pc.doc_b = eq.doc_b
+        |JOIN nsh na ON na.doc_id = eq.doc_a
+        |JOIN nsh nb ON nb.doc_id = eq.doc_b
+        |ORDER BY eq.doc_a, eq.doc_b""".stripMargin,
     "dedup_minhash_accuracy" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

@@ -626,6 +626,48 @@ object Dedup {
   private def stagedAccuracy(spark: SparkSession, dir: String): DataFrame =
     staged(spark, dir, "minhash_accuracy")(minhashAccuracyCompute(spark, dir))
 
+  /** b-BIT MinHash accuracy audit (Li & König 2010): store only the
+    * LOW BIT of each of the 128 lanes — 1/64th of the 64-bit
+    * signature storage — and estimate Jaccard from the corrected
+    * match rate Ĵ = 2·(matches/128) − 1 (a random lane-bit collides
+    * half the time, so raw agreement sits at (1+J)/2). This query
+    * measures, on the SAME LSH candidate pairs as
+    * [[minhashAccuracy]], what that 64× compression costs in
+    * estimator error — the storage-vs-accuracy decision a 100 TB
+    * signature store actually faces (b-bit makes a billion-doc
+    * signature table RAM-resident). Clamped at 0 (the estimator goes
+    * negative below ~50 % raw agreement); both estimators and both
+    * errors ride the identical fixed-order float expressions in both
+    * engines. */
+  def bbitAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir) // staged
+    val sigs = minhashSigs(post)
+    val cand = lshCandidates(sigs)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val nEq = (1 to 128).map(i =>
+      when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val nEq1 = (1 to 128).map(i =>
+      when(element_at(col("sa"), i) % 2 === element_at(col("sb"), i) % 2, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .withColumn("n_eq", nEq)
+      .withColumn("n_eq_1bit", nEq1)
+      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_eq"), col("n_eq_1bit"),
+        (col("n_eq").cast("double") / 128.0).as("est_full"),
+        expr("greatest(0.0, 2 * (CAST(n_eq_1bit AS DOUBLE) / 128.0) - 1.0)")
+          .as("est_1bit"),
+        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+      .withColumn("err_full", abs(col("est_full") - col("jaccard")))
+      .withColumn("err_1bit", abs(col("est_1bit") - col("jaccard")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def minhashAccuracyCompute(spark: SparkSession, dir: String): DataFrame = {
     val post = shinglePostings(spark, dir) // staged: already materialized
     val sigs = minhashSigs(post)

@@ -465,6 +465,24 @@ class DedupSpec extends SparkSpec {
       "unrelated doc shares nothing")
   }
 
+  test("b-bit accuracy: estimators bracket jaccard and near-dups agree at 1 bit") {
+    val rows = operators.Dedup.bbitAccuracy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n1 = r.getAs[Long]("n_eq_1bit")
+      // every full-lane match is also a low-bit match
+      assert(n1 >= r.getAs[Long]("n_eq"))
+      assert(r.getAs[Double]("est_1bit") ==
+        math.max(0.0, 2 * (n1.toDouble / 128.0) - 1.0))
+      assert(r.getAs[Double]("err_full") >= 0 && r.getAs[Double]("err_1bit") >= 0)
+    }
+    // LSH candidates are near-dups: the 1-bit estimator still sees them
+    // (jaccard >= 0.8 pairs have raw 1-bit agreement >> 1/2)
+    rows.filter(_.getAs[Double]("jaccard") >= 0.8)
+      .foreach(r => assert(r.getAs[Double]("est_1bit") > 0.5,
+        s"${r.getAs[Long]("doc_a")}-${r.getAs[Long]("doc_b")}"))
+  }
+
   test("winnowing: shared runs >= w+k-1 words are guaranteed a common fingerprint") {
     import spark.implicits._
     val run = "alpha beta gamma delta epsilon zeta eta theta" // 8-word shared run
