@@ -319,6 +319,7 @@ object SparkEntry {
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
+    "sql_named_params"       -> SqlSurface.namedParams _,
     "sql_quantified"         -> SqlSurface.quantified _,
     "sql_recursive_cte"      -> SqlSurface.recursiveCte _,
     "sql_lateral_topn"       -> SqlSurface.lateralTopN _,
@@ -5474,6 +5475,13 @@ object SparkEntry {
         |LEFT JOIN w ON base.c_nationkey = w.c_nationkey
         |LEFT JOIN wo ON base.c_nationkey = wo.c_nationkey
         |ORDER BY base.c_nationkey""".stripMargin,
+    // API-bound parameters vs the same values inlined
+    "sql_named_params" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > 200000 AND o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // procedural doubling search vs the declarative closed form
     "sql_scripting" ->
       """WITH tot AS (SELECT count(*) AS total FROM orders),

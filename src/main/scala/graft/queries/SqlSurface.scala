@@ -1032,6 +1032,25 @@ object SqlSurface {
         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin)
   }
 
+  /** NAMED PARAMETER MARKERS (`:param`, Spark 4 `spark.sql(text,
+    * args)`) — the injection-safe template surface every BI/service
+    * layer uses instead of string interpolation: the parameter
+    * values bind through the API as LITERALS in the analyzed plan
+    * (so constant folding and pushdown see them exactly like inline
+    * constants — `PushedFilters` carries the bound threshold). The
+    * oracle inlines the same values; binding-vs-inlining equivalence
+    * is the semantics under test. */
+  def namedParams(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("np_orders")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM np_orders
+        |WHERE o_totalprice > :minPrice AND o_orderpriority = :prio
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("minPrice" -> 200000, "prio" -> "1-URGENT"))
+  }
+
   /** SQL SCRIPTING (SQL/PSM, Spark 4 BEGIN…END) — procedural control
     * flow in pure SQL: DECLARE'd state, scalar-subquery assignment,
     * and a WHILE loop that re-queries the DATA each iteration (a

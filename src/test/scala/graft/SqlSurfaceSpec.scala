@@ -524,6 +524,20 @@ class SqlSurfaceSpec extends SparkSpec {
       li.count { case (q, _) => q >= 1 && q <= 50 })
   }
 
+  test("named params: bound values reach the pushed filters and match inlining") {
+    val df = queries.SqlSurface.namedParams(spark, sf)
+    val inlined = graft.sources.Tables.orders(spark, sf)
+      .filter("o_totalprice > 200000 AND o_orderpriority = '1-URGENT'")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("count")).toMap
+    val got = df.collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_orders")).toMap
+    assert(got == inlined)
+    // the bound literal is visible to the scan as a pushed filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("200000"), "bound parameter not folded into the plan")
+  }
+
   test("sql scripting: the WHILE doubling search lands on the closed-form threshold") {
     val row = queries.SqlSurface.sqlScripting(spark, sf).collect().head
     val prices = graft.sources.Tables.orders(spark, sf)
