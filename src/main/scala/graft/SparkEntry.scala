@@ -293,6 +293,7 @@ object SparkEntry {
     "mm_silence_detect"  -> Multimodal.silenceDetect _,
     "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_image_phash"     -> Multimodal.imagePHash _,
+    "mm_phash_clusters"  -> Multimodal.phashClusters _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
@@ -383,6 +384,7 @@ object SparkEntry {
       // the DCT basis is generated from the same Scala table the
       // operator embeds, so both engines transform identically
       ("mm_image_phash" -> PhashOracle.sql) +
+      ("mm_phash_clusters" -> PhashOracle.clustersSql) +
       // the native band join is a physical strategy change over the
       // bucketed form — identical answer, one shared oracle
       ("ev_range_native" -> m("ev_range_join"))
@@ -393,10 +395,13 @@ object SparkEntry {
     * generated VALUES list from [[graft.operators.Multimodal.dctTable]]
     * — one source of truth for both engines. */
   private object PhashOracle {
-    def sql: String = {
+    /** the signature + pigeonhole-candidate chain shared by the pair
+      * query and the cluster rollup (RECURSIVE for the latter's
+      * reach CTE; harmless for the former). */
+    private def chain: String = {
       val values = graft.operators.Multimodal.dctTable
         .map { case (u, x, c) => s"($u, $x, $c)" }.mkString(", ")
-      s"""WITH thumb AS (
+      s"""WITH RECURSIVE thumb AS (
          |  SELECT doc_id,
          |    substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS t
          |  FROM documents),
@@ -433,11 +438,31 @@ object SparkEntry {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.phash AS ha, b.phash AS hb
          |  FROM expl a JOIN expl b
-         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
     }
+    def sql: String = chain +
+      """
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    /** the same chain + the reach-CTE component closure over the
+      * hamming-filtered pair graph. */
+    def clustersSql: String = chain +
+      """,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of the Lloyd-TRAINED IVF quantizer

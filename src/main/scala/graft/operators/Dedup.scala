@@ -292,7 +292,7 @@ object Dedup {
     * deployed shape for every relation with multiple consumers
     * (calibration pairs, pair graphs, closures), same discipline as
     * the IVF / BM25 indexes. */
-  private def staged(spark: SparkSession, dir: String, tag: String)(
+  private[operators] def staged(spark: SparkSession, dir: String, tag: String)(
       compute: => DataFrame): DataFrame = {
     val path = graft.queries.SourcesSinks.tmp(spark, dir, tag)
     if (!new java.io.File(s"$path/_SUCCESS").isFile)

@@ -352,7 +352,29 @@ object Multimodal {
     * All magnitudes are long-safe by construction: p ≤ 255 ⇒
     * |G| ≤ 8·255·1024 ≈ 2.1e6 ⇒ |F| ≤ 1.7e10 ⇒ F·63 ≤ 1.1e12. */
   def imagePHash(spark: SparkSession, dir: String): DataFrame =
-    imagePHashOn(documents(spark, dir))
+    stagedPhashPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** the pHash pair graph feeds two consumers (the pair query + the
+    * cluster rollup): stage it once per (app, sf dir) like the dedup
+    * stack's shared relations. */
+  private def stagedPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.staged(spark, dir, "phash_pairs")(imagePHashOn(documents(spark, dir)))
+
+  /** Perceptual-duplicate CLUSTERS — the media-library rollup over
+    * the [[imagePHash]] pair graph: connected components via the same
+    * enforced-fixpoint min-label propagation as [[Dedup.components]]
+    * (hamming ≤ 3 is near-transitive for re-encodes of one asset, so
+    * components ARE the asset groups a storage dedup collapses), with
+    * each cluster's size joined back map-side-combined. */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.minLabelComponents(
+      stagedPhashPairs(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .localCheckpoint() // consumers: size agg + join
+    comp.join(comp.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   /** Generic core of [[imagePHash]] over any (doc_id, text) payload
     * relation. */

@@ -170,6 +170,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash clusters: components cover exactly the pair-graph nodes") {
+    val pairs = operators.Multimodal.imagePHash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rows = operators.Multimodal.phashClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).toSet
+    assert(rows.keySet == nodes)
+    // every pair's endpoints share a cluster; sizes count members
+    pairs.foreach { case (a, b) => assert(rows(a)._1 == rows(b)._1) }
+    rows.values.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.forall(_._2 == g.size)) }
+  }
+
   test("silence detect: runs replay from per-frame stub energies") {
     val rows = operators.Multimodal.silenceDetect(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)
