@@ -215,6 +215,7 @@ object SparkEntry {
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
     "dedup_winnowing"        -> Dedup.winnowing _,
+    "dedup_truncation"       -> Dedup.truncation _,
     "dedup_semantic_clusters" -> Dedup.semanticClusters _,
     // §2.8 similarity search
     "ann_bruteforce_topk" -> Similarity.bruteForceTopK _,
@@ -3497,6 +3498,23 @@ object SparkEntry {
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     // positional (non-distinct) trigrams; 1-based pos — span lengths
     // and coverage counts are shift-invariant vs Spark's 0-based
+    // same-head different-length families; longest member = keeper
+    "dedup_truncation" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(substring(norm, 1, 256)) AS prefix_md5,
+        |    CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |        FROM documents) t
+        |  WHERE length(norm) >= 256),
+        |f AS (
+        |  SELECT prefix_md5, count(*) AS n_docs,
+        |    min(n_chars_norm) AS min_len, max(n_chars_norm) AS max_len
+        |  FROM h GROUP BY 1 HAVING count(*) > 1 AND max(n_chars_norm) > min(n_chars_norm))
+        |SELECT doc_id, h.prefix_md5, n_docs, n_chars_norm,
+        |  CAST(max_len AS BIGINT) AS max_len,
+        |  n_chars_norm = max_len AS is_longest
+        |FROM h JOIN f ON h.prefix_md5 = f.prefix_md5
+        |ORDER BY doc_id""".stripMargin,
     // window-min fingerprint selection (1-based pos here, 0-based in
     // the engine — only relative positions matter)
     "dedup_winnowing" ->

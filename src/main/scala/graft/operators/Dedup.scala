@@ -855,6 +855,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** TRUNCATION-family detection — the crawl artifact neither exact
+    * nor shingle dedup names: the SAME page captured at different
+    * cutoffs (paywall folds, timeout truncation, pagination) shares
+    * its head but differs in length, so exact dedup misses it and
+    * near-dup scores degrade with the length gap. Detector: docs
+    * with ≥ 256 normalized chars group by the md5 of their 256-char
+    * HEAD; a group with >1 doc and differing lengths is a truncation
+    * family, and the longest member is the keeper (is_longest; ties
+    * all flagged — equal-length same-head docs are exact-dup
+    * territory). One digest shuffle, groupBy + join-back (never a
+    * window on the content key — the house discipline). */
+  def truncation(spark: SparkSession, dir: String): DataFrame =
+    truncationOn(documents(spark, dir)).orderBy("doc_id")
+
+  /** Generic core of [[truncation]] over any (doc_id, text) relation. */
+  def truncationOn(docs: DataFrame): DataFrame = {
+    val headed = docs
+      .withColumn("norm", expr(normTextExpr))
+      .withColumn("n_chars_norm", length(col("norm")).cast("bigint"))
+      .filter(col("n_chars_norm") >= 256)
+      .withColumn("prefix_md5", md5(expr("substring(norm, 1, 256)")))
+      .select("doc_id", "prefix_md5", "n_chars_norm")
+    val fams = headed.groupBy("prefix_md5")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars_norm").as("min_len"), max("n_chars_norm").as("max_len"))
+      .filter(col("n_docs") > 1 && col("max_len") > col("min_len"))
+    headed.join(fams, Seq("prefix_md5"), "inner")
+      .withColumn("is_longest", col("n_chars_norm") === col("max_len"))
+      .select("doc_id", "prefix_md5", "n_docs", "n_chars_norm",
+        "max_len", "is_longest")
+  }
+
   /** WINNOWING fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
     * algorithm) — the guaranteed-coverage selective fingerprinting
     * between MinHash (fixed-size sketch, no locality) and full

@@ -465,6 +465,23 @@ class DedupSpec extends SparkSpec {
       "unrelated doc shares nothing")
   }
 
+  test("truncation: planted cutoff families group; equal-length heads do not") {
+    import spark.implicits._
+    val base = ("word " * 120).trim // 599 norm chars
+    val docs = Seq(
+      (1L, base),                          // full page
+      (2L, base.substring(0, 300)),        // truncated capture
+      (3L, "x " * 200),                    // different head, same length class
+      (4L, "short doc"),                   // under the 256-char floor
+      (10L, "y " * 150), (11L, "y " * 150) // same head, SAME length -> not truncation
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.truncationOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Boolean]("is_longest"))).toMap
+    assert(got.keySet == Set(1L, 2L), s"got $got")
+    assert(got(1L) == (2L, true) && got(2L) == (2L, false))
+  }
+
   test("b-bit accuracy: estimators bracket jaccard and near-dups agree at 1 bit") {
     val rows = operators.Dedup.bbitAccuracy(spark, sf).collect()
     assert(rows.nonEmpty)
