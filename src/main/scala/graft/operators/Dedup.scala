@@ -615,7 +615,9 @@ object Dedup {
     * the corpus), and both estimator and exact sides are md5-derived,
     * so the whole audit replays in the oracle. */
   def minhashAccuracy(spark: SparkSession, dir: String): DataFrame =
-    stagedAccuracy(spark, dir).orderBy("doc_a", "doc_b")
+    stagedAccuracy(spark, dir)
+      .select("doc_a", "doc_b", "n_eq", "est_jaccard", "jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
 
   /** The accuracy pair relation, staged to parquet once per
     * (app, sf dir) — the deployed shape: a calibration pass is one
@@ -639,34 +641,20 @@ object Dedup {
     * negative below ~50 % raw agreement); both estimators and both
     * errors ride the identical fixed-order float expressions in both
     * engines. */
-  def bbitAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val post = shinglePostings(spark, dir) // staged
-    val sigs = minhashSigs(post)
-    val cand = lshCandidates(sigs)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val nEq = (1 to 128).map(i =>
-      when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L)
-        .otherwise(0L)).reduce(_ + _)
-    val nEq1 = (1 to 128).map(i =>
-      when(element_at(col("sa"), i) % 2 === element_at(col("sb"), i) % 2, 1L)
-        .otherwise(0L)).reduce(_ + _)
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .withColumn("n_eq", nEq)
-      .withColumn("n_eq_1bit", nEq1)
-      .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
+  def bbitAccuracy(spark: SparkSession, dir: String): DataFrame =
+    // One derivation over the STAGED accuracy relation (which carries
+    // the 1-bit lane-match count alongside the full-lane count) — the
+    // signature + candidate + intersection pipeline runs once per
+    // (app, sf) for all three calibration consumers.
+    stagedAccuracy(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_eq"), col("n_eq_1bit"),
         (col("n_eq").cast("double") / 128.0).as("est_full"),
         expr("greatest(0.0, 2 * (CAST(n_eq_1bit AS DOUBLE) / 128.0) - 1.0)")
           .as("est_1bit"),
-        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+        col("jaccard"))
       .withColumn("err_full", abs(col("est_full") - col("jaccard")))
       .withColumn("err_1bit", abs(col("est_1bit") - col("jaccard")))
       .orderBy("doc_a", "doc_b")
-  }
 
   private def minhashAccuracyCompute(spark: SparkSession, dir: String): DataFrame = {
     val post = shinglePostings(spark, dir) // staged: already materialized
@@ -678,12 +666,18 @@ object Dedup {
     val nEq = (1 to 128).map(i =>
       when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L)
         .otherwise(0L)).reduce(_ + _)
+    // the b-bit (low-bit) lane agreement rides along in the staged
+    // relation so the bbit audit never re-runs the pipeline
+    val nEq1 = (1 to 128).map(i =>
+      when(element_at(col("sa"), i) % 2 === element_at(col("sb"), i) % 2, 1L)
+        .otherwise(0L)).reduce(_ + _)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .withColumn("n_eq", nEq)
+      .withColumn("n_eq_1bit", nEq1)
       .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+      .select(col("doc_a"), col("doc_b"), col("n_eq"), col("n_eq_1bit"),
         (col("n_eq").cast("double") / 128.0).as("est_jaccard"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
@@ -822,7 +816,15 @@ object Dedup {
   /** generic core: CDC chunk accounting over any (doc_id, text)
     * relation — the library entry point. */
   def cdcChunksOn(docs: DataFrame): DataFrame = {
+    // Repartition by doc_id BEFORE the per-character fan-out: scan
+    // partitions are sized by input BYTES, so the 300×-fan-out hash
+    // stage otherwise inherits the scan's parallelism (one thread per
+    // 128 MB split regardless of core count). The shuffle moves 5 KB
+    // rows, not exploded positions, and the downstream per-doc window
+    // needs this exact partitioning anyway.
     val t = docs.select(col("doc_id"), expr(normTextExpr).as("norm"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
     // cut positions: i in [8, len-1] with Hash60(norm[i-7..i]) ≡ 0 (mod 64);
     // the greatest() guard keeps sequence() ascending on short docs and
     // the i < len filter drops the padding element it introduces

@@ -294,11 +294,17 @@ object Graph {
         .localCheckpoint()
       layers = layers :+ peel.select(col("node"),
         lit(r.toLong).as("layer"), lit(0L).as("core_deg"))
-      alive = alive.join(peel, Seq("node"), "left_anti")
+      // alive/dirE must ALSO checkpoint: only barriering the peel set
+      // leaves round r's degree plan re-executing every prior round's
+      // anti-join chain from the raw edges (O(rounds²) edge passes).
+      // With all three barriered each round costs one pass over the
+      // current (shrinking) relation.
+      alive = alive.join(peel, Seq("node"), "left_anti").localCheckpoint()
       dirE = dirE
         .join(peel.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
         .join(peel.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
         .select("u", "v")
+        .localCheckpoint()
     }
     val coreDeg = degrees
     require(coreDeg.filter(col("deg") < k).isEmpty,

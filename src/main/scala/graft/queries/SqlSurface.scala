@@ -1063,7 +1063,12 @@ object SqlSurface {
     * fixpoint-vs-closed-form equivalence is the semantics under
     * test. */
   def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
-    orders(spark, dir).createOrReplaceTempView("script_orders")
+    // The loop probes ONE column ~log2(domain) times; an iterative
+    // calibration at scale caches that projection once instead of
+    // re-reading the table per iteration (in-memory columnar scan per
+    // probe, parquet IO paid once).
+    val probed = orders(spark, dir).select("o_totalprice").cache()
+    probed.createOrReplaceTempView("script_orders")
     spark.sql(
       """BEGIN
         |  DECLARE thr BIGINT DEFAULT 1;
