@@ -134,6 +134,7 @@ object SparkEntry {
     "ev_asof_tolerance"    -> Analytic.asofTolerance _,
     "ev_asof_next"         -> Analytic.asofNext _,
     "ev_user_lifetime"     -> Analytic.userLifetime _,
+    "ev_survival_curve"    -> Analytic.survivalCurve _,
     "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
@@ -901,6 +902,43 @@ object SparkEntry {
         |  CAST(sum(n_events) AS BIGINT) AS total_events,
         |  min(lifetime_days) AS min_days, max(lifetime_days) AS max_days
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Kaplan–Meier replay: identical BIGINT fixed-point recursion
+    // (s ← s·(n−d) // n), so s_micro matches bit-for-bit
+    "ev_survival_curve" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(epoch_ns(ts)//1000000000//86400) AS first_day,
+        |         max(epoch_ns(ts)//1000000000//86400) AS last_day
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(last_day) AS max_day FROM u),
+        |users AS (
+        |  SELECT last_day - first_day AS tenure,
+        |         CASE WHEN last_day >= max_day - 6 THEN 1 ELSE 0 END AS censored
+        |  FROM u, h),
+        |byt AS (
+        |  SELECT tenure, count(*) AS n_end,
+        |         CAST(sum(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churn,
+        |         CAST(sum(censored) AS BIGINT) AS n_censored
+        |  FROM users GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, (SELECT max(tenure) FROM users))) AS tenure),
+        |dense AS (
+        |  SELECT s.tenure, coalesce(b.n_end, 0) AS n_end,
+        |         coalesce(b.n_churn, 0) AS n_churn,
+        |         coalesce(b.n_censored, 0) AS n_censored
+        |  FROM spine s LEFT JOIN byt b USING (tenure)),
+        |tbl AS (
+        |  SELECT tenure,
+        |    CAST(sum(n_end) OVER (ORDER BY tenure DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+        |    n_churn, n_censored
+        |  FROM dense),
+        |km AS (
+        |  SELECT CAST(-1 AS BIGINT) AS tenure_days, CAST(1000000 AS BIGINT) AS s_micro
+        |  UNION ALL
+        |  SELECT t.tenure, km.s_micro * (t.n_risk - t.n_churn) // t.n_risk
+        |  FROM km JOIN tbl t ON t.tenure = km.tenure_days + 1)
+        |SELECT t.tenure AS tenure_days, t.n_risk, t.n_churn, t.n_censored, km.s_micro
+        |FROM km JOIN tbl t ON t.tenure = km.tenure_days
+        |ORDER BY tenure_days""".stripMargin,
     // multi-char delimiter roundtrip: content identity vs the table
     "src_csv_multidelim" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,

@@ -1833,4 +1833,68 @@ object Analytic {
         col("frame_sum_d").cast("double").as("frame_sum"), col("frame_n"))
       .orderBy("o_orderkey")
   }
+
+  /** Kaplan–Meier survival curve of user lifetime — the churn
+    * analysis a subscription/engagement team actually runs, with the
+    * piece naive retention curves get WRONG: right-censoring. A user
+    * last seen inside the final 7 observation days has not churned,
+    * they are lost to follow-up, and counting them as churn biases
+    * survival down exactly where the business reads it (the KM
+    * estimator removes censored users from the risk set without
+    * charging a death). Per tenure day k: the risk set nₖ (users
+    * whose lifetime reaches k), observed churn dₖ, censored exits
+    * cₖ, and Ŝ(k) = Π_{j≤k} (nⱼ−dⱼ)/nⱼ.
+    *
+    * Engine-exactness: the product recurrence runs in INTEGER
+    * fixed-point (micro units, s ← s·(n−d) div n — the integer-
+    * PageRank discipline) inside a RECURSIVE CTE, so both engines
+    * fold the identical BIGINT recursion step by step; every output
+    * column is a BIGINT. Scale shape: the corpus collapses once to
+    * per-user (first, last) days (map-side combined); the horizon is
+    * a broadcast 1-row max; everything after lives on the tenure
+    * spine, bounded by the OBSERVATION WINDOW in days (here ≤ 31,
+    * never by users or events), where an unpartitioned suffix-sum
+    * window and a |spine|-step driver-coordinated recursion
+    * (UnionLoopExec) are free. */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val horizon = perUser.agg(max("last_day").as("max_day"))
+    val users = perUser.crossJoin(broadcast(horizon))
+      .select((col("last_day") - col("first_day")).as("tenure"),
+        when(col("last_day") >= col("max_day") - 6, 1L).otherwise(0L)
+          .as("censored"))
+    val byTenure = users.groupBy("tenure")
+      .agg(count(lit(1)).as("n_end"),
+        sum(when(col("censored") === 0L, 1L).otherwise(0L)).as("n_churn"),
+        sum("censored").as("n_censored"))
+    // dense spine 0..max(tenure): gap days still advance the
+    // recursion (factor 1); ≤ observation-window rows by construction
+    val spine = users.agg(max("tenure").as("mt"))
+      .select(explode(expr("sequence(0L, mt)")).as("tenure"))
+    val dense = spine.join(byTenure, Seq("tenure"), "left")
+      .na.fill(0L, Seq("n_end", "n_churn", "n_censored"))
+    // risk set = suffix sum of lifetime-end counts over the bounded
+    // spine (unpartitioned window over ≤ 31 rows — domain-bounded)
+    val wDesc = Window.orderBy(desc("tenure"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense.withColumn("n_risk", sum("n_end").over(wDesc))
+      .select("tenure", "n_risk", "n_churn", "n_censored")
+      .createOrReplaceTempView("km_tenure_v")
+    spark.sql(
+      """WITH RECURSIVE km AS (
+        |  SELECT CAST(-1 AS BIGINT) AS tenure_days,
+        |         CAST(1000000 AS BIGINT) AS s_micro
+        |  UNION ALL
+        |  SELECT t.tenure,
+        |         km.s_micro * (t.n_risk - t.n_churn) DIV t.n_risk
+        |  FROM km JOIN km_tenure_v t ON t.tenure = km.tenure_days + 1
+        |)
+        |SELECT t.tenure AS tenure_days, t.n_risk, t.n_churn,
+        |       t.n_censored, km.s_micro
+        |FROM km JOIN km_tenure_v t ON t.tenure = km.tenure_days
+        |ORDER BY tenure_days""".stripMargin)
+  }
 }
