@@ -245,6 +245,7 @@ object SparkEntry {
     "text_readability" -> TextAnalysis.readability _,
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_diversity"   -> TextAnalysis.diversity _,
+    "text_zipf_curve"  -> TextAnalysis.zipfCurve _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
@@ -4214,6 +4215,38 @@ object SparkEntry {
         |    / CAST(n_tokens*n_tokens AS DOUBLE) AS simpson_diversity,
         |  CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Zipf octave profile: same closed-form interval intersection on
+    // the count histogram — pure BIGINT, no per-term rank, no logs
+    "text_zipf_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |counts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |hist AS (SELECT c, count(*) AS n_c FROM counts GROUP BY c),
+        |ranked AS (
+        |  SELECT c, n_c,
+        |    coalesce(CAST(sum(n_c) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM hist),
+        |cells AS (
+        |  SELECT c, n_c, cb, o,
+        |    (CAST(1 AS BIGINT) << o) AS lo,
+        |    (CAST(1 AS BIGINT) << (o + 1)) - 1 AS hi
+        |  FROM ranked, unnest(generate_series(0, 39)) u(o)),
+        |cells2 AS (
+        |  SELECT o, c,
+        |    greatest(0, least(cb + n_c, hi) - greatest(cb + 1, lo) + 1) AS n_in
+        |  FROM cells),
+        |oct AS (
+        |  SELECT o, CAST(sum(n_in) AS BIGINT) AS n_terms,
+        |    CAST(sum(c * n_in) AS BIGINT) AS n_occ,
+        |    max(c) AS max_count, min(c) AS min_count
+        |  FROM cells2 WHERE n_in > 0 GROUP BY o)
+        |SELECT CAST(o AS BIGINT) AS octave,
+        |  (CAST(1 AS BIGINT) << o) AS rank_lo, n_terms, n_occ,
+        |  max_count, min_count,
+        |  n_occ * 1000000 // lag(n_occ) OVER (ORDER BY o) AS occ_ratio_ppm
+        |FROM oct ORDER BY octave""".stripMargin,
     "text_ngram_freq" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents

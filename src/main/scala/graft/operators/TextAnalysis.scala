@@ -1151,4 +1151,63 @@ object TextAnalysis {
           div (2 * CAST(n_tokens AS DECIMAL(38,0)) * n_total) AS BIGINT)""")
           .as("tv_ppm"))
   }
+
+  /** Zipf rank-frequency OCTAVE profile — the corpus-health fit a
+    * tokenizer/mixture decision reads: bucket the frequency-ranked
+    * vocabulary into rank octaves [2ᵒ, 2ᵒ⁺¹) and report each
+    * octave's term count and occurrence mass. Under an ideal Zipf
+    * law (exponent 1) every octave carries the SAME occurrence mass
+    * (Σ 1/k over an octave ≈ ln 2), so the octave-over-octave mass
+    * ratio (ppm) reads directly as Zipf conformance: flat ≈ 10⁶ is
+    * Zipfian, a rising tail is boilerplate/spam mass, a collapsing
+    * tail is vocabulary exhaustion.
+    *
+    * Engine-exactness AND scale in one trick: no per-term global
+    * rank is ever materialized. Terms sharing a count c occupy
+    * CONSECUTIVE ranks, so the octave aggregate is closed-form from
+    * the count HISTOGRAM (c, n_terms_at_c, ranks_before): each
+    * (count class × octave) cell contributes
+    * max(0, min(hi, cb+n) − max(lo, cb+1) + 1) terms — pure BIGINT
+    * interval intersection, no libm log anywhere (octave boundaries
+    * are bit shifts). The corpus collapses once to term counts (one
+    * map-side-combined shuffle); the histogram lives on the
+    * COMPRESSED count domain (distinct count values — the weighted-
+    * median discipline), where an unpartitioned running sum and the
+    * ≤40-row octave spine are free. */
+  def zipfCurve(spark: SparkSession, dir: String): DataFrame =
+    zipfCurveOn(documents(spark, dir)
+      .select(explode(split(expr(normTextExpr), " ")).as("w")))
+
+  /** Generic core of [[zipfCurve]] over any single-column token
+    * relation. */
+  def zipfCurveOn(tok: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy("c").agg(count(lit(1)).as("n_c"))
+    val wDesc = Window.orderBy(desc("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.withColumn("cb",
+      coalesce(sum("n_c").over(wDesc), lit(0L)))
+    val cells = ranked
+      .select(col("c"), col("n_c"), col("cb"),
+        explode(expr("sequence(0, 39)")).as("o"))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), o)"))
+      .withColumn("hi", expr("shiftleft(CAST(1 AS BIGINT), o + 1) - 1"))
+      .withColumn("n_in", greatest(lit(0L),
+        least(col("cb") + col("n_c"), col("hi")) -
+          greatest(col("cb") + lit(1L), col("lo")) + lit(1L)))
+      .filter(col("n_in") > 0)
+    val oct = cells.groupBy("o")
+      .agg(sum("n_in").as("n_terms"),
+        sum(col("c") * col("n_in")).as("n_occ"),
+        max("c").as("max_count"), min("c").as("min_count"))
+    oct // the ratio window rides the ≤40-row octave spine
+      .withColumn("occ_ratio_ppm",
+        expr("n_occ * 1000000 div lag(n_occ, 1) over (order by o)"))
+      .select(col("o").cast("bigint").as("octave"),
+        expr("shiftleft(CAST(1 AS BIGINT), o)").as("rank_lo"),
+        col("n_terms"), col("n_occ"), col("max_count"), col("min_count"),
+        col("occ_ratio_ppm"))
+      .orderBy("octave")
+  }
 }
