@@ -231,6 +231,7 @@ object SparkEntry {
     "emb_silhouette"      -> Similarity.silhouette _,
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_pca_power"       -> Similarity.pcaPower _,
+    "emb_outlier_mahal"   -> Similarity.outlierMahal _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
@@ -4769,6 +4770,31 @@ object SparkEntry {
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> nv[i]*nv[i])), (a,b) -> a+b))) AS drift_cos
         |FROM stats s JOIN cents USING (cell) JOIN ncents USING (cell)
         |ORDER BY cell""".stripMargin,
+    // diagonal Mahalanobis on the 1e9 integer grid: HUGEINT replays
+    // the DECIMAL(38,0) cross-multiplied residuals; numerator r² and
+    // vnum are nonnegative so // = Spark div
+    "emb_outlier_mahal" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |q AS (SELECT vec_id, i - 1 AS d,
+        |        CAST(floor(vd[i] * 1000000000.0) AS BIGINT) AS qx
+        |      FROM vecs, generate_series(1, 64) t(i)),
+        |s AS (SELECT d, count(*) AS n, CAST(sum(qx) AS BIGINT) AS sx,
+        |        CAST(sum(CAST(qx AS HUGEINT) * qx) AS HUGEINT) AS sxx
+        |      FROM q GROUP BY d),
+        |j AS (SELECT q.vec_id,
+        |        s.n * q.qx - s.sx AS r,
+        |        CAST(s.n AS HUGEINT) * s.sxx - CAST(s.sx AS HUGEINT) * s.sx AS vnum
+        |      FROM q JOIN s USING (d)),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN vnum > 0
+        |          THEN CAST((CAST(r AS HUGEINT) * r * 1000000) // vnum AS BIGINT)
+        |          ELSE 0 END AS zz
+        |      FROM j)
+        |SELECT vec_id, count(*) AS n_dims,
+        |  CAST(sum(zz) AS BIGINT) AS score_micro,
+        |  CAST(sum(CASE WHEN zz > 9000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_flagged,
+        |  CAST(sum(zz) AS BIGINT) > 2 * count(*) * 1000000 AS is_outlier
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // matrix-free integer power iteration: HUGEINT replays the
     // DECIMAL(38,0) sums; // on positive operands = Spark div
     "emb_pca_power" ->

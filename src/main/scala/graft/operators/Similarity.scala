@@ -981,4 +981,55 @@ object Similarity {
           expr("abs(y2) div (m2 div 1000000 + 1)")).as("dir_ppm"))
       .orderBy("d")
   }
+
+  /** Diagonal-Mahalanobis embedding outlier score — the curation
+    * gate that catches corrupt/degenerate vectors (encoder NaN-fills,
+    * truncated inputs, wrong-model rows) BEFORE they poison ANN
+    * recall or k-means training: per vector, the sum of per-dimension
+    * squared standardized residuals z²_d = (x_d − μ_d)²/σ²_d against
+    * the corpus's own per-dim moments (the full-covariance
+    * Mahalanobis needs a d×d inverse; the diagonal form is the
+    * standard first gate and is exactly computable). A clean vector
+    * scores ≈ d·10⁶ micro-units (E[z²] = 1 per dim); flagged
+    * dimensions are |z| > 3.
+    *
+    * Engine-exactness: vectors quantize to the floor(x·1e9) BIGINT
+    * grid; residuals are denominator-cleared to integers
+    * (r = n·q − Σq, var numerator V = n·Σq² − (Σq)², contribution =
+    * r²·10⁶ div V — the ev_ab_test cross-multiplication discipline),
+    * so every output is a BIGINT both engines compute identically;
+    * zero-variance dims contribute 0 by the V > 0 guard. Scale: one
+    * map-side-combined per-dim moment agg (d rows, broadcast back)
+    * and one per-vector agg — no joins wider than the corpus scan;
+    * at 100 TB row counts the BIGINT products n·q move to
+    * DECIMAL(38,0) like the A/B readout. */
+  def outlierMahal(spark: SparkSession, dir: String): DataFrame =
+    outlierMahalOn(Vectors.asDouble(embeddings(spark, dir))
+      .select(col("vec_id"), col("vd")))
+
+  /** Generic core of [[outlierMahal]] over any (vec_id, vd) relation. */
+  def outlierMahalOn(v: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = v.select(col("vec_id"), posexplode(col("vd")).as(Seq("d", "x")))
+      .withColumn("qx", floor(col("x") * lit(1e9)).cast("bigint"))
+      .select(col("vec_id"), col("d").cast("bigint").as("d"), col("qx"))
+    val stats = q.groupBy("d").agg(
+      count(lit(1)).as("n"),
+      sum("qx").as("sx"),
+      sum(col("qx").cast(dec) * col("qx")).as("sxx"))
+    q.join(broadcast(stats), "d")
+      .withColumn("r", col("n") * col("qx") - col("sx"))
+      .withColumn("vnum",
+        col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx"))
+      .withColumn("zz", when(col("vnum") > 0,
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * r * 1000000 div vnum AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        sum("zz").as("score_micro"),
+        sum(when(col("zz") > 9000000L, 1L).otherwise(0L)).as("n_dims_flagged"))
+      .withColumn("is_outlier",
+        col("score_micro") > lit(2L) * col("n_dims") * lit(1000000L))
+      .orderBy("vec_id")
+  }
 }
