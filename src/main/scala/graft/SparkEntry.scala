@@ -212,6 +212,7 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.incremental _,
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_bbit_accuracy"    -> Dedup.bbitAccuracy _,
+    "dedup_lsh_tuning"       -> Dedup.lshTuning _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
@@ -947,6 +948,66 @@ object SparkEntry {
         |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same sig/candidate chain + stricter-banding catch flags (true
+    // subsets of the 16x8 candidates), decile-bucketed retention
+    "dedup_lsh_tuning" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sigs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), post AS (
+        |  SELECT DISTINCT doc_id, unnest(hs) AS h FROM shd
+        |), nsh AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), eq AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |    len(list_filter(generate_series(0,7), b ->
+        |      len(list_filter(generate_series(1,16), i -> sa.sig[b*16+i] = sb.sig[b*16+i])) = 16)) > 0 AS caught_8x16,
+        |    len(list_filter(generate_series(0,3), b ->
+        |      len(list_filter(generate_series(1,32), i -> sa.sig[b*32+i] = sb.sig[b*32+i])) = 32)) > 0 AS caught_4x32,
+        |    len(list_filter(generate_series(0,7), b ->
+        |      len(list_filter(generate_series(1,8), i -> sa.sig[b*8+i] = sb.sig[b*8+i])) = 8)) > 0 AS caught_8x8
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.doc_a
+        |  JOIN sigs sb ON sb.doc_id = cand.doc_b
+        |), buck AS (
+        |  SELECT least(CAST(floor(CAST(pc.inter AS DOUBLE) / (na.n_sh + nb.n_sh - pc.inter) * 10) AS BIGINT), 9) AS j_decile,
+        |    eq.caught_8x16, eq.caught_4x32, eq.caught_8x8
+        |  FROM eq JOIN pc ON pc.doc_a = eq.doc_a AND pc.doc_b = eq.doc_b
+        |  JOIN nsh na ON na.doc_id = eq.doc_a
+        |  JOIN nsh nb ON nb.doc_id = eq.doc_b
+        |)
+        |SELECT j_decile, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN caught_8x16 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_8x16,
+        |  CAST(sum(CASE WHEN caught_4x32 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_4x32,
+        |  CAST(sum(CASE WHEN caught_8x8 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught_8x8
+        |FROM buck GROUP BY j_decile ORDER BY j_decile""".stripMargin,
     // same sig/candidate chain + the low-bit lane compare and the
     // 2m-1 collision-corrected estimator, clamped at 0
     "dedup_bbit_accuracy" ->

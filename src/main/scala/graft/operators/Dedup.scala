@@ -671,18 +671,55 @@ object Dedup {
     val nEq1 = (1 to 128).map(i =>
       when(element_at(col("sa"), i) % 2 === element_at(col("sb"), i) % 2, 1L)
         .otherwise(0L)).reduce(_ + _)
+    // alternative-banding catch flags (for the (b,r) tuning audit):
+    // config (b bands × r lanes) catches a pair iff SOME of its first
+    // b bands of r consecutive lanes matches end to end; only configs
+    // STRICTER than the 16×8 generator are measurable on its own
+    // candidate set (their catches are true subsets)
+    def caught(bands: Int, r: Int) = (0 until bands).map(b =>
+      (1 to r).map(i => element_at(col("sa"), b * r + i) ===
+        element_at(col("sb"), b * r + i)).reduce(_ && _)).reduce(_ || _)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .withColumn("n_eq", nEq)
       .withColumn("n_eq_1bit", nEq1)
+      .withColumn("caught_8x16", caught(8, 16))
+      .withColumn("caught_4x32", caught(4, 32))
+      .withColumn("caught_8x8", caught(8, 8))
       .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_eq"), col("n_eq_1bit"),
+        col("caught_8x16"), col("caught_4x32"), col("caught_8x8"),
         (col("n_eq").cast("double") / 128.0).as("est_jaccard"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** LSH BANDING-MIGRATION audit — the (bands × rows) tuning table a
+    * dedup deployment reads before tightening its S-curve: for every
+    * pair the SHIPPED config (16 bands × 8 lanes) surfaced, would the
+    * stricter configs have kept it — 8×16 (same 128 lanes, double-
+    * width bands), 4×32 (quad width), and 8×8 (HALF the signature
+    * storage, same band width) — bucketed by exact-Jaccard decile.
+    * Each stricter config's catches are a true subset of the shipped
+    * candidates, so per-decile retention counts are exactly
+    * measurable on the candidate set and read as the empirical
+    * 1−(1−J^r)^b S-curve shift with NO libm pow anywhere: the
+    * decile where retention collapses is where that migration starts
+    * dropping real near-dups. One conditional agg over the STAGED
+    * accuracy relation (the catch flags ride the one signature
+    * pass); all counts BIGINT. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame =
+    stagedAccuracy(spark, dir)
+      .withColumn("j_decile",
+        least(floor(col("jaccard") * 10).cast("bigint"), lit(9L)))
+      .groupBy("j_decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caught_8x16"), 1L).otherwise(0L)).as("n_caught_8x16"),
+        sum(when(col("caught_4x32"), 1L).otherwise(0L)).as("n_caught_4x32"),
+        sum(when(col("caught_8x8"), 1L).otherwise(0L)).as("n_caught_8x8"))
+      .orderBy("j_decile")
 
   /** Release-threshold tuning sweep over the LSH candidate set — the
     * operating-curve readout a dedup deployment derives its τ from:
