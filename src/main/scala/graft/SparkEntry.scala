@@ -233,6 +233,7 @@ object SparkEntry {
     "emb_quantize_int8"   -> Similarity.quantizeInt8 _,
     "emb_pca_power"       -> Similarity.pcaPower _,
     "emb_outlier_mahal"   -> Similarity.outlierMahal _,
+    "emb_mmr_rerank"      -> Similarity.mmrRerank _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
@@ -4831,6 +4832,51 @@ object SparkEntry {
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> nv[i]*nv[i])), (a,b) -> a+b))) AS drift_cos
         |FROM stats s JOIN cents USING (cell) JOIN ncents USING (cell)
         |ORDER BY cell""".stripMargin,
+    // MMR greedy unrolled pick by pick: same left-fold cosine on the
+    // 1e9 grid, integer score 7·rel − 3·max-sim, vec_id tie-break
+    "emb_mmr_rerank" ->
+      """WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |pn AS (SELECT vec_id, vd,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b)) AS nrm
+        |  FROM vecs),
+        |probe AS (SELECT vd AS pv, nrm AS pnrm FROM pn WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, vd, nrm,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*pv[i])), (a,b) -> a+b)
+        |      / (nrm * pnrm) * 1000000000.0) AS BIGINT) AS rel_q
+        |  FROM pn, probe WHERE vec_id <> 0
+        |  ORDER BY rel_q DESC, vec_id LIMIT 20),
+        |sims AS (
+        |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> a.vd[i]*b.vd[i])), (x,y) -> x+y)
+        |      / (a.nrm * b.nrm) * 1000000000.0) AS BIGINT) AS sim_q
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |p1 AS (SELECT vec_id, CAST(1 AS BIGINT) AS rank, rel_q, 7*rel_q AS score
+        |       FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT c.vec_id, CAST(2 AS BIGINT) AS rank, c.rel_q, 7*c.rel_q - 3*m.msim AS score
+        |       FROM cand c JOIN (SELECT ca, max(sim_q) AS msim FROM sims
+        |         WHERE cb IN (SELECT vec_id FROM p1) GROUP BY ca) m ON m.ca = c.vec_id
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+        |       ORDER BY score DESC, c.vec_id LIMIT 1),
+        |p3 AS (SELECT c.vec_id, CAST(3 AS BIGINT) AS rank, c.rel_q, 7*c.rel_q - 3*m.msim AS score
+        |       FROM cand c JOIN (SELECT ca, max(sim_q) AS msim FROM sims
+        |         WHERE cb IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2) GROUP BY ca) m ON m.ca = c.vec_id
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+        |       ORDER BY score DESC, c.vec_id LIMIT 1),
+        |p4 AS (SELECT c.vec_id, CAST(4 AS BIGINT) AS rank, c.rel_q, 7*c.rel_q - 3*m.msim AS score
+        |       FROM cand c JOIN (SELECT ca, max(sim_q) AS msim FROM sims
+        |         WHERE cb IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3) GROUP BY ca) m ON m.ca = c.vec_id
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+        |       ORDER BY score DESC, c.vec_id LIMIT 1),
+        |p5 AS (SELECT c.vec_id, CAST(5 AS BIGINT) AS rank, c.rel_q, 7*c.rel_q - 3*m.msim AS score
+        |       FROM cand c JOIN (SELECT ca, max(sim_q) AS msim FROM sims
+        |         WHERE cb IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4) GROUP BY ca) m ON m.ca = c.vec_id
+        |       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+        |       ORDER BY score DESC, c.vec_id LIMIT 1)
+        |SELECT rank, vec_id, rel_q, score FROM (
+        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+        |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+        |ORDER BY rank""".stripMargin,
     // diagonal Mahalanobis on the 1e9 integer grid: HUGEINT replays
     // the DECIMAL(38,0) cross-multiplied residuals; numerator r² and
     // vnum are nonnegative so // = Spark div

@@ -982,6 +982,62 @@ object Similarity {
       .orderBy("d")
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversity re-ranking — the selection pass between retrieval and
+    * consumption that pure top-k lacks: near-duplicate neighbors
+    * waste the result budget, so each pick maximizes
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) against the already-
+    * selected set (λ = 0.7). The training-data shape: picking k
+    * exemplars per cluster/query that COVER the region instead of k
+    * copies of its densest point.
+    *
+    * Engine-exactness: relevance and pairwise cosines ride the
+    * shared left-fold kernel and quantize to the floor(cos·1e9)
+    * BIGINT grid, so the greedy argmax (score = 7·rel_q − 3·max_sim_q,
+    * λ×10 integerized; vec_id tie-break) is integer-deterministic,
+    * and the oracle unrolls the identical 5 picks CTE by CTE. Scale:
+    * stage 1 is one corpus pass into TakeOrdered top-20 (never a
+    * global sort); everything after — the 20×20 sim grid and the
+    * 5-step greedy — lives on the CANDIDATE set, independent of
+    * corpus size. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val probe = broadcast(v.filter(col("vec_id") === 0)
+      .select(col("vd").as("pv"), col("vnrm").as("pnrm")))
+    val cands = v.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .withColumn("rel_q", floor(Vectors.cosinePre(col("vd"), col("pv"),
+        col("vnrm"), col("pnrm")) * lit(1e9)).cast("bigint"))
+      .orderBy(desc("rel_q"), asc("vec_id")).limit(20)
+      .select("vec_id", "vd", "vnrm", "rel_q")
+      .localCheckpoint() // candidate pool: ≤ 20 rows, many consumers
+    val sims = cands.as("a")
+      .join(broadcast(cands.select(col("vec_id").as("cb"),
+        col("vd").as("bvd"), col("vnrm").as("bnrm"))),
+        col("a.vec_id") =!= col("cb"))
+      .select(col("a.vec_id").as("ca"), col("cb"),
+        floor(Vectors.cosinePre(col("a.vd"), col("bvd"),
+          col("a.vnrm"), col("bnrm")) * lit(1e9)).cast("bigint").as("sim_q"))
+      .localCheckpoint() // ≤ 380 rows
+    val bare = cands.select("vec_id", "rel_q")
+    var selected = bare
+      .select(col("vec_id"), lit(1L).as("rank"), col("rel_q"),
+        (lit(7L) * col("rel_q")).as("score"))
+      .orderBy(desc("score"), asc("vec_id")).limit(1)
+      .localCheckpoint()
+    for (r <- 2 to 5) {
+      val maxSim = sims
+        .join(selected.select(col("vec_id").as("cb")), Seq("cb"))
+        .groupBy(col("ca").as("vec_id")).agg(max("sim_q").as("msim"))
+      val pick = bare.join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(maxSim, Seq("vec_id"))
+        .select(col("vec_id"), lit(r.toLong).as("rank"), col("rel_q"),
+          (lit(7L) * col("rel_q") - lit(3L) * col("msim")).as("score"))
+        .orderBy(desc("score"), asc("vec_id")).limit(1)
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected.select("rank", "vec_id", "rel_q", "score").orderBy("rank")
+  }
+
   /** Diagonal-Mahalanobis embedding outlier score — the curation
     * gate that catches corrupt/degenerate vectors (encoder NaN-fills,
     * truncated inputs, wrong-model rows) BEFORE they poison ANN
