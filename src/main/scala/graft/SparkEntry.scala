@@ -300,6 +300,7 @@ object SparkEntry {
     "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_image_phash"     -> Multimodal.imagePHash _,
     "mm_phash_clusters"  -> Multimodal.phashClusters _,
+    "mm_clip_filter"     -> Multimodal.clipFilter _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
@@ -5147,6 +5148,62 @@ object SparkEntry {
         |FROM by_lang CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     // §2.10 multimodal (decode stub is md5-derived, so oracle-checkable)
+    // stub CLIP encoders replayed dim by dim (md5-hex grid), cosine on
+    // the shared left fold, scores on the 1e9 grid, same partner join
+    "mm_clip_filter" ->
+      """WITH enc AS (
+        |  SELECT doc_id, source,
+        |    md5(substring(text, 1, 32)) AS sh,
+        |    md5(text) AS im,
+        |    md5('cap:' || substring(text, 1, 48)) AS tx
+        |  FROM documents),
+        |emb AS (
+        |  SELECT doc_id, source,
+        |    [(CAST('0x'||substring(sh, 1, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 5, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 9, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 13, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(im, 1, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(im, 5, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(im, 9, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(im, 13, 4) AS BIGINT) % 2001 - 1000) / 1000.0] AS img_emb,
+        |    [(CAST('0x'||substring(sh, 1, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 5, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 9, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(sh, 13, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(tx, 1, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(tx, 5, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(tx, 9, 4) AS BIGINT) % 2001 - 1000) / 1000.0,
+        |     (CAST('0x'||substring(tx, 13, 4) AS BIGINT) % 2001 - 1000) / 1000.0] AS txt_emb
+        |  FROM enc),
+        |scored AS (
+        |  SELECT source,
+        |    CAST(floor(
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> img_emb[i]*txt_emb[i])), (a,b) -> a+b)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> img_emb[i]*img_emb[i])), (a,b) -> a+b))
+        |         * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> txt_emb[i]*txt_emb[i])), (a,b) -> a+b)))
+        |      * 1000000000.0) AS BIGINT) AS clip_q
+        |  FROM emb),
+        |mis AS (
+        |  SELECT a.source,
+        |    CAST(floor(
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> a.img_emb[i]*b.txt_emb[i])), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> a.img_emb[i]*a.img_emb[i])), (x,y) -> x+y))
+        |         * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,8), i -> b.txt_emb[i]*b.txt_emb[i])), (x,y) -> x+y)))
+        |      * 1000000000.0) AS BIGINT) AS mis_q
+        |  FROM emb a JOIN emb b ON b.doc_id = a.doc_id + 1 - 2 * (a.doc_id % 2)),
+        |t AS (
+        |  SELECT source, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN clip_q >= 200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |    CAST(sum(clip_q) AS BIGINT) AS sum_clip_q
+        |  FROM scored GROUP BY source),
+        |m AS (
+        |  SELECT source, count(*) AS n_mismatch,
+        |    CAST(sum(CASE WHEN mis_q >= 200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch_keep,
+        |    CAST(sum(mis_q) AS BIGINT) AS sum_mis_q
+        |  FROM mis GROUP BY source)
+        |SELECT source, n_pairs, n_keep, sum_clip_q, n_mismatch, n_mismatch_keep, sum_mis_q
+        |FROM t JOIN m USING (source) ORDER BY source""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

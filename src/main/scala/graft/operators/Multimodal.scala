@@ -426,4 +426,63 @@ object Multimodal {
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** CLIP-score image–text pair filtering — the LAION-style curation
+    * gate that decides which (image, caption) pairs enter a
+    * multimodal training set: encode both sides, keep pairs whose
+    * embedding cosine clears a threshold, and CALIBRATE that
+    * threshold against deliberately mismatched pairs (each image
+    * scored against its arithmetic partner's caption — the standard
+    * negative-control the threshold is tuned on). Both encoders are
+    * documented STUBS (no vision/text models ship here): 8-dim
+    * md5-derived embeddings whose first 4 dims come from a SHARED
+    * content head — so true pairs align by construction (≈ 0.5
+    * cosine mass) and mismatched pairs don't, giving the threshold
+    * real separation to demonstrate. A deployment swaps the two
+    * encoder expressions for model calls; the pairing, scoring,
+    * thresholding, and per-source accounting are the real operator.
+    *
+    * Scale shape: encoders are pure projections (one corpus pass);
+    * the negative control pairs doc d with partner d XOR 1 via
+    * arithmetic (d + 1 − 2·(d mod 2)) — a plain hash self-join, no
+    * global-order window; per-source rollup is one map-side-combined
+    * agg. Engine-exact: embedding dims live on a 1/1000 grid, the
+    * cosine rides the shared left-fold kernel, and scores quantize
+    * to floor(cos·1e9) BIGINTs. */
+  def clipFilter(spark: SparkSession, dir: String): DataFrame = {
+    def dims(h: String, lo: Int) = (0 until 4).map(i => expr(
+      s"CAST(CAST(conv(substring($h, ${4 * (lo + i) + 1}, 4), 16, 10) AS BIGINT)" +
+        s" % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE)"))
+    val enc = documents(spark, dir)
+      .withColumn("shared_md5", md5(expr("substring(text, 1, 32)")))
+      .withColumn("img_md5", md5(col("text").cast("binary")))
+      .withColumn("txt_md5", md5(expr("concat('cap:', substring(text, 1, 48))")))
+      .select(col("doc_id"), col("source"),
+        array(dims("shared_md5", 0) ++ dims("img_md5", 0): _*).as("img_emb"),
+        array(dims("shared_md5", 0) ++ dims("txt_md5", 0): _*).as("txt_emb"))
+      // consumed by the true-pair score AND both sides of the
+      // mismatch join: stage the encoded relation once
+      .localCheckpoint()
+    val scored = enc.withColumn("clip_q",
+      floor(Vectors.cosine(col("img_emb"), col("txt_emb")) * lit(1e9))
+        .cast("bigint"))
+    val mis = enc.select(col("doc_id"), col("source"), col("img_emb"),
+        (col("doc_id") + 1 - lit(2) * pmod(col("doc_id"), lit(2)))
+          .as("partner_id"))
+      .join(enc.select(col("doc_id").as("partner_id"),
+        col("txt_emb").as("mis_txt")), Seq("partner_id"))
+      .withColumn("mis_q",
+        floor(Vectors.cosine(col("img_emb"), col("mis_txt")) * lit(1e9))
+          .cast("bigint"))
+    val thr = 200000000L // 0.2 cosine
+    val t = scored.groupBy("source").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("clip_q") >= thr, 1L).otherwise(0L)).as("n_keep"),
+      sum("clip_q").as("sum_clip_q"))
+    val m = mis.groupBy("source").agg(
+      count(lit(1)).as("n_mismatch"),
+      sum(when(col("mis_q") >= thr, 1L).otherwise(0L)).as("n_mismatch_keep"),
+      sum("mis_q").as("sum_mis_q"))
+    t.join(m, Seq("source")).orderBy("source")
+  }
 }
