@@ -346,6 +346,7 @@ object SparkEntry {
     "stream_session_append" -> graft.streaming.StreamQueries.sessionAppend _,
     "stream_late_drop"     -> graft.streaming.StreamQueries.lateDrop _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
+    "stream_sliding_append" -> graft.streaming.StreamQueries.slidingAppend _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
@@ -2852,6 +2853,19 @@ object SparkEntry {
         |SELECT win_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // same eviction boundary per OVERLAPPING window: each covering
+    // window emits when the floored-ms watermark passes its own end
+    "stream_sliding_append" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS us,
+        |        epoch_ns(ts)//1000000000 AS s, event_type, value FROM events),
+        |wm AS (SELECT max(us)//1000 - 7200000 AS wm_ms FROM e),
+        |x AS (SELECT event_type, value,
+        |        unnest([(s//1800)*1800 - 1800, (s//1800)*1800]) AS win_start FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x, wm GROUP BY win_start, event_type, wm_ms
+        |HAVING (win_start + 3600) * 1000 <= wm_ms
+        |ORDER BY win_start, event_type""".stripMargin,
     "stream_session_agg" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
         | w AS (SELECT *, lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_sec FROM e),

@@ -167,6 +167,27 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Append-mode sliding replay — [[tumblingAppend]]'s eviction
+    * contract for OVERLAPPING windows, completing the append family
+    * across all three window kinds: each of an event's 2 covering
+    * windows emits independently when the watermark passes ITS end,
+    * so at end-of-stream the half-open tail (the last ≥2h of window
+    * ends) is withheld per window, not per event. Same oracle
+    * boundary as tumblingAppend: window_end_ms ≤ floored-ms watermark. */
+  def slidingAppend(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts_ts", "2 hours")
+      .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+    runBounded(spark, agg, "append")
+      .select(unix_timestamp(col("win.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Streaming session windows — the readStream twin of
     * Analytic.sessionWindowAgg (native session_window, 30 min gap),
     * sharing its oracle. */
