@@ -1068,4 +1068,34 @@ class AnalyticSpec extends SparkSpec {
         g.map(_.getAs[Long]("n_events")).max, s"$t peak count")
     }
   }
+
+  test("survival curve: KM accounting identities and the exact recursion replay") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytic.survivalCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("tenure_days"))
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    // spine starts at tenure 0 with the full population at risk
+    assert(rows.head.getAs[Long]("tenure_days") == 0L)
+    assert(rows.head.getAs[Long]("n_risk") == nUsers)
+    // every user exits exactly once (churn or censoring)
+    assert(rows.map(r => r.getAs[Long]("n_churn") +
+      r.getAs[Long]("n_censored")).sum == nUsers)
+    // risk set decreases by the previous tenure's exits
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tenure_days") == a.getAs[Long]("tenure_days") + 1)
+      assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk") -
+        a.getAs[Long]("n_churn") - a.getAs[Long]("n_censored"))
+    }
+    // replay the integer fixed-point recursion exactly
+    var s = 1000000L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_risk"); val d = r.getAs[Long]("n_churn")
+      s = s * (n - d) / n
+      assert(r.getAs[Long]("s_micro") == s, s"tenure ${r.getAs[Long]("tenure_days")}")
+    }
+    // censoring must be present (otherwise KM degenerates to the CDF)
+    assert(rows.map(_.getAs[Long]("n_censored")).sum > 0)
+  }
 }

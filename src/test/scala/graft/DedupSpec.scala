@@ -548,4 +548,24 @@ class DedupSpec extends SparkSpec {
       assert(hit.isEmpty, s"$name windows over skewable key(s) $hit")
     }
   }
+
+  test("lsh tuning: stricter configs retain subsets, decile accounting closes") {
+    val rows = operators.Dedup.lshTuning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      val w16 = r.getAs[Long]("n_caught_8x16")
+      val w32 = r.getAs[Long]("n_caught_4x32")
+      val h8 = r.getAs[Long]("n_caught_8x8")
+      assert(w16 <= n && w32 <= n && h8 <= n, r.toString)
+      // a 32-lane band match contains two matching 16-lane halves,
+      // so 4x32 catches are a subset of 8x16 catches
+      assert(w32 <= w16, r.toString)
+      val d = r.getAs[Long]("j_decile")
+      assert(d >= 0 && d <= 9)
+    }
+    // every accuracy pair lands in exactly one decile bucket
+    val nAcc = operators.Dedup.minhashAccuracy(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nAcc)
+  }
 }

@@ -214,4 +214,21 @@ class MultimodalSpec extends SparkSpec {
         (if (runs.isEmpty) 0L else runs.max.toLong), s"doc $id longest")
     }
   }
+
+  test("clip filter: per-source accounting sane, planted alignment separates") {
+    val rows = operators.Multimodal.clipFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var keep, pairs, misKeep, mis = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_mismatch_keep") <= r.getAs[Long]("n_mismatch"))
+      assert(r.getAs[Long]("n_mismatch") <= r.getAs[Long]("n_pairs"))
+      keep += r.getAs[Long]("n_keep"); pairs += r.getAs[Long]("n_pairs")
+      misKeep += r.getAs[Long]("n_mismatch_keep"); mis += r.getAs[Long]("n_mismatch")
+    }
+    // the shared-head construction must separate true pairs from the
+    // mismatched negative control at the shipped threshold
+    assert(keep * mis > 2 * misKeep * pairs,
+      s"no separation: $keep/$pairs vs $misKeep/$mis")
+  }
 }

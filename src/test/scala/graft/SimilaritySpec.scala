@@ -437,4 +437,46 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("min_margin_q")) <= 2000000000L)
     }
   }
+
+  test("mahalanobis outliers: planted corrupt vector flagged, moment identity holds") {
+    import spark.implicits._
+    // 19 well-behaved vectors jittered around (1, 0, 0, 0) plus one
+    // wrong-scale vector — the classic corrupt-encoder row. A lone
+    // outlier's z² tops out at n−1 (it inflates its own σ), so n = 20
+    // puts it at ≈ 19, well past the |z| > 3 per-dim flag.
+    val clean = (1 to 19).map(i =>
+      (i.toLong, Seq(1.0 + i * 0.01, i * 0.005, -i * 0.004, 0.002 * i)))
+    val vecs = (clean :+ (20L, Seq(-3.0, 8.0, 5.0, -6.0)))
+      .toDF("vec_id", "vd")
+    val rows = operators.Similarity.outlierMahalOn(vecs).collect()
+    assert(rows.length == 20)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(20L).getAs[Boolean]("is_outlier"), byId(20L).toString)
+    assert(byId(20L).getAs[Long]("n_dims_flagged") >= 2)
+    assert(clean.forall { case (id, _) => !byId(id).getAs[Boolean]("is_outlier") })
+    // biased-variance identity: Σ_vectors z²_d = n per dim, so the
+    // total score mass ≈ n_dims · n · 1e6 (floor slack ≤ one unit/term)
+    val total = rows.map(_.getAs[Long]("score_micro")).sum
+    assert(math.abs(total - 4L * 20L * 1000000L) <= 4L * 20L, s"total $total")
+  }
+
+  test("mmr rerank: 5 distinct picks from the pool, first is the pure-relevance argmax") {
+    val rows = operators.Similarity.mmrRerank(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // rank 1 is pure relevance: it must equal brute force's top hit
+    // for probe 0 (same cosine basis, same tie-break)
+    val bf = operators.Similarity.bruteForceTopK(spark, sf).collect()
+      .filter(r => r.getAs[Long]("probe_id") == 0L && r.getAs[Long]("rank") == 1L)
+    assert(rows.head.getAs[Long]("vec_id") == bf.head.getAs[Long]("vec_id"))
+    assert(rows.head.getAs[Long]("score") == 7L * rows.head.getAs[Long]("rel_q"))
+    // later picks carry the diversity term: score = 7·rel − 3·max-sim
+    // with max-sim a quantized cosine in [−1, 1] (NEGATIVE similarity
+    // to the selected set is a bonus, so score may exceed 7·rel)
+    rows.tail.foreach { r =>
+      val dev = r.getAs[Long]("score") - 7L * r.getAs[Long]("rel_q")
+      assert(math.abs(dev) <= 3000000000L, r.toString)
+    }
+  }
 }

@@ -612,4 +612,18 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(extras) == inner, "matched outer rows must equal the inner join")
     assert(outer.size > inner.size, "no unmatched purchase below the watermark")
   }
+
+  test("append-mode sliding replay emits exactly the watermark-closed window set") {
+    import org.apache.spark.sql.functions._
+    val append = rowSet(graft.streaming.StreamQueries.slidingAppend(spark, sf))
+    val completeDf = graft.streaming.StreamQueries.slidingAgg(spark, sf)
+    val complete = rowSet(completeDf)
+    val maxUs = graft.sources.Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000")).as("us")).collect()(0).getAs[Long]("us")
+    val wmMs = maxUs / 1000 - 2 * 3600 * 1000
+    val want = rowSet(completeDf.filter((col("win_start") + 3600) * 1000 <= wmMs))
+    assert(append == want, s"append=${append.size} closed=${want.size}")
+    assert(append.nonEmpty && append.size < complete.size,
+      s"no held-back tail: ${append.size} of ${complete.size}")
+  }
 }

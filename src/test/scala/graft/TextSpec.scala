@@ -573,4 +573,32 @@ class TextSpec extends SparkSpec {
       Seq(("S", "a"), ("S", "b")).toDF("source", "w")).collect()
     assert(one.length == 1 && one.head.getAs[Long]("tv_ppm") == 0L)
   }
+
+  test("zipf octaves: planted counts land in the closed-form buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts a:8 b:4 c:2 d,e,f,g:1 → ranks 1..7
+    // octave 0 = rank 1 (8 occ), octave 1 = ranks 2-3 (6), octave 2 = ranks 4-7 (4)
+    val tok = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e", "f", "g")
+    val got = operators.TextAnalysis.zipfCurveOn(tok.toDF("w")).collect()
+      .map(r => r.getAs[Long]("octave") ->
+        (r.getAs[Long]("rank_lo"), r.getAs[Long]("n_terms"),
+          r.getAs[Long]("n_occ"))).toMap
+    assert(got == Map(0L -> (1L, 1L, 8L), 1L -> (2L, 2L, 6L),
+      2L -> (4L, 4L, 4L)), s"got $got")
+    val ratios = operators.TextAnalysis.zipfCurveOn(tok.toDF("w")).collect()
+      .sortBy(_.getAs[Long]("octave"))
+      .map(r => Option(r.getAs[java.lang.Long]("occ_ratio_ppm")))
+    assert(ratios(0).isEmpty) // first octave has no predecessor
+    assert(ratios(1).contains(java.lang.Long.valueOf(750000L))) // 6e6 div 8
+    assert(ratios(2).contains(java.lang.Long.valueOf(666666L))) // 4e6 div 6
+    // accounting identities on the corpus itself
+    val corp = operators.TextAnalysis.zipfCurve(spark, sf).collect()
+    assert(corp.map(_.getAs[Long]("n_occ")).sum ==
+      graft.sources.Tables.documents(spark, sf)
+        .select(explode(split(
+          expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")))
+        .count())
+  }
 }
