@@ -213,6 +213,7 @@ object SparkEntry {
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_bbit_accuracy"    -> Dedup.bbitAccuracy _,
     "dedup_lsh_tuning"       -> Dedup.lshTuning _,
+    "pipeline_dedup_cascade" -> Dedup.cascade _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
@@ -234,6 +235,7 @@ object SparkEntry {
     "emb_pca_power"       -> Similarity.pcaPower _,
     "emb_outlier_mahal"   -> Similarity.outlierMahal _,
     "emb_mmr_rerank"      -> Similarity.mmrRerank _,
+    "ann_rrf_fusion"      -> Similarity.rrfFusion _,
     "emb_kmeans_step"     -> Similarity.kmeansStep _,
     "emb_pq_train_step"   -> Similarity.pqTrainStep _,
     "emb_recall_at_k"     -> Similarity.recallAtK _,
@@ -249,6 +251,7 @@ object SparkEntry {
     "text_tokens"      -> TextAnalysis.tokens _,
     "text_diversity"   -> TextAnalysis.diversity _,
     "text_zipf_curve"  -> TextAnalysis.zipfCurve _,
+    "text_burstiness"  -> TextAnalysis.burstiness _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
@@ -280,6 +283,7 @@ object SparkEntry {
     "pipeline_token_budget"   -> Pipeline.tokenBudget _,
     "pipeline_source_stats"   -> Pipeline.sourceStats _,
     "pipeline_leakage_split"  -> Pipeline.leakageSplit _,
+    "pipeline_kfold"          -> Pipeline.kfold _,
     "pipeline_curriculum"     -> Pipeline.curriculum _,
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
@@ -325,6 +329,7 @@ object SparkEntry {
     "agg_mode_exact"         -> SqlSurface.modeExact _,
     "sql_semi_anti"          -> SqlSurface.semiAnti _,
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
+    "sql_qualify"            -> SqlSurface.qualifyClause _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -951,6 +956,58 @@ object SparkEntry {
         |  min(s_suppkey) AS min_key, max(s_suppkey) AS max_key,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-digest stage + the full-corpus component closure
+    // restricted to survivors (sound: an exact dup shares its
+    // keeper's shingle set, so removal never disconnects)
+    "pipeline_dedup_cascade" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM documents
+        |), k1 AS (
+        |  SELECT digest, min(doc_id) AS keep_id FROM d GROUP BY digest
+        |), surv AS (
+        |  SELECT d.doc_id FROM d JOIN k1 USING (digest) WHERE d.doc_id = k1.keep_id
+        |), docs2 AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs2
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), pairs AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+        |), cl AS (
+        |  SELECT comp.component_id, count(*) AS m
+        |  FROM comp JOIN surv ON surv.doc_id = comp.doc_id GROUP BY 1
+        |), r2 AS (
+        |  SELECT coalesce(CAST(sum(m - 1) AS BIGINT), 0) AS removed2 FROM cl
+        |), s1 AS (
+        |  SELECT count(*) AS n_in, count(DISTINCT digest) AS n_out FROM d
+        |)
+        |SELECT stage, docs_in, docs_removed, docs_out FROM (
+        |  SELECT '1_exact' AS stage, n_in AS docs_in,
+        |         n_in - n_out AS docs_removed, n_out AS docs_out FROM s1
+        |  UNION ALL
+        |  SELECT '2_neardup', n_out, removed2, n_out - removed2 FROM s1, r2
+        |) ORDER BY stage""".stripMargin,
     // same sig/candidate chain + stricter-banding catch flags (true
     // subsets of the 16x8 candidates), decile-bucketed retention
     "dedup_lsh_tuning" ->
@@ -4293,6 +4350,20 @@ object SparkEntry {
         |    / CAST(n_tokens*n_tokens AS DOUBLE) AS simpson_diversity,
         |  CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
         |FROM d ORDER BY doc_id""".stripMargin,
+    // cf/df dispersion: integer ppm cross-multiplications only
+    "text_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+        |t AS (SELECT w, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df,
+        |        max(c) AS max_in_doc
+        |      FROM dt GROUP BY w HAVING count(*) >= 10)
+        |SELECT w, cf, df, max_in_doc,
+        |  cf * 1000000 // df AS burstiness_ppm,
+        |  df * 1000000 // n_docs AS doc_share_ppm
+        |FROM t, nd ORDER BY w""".stripMargin,
     // Zipf octave profile: same closed-form interval intersection on
     // the count histogram — pure BIGINT, no per-term rank, no logs
     "text_zipf_curve" ->
@@ -4847,6 +4918,52 @@ object SparkEntry {
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> nv[i]*nv[i])), (a,b) -> a+b))) AS drift_cos
         |FROM stats s JOIN cents USING (cell) JOIN ncents USING (cell)
         |ORDER BY cell""".stripMargin,
+    // RRF fusion: the bm25 chain + the left-fold cosine chain, each
+    // ranked top-20 with doc_id tie-breaks, integer 1e6//(60+rank)
+    "ann_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |words AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM t),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words
+        |       WHERE w IN ('spark', 'table', 'scan') GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS term_score
+        |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        |bm AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN w = 'spark' THEN term_score ELSE 0.0 END)
+        |    + sum(CASE WHEN w = 'table' THEN term_score ELSE 0.0 END)
+        |    + sum(CASE WHEN w = 'scan'  THEN term_score ELSE 0.0 END) AS score
+        |  FROM sc GROUP BY doc_id),
+        |tb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
+        |       FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+        |vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+        |pn AS (SELECT vec_id, vd,
+        |  sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b)) AS nrm
+        |  FROM vecs),
+        |probe AS (SELECT vd AS pv, nrm AS pnrm FROM pn WHERE vec_id = 0),
+        |vs AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*pv[i])), (a,b) -> a+b)
+        |      / (nrm * pnrm) AS cos
+        |  FROM pn, probe WHERE vec_id <> 0),
+        |vb AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_v
+        |       FROM vs ORDER BY cos DESC, doc_id LIMIT 20),
+        |f AS (
+        |  SELECT coalesce(tb.doc_id, vb.doc_id) AS doc_id, tb.rank_b, vb.rank_v,
+        |    coalesce(1000000 // (60 + tb.rank_b), 0)
+        |      + coalesce(1000000 // (60 + vb.rank_v), 0) AS rrf_micro
+        |  FROM tb FULL OUTER JOIN vb ON tb.doc_id = vb.doc_id),
+        |top AS (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10)
+        |SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank,
+        |  doc_id, rank_b, rank_v, rrf_micro
+        |FROM top ORDER BY fused_rank""".stripMargin,
     // MMR greedy unrolled pick by pick: same left-fold cosine on the
     // 1e9 grid, integer score 7·rel − 3·max-sim, vec_id tie-break
     "emb_mmr_rerank" ->
@@ -5011,6 +5128,28 @@ object SparkEntry {
         |  CASE WHEN CAST(('0x'||substring(md5(digest),1,15)) AS BIGINT) % 100 < 90
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM t ORDER BY doc_id""".stripMargin,
+    // digest-keyed k-fold: same Hash60-on-md5 bucketing as the
+    // leakage split, integer ppm balance audit
+    "pipeline_kfold" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x'||substring(md5(md5(norm)),1,15)) AS BIGINT) % 5 AS fold
+        |  FROM d),
+        |bs AS (
+        |  SELECT fold, source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY fold, source),
+        |bf AS (SELECT fold, CAST(sum(n_docs) AS BIGINT) AS fold_docs FROM bs GROUP BY fold),
+        |tt AS (SELECT CAST(sum(fold_docs) AS BIGINT) AS tot_docs FROM bf)
+        |SELECT bs.fold, bs.source, bs.n_docs, bs.n_tokens, bf.fold_docs,
+        |  bf.fold_docs * 1000000 // tt.tot_docs AS fold_share_ppm
+        |FROM bs JOIN bf USING (fold), tt
+        |ORDER BY fold, source""".stripMargin,
     "pipeline_source_stats" ->
       """WITH t AS (
         |  SELECT source, lang,
@@ -5828,6 +5967,14 @@ object SparkEntry {
         |  c_nationkey, c_mktsegment, c_custkey, c_acctbal
         |FROM customer
         |ORDER BY c_nationkey, c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    // native QUALIFY vs the window-column + filter translation
+    "sql_qualify" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer
+        |QUALIFY rn <= 2
+        |ORDER BY c_nationkey, rn""".stripMargin,
     // native quantified comparisons vs the min/max-bound rewrite;
     // > ALL over an empty set is TRUE, > ANY FALSE
     "sql_quantified" ->

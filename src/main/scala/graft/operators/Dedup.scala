@@ -894,6 +894,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup CASCADE report — the end-to-end accounting a curation
+    * pipeline publishes with its release: how many documents each
+    * dedup stage removes, in the order production runs them (cheap
+    * exact first, then the near-dup closure over the SURVIVORS).
+    * Stage 1 keeps the minimum doc per content digest; stage 2 keeps
+    * the minimum surviving member per verified-Jaccard (τ = 0.8)
+    * connected component. The component labels come from the FULL-
+    * corpus staged closure — sound for the survivor set because an
+    * exact duplicate has its keeper's exact shingle set, so removing
+    * it never disconnects a component. One row per stage:
+    * docs_in / docs_removed / docs_out, all BIGINT.
+    *
+    * Scale: stage 1 is one digest agg; stage 2 reuses the STAGED
+    * pair-graph closure ([[stagedComponents]] — computed once per
+    * (app, sf) for all its consumers) plus two tiny aggs. */
+  def cascade(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), expr(s"md5($normTextExpr)").as("digest"))
+    val s1 = d.agg(count(lit(1)).as("docs_in"),
+        countDistinct("digest").as("docs_out"))
+      .select(lit("1_exact").as("stage"), col("docs_in"),
+        (col("docs_in") - col("docs_out")).as("docs_removed"), col("docs_out"))
+    val survivors = d.join(
+        d.groupBy("digest").agg(min("doc_id").as("keep_id")), Seq("digest"))
+      .filter(col("doc_id") === col("keep_id")).select("doc_id")
+    val removed2 = survivors
+      .join(stagedComponents(spark, dir).select("doc_id", "component_id"),
+        Seq("doc_id"))
+      .groupBy("component_id").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(col("m") - 1), lit(0L)).as("docs_removed"))
+    val s2 = s1.select(col("docs_out").as("in2")).crossJoin(broadcast(removed2))
+      .select(lit("2_neardup").as("stage"), col("in2").as("docs_in"),
+        col("docs_removed"), (col("in2") - col("docs_removed")).as("docs_out"))
+    s1.unionAll(s2).orderBy("stage")
+  }
+
   /** TRUNCATION-family detection — the crawl artifact neither exact
     * nor shingle dedup names: the SAME page captured at different
     * cutoffs (paywall folds, timeout truncation, pagination) shares

@@ -166,6 +166,39 @@ object Pipeline {
       .select("doc_id", "lang", "digest", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Deterministic K-FOLD assignment + balance audit — the
+    * cross-validation split with the two properties a training-eval
+    * loop actually requires and naive `rand()` folds lack:
+    * reproducibility (the fold is a pure function of CONTENT, so
+    * re-runs, retries, and incremental ingests agree forever) and
+    * leakage safety (keyed on the content digest, so exact
+    * duplicates land in the SAME fold and can never sit on both
+    * sides of a train/test boundary — the [[leakageSplit]]
+    * discipline extended to k folds). Per (fold, source): docs and
+    * token mass; per fold: the total share vs the uniform 200 000
+    * ppm ideal. Reading the audit: share_ppm far from 1/k means the
+    * hash is biased or duplicates concentrate; source composition
+    * shifting across folds means a stratified variant is needed.
+    * One doc-level projection + two map-side-combined aggs; all
+    * integer outputs. */
+  def kfold(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val docs = documents(spark, dir)
+      .withColumn("norm", expr(normTextExpr))
+      .select(col("doc_id"), col("source"),
+        size(split(col("norm"), " ")).cast("bigint").as("n_tokens"),
+        expr(Hash60.sql(s"md5($normTextExpr)") + s" % $K").as("fold"))
+    val bySrc = docs.groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val byFold = bySrc.groupBy("fold").agg(sum("n_docs").as("fold_docs"))
+    val tot = byFold.agg(sum("fold_docs").as("tot_docs"))
+    bySrc.join(broadcast(byFold), "fold").crossJoin(broadcast(tot))
+      .select(col("fold"), col("source"), col("n_docs"), col("n_tokens"),
+        col("fold_docs"),
+        expr("fold_docs * 1000000 div tot_docs").as("fold_share_ppm"))
+      .orderBy("fold", "source")
+  }
+
   /** Token-budget selection — the "cut the corpus to N tokens per
     * language" step between mixing and packing: docs are taken
     * greedily in arrival order (doc_id) within each language until

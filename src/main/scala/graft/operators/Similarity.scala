@@ -982,6 +982,49 @@ object Similarity {
       .orderBy("d")
   }
 
+  /** Reciprocal-Rank-Fusion HYBRID retrieval (Cormack et al. 2009 —
+    * the fusion rule behind every "BM25 + vector" hybrid search
+    * shipping today): rank the corpus lexically (BM25 over the fixed
+    * query terms) and semantically (cosine to the probe vector),
+    * then fuse the two top-20 lists by Σ 1/(60 + rank) — rank-based,
+    * so the incomparable score scales never need calibration, and a
+    * doc missing from one list simply contributes nothing (the FULL
+    * OUTER join carries single-list docs). Top-10 fused results out.
+    *
+    * Engine-exactness: contributions are INTEGER 10⁶ div (60+rank)
+    * (the ppm discipline — no float reciprocals), ranks come from
+    * identical-float score orderings with total doc_id tie-breaks.
+    * Scale: each arm is one corpus pass into TakeOrdered top-20;
+    * the fusion join and final sort live on ≤ 40 rows. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.orderBy(desc("score"), asc("doc_id")) // ≤ 20 rows
+    val textTop = TextAnalysis.bm25(spark, dir).select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id")).limit(20)
+      .withColumn("rank_b", row_number().over(wTop).cast("bigint"))
+      .select("doc_id", "rank_b")
+    val v = vecs(spark, dir)
+    val probe = broadcast(v.filter(col("vec_id") === 0)
+      .select(col("vd").as("pv"), col("vnrm").as("pnrm")))
+    val wVec = Window.orderBy(desc("cos"), asc("doc_id")) // ≤ 20 rows
+    val vecTop = v.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .select(col("vec_id").as("doc_id"),
+        Vectors.cosinePre(col("vd"), col("pv"), col("vnrm"), col("pnrm"))
+          .as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(20)
+      .withColumn("rank_v", row_number().over(wVec).cast("bigint"))
+      .select("doc_id", "rank_v")
+    textTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_v)"), lit(0L)))
+      .orderBy(desc("rrf_micro"), asc("doc_id")).limit(10)
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(desc("rrf_micro"), asc("doc_id"))).cast("bigint"))
+      .select("fused_rank", "doc_id", "rank_b", "rank_v", "rrf_micro")
+      .orderBy("fused_rank")
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversity re-ranking — the selection pass between retrieval and
     * consumption that pure top-k lacks: near-duplicate neighbors

@@ -1152,6 +1152,40 @@ object TextAnalysis {
           .as("tv_ppm"))
   }
 
+  /** Term BURSTINESS / dispersion table (Church & Gale's cf-vs-df
+    * observation) — the signal that separates TOPICAL terms from
+    * FUNCTION words at equal corpus frequency: a function word
+    * spreads thinly over many documents (cf ≈ df), a topical or
+    * boilerplate term concentrates its occurrences in few documents
+    * (cf ≫ df, "bursty"). Per term over the df ≥ 10 vocabulary:
+    * collection frequency, document frequency, burstiness =
+    * cf·10⁶ div df (mean occurrences per CONTAINING doc, ppm), the
+    * single-doc concentration max, and the doc-mass share. Stopword
+    * discovery reads the low-burstiness end; boilerplate/template
+    * detection reads the high end.
+    *
+    * Scale: one explode → (doc, term) count agg (map-side combined)
+    * → one term-level agg; integer outputs throughout (the ppm
+    * cross-multiplication discipline — no float division anywhere). */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOn(documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("w")))
+
+  /** Generic core of [[burstiness]] over any (doc_id, w) token
+    * relation; emits terms with df ≥ 10. */
+  def burstinessOn(tok: DataFrame): DataFrame = {
+    val dt = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val nDocs = broadcast(dt.agg(countDistinct("doc_id").as("n_docs")))
+    dt.groupBy("w")
+      .agg(sum("c").as("cf"), count(lit(1)).as("df"), max("c").as("max_in_doc"))
+      .filter(col("df") >= 10)
+      .crossJoin(nDocs)
+      .select(col("w"), col("cf"), col("df"), col("max_in_doc"),
+        expr("cf * 1000000 div df").as("burstiness_ppm"),
+        expr("df * 1000000 div n_docs").as("doc_share_ppm"))
+      .orderBy("w")
+  }
+
   /** Zipf rank-frequency OCTAVE profile — the corpus-health fit a
     * tokenizer/mixture decision reads: bucket the frequency-ranked
     * vocabulary into rank octaves [2ᵒ, 2ᵒ⁺¹) and report each

@@ -1093,6 +1093,24 @@ object SqlSurface {
     * DESC, custkey ASC — total, so both engines pick the identical
     * row), filtered to rank 1. Scale: one shuffle on the group keys,
     * window partitions bounded by group size, no join. */
+  /** QUALIFY clause — the Snowflake/BigQuery/DuckDB post-window
+    * filter (SQL's missing fourth filter stage: WHERE → GROUP →
+    * HAVING → QUALIFY). Spark has no QUALIFY syntax, so this row IS
+    * the translation: compute the window function as a column and
+    * filter on it — Catalyst plans the identical
+    * Window → Filter the native clause compiles to, so the port
+    * costs nothing at scale. Top-2 customers per nation by balance
+    * (total tie-break), against the ORACLE'S NATIVE QUALIFY syntax. */
+  def qualifyClause(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    customer(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 2)
+      .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+      .orderBy("c_nationkey", "rn")
+  }
+
   def distinctOn(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey", "c_mktsegment")
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
