@@ -214,6 +214,7 @@ object SparkEntry {
     "dedup_bbit_accuracy"    -> Dedup.bbitAccuracy _,
     "dedup_lsh_tuning"       -> Dedup.lshTuning _,
     "pipeline_dedup_cascade" -> Dedup.cascade _,
+    "dedup_prefix_filter"    -> Dedup.prefixFilter _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
     "dedup_repeated_spans"   -> Dedup.repeatedSpans _,
@@ -400,7 +401,10 @@ object SparkEntry {
       ("mm_phash_clusters" -> PhashOracle.clustersSql) +
       // the native band join is a physical strategy change over the
       // bucketed form — identical answer, one shared oracle
-      ("ev_range_native" -> m("ev_range_join"))
+      ("ev_range_native" -> m("ev_range_join")) +
+      // prefix filtering is EXACT (no false negatives): its pair set
+      // IS the full posting-join enumeration — one shared oracle
+      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard"))
   }
 
   /** DuckDB replay of the integer-DCT pHash (operators/Multimodal

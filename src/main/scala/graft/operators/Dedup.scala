@@ -327,6 +327,51 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** PREFIX-FILTERING exact near-dup join (AllPairs/PPJoin, Bayardo
+    * et al. 2007 / Xiao et al. 2008) — the other industrial-strength
+    * candidate generator, with the property MinHash-LSH gives up:
+    * NO FALSE NEGATIVES. Order every doc's shingles by global
+    * rarity (df asc, hash tie-break — one global order in both
+    * engines); two sets with Jaccard ≥ τ MUST share a token inside
+    * their first n − ⌈τ·n⌉ + 1 rarest tokens (the prefix-filter
+    * theorem), so joining on PREFIX tokens only finds every
+    * qualifying pair while skipping the boilerplate-token pair mass
+    * (rare-first ordering puts the high-fanout tokens outside the
+    * prefix). For τ = 0.8 the prefix is n div 5 + 1 — pure integer.
+    * Verification replays exact Jaccard on the candidates' full
+    * postings. The OUTPUT CONTRACT is the point: identical pair set
+    * to [[ngramJaccard]]'s full posting-join enumeration (same
+    * oracle SQL; DedupSpec asserts set equality), at a candidate
+    * mass bounded by prefix collisions instead of all shingle
+    * collisions.
+    *
+    * Scale: df is a map-side-combined hash agg joined back; the
+    * prefix rank windows per doc (bounded by doc length); the
+    * candidate join touches prefix postings only; verify touches
+    * candidate docs only — the LSH discipline with an exactness
+    * guarantee. */
+  def prefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    val post = shinglePostings(spark, dir) // staged (doc_id, h, n_sh)
+    val dfreq = post.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("h"))
+    val pref = post.join(dfreq, Seq("h"))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= expr("n_sh div 5 + 1"))
+      .select("doc_id", "h")
+    val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    cand.join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|, |B|).
     *
     * Jaccard misses the asymmetric duplicate a crawl actually

@@ -568,4 +568,15 @@ class DedupSpec extends SparkSpec {
     val nAcc = operators.Dedup.minhashAccuracy(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == nAcc)
   }
+
+  test("prefix filter: exact pair-set equality with the posting join, smaller candidate mass") {
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val viaPrefix = pairSet(operators.Dedup.prefixFilter(spark, sf))
+    val viaPosting = pairSet(operators.Dedup.ngramJaccard(spark, sf))
+    assert(viaPrefix == viaPosting,
+      s"prefix filtering must be exact: ${viaPrefix.size} vs ${viaPosting.size}")
+    assert(viaPrefix.nonEmpty)
+  }
 }
