@@ -135,6 +135,7 @@ object SparkEntry {
     "ev_asof_next"         -> Analytic.asofNext _,
     "ev_user_lifetime"     -> Analytic.userLifetime _,
     "ev_survival_curve"    -> Analytic.survivalCurve _,
+    "ev_attribution_removal" -> Analytic.attributionRemoval _,
     "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
@@ -404,7 +405,53 @@ object SparkEntry {
       ("ev_range_native" -> m("ev_range_join")) +
       // prefix filtering is EXACT (no false negatives): its pair set
       // IS the full posting-join enumeration — one shared oracle
-      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard"))
+      ("dedup_prefix_filter" -> m("dedup_ngram_jaccard")) +
+      // generated: 8 unrolled value-iteration rounds per scenario
+      ("ev_attribution_removal" -> AttribOracle.sql)
+  }
+
+  /** DuckDB replay of the Markov removal-effect attribution: the same
+    * journey truncation + transition counts, then the 8-round integer
+    * value iteration unrolled CTE by CTE (aggregates are not allowed
+    * in a recursive member, so the rounds are generated). */
+  private object AttribOracle {
+    val sql: String = {
+      val rounds = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""v$k AS (
+           |  SELECT st.scenario, st.s AS state,
+           |    CAST(sum(st.n * v.p) AS BIGINT) // max(st.n_from) AS p
+           |  FROM st JOIN $prev v ON v.scenario = st.scenario AND v.state = st.t
+           |  GROUP BY st.scenario, st.s
+           |  UNION ALL SELECT scenario, 'purchase' AS state, CAST(1000000 AS BIGINT) AS p FROM sc)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+         |fp AS (SELECT user_id, ts_sec AS fts, event_id AS feid FROM (
+         |  SELECT user_id, ts_sec, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS rn
+         |  FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+         |j AS (SELECT e.user_id, e.event_id, e.event_type, e.ts_sec, fp.fts
+         |      FROM ev e LEFT JOIN fp USING (user_id)
+         |      WHERE fp.fts IS NULL OR (e.ts_sec, e.event_id) <= (fp.fts, fp.feid)),
+         |t1 AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id), '_start') AS s,
+         |       event_type AS t FROM j),
+         |endt AS (SELECT event_type AS s, '_null' AS t FROM (
+         |  SELECT event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |  FROM j WHERE fts IS NULL) WHERE rn = 1),
+         |trans AS (SELECT s, t, count(*) AS n FROM (SELECT * FROM t1 UNION ALL SELECT * FROM endt) GROUP BY s, t),
+         |nf AS (SELECT s, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY s),
+         |ch AS (SELECT DISTINCT t AS ch FROM trans WHERE t <> 'purchase' AND t <> '_null'),
+         |sc AS (SELECT ch AS scenario FROM ch UNION ALL SELECT '_none'),
+         |st AS MATERIALIZED (SELECT trans.s, trans.t, trans.n, nf.n_from, sc.scenario
+         |      FROM trans JOIN nf USING (s) CROSS JOIN sc WHERE trans.t <> sc.scenario),
+         |v0 AS (SELECT scenario, 'purchase' AS state, CAST(1000000 AS BIGINT) AS p FROM sc),
+         |$rounds,
+         |s8 AS (SELECT scenario, p FROM v8 WHERE state = '_start'),
+         |b AS (SELECT p AS p_base FROM s8 WHERE scenario = '_none')
+         |SELECT scenario AS channel, p_base AS p_base_micro, p AS p_removed_micro,
+         |  (p_base - p) * 1000000 // p_base AS removal_ppm
+         |FROM s8, b WHERE scenario <> '_none' ORDER BY channel""".stripMargin
+    }
   }
 
   /** DuckDB replay of the integer-DCT pHash (operators/Multimodal

@@ -1575,6 +1575,89 @@ object Analytic {
       .orderBy("state")
   }
 
+  /** MARKOV REMOVAL-EFFECT attribution (the Anderl et al. /
+    * marketing-science standard behind "data-driven attribution"):
+    * model journeys as a first-order chain over event types with
+    * START and two absorbing ends (first purchase = conversion,
+    * journey end without purchase = null), and credit each channel
+    * by its REMOVAL EFFECT — how much the START→conversion
+    * probability drops when every transition into that channel is
+    * severed (the severed mass fails, it does not re-route). Unlike
+    * last-touch/linear/position rules ([[multitouch]]), the removal
+    * effect prices a channel's position in the whole graph.
+    *
+    * The 100 TB trick: ALL counterfactuals run in ONE pipeline — the
+    * tiny transition matrix crosses with a `scenario` dimension
+    * ('_none' + one per removable channel), and the bounded value
+    * iteration (8 rounds of p(s) ← Σ_t n(s,t)·p(t) div n_from, the
+    * 8-step conversion probability in integer micro units) iterates
+    * the (scenario × state × state) relation — ~10² rows regardless
+    * of corpus size, one join + agg per round. The corpus itself is
+    * touched exactly twice (journey truncation + transition counts,
+    * both map-side combinable). Oracle unrolls the identical 8
+    * rounds CTE by CTE. */
+  def attributionRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec.as("ts_sec"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wSeq))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_sec").as("fts"),
+        col("event_id").as("feid"))
+    // truncate each journey at its FIRST purchase (inclusive)
+    val j = ev.join(firstP, Seq("user_id"), "left")
+      .filter(col("fts").isNull ||
+        struct(col("ts_sec"), col("event_id")) <=
+          struct(col("fts"), col("feid")))
+      .localCheckpoint() // consumers: transitions + terminal rows
+    val t1 = j.withColumn("prev", lag("event_type", 1).over(wSeq))
+      .select(coalesce(col("prev"), lit("_start")).as("s"),
+        col("event_type").as("t"))
+    // non-converting journeys end in the absorbing null state
+    val endT = j.filter(col("fts").isNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("ts_sec"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("s"), lit("_null").as("t"))
+    val trans = t1.unionAll(endT).groupBy("s", "t").agg(count(lit(1)).as("n"))
+    val nFrom = trans.groupBy("s").agg(sum("n").as("n_from"))
+    val channels = trans.select(col("t").as("ch")).distinct()
+      .filter(col("ch") =!= "purchase" && col("ch") =!= "_null")
+    val scenarios = channels.select(col("ch").as("scenario"))
+      .unionAll(channels.sparkSession.range(1)
+        .select(lit("_none").as("scenario")))
+    val st = trans.join(nFrom, "s").crossJoin(broadcast(scenarios))
+      .filter(col("t") =!= col("scenario")) // sever transitions INTO the removed channel
+      .localCheckpoint() // 8 iteration consumers
+    val absorbing = scenarios
+      .select(col("scenario"), lit("purchase").as("state"),
+        lit(1000000L).as("p"))
+      .localCheckpoint()
+    var v = absorbing
+    for (_ <- 1 to 8) {
+      v = st.join(v, col("t") === col("state") &&
+          st("scenario") === v("scenario"))
+        .groupBy(st("scenario").as("sc"), col("s"))
+        .agg(sum(col("n") * col("p")).as("num"), max("n_from").as("nf"))
+        .select(col("sc").as("scenario"), col("s").as("state"),
+          expr("num div nf").as("p"))
+        .unionAll(absorbing)
+        .localCheckpoint()
+    }
+    val start = v.filter(col("state") === "_start")
+      .select(col("scenario"), col("p"))
+    val base = broadcast(start.filter(col("scenario") === "_none")
+      .select(col("p").as("p_base_micro")))
+    start.filter(col("scenario") =!= "_none").crossJoin(base)
+      .select(col("scenario").as("channel"), col("p_base_micro"),
+        col("p").as("p_removed_micro"),
+        expr("(p_base_micro - p) * 1000000 div p_base_micro")
+          .as("removal_ppm"))
+      .orderBy("channel")
+  }
+
   /** Multi-window SLO BURN-RATE alerting (the Google SRE workbook's
     * paging rule): page only when BOTH the fast window (one 5-min
     * bucket) and the slow window (trailing 1 h = 12 buckets) burn
