@@ -1587,15 +1587,15 @@ object Analytic {
     * effect prices a channel's position in the whole graph.
     *
     * The 100 TB trick: ALL counterfactuals run in ONE pipeline — the
-    * tiny transition matrix crosses with a `scenario` dimension
-    * ('_none' + one per removable channel), and the bounded value
+    * transition matrix is DOMAIN-bounded (|event types|² + ends), so
+    * it collapses to one row and every scenario's bounded value
     * iteration (8 rounds of p(s) ← Σ_t n(s,t)·p(t) div n_from, the
-    * 8-step conversion probability in integer micro units) iterates
-    * the (scenario × state × state) relation — ~10² rows regardless
-    * of corpus size, one join + agg per round. The corpus itself is
-    * touched exactly twice (journey truncation + transition counts,
-    * both map-side combinable). Oracle unrolls the identical 8
-    * rounds CTE by CTE. */
+    * 8-step conversion probability in integer micro units) runs
+    * inside a single aggregate()/transform() projection — the KM-fold
+    * discipline; the severed channel is one predicate in the lambda.
+    * The corpus itself is touched exactly twice (journey truncation +
+    * transition counts, both map-side combinable). Oracle unrolls the
+    * identical 8 rounds CTE by CTE. */
   def attributionRemoval(spark: SparkSession, dir: String): DataFrame = {
     val wSeq = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     val ev = events(spark, dir)
@@ -1623,31 +1623,38 @@ object Analytic {
       .select(col("event_type").as("s"), lit("_null").as("t"))
     val trans = t1.unionAll(endT).groupBy("s", "t").agg(count(lit(1)).as("n"))
     val nFrom = trans.groupBy("s").agg(sum("n").as("n_from"))
-    val channels = trans.select(col("t").as("ch")).distinct()
-      .filter(col("ch") =!= "purchase" && col("ch") =!= "_null")
-    val scenarios = channels.select(col("ch").as("scenario"))
-      .unionAll(channels.sparkSession.range(1)
-        .select(lit("_none").as("scenario")))
-    val st = trans.join(nFrom, "s").crossJoin(broadcast(scenarios))
-      .filter(col("t") =!= col("scenario")) // sever transitions INTO the removed channel
-      .localCheckpoint() // 8 iteration consumers
-    val absorbing = scenarios
-      .select(col("scenario"), lit("purchase").as("state"),
-        lit(1000000L).as("p"))
-      .localCheckpoint()
-    var v = absorbing
-    for (_ <- 1 to 8) {
-      v = st.join(v, col("t") === col("state") &&
-          st("scenario") === v("scenario"))
-        .groupBy(st("scenario").as("sc"), col("s"))
-        .agg(sum(col("n") * col("p")).as("num"), max("n_from").as("nf"))
-        .select(col("sc").as("scenario"), col("s").as("state"),
-          expr("num div nf").as("p"))
-        .unionAll(absorbing)
-        .localCheckpoint()
-    }
-    val start = v.filter(col("state") === "_start")
-      .select(col("scenario"), col("p"))
+    // The transition matrix is DOMAIN-bounded (|types|² + ends), so
+    // like the KM fold the whole value iteration — every scenario's 8
+    // rounds — runs inside ONE projection over the collapsed one-row
+    // matrix instead of 8 checkpointed join rounds (~16 jobs of pure
+    // scheduling at this relation size).
+    val start = trans.join(nFrom, "s")
+      .agg(
+        array_sort(collect_list(struct(col("s"), col("t"), col("n"),
+          col("n_from")))).as("trip"),
+        array_sort(collect_set(col("s"))).as("sts"),
+        expr("""array_sort(filter(collect_set(
+          CASE WHEN t <> 'purchase' AND t <> '_null' THEN t END),
+          x -> x IS NOT NULL))""").as("chs"))
+      .select(explode(expr(
+        """transform(concat(chs, array('_none')), c -> struct(
+          |  c AS scenario,
+          |  aggregate(sequence(1, 8),
+          |    transform(sts, x -> CAST(0 AS BIGINT)),
+          |    (p, it) -> transform(sts, (x, xi) ->
+          |      aggregate(trip, CAST(0 AS BIGINT), (a, e) ->
+          |        a + CASE WHEN e.s = x AND e.t <> c THEN
+          |          e.n * (CASE WHEN e.t = 'purchase' THEN CAST(1000000 AS BIGINT)
+          |                      WHEN array_position(sts, e.t) > 0 THEN
+          |                        element_at(p, CAST(array_position(sts, e.t) AS INT))
+          |                      ELSE CAST(0 AS BIGINT) END)
+          |          ELSE CAST(0 AS BIGINT) END)
+          |      div aggregate(trip, CAST(1 AS BIGINT), (a, e) ->
+          |            CASE WHEN e.s = x THEN e.n_from ELSE a END)),
+          |    p -> element_at(p, CAST(array_position(sts, '_start') AS INT)))
+          |    AS p))""".stripMargin)).as("r"))
+      .select(col("r.scenario").as("scenario"), col("r.p").as("p"))
+      .localCheckpoint() // two consumers: base row + channel rows
     val base = broadcast(start.filter(col("scenario") === "_none")
       .select(col("p").as("p_base_micro")))
     start.filter(col("scenario") =!= "_none").crossJoin(base)
