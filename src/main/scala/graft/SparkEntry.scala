@@ -332,6 +332,7 @@ object SparkEntry {
     "sql_semi_anti"          -> SqlSurface.semiAnti _,
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
     "sql_qualify"            -> SqlSurface.qualifyClause _,
+    "agg_kmv_setops"         -> SqlSurface.kmvSetops _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6018,6 +6019,45 @@ object SparkEntry {
         |  c_nationkey, c_mktsegment, c_custkey, c_acctbal
         |FROM customer
         |ORDER BY c_nationkey, c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    // KMV set-operation estimates: same Hash60 minima, integer
+    // estimators (HUGEINT replays the DECIMAL numerator)
+    "agg_kmv_setops" ->
+      """WITH ud AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+        |hh AS (SELECT t, user_id,
+        |  CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h FROM ud),
+        |sk AS (SELECT t, h FROM (
+        |  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk FROM hh)
+        |  WHERE rk <= 64),
+        |ex AS (SELECT t, count(*) AS n_exact FROM ud GROUP BY t),
+        |tp AS (SELECT a.t AS ta, a.n_exact AS exact_a, b.t AS tb, b.n_exact AS exact_b
+        |       FROM ex a JOIN ex b ON a.t < b.t),
+        |ei AS (SELECT a.t AS ta, b.t AS tb, count(*) AS exact_inter
+        |       FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.t < b.t GROUP BY 1, 2),
+        |uh AS (SELECT DISTINCT ta, tb, h FROM (
+        |  SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.ta
+        |  UNION ALL SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.tb)),
+        |mg0 AS (SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk FROM uh),
+        |mg AS (SELECT m.ta, m.tb, m.h,
+        |    CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM mg0 m LEFT JOIN sk sa ON sa.t = m.ta AND sa.h = m.h
+        |             LEFT JOIN sk sb ON sb.t = m.tb AND sb.h = m.h
+        |  WHERE m.rk <= 64),
+        |est AS (SELECT ta, tb, count(*) AS n_m, max(h) AS theta,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+        |  FROM mg GROUP BY 1, 2),
+        |est2 AS (SELECT ta, tb, n_m, m_both,
+        |    CASE WHEN n_m < 64 THEN n_m
+        |         ELSE CAST((CAST(63 AS HUGEINT) * 1152921504606846976) // theta AS BIGINT) END AS kmv_union_est
+        |  FROM est),
+        |est3 AS (SELECT ta, tb, kmv_union_est,
+        |    CASE WHEN n_m < 64 THEN m_both ELSE m_both * kmv_union_est // 64 END AS kmv_inter_est
+        |  FROM est2)
+        |SELECT tp.ta, tp.tb, exact_a, exact_b,
+        |  exact_a + exact_b - coalesce(exact_inter, 0) AS exact_union,
+        |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
+        |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
+        |ORDER BY ta, tb""".stripMargin,
     // native QUALIFY vs the window-column + filter translation
     "sql_qualify" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

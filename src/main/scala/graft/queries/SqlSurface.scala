@@ -1156,4 +1156,73 @@ object SqlSurface {
       .withColumn("gt_any", col("__mn").isNotNull && col(valCol) > col("__mn"))
       .drop("__qk", "__mx", "__mn")
   }
+
+  /** KMV (k-minimum-values / theta-sketch family) SET-OPERATION
+    * estimates — the sketch capability HLL cannot provide: distinct
+    * UNION and INTERSECTION cardinalities of audience sets from
+    * fixed-size sketches (Beyer et al. 2007; the Theta sketch is its
+    * productionization). Per event-type pair: the exact audience
+    * sizes/union/intersection next to the k = 64 KMV estimates —
+    * est_union = (k−1)·2⁶⁰ div θ (θ = the k-th smallest hash of the
+    * merged sketch), est_inter = m·est_union div k with m = merged
+    * minima present in BOTH sketches; an under-full merged sketch IS
+    * the exact hash set, so both estimates collapse to exact.
+    *
+    * Engine-exactness: hashes are Hash60 (md5-derived, shared), all
+    * estimator arithmetic is integer (DECIMAL(38,0) for the
+    * 63·2⁶⁰ numerator). Scale: the per-type k-minima ride the native
+    * bounded-heap TopKPerKey (never a per-type sort or collect);
+    * everything pairwise lives on the ≤ |types|·k sketch rows; the
+    * one corpus-scale join (exact intersection ground truth) fans
+    * out ≤ C(|types|,2) rows per user. */
+  def kmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val ud = events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id")).distinct()
+      .withColumn("h", expr(graft.operators.Hash60.sql("CAST(user_id AS STRING)")))
+      .localCheckpoint() // consumers: sketches + exact sizes + exact inter
+    val sk = graft.plans.TopK.perKey(ud, Seq("t"), Seq(("h", true)), K)
+      .select("t", "h")
+      .localCheckpoint() // ≤ |types|·k rows
+    val exact = ud.groupBy("t").agg(count(lit(1)).as("n_exact"))
+    val tpairs = exact.select(col("t").as("ta"), col("n_exact").as("exact_a"))
+      .join(exact.select(col("t").as("tb"), col("n_exact").as("exact_b")),
+        col("ta") < col("tb"))
+    val exInter = ud.as("a").join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // merged sketch per pair: k smallest of the union of both
+    // sketches' hashes (windows bounded by 2k rows per pair)
+    val skA = sk.select(col("t").as("ta"), col("h"))
+    val skB = sk.select(col("t").as("tb"), col("h"))
+    val unionH = tpairs.select("ta", "tb").join(skA, "ta")
+      .select(col("ta"), col("tb"), col("h"))
+      .unionAll(tpairs.select("ta", "tb").join(skB, "tb")
+        .select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val wPair = Window.partitionBy("ta", "tb").orderBy("h")
+    val merged = unionH.withColumn("rk", row_number().over(wPair))
+      .filter(col("rk") <= K)
+      .join(skA.withColumn("in_a", lit(1L)), Seq("ta", "h"), "left")
+      .join(skB.withColumn("in_b", lit(1L)), Seq("tb", "h"), "left")
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_m"), max("h").as("theta"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("m_both"))
+      .withColumn("kmv_union_est", when(col("n_m") < K, col("n_m"))
+        .otherwise(expr(s"CAST(CAST(${K - 1} AS DECIMAL(38,0)) * " +
+          "1152921504606846976 div theta AS BIGINT)")))
+      .withColumn("kmv_inter_est", when(col("n_m") < K, col("m_both"))
+        .otherwise(expr(s"m_both * kmv_union_est div $K")))
+    tpairs.join(exInter, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .join(merged.select("ta", "tb", "kmv_union_est", "kmv_inter_est"),
+        Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("exact_a"), col("exact_b"),
+        (col("exact_a") + col("exact_b") - col("exact_inter"))
+          .as("exact_union"),
+        col("exact_inter"), col("kmv_union_est"), col("kmv_inter_est"))
+      .orderBy("ta", "tb")
+  }
 }
