@@ -333,6 +333,7 @@ object SparkEntry {
     "sql_distinct_on"        -> SqlSurface.distinctOn _,
     "sql_qualify"            -> SqlSurface.qualifyClause _,
     "agg_kmv_setops"         -> SqlSurface.kmvSetops _,
+    "sql_star_except"        -> SqlSurface.starExcept _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6058,6 +6059,10 @@ object SparkEntry {
         |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
         |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
         |ORDER BY ta, tb""".stripMargin,
+    // Spark's native EXCEPT select-list vs DuckDB's native EXCLUDE
+    "sql_star_except" ->
+      """SELECT * EXCLUDE (c_name, c_mktsegment)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // native QUALIFY vs the window-column + filter translation
     "sql_qualify" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

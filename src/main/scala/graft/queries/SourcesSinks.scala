@@ -850,7 +850,12 @@ object SourcesSinks {
             r.getString(1).getBytes("UTF-8"))
         }
       }
-    spark.read.format("binaryFile").load(s"$path/*.txt")
+    // resolve the DIRECTORY with a glob filter option, not a glob in
+    // the path: path-glob resolution stats the literal pattern first
+    // and was observed to flake under load; the directory form stats
+    // a path that provably exists
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(path)
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("bigint").as("doc_id"),
         col("length").as("n_bytes"),

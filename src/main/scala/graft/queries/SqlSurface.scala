@@ -1157,6 +1157,21 @@ object SqlSurface {
       .drop("__qk", "__mx", "__mn")
   }
 
+  /** `SELECT * EXCEPT(...)` — the wide-table projection dialect
+    * (Databricks/BigQuery EXCEPT, DuckDB EXCLUDE): project everything
+    * BUT the named columns, the only sane way to write "all 500
+    * feature columns minus the 2 internal ones". Spark 4 parses
+    * EXCEPT natively in the select list; the oracle runs its own
+    * native EXCLUDE spelling — a cross-dialect pin that the
+    * column-set semantics agree. Pruning still reaches the scan: the
+    * unprojected columns never leave the reader. */
+  def starExcept(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("cust_sx_v")
+    spark.sql(
+      """SELECT * EXCEPT (c_name, c_mktsegment)
+        |FROM cust_sx_v ORDER BY c_custkey""".stripMargin)
+  }
+
   /** KMV (k-minimum-values / theta-sketch family) SET-OPERATION
     * estimates — the sketch capability HLL cannot provide: distinct
     * UNION and INTERSECTION cardinalities of audience sets from

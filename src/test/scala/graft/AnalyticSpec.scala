@@ -1098,4 +1098,23 @@ class AnalyticSpec extends SparkSpec {
     // censoring must be present (otherwise KM degenerates to the CDF)
     assert(rows.map(_.getAs[Long]("n_censored")).sum > 0)
   }
+
+  test("attribution removal: probabilities bounded, severing only hurts") {
+    val rows = queries.Analytic.attributionRemoval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val base = r.getAs[Long]("p_base_micro")
+      val rem = r.getAs[Long]("p_removed_micro")
+      val ppm = r.getAs[Long]("removal_ppm")
+      assert(base > 0 && base <= 1000000L)
+      // severing a channel can only remove conversion probability
+      assert(rem >= 0 && rem <= base, r.toString)
+      assert(ppm == (base - rem) * 1000000L / base, r.toString)
+    }
+    // one row per non-purchase event type
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).filter(_ != "purchase").toSet
+    assert(rows.map(_.getAs[String]("channel")).toSet == types)
+  }
 }

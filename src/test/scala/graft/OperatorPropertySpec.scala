@@ -123,4 +123,39 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got == want, s"k=$k n=$n")
     }
   }
+
+  for (seed <- Seq(11, 12)) {
+    test(s"mahalanobis score is translation-invariant per dimension (seed $seed)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      // values on the 1/1024 dyadic grid: adding a dyadic shift is
+      // then EXACT in doubles, so each quantized qx moves by an exact
+      // integer constant and the integer residuals are untouched
+      val base = (1 to n).map(i =>
+        (i.toLong, Seq.fill(4)((rnd.nextInt(410) - 205) / 1024.0)))
+      val shift = Seq(0.25, -0.125, 0.5, 0.0625)
+      val shifted = base.map { case (id, v) =>
+        (id, v.zip(shift).map { case (x, c) => x + c }) }
+      def scores(rows: Seq[(Long, Seq[Double])]) =
+        operators.Similarity.outlierMahalOn(rows.toDF("vec_id", "vd"))
+          .collect().map(r => r.getAs[Long]("vec_id") ->
+            r.getAs[Long]("score_micro")).toMap
+      val a = scores(base); val b = scores(shifted)
+      // dyadic shifts move each quantized qx by an exact constant, so
+      // the integer residuals are identical and scores match exactly
+      assert(a == b, s"translation changed scores")
+    }
+
+    test(s"zipf octaves are token-order invariant (seed $seed)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      val toks = (1 to 500).map(_ => s"w${rnd.nextInt(40)}")
+      def curve(ts: Seq[String]) =
+        operators.TextAnalysis.zipfCurveOn(ts.toDF("w")).collect()
+          .map(r => (r.getAs[Long]("octave"), r.getAs[Long]("n_terms"),
+            r.getAs[Long]("n_occ"))).toSet
+      assert(curve(toks) == curve(rnd.shuffle(toks)))
+    }
+  }
 }

@@ -460,4 +460,33 @@ class PipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("interior_mass").toDouble <= wins + 1e-6)
     }
   }
+
+  test("kfold: folds partition the corpus, shares close, duplicates co-fold") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Pipeline.kfold(spark, sf).collect()
+    val folds = rows.map(_.getAs[Long]("fold")).distinct
+    assert(folds.forall(f => f >= 0 && f < 5))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    // share ppm is per fold: consistent within each fold's rows
+    rows.groupBy(_.getAs[Long]("fold")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("fold_share_ppm")).distinct.length == 1)
+      assert(g.head.getAs[Long]("fold_docs") == g.map(_.getAs[Long]("n_docs")).sum)
+    }
+  }
+
+  test("dedup cascade: stage accounting chains and matches the components mass") {
+    val rows = operators.Dedup.cascade(spark, sf).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_exact", "2_neardup"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_out") ==
+        r.getAs[Long]("docs_in") - r.getAs[Long]("docs_removed"))
+      assert(r.getAs[Long]("docs_removed") >= 0)
+    }
+    assert(rows(1).getAs[Long]("docs_in") == rows(0).getAs[Long]("docs_out"))
+    assert(rows(1).getAs[Long]("docs_removed") > 0,
+      "near-dup stage should remove something at this sf")
+  }
 }

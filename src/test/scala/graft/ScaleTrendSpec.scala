@@ -58,6 +58,14 @@ class ScaleTrendSpec extends SparkSpec {
   // if the absent-term mass ever materialized the source×vocab grid);
   // ev_concurrency: the two-level sweep (its unpartitioned window
   // must stay |days|-bounded, never minute- or corpus-bounded)
+  // dedup_prefix_filter: the rare-first prefix join (quadratic only
+  // if candidates regressed to all shingle collisions);
+  // dedup_cdc_chunks: the per-character boundary fan-out (parallelism
+  // must come from the pinned repartition, not input splits);
+  // ev_attribution_removal: corpus touched exactly twice, the whole
+  // value iteration domain-bounded in one projection;
+  // agg_kmv_setops: bounded-heap k-minima + the pairwise-type exact
+  // ground truth (fanout C(|types|,2) per user, never a cross join)
   for (name <- Seq("q6_forecast_revenue", "q1_pricing_summary",
       "text_pii_redact", "dedup_minhash_lsh", "pipeline_token_budget",
       "ann_pq_topk", "ev_scd2_intervals", "dedup_containment",
@@ -65,7 +73,9 @@ class ScaleTrendSpec extends SparkSpec {
       "ev_asof_native", "vocab_bpe_merges", "mm_image_ahash",
       "emb_knn_classify", "ev_value_cdf",
       "graph_triangles", "emb_pca_power", "mm_image_phash",
-      "text_source_drift", "ev_concurrency")) {
+      "text_source_drift", "ev_concurrency",
+      "dedup_prefix_filter", "dedup_cdc_chunks",
+      "ev_attribution_removal", "agg_kmv_setops")) {
     test(s"$name scales sub-linearly over the 100x sf0.001->sf0.1 span") {
       assume(new java.io.File(large).isDirectory)
       val tSmall = steady(name, small)

@@ -567,4 +567,48 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(r.getAs[Double]("c_acctbal") == best._4)
     }
   }
+
+  test("kmv setops: estimates bracket exact within KMV error, under-full is exact") {
+    val rows = queries.SqlSurface.kmvSetops(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val eu = r.getAs[Long]("exact_union"); val ku = r.getAs[Long]("kmv_union_est")
+      val ei = r.getAs[Long]("exact_inter"); val ki = r.getAs[Long]("kmv_inter_est")
+      assert(r.getAs[Long]("exact_a") + r.getAs[Long]("exact_b") ==
+        eu + ei, "inclusion-exclusion")
+      if (eu < 64) assert(ku == eu, s"under-full union must be exact: $r")
+      // k=64 KMV relative error ~ 1/sqrt(62) ~ 13%; allow 4 sigma
+      assert(math.abs(ku - eu).toDouble / eu < 0.52, s"union est off: $r")
+      assert(ki <= ku && ki >= 0)
+      if (eu < 64) assert(ki == ei, s"under-full inter must be exact: $r")
+    }
+  }
+
+  test("qualify translation: exactly the per-nation top-2 by balance") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SqlSurface.qualifyClause(spark, sf).collect()
+    val byNation = rows.groupBy(_.getAs[Int]("c_nationkey"))
+    byNation.foreach { case (_, g) =>
+      assert(g.length <= 2)
+      assert(g.map(_.getAs[Long]("rn")).sorted.toSeq ==
+        (1L to g.length).toSeq)
+    }
+    // rank 1 really is the nation max balance
+    val maxBal = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_nationkey").agg(max("c_acctbal").as("m")).collect()
+      .map(r => r.getAs[Int]("c_nationkey") -> r.getAs[Double]("m")).toMap
+    rows.filter(_.getAs[Long]("rn") == 1L).foreach { r =>
+      assert(r.getAs[Double]("c_acctbal") ==
+        maxBal(r.getAs[Int]("c_nationkey")))
+    }
+  }
+
+  test("star except: the excluded columns are gone, pruning reaches the scan") {
+    val df = queries.SqlSurface.starExcept(spark, sf)
+    assert(df.columns.toSet == Set("c_custkey", "c_nationkey", "c_acctbal"))
+    // the reader must not materialize the excluded columns
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("c_custkey") && !scan.contains("c_comment"))
+    assert(df.count() == graft.sources.Tables.customer(spark, sf).count())
+  }
 }

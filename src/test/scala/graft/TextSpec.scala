@@ -601,4 +601,18 @@ class TextSpec extends SparkSpec {
           expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " ")))
         .count())
   }
+
+  test("burstiness: planted counts give the closed-form ppm readouts") {
+    import spark.implicits._
+    // "the" in 10 docs once each (cf=10, df=10, flat); "spam" 5x in
+    // each of 10 docs (cf=50, df=10, bursty)
+    val tok = (1 to 10).flatMap(d =>
+      ("the" +: Seq.fill(5)("spam")).map(w => (d.toLong, w)))
+    val got = operators.TextAnalysis.burstinessOn(tok.toDF("doc_id", "w"))
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("cf"), r.getAs[Long]("df"),
+          r.getAs[Long]("burstiness_ppm"), r.getAs[Long]("doc_share_ppm"))).toMap
+    assert(got("the") == (10L, 10L, 1000000L, 1000000L), got.toString)
+    assert(got("spam") == (50L, 10L, 5000000L, 1000000L), got.toString)
+  }
 }
