@@ -334,6 +334,7 @@ object SparkEntry {
     "sql_qualify"            -> SqlSurface.qualifyClause _,
     "agg_kmv_setops"         -> SqlSurface.kmvSetops _,
     "sql_star_except"        -> SqlSurface.starExcept _,
+    "sql_pipe_syntax"        -> SqlSurface.pipeSyntax _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6059,6 +6060,13 @@ object SparkEntry {
         |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
         |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
         |ORDER BY ta, tb""".stripMargin,
+    // pipe stages compile to the same operators the classic clauses
+    // would — the oracle runs the classic spelling
+    "sql_pipe_syntax" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Spark's native EXCEPT select-list vs DuckDB's native EXCLUDE
     "sql_star_except" ->
       """SELECT * EXCLUDE (c_name, c_mktsegment)

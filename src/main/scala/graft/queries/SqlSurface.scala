@@ -1157,6 +1157,25 @@ object SqlSurface {
       .drop("__qk", "__mx", "__mn")
   }
 
+  /** SQL PIPE syntax (Spark 4's `|>` operators, the GoogleSQL
+    * pipe-query surface): linear dataflow order — FROM first, then
+    * WHERE, AGGREGATE, ORDER BY as successive stages — instead of the
+    * inside-out SELECT nesting; each `|>` stage compiles to exactly
+    * the operator the classic clause would, so the plan (and the
+    * oracle, which runs the classic spelling) is identical. The
+    * dialect row for the "queries read like pipelines" surface every
+    * dataframe user asks of SQL. */
+  def pipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("o_pipe_v")
+    spark.sql(
+      """FROM o_pipe_v
+        ||> WHERE o_totalprice > 100000
+        ||> AGGREGATE count(*) AS n_orders,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |   GROUP BY o_orderstatus
+        ||> ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** `SELECT * EXCEPT(...)` — the wide-table projection dialect
     * (Databricks/BigQuery EXCEPT, DuckDB EXCLUDE): project everything
     * BUT the named columns, the only sane way to write "all 500
