@@ -335,6 +335,7 @@ object SparkEntry {
     "agg_kmv_setops"         -> SqlSurface.kmvSetops _,
     "sql_star_except"        -> SqlSurface.starExcept _,
     "sql_pipe_syntax"        -> SqlSurface.pipeSyntax _,
+    "sql_session_var"        -> SqlSurface.sessionVar _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6060,6 +6061,15 @@ object SparkEntry {
         |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
         |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
         |ORDER BY ta, tb""".stripMargin,
+    // the variable is one exact double halving of an exact max, so
+    // the oracle inlines the identical subquery
+    "sql_session_var" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  (SELECT max(o_totalprice) / 2 FROM orders) AS price_floor
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // pipe stages compile to the same operators the classic clauses
     // would — the oracle runs the classic spelling
     "sql_pipe_syntax" ->

@@ -1157,6 +1157,29 @@ object SqlSurface {
       .drop("__qk", "__mx", "__mn")
   }
 
+  /** SQL SESSION VARIABLES (Spark 4 DECLARE VARIABLE / SET VAR —
+    * SQL:2023 session variables): typed session state assigned from
+    * a SCALAR SUBQUERY and referenced like a literal in later
+    * statements — the two-statement "compute a threshold, then query
+    * with it" shape that otherwise needs driver-side string
+    * interpolation. The threshold is max/2 (one exact double halving
+    * of an exact max — engine-bitwise, no percentile interpolation
+    * caveats); the oracle inlines the identical subquery. Variables
+    * resolve to plan literals, so pushdown sees the bound value. */
+  def sessionVar(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("o_var_v")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_price_floor DOUBLE DEFAULT 0.0")
+    spark.sql(
+      "SET VAR graft_price_floor = (SELECT max(o_totalprice) / 2 FROM o_var_v)")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  max(graft_price_floor) AS price_floor
+        |FROM o_var_v WHERE o_totalprice > graft_price_floor
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** SQL PIPE syntax (Spark 4's `|>` operators, the GoogleSQL
     * pipe-query surface): linear dataflow order — FROM first, then
     * WHERE, AGGREGATE, ORDER BY as successive stages — instead of the
