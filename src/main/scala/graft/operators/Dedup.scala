@@ -955,12 +955,17 @@ object Dedup {
     * pair-graph closure ([[stagedComponents]] — computed once per
     * (app, sf) for all its consumers) plus two tiny aggs. */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
+    // three consumers (the stage-1 agg and both sides of the keeper
+    // self-join): stage the digest projection once — without the
+    // barrier the corpus re-normalizes + re-hashes per consumer
     val d = documents(spark, dir)
       .select(col("doc_id"), expr(s"md5($normTextExpr)").as("digest"))
+      .localCheckpoint()
     val s1 = d.agg(count(lit(1)).as("docs_in"),
         countDistinct("digest").as("docs_out"))
       .select(lit("1_exact").as("stage"), col("docs_in"),
         (col("docs_in") - col("docs_out")).as("docs_removed"), col("docs_out"))
+      .localCheckpoint() // 1 row; embedded twice (s2 derives from it)
     val survivors = d.join(
         d.groupBy("digest").agg(min("doc_id").as("keep_id")), Seq("digest"))
       .filter(col("doc_id") === col("keep_id")).select("doc_id")

@@ -1066,10 +1066,13 @@ object SqlSurface {
     // The loop probes ONE column ~log2(domain) times; an iterative
     // calibration at scale caches that projection once instead of
     // re-reading the table per iteration (in-memory columnar scan per
-    // probe, parquet IO paid once).
+    // probe, parquet IO paid once). The script executes EAGERLY and
+    // its final SELECT reads only script variables, so the cache is
+    // released before returning — it must not pin storage memory for
+    // the rest of the session.
     val probed = orders(spark, dir).select("o_totalprice").cache()
     probed.createOrReplaceTempView("script_orders")
-    spark.sql(
+    val out = spark.sql(
       """BEGIN
         |  DECLARE thr BIGINT DEFAULT 1;
         |  DECLARE covered BIGINT DEFAULT 0;
@@ -1082,17 +1085,10 @@ object SqlSurface {
         |  END WHILE;
         |  SELECT thr AS threshold, covered AS n_covered, total AS n_total;
         |END""".stripMargin)
+    probed.unpersist()
+    out
   }
 
-  /** DISTINCT ON — the Postgres/DuckDB "first row per group under an
-    * ORDER BY" dialect form (Impala users write the same thing as a
-    * row_number() = 1 analytic filter; scalar-fn-call.cc evaluates
-    * the tie-break exprs either way). Spark has no DISTINCT ON
-    * syntax, so this row IS the translation: a row_number window
-    * over the group keys with the full tie-break order (acctbal
-    * DESC, custkey ASC — total, so both engines pick the identical
-    * row), filtered to rank 1. Scale: one shuffle on the group keys,
-    * window partitions bounded by group size, no join. */
   /** QUALIFY clause — the Snowflake/BigQuery/DuckDB post-window
     * filter (SQL's missing fourth filter stage: WHERE → GROUP →
     * HAVING → QUALIFY). Spark has no QUALIFY syntax, so this row IS
@@ -1111,6 +1107,15 @@ object SqlSurface {
       .orderBy("c_nationkey", "rn")
   }
 
+  /** DISTINCT ON — the Postgres/DuckDB "first row per group under an
+    * ORDER BY" dialect form (Impala users write the same thing as a
+    * row_number() = 1 analytic filter; scalar-fn-call.cc evaluates
+    * the tie-break exprs either way). Spark has no DISTINCT ON
+    * syntax, so this row IS the translation: a row_number window
+    * over the group keys with the full tie-break order (acctbal
+    * DESC, custkey ASC — total, so both engines pick the identical
+    * row), filtered to rank 1. Scale: one shuffle on the group keys,
+    * window partitions bounded by group size, no join. */
   def distinctOn(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey", "c_mktsegment")
       .orderBy(desc("c_acctbal"), asc("c_custkey"))
