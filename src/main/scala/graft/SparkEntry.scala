@@ -358,6 +358,7 @@ object SparkEntry {
     "stream_late_drop"     -> graft.streaming.StreamQueries.lateDrop _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_sliding_append" -> graft.streaming.StreamQueries.slidingAppend _,
+    "stream_lsh_dedup"      -> graft.streaming.StreamQueries.lshDedup _,
     "stream_dedup_agg"     -> graft.streaming.StreamQueries.dedupAgg _,
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
@@ -2965,6 +2966,37 @@ object SparkEntry {
         |SELECT win_start, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the streaming band join replayed batch-wise: same sig chain,
+    // reference = even doc_ids, one row per matching band
+    "stream_lsh_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |)
+        |SELECT a.doc_id, b.doc_id AS ref_id, CAST(a.band AS BIGINT) AS band
+        |FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key
+        |WHERE b.doc_id % 2 = 0 AND a.doc_id <> b.doc_id
+        |ORDER BY a.doc_id, ref_id, band""".stripMargin,
     // same eviction boundary per OVERLAPPING window: each covering
     // window emits when the floored-ms watermark passes its own end
     "stream_sliding_append" ->

@@ -59,6 +59,16 @@ object GraftFunctions {
           graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))
         })
     }
+    val mtext = FunctionIdentifier("graft_minhash_text")
+    if (!registry.functionExists(mtext)) {
+      registry.registerFunction(
+        mtext,
+        new ExpressionInfo(classOf[graft.functions.MinHashText].getName, "graft_minhash_text"),
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_minhash_text", exprs, 1)
+          graft.functions.MinHashText(exprs.head)
+        })
+    }
     val sig = FunctionIdentifier("graft_minhash_sig")
     if (!registry.functionExists(sig)) {
       registry.registerFunction(

@@ -626,4 +626,39 @@ class StreamingSpec extends SparkSpec {
     assert(append.nonEmpty && append.size < complete.size,
       s"no held-back tail: ${append.size} of ${complete.size}")
   }
+
+  test("native text-signature kernel is bit-identical to the batch aggregate path") {
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // per-row kernel over raw text vs the explode + native-aggregate
+    // batch pipeline: same docs, identical 128-lane signatures
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val perRow = docs
+      .select(col("doc_id"), expr("graft_minhash_text(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](1).toList).toMap
+    val viaAgg = graft.operators.Dedup.minhashSigs(
+        graft.operators.Dedup.shinglePostings(spark, sf))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Long](r.fieldIndex("sig")).toList).toMap
+    assert(perRow.keySet == viaAgg.keySet)
+    perRow.foreach { case (id, sig) =>
+      assert(sig == viaAgg(id), s"doc $id signature diverges")
+    }
+  }
+
+  test("streaming lsh dedup: collisions reference even docs only, multiplicity bounded") {
+    val rows = graft.streaming.StreamQueries.lshDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ref_id") % 2 == 0)
+      assert(r.getAs[Long]("doc_id") != r.getAs[Long]("ref_id"))
+      val b = r.getAs[Long]("band"); assert(b >= 0 && b < 16)
+    }
+    // a pair collides at most once per band
+    val pairBands = rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("ref_id"), r.getAs[Long]("band")))
+    assert(pairBands.distinct.length == pairBands.length)
+  }
 }
