@@ -214,6 +214,7 @@ object SparkEntry {
     "dedup_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "dedup_bbit_accuracy"    -> Dedup.bbitAccuracy _,
     "dedup_lsh_tuning"       -> Dedup.lshTuning _,
+    "dedup_lsh_recall"       -> Dedup.lshRecall _,
     "pipeline_dedup_cascade" -> Dedup.cascade _,
     "dedup_prefix_filter"    -> Dedup.prefixFilter _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
@@ -1064,6 +1065,55 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT '2_neardup', n_out, removed2, n_out - removed2 FROM s1, r2
         |) ORDER BY stage""".stripMargin,
+    // exact posting-join truth LEFT JOIN the banding candidate set:
+    // the truth hashes are RAW h60 (the posting chain), the sig
+    // hashes mod p (the signature chain) — as in the Spark pipelines
+    "dedup_lsh_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs_raw,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT) % 2147483647) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS MATERIALIZED (
+        |  SELECT doc_id, n_sh, unnest(hs_raw) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), truth AS (
+        |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |  FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0,127), i ->
+        |      list_min(list_transform(hs, h ->
+        |        (((2*i+1) * 2654435761) % 2147483647 * h + ((i+1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM shd
+        |), expl AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,15)) AS band,
+        |    unnest(list_transform(generate_series(0,15), b ->
+        |      md5(array_to_string(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), ',')))) AS key
+        |  FROM sigs
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT least(CAST(floor(truth.jaccard * 10) AS BIGINT), 9) AS j_decile,
+        |    CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+        |  FROM truth LEFT JOIN cand
+        |    ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b
+        |)
+        |SELECT j_decile, count(*) AS n_true, CAST(sum(found) AS BIGINT) AS n_found,
+        |  count(*) - CAST(sum(found) AS BIGINT) AS n_missed
+        |FROM j GROUP BY j_decile ORDER BY j_decile""".stripMargin,
     // same sig/candidate chain + stricter-banding catch flags (true
     // subsets of the 16x8 candidates), decile-bucketed retention
     "dedup_lsh_tuning" ->

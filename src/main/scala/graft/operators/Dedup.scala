@@ -741,6 +741,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH RECALL audit — the missing half of the calibration story:
+    * [[minhashAccuracy]] grades the pairs the banding SURFACED
+    * (precision side); this row grades the pairs it MISSED. Ground
+    * truth is the EXACT τ ≥ 0.8 pair enumeration (the staged posting
+    * join — the same set [[prefixFilter]] reproduces with a
+    * guarantee); each true pair is checked for membership in the LSH
+    * candidate set (the staged accuracy relation), per exact-Jaccard
+    * decile: n_true, n_found, n_missed. A missed decile-9 pair is a
+    * real duplicate the release would ship twice — THE number a
+    * banding config answers for. Both relations are staged once per
+    * (app, sf); the audit itself is one left join + one agg on the
+    * pair graph. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = stagedJaccard(spark, dir)
+    val cand = stagedAccuracy(spark, dir)
+      .select(col("doc_a"), col("doc_b")).withColumn("found", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_decile",
+        least(floor(col("jaccard") * 10).cast("bigint"), lit(9L)))
+      .groupBy("j_decile")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("n_missed", col("n_true") - col("n_found"))
+      .orderBy("j_decile")
+  }
+
   /** LSH BANDING-MIGRATION audit — the (bands × rows) tuning table a
     * dedup deployment reads before tightening its S-curve: for every
     * pair the SHIPPED config (16 bands × 8 lanes) surfaced, would the
