@@ -337,6 +337,7 @@ object SparkEntry {
     "sql_star_except"        -> SqlSurface.starExcept _,
     "sql_pipe_syntax"        -> SqlSurface.pipeSyntax _,
     "sql_session_var"        -> SqlSurface.sessionVar _,
+    "agg_ordered_set"        -> SqlSurface.orderedSet _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6143,6 +6144,15 @@ object SparkEntry {
         |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
         |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
         |ORDER BY ta, tb""".stripMargin,
+    // percentile_disc picks OBSERVED values (no interpolation), so
+    // quantile_disc matches exactly (same smallest-reaching-p rule)
+    "agg_ordered_set" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.5)  AS p50,
+        |  quantile_disc(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the variable is one exact double halving of an exact max, so
     // the oracle inlines the identical subquery
     "sql_session_var" ->

@@ -1162,6 +1162,27 @@ object SqlSurface {
       .drop("__qk", "__mx", "__mn")
   }
 
+  /** ORDERED-SET aggregates (SQL:2008 WITHIN GROUP — Spark 4's
+    * percentile_disc): the inverse-distribution quartiles as REAL
+    * members of the value set (disc, not cont — no interpolation, so
+    * the result is an actual observed value and cross-engine parity
+    * is exact by construction; probed: both engines return the
+    * smallest value whose cumulative share reaches p). Per order
+    * status: the price quartiles + count. One hash agg; at scale the
+    * exact inverse distribution sorts per group — the approx sketch
+    * (agg_approx_stats) is the 100 TB default, this row is the exact
+    * contract it approximates. */
+  def orderedSet(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("o_ordset_v")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+        |FROM o_ordset_v GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** SQL SESSION VARIABLES (Spark 4 DECLARE VARIABLE / SET VAR —
     * SQL:2023 session variables): typed session state assigned from
     * a SCALAR SUBQUERY and referenced like a literal in later
