@@ -144,19 +144,31 @@ object StreamQueries {
     // the fresh child session has a fresh function registry; the
     // native signature kernel must be registered on THIS session
     org.apache.spark.sql.GraftFunctions.register(spark)
+    val joined = lshDedupOn(docsStream(spark, dir),
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0))
+    runBounded(spark, joined, "append")
+      .orderBy("doc_id", "ref_id", "band")
+  }
+
+  /** Generic core of [[lshDedup]]: band-collision rows of any
+    * (doc_id, text) relation — streaming OR batch — against a static
+    * (doc_id, text) reference corpus. Returns the unexecuted
+    * dataflow so a streaming caller attaches its sink and a batch
+    * caller (or a spec with planted frames) just collects. The
+    * reference side is banded once and broadcast; the probe side is
+    * a stateless per-row projection. */
+  def lshDedupOn(probe: DataFrame, refDocs: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftFunctions.register(probe.sparkSession)
     val ref = broadcast(
-      bandsOf(sigsOf(spark.read.parquet(s"$dir/documents.parquet")
-          .filter(col("doc_id") % 2 === 0))
-          .localCheckpoint())
+      bandsOf(sigsOf(refDocs).localCheckpoint())
         .select(col("doc_id").as("ref_id"), col("band"), col("key"))
         .localCheckpoint())
-    val joined = bandsOf(
-        sigsOf(docsStream(spark, dir)).repartition(8, col("doc_id")))
+    // the Exchange doubles as the collapse barrier (see bandsOf)
+    bandsOf(sigsOf(probe).repartition(col("doc_id")))
       .join(ref, Seq("band", "key"))
       .filter(col("doc_id") =!= col("ref_id"))
       .select("doc_id", "ref_id", "band")
-    runBounded(spark, joined, "append")
-      .orderBy("doc_id", "ref_id", "band")
   }
 
   /** Run a bounded streaming query to completion and hand back its

@@ -661,4 +661,21 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("ref_id"), r.getAs[Long]("band")))
     assert(pairBands.distinct.length == pairBands.length)
   }
+
+  test("lsh dedup core: planted duplicate collides in all bands, unrelated doc in none") {
+    import spark.implicits._
+    val base = ("alpha beta gamma " * 20).trim
+    val ref = Seq((100L, base), (102L, "totally different reference page " * 10))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, base),                        // exact dup of ref 100
+      (2L, "unrelated probe text " * 15) // no shared shingles
+    ).toDF("doc_id", "text")
+    val rows = graft.streaming.StreamQueries.lshDedupOn(probe, ref).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // identical text -> identical signature -> all 16 bands collide
+    assert(byDoc(1L).length == 16, s"got ${byDoc.get(1L).map(_.length)}")
+    assert(byDoc(1L).forall(_.getAs[Long]("ref_id") == 100L))
+    assert(!byDoc.contains(2L), "unrelated doc must not collide")
+  }
 }
