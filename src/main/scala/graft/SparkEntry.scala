@@ -338,6 +338,7 @@ object SparkEntry {
     "sql_pipe_syntax"        -> SqlSurface.pipeSyntax _,
     "sql_session_var"        -> SqlSurface.sessionVar _,
     "agg_ordered_set"        -> SqlSurface.orderedSet _,
+    "sql_dynamic"            -> SqlSurface.dynamicSql _,
     "sql_udf"                -> SqlSurface.sqlUdf _,
     "sql_scripting"          -> SqlSurface.sqlScripting _,
     "sql_named_params"       -> SqlSurface.namedParams _,
@@ -6144,6 +6145,12 @@ object SparkEntry {
         |  coalesce(exact_inter, 0) AS exact_inter, kmv_union_est, kmv_inter_est
         |FROM tp LEFT JOIN ei USING (ta, tb) JOIN est3 USING (ta, tb)
         |ORDER BY ta, tb""".stripMargin,
+    // binding ≡ inlining: the oracle runs the inlined spelling
+    "sql_dynamic" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // percentile_disc picks OBSERVED values (no interpolation), so
     // quantile_disc matches exactly (same smallest-reaching-p rule)
     "agg_ordered_set" ->

@@ -1162,6 +1162,26 @@ object SqlSurface {
       .drop("__qk", "__mx", "__mn")
   }
 
+  /** Dynamic SQL surface — the two Spark 4 primitives that replace
+    * string interpolation (the injection vector every service layer
+    * fights): IDENTIFIER() binds a TABLE/COLUMN name as data (only a
+    * valid identifier can pass — a payload string fails analysis
+    * instead of executing), and EXECUTE IMMEDIATE runs a SQL text
+    * with `?` parameter binding (the dynamic-statement form stored
+    * procedures use). Here the fact table name arrives through
+    * IDENTIFIER and the price threshold through USING — same plan,
+    * same pushdown as the inlined spelling the oracle runs. */
+  def dynamicSql(spark: SparkSession, dir: String): DataFrame = {
+    orders(spark, dir).createOrReplaceTempView("o_dyn_v")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderstatus, count(*) AS n_orders,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |   FROM IDENTIFIER(?) WHERE o_totalprice > ?
+        |   GROUP BY o_orderstatus ORDER BY o_orderstatus'
+        |  USING 'o_dyn_v', 150000""".stripMargin)
+  }
+
   /** ORDERED-SET aggregates (SQL:2008 WITHIN GROUP — Spark 4's
     * percentile_disc): the inverse-distribution quartiles as REAL
     * members of the value set (disc, not cont — no interpolation, so
