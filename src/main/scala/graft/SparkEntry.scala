@@ -136,6 +136,7 @@ object SparkEntry {
     "ev_user_lifetime"     -> Analytic.userLifetime _,
     "ev_survival_curve"    -> Analytic.survivalCurve _,
     "ev_attribution_removal" -> Analytic.attributionRemoval _,
+    "ev_seasonal_adjust"   -> Analytic.seasonalAdjust _,
     "ev_trend_slope"       -> Analytic.trendSlope _,
     // §2.6 events (batch analogs of the streaming pipelines)
     "ev_tumbling_window" -> Analytic.tumblingWindow _,
@@ -1484,6 +1485,26 @@ object SparkEntry {
         |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
     // dow profile: integer epoch-day arithmetic (+3 mod 7, Monday=0),
     // exact ppm deviation (both engines truncate integer division)
+    // same cross-multiplied rational with the shared sign-split
+    // truncation (both engines' integer division agrees on positives)
+    "ev_seasonal_adjust" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, n, (day + 3) % 7 AS dow FROM daily),
+        |bd AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS s_dow,
+        |         count(*) AS c_dow FROM d2 GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s_all,
+        |         count(*) AS c_all FROM d2 GROUP BY 1),
+        |j AS (
+        |  SELECT d2.event_type, d2.day, d2.dow, d2.n,
+        |    d2.n * bd.c_dow * bt.c_all - bd.s_dow * bt.c_all + bt.s_all * bd.c_dow AS num,
+        |    bd.c_dow * bt.c_all AS den
+        |  FROM d2 JOIN bd USING (event_type, dow) JOIN bt USING (event_type))
+        |SELECT event_type, day, dow, n,
+        |  CASE WHEN num >= 0 THEN num * 1000 // den
+        |       ELSE -((-num) * 1000 // den) END AS adjusted_milli
+        |FROM j ORDER BY event_type, day""".stripMargin,
     "ev_seasonal_dow" ->
       """WITH d AS (
         |  SELECT event_type,

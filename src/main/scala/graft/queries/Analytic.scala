@@ -1866,6 +1866,41 @@ object Analytic {
       .orderBy("event_type", "dow")
   }
 
+  /** Additive SEASONAL ADJUSTMENT of the daily series — the
+    * deseasonalized view every ops dashboard plots next to the raw
+    * one ([[seasonalDow]] gives the seasonal PROFILE; this applies
+    * it): adjusted(day) = n(day) − mean(same weekday) + mean(all
+    * days), per event type. A Monday spike that is just "Mondays are
+    * busy" flattens out; one that survives adjustment is a real
+    * anomaly. Exactness: the adjustment is one rational expression,
+    * cross-multiplied to a single integer numerator over c_dow·c_all
+    * and emitted in millis with the sign-split truncation both
+    * engines share (adjusted can dip negative on a quiet day of a
+    * busy weekday). Scale: the corpus collapses once to (type, day)
+    * counts; both mean relations are tiny broadcast aggs; BIGINT
+    * products at this scale, DECIMAL(38,0) at 100 TB (the ev_ab_test
+    * note). */
+  def seasonalAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+      .localCheckpoint() // three consumers: dow means, type means, output
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(sum("n").as("s_dow"), count(lit(1)).as("c_dow"))
+    val byType = daily.groupBy("event_type")
+      .agg(sum("n").as("s_all"), count(lit(1)).as("c_all"))
+    daily.join(broadcast(byDow), Seq("event_type", "dow"))
+      .join(broadcast(byType), Seq("event_type"))
+      .withColumn("num",
+        expr("n * c_dow * c_all - s_dow * c_all + s_all * c_dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        expr("""CASE WHEN num >= 0 THEN num * 1000 div (c_dow * c_all)
+               |ELSE -((-num) * 1000 div (c_dow * c_all)) END""".stripMargin)
+          .as("adjusted_milli"))
+      .orderBy("event_type", "day")
+  }
+
   /** EXCLUDE CURRENT ROW frame exclusion — the SQL:2011 window
     * clause Spark does not implement (peer pricing: each line item
     * against the average of its ±3 NEIGHBORING items, itself
