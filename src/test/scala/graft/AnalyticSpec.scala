@@ -1117,4 +1117,17 @@ class AnalyticSpec extends SparkSpec {
       .map(_.getString(0)).filter(_ != "purchase").toSet
     assert(rows.map(_.getAs[String]("channel")).toSet == types)
   }
+
+  test("seasonal adjustment is mean-preserving per type") {
+    val rows = queries.Analytic.seasonalAdjust(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sum over days of (n - mean_dow + mean_all) telescopes back to
+    // sum(n): the adjustment moves mass between days, never creates
+    // it. Truncation slack <= 1 milli per row.
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, g) =>
+      val raw = g.map(_.getAs[Long]("n")).sum * 1000L
+      val adj = g.map(_.getAs[Long]("adjusted_milli")).sum
+      assert(math.abs(adj - raw) <= g.length, s"$t: adj=$adj raw=$raw")
+    }
+  }
 }
