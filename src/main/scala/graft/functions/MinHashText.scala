@@ -85,7 +85,11 @@ object MinHashText {
 
   /** the full kernel; null for texts with fewer than 3 words. */
   def compute(text: UTF8String): GenericArrayData = {
-    val norm = text.toString.toLowerCase
+    // lowercase through UTF8String so the kernel is bit-identical to
+    // the batch pipeline's lower() on EVERY JVM locale (String
+    // .toLowerCase uses the default locale: a Turkish JVM maps 'I' to
+    // dotless 'ı', silently changing every shingle md5)
+    val norm = text.toLowerCase.toString
       .replaceAll("\\s+", " ").trim
     val words = norm.split(" ", -1)
     if (words.length < 3) return null

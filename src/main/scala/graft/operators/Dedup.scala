@@ -295,8 +295,29 @@ object Dedup {
   private[operators] def staged(spark: SparkSession, dir: String, tag: String)(
       compute: => DataFrame): DataFrame = {
     val path = graft.queries.SourcesSinks.tmp(spark, dir, tag)
-    if (!new java.io.File(s"$path/_SUCCESS").isFile)
-      compute.write.mode("overwrite").parquet(path)
+    // Publish atomically: write to a unique temp sibling, then rename
+    // into place. The bare check-then-overwrite raced when two
+    // queries in one app staged the same (dir, tag) — one reader
+    // could observe a half-overwritten relation. In-JVM the intern'd
+    // path string serializes the two writers; cross-process the
+    // rename either wins (published) or loses (temp dropped, winner's
+    // complete copy read) — never a partial directory at `path`.
+    path.intern.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+        val tmpPath = s"${path}_tmp_${java.util.UUID.randomUUID.toString.take(8)}"
+        compute.write.mode("overwrite").parquet(tmpPath)
+        val tmpDir = new java.io.File(tmpPath)
+        if (!tmpDir.renameTo(new java.io.File(path))) {
+          // a concurrent process published first: use theirs
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+          }
+          rm(tmpDir)
+          require(new java.io.File(s"$path/_SUCCESS").isFile,
+            s"staged($tag): rename to $path failed and no published copy exists")
+        }
+      }
+    }
     spark.read.parquet(path)
   }
 

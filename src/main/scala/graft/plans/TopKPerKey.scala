@@ -92,6 +92,7 @@ case class TopKPerKeyExec(
     val out = output
     val numSpilledRuns = longMetric("numSpilledRuns")
     val spillSize = longMetric("spillSize")
+    val forceSpillEvery = TopKPerKeyExec.testForceSpillEvery
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord: Ordering[InternalRow] = RowOrdering.create(order, childOutput)
@@ -112,6 +113,15 @@ case class TopKPerKeyExec(
       // callback dumps the heaps to a sorted on-disk run.
       var usedBytes = 0L    // estimate of live heap bytes
       var grantedBytes = 0L // what the manager has granted us
+      // incremented by every spill: insert-path code that held a heap
+      // reference across a reserve() detects the map was cleared under
+      // it and re-resolves against live map state (a stale reference
+      // would silently swallow the row being inserted)
+      var spillEpoch = 0L
+      // once the input loop finishes, the heaps back the (lazy) output
+      // iterator — a downstream consumer's memory arbitration must not
+      // clear them mid-emission, so spill() refuses after this point
+      var buildDone = false
       def sortedHeapRows(): Array[UnsafeRow] = {
         val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](
           heaps.size() * limit)
@@ -126,13 +136,12 @@ case class TopKPerKeyExec(
             org.apache.spark.graft.TaskMemoryBridge.memoryManager(taskCtx).pageSizeBytes(),
             org.apache.spark.memory.MemoryMode.ON_HEAP) {
           override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long =
-            spillHeapsToRun()
+            if (buildDone) 0L else spillHeapsToRun()
         }
       def spillHeapsToRun(): Long = {
         if (heaps.isEmpty) return 0L
         val rows = sortedHeapRows()
-        val file = java.io.File.createTempFile("graft_topk_spill_", ".run")
-        file.deleteOnExit()
+        val file = org.apache.spark.graft.TaskMemoryBridge.createTempSpillFile()
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(file), 1 << 16))
         try {
@@ -145,13 +154,23 @@ case class TopKPerKeyExec(
         numSpilledRuns += 1
         spillSize += file.length()
         heaps.clear()
+        spillEpoch += 1
         val freed = usedBytes
         usedBytes = 0L
         if (taskCtx != null && grantedBytes > 0) consumer.freeMemory(grantedBytes)
         grantedBytes = 0L
         freed
       }
+      var reserveCalls = 0L
       def reserve(bytes: Long): Unit = if (taskCtx != null) {
+        reserveCalls += 1
+        if (forceSpillEvery > 0 && reserveCalls % forceSpillEvery == 0) {
+          // test seam: behave exactly as if the manager refused this
+          // grant — flush to a run mid-reserve. This is the only way
+          // to deterministically exercise the arbitration-refusal
+          // path (a real refusal needs executor memory contention).
+          spillHeapsToRun()
+        }
         usedBytes += bytes
         if (usedBytes > grantedBytes) {
           val want = math.max(bytes, 1L << 22) // 4 MB chunks
@@ -180,13 +199,23 @@ case class TopKPerKeyExec(
           // in-memory key budget: past it, degrade to a sorted run
           // (NOT an error — the merge restores exact semantics)
           if (heaps.size() >= maxKeys) spillHeapsToRun()
+          // reserve key AND first row together BEFORE the map gains
+          // any state for this key: a spill inside this reserve only
+          // flushes other keys' heaps, so nothing of ours is orphaned
+          reserve(key.getSizeInBytes + row.getSizeInBytes + 96L)
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reverse)
-          val keyCopy = key.copy()
-          reserve(keyCopy.getSizeInBytes + 64L)
-          heaps.put(keyCopy, heap)
-        }
-        if (heap.size < limit) {
+          heaps.put(key.copy(), heap)
+          heap.add(row.copy())
+        } else if (heap.size < limit) {
+          val epoch = spillEpoch
           reserve(row.getSizeInBytes + 32L)
+          if (spillEpoch != epoch) {
+            // the reserve spilled: our heap's rows are safely in the
+            // run but the map was cleared under us — a stale `heap`
+            // reference would swallow this row. Re-create live state.
+            heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reverse)
+            heaps.put(key.copy(), heap)
+          }
           heap.add(row.copy())
         } else if (ord.lt(row, heap.peek())) {
           // replacing an equal-count row: no net accounting change
@@ -194,6 +223,10 @@ case class TopKPerKeyExec(
           heap.add(row.copy())
         }
       }
+      // heaps now back the output iterator: freeze them against
+      // arbitration-triggered spills (the rows would land in a run
+      // the already-built fast-path iterator never merges)
+      buildDone = true
 
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
@@ -268,6 +301,14 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** When > 0, every Nth reserve() flushes the heaps to a run as if
+    * TaskMemoryManager had refused the grant — the deterministic
+    * stand-in for executor memory contention. Tests only; 0 in
+    * production. The value is captured once per doExecute. */
+  @volatile var testForceSpillEvery: Int = 0
 }
 
 /** DataFrame-level API for the operator. */

@@ -15,4 +15,17 @@ import org.apache.spark.memory.TaskMemoryManager
 object TaskMemoryBridge {
   def memoryManager(ctx: TaskContext): TaskMemoryManager =
     ctx.taskMemoryManager()
+
+  /** A spill file allocated the way SortExec's spills are: through
+    * the executor's DiskBlockManager, which places it under the
+    * configured spark.local.dir roots (striped across disks) instead
+    * of java.io.tmpdir. Falls back to a plain temp file when no
+    * SparkEnv exists (driver-side unit contexts). Callers own
+    * deletion — task-completion listeners, not deleteOnExit, so
+    * long-lived executors don't accumulate shutdown-hook entries. */
+  def createTempSpillFile(): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile("graft_topk_spill_", ".run")
+  }
 }

@@ -218,6 +218,28 @@ class TopKSpec extends SparkSpec {
     assert(negged.forall(x => x >= 0 && x < 2147483647L), negged.take(5).mkString(","))
   }
 
+  test("topk survives arbitration-refusal spills mid-insert with zero row loss") {
+    // The forced seam makes every 2nd reserve() behave as a refused
+    // grant: the heaps flush to a run WHILE an insert holds a live
+    // heap reference. The pre-fix code added that row to the orphaned
+    // heap (neither in the map nor in the run) — rows silently
+    // vanished exactly when executors were under memory pressure.
+    // After the brand shuffle each partition holds one brand, and
+    // reserves happen only for the first k kept rows, so every-2nd
+    // guarantees the spill lands mid-insert on the heap-exists branch
+    // (row 2 or 4 of an existing heap) in every partition.
+    graft.plans.TopKPerKeyExec.testForceSpillEvery = 2
+    try {
+      val df = viaTopK(5)
+      df.collect() // action on df itself so ITS plan's metrics populate
+      assert(TopKSpec.spills(df) > 0, "the forced seam should have produced runs")
+      val got = rows(df)
+      val want = rows(viaWindow(5))
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally graft.plans.TopKPerKeyExec.testForceSpillEvery = 0
+  }
+
   test("topk works for global top-k (no keys)") {
     val got = TopK.perKey(graft.sources.Tables.part(spark, sf),
       Seq.empty, Seq("p_retailprice" -> false, "p_partkey" -> true), 5)
