@@ -47,6 +47,13 @@ import scala.util.control.NonFatal
   * kept only as a last-resort stand-down. The baseline path anchors
   * to SPARK_GRAFT_BASELINE_DIR or the enclosing sbt project root,
   * never the incidental JVM working directory.
+  *
+  * Every run additionally writes `BENCH_FULL_<sf>.json` next to the
+  * baseline file: the COMPLETE per-query steady/cold map of THIS
+  * run, one line per query. The stdout tail the harness keeps is
+  * bounded (~2000 chars) and the floor file min-merges, so this
+  * artifact is the only place a per-query round-over-round
+  * regression diff can come from — `git diff` it across rounds.
   */
 object Bench {
 
@@ -317,7 +324,25 @@ object Bench {
       saveBaseline(sfPath, blDir, m)
     }
     val fpResetsJs = fpResets.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full record ALSO lands as its own repo-root artifact: the
+    // harness keeps only a ~2000-char stdout tail, and the floor file
+    // min-merges (it hides regressions by construction), so without
+    // this file a per-query round-over-round diff of THIS run's
+    // actual timings is impossible. One line per query, sorted, so
+    // git diffs read per query.
+    try {
+      val perQuery = results.sortBy(_._1).map { case (n, w, c) =>
+        s"""  "$n": {"steady": $w, "cold": $c}"""
+      }.mkString("{\n", ",\n", "\n}")
+      val artifact =
+        s"""{"sf":"${new java.io.File(sfDir).getName}","host":"$host","total":$total,"cold_total":$coldTotal,"n_queries":${results.size},"failed":$failedJs,"outliers":$outliersJs,"fp_resets":$fpResetsJs,
+           |"queries":$perQuery}""".stripMargin
+      java.nio.file.Files.writeString(
+        new java.io.File(blDir,
+          s"BENCH_FULL_${new java.io.File(sfDir).getName}.json").toPath, artifact): Unit
+    } catch { case NonFatal(_) => }
     // The harness that launches Bench retains only a bounded TAIL of
     // stdout (observed: 2000 chars), so the full line above — ~8 KB at
     // 178 queries — arrives truncated and unparseable. Emit a compact

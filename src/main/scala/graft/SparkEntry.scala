@@ -118,6 +118,7 @@ object SparkEntry {
     "win_groups_frame"     -> Analytic.winGroupsFrame _,
     "win_exclude_current"  -> Analytic.winExcludeCurrent _,
     "expr_decimal_arith"   -> Exprs.decimalArith _,
+    "expr_decimal_div"     -> Exprs.decimalDiv _,
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
@@ -248,6 +249,8 @@ object SparkEntry {
     "emb_mrl_recall"      -> Similarity.mrlRecall _,
     "emb_knn_classify"    -> Similarity.knnClassify _,
     "ann_range_search"    -> Similarity.rangeSearch _,
+    "ann_graph_topk"      -> Similarity.graphTopK _,
+    "ann_graph_recall"    -> Similarity.graphRecall _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -417,7 +420,85 @@ object SparkEntry {
       // IS the full posting-join enumeration — one shared oracle
       ("dedup_prefix_filter" -> m("dedup_ngram_jaccard")) +
       // generated: 8 unrolled value-iteration rounds per scenario
-      ("ev_attribution_removal" -> AttribOracle.sql)
+      ("ev_attribution_removal" -> AttribOracle.sql) +
+      // generated: GraphRounds unrolled beam-search rounds over the
+      // symmetrized exact k-NN graph, scores integer-quantized so
+      // beam membership replays exactly
+      ("ann_graph_topk" -> GraphAnnOracle.topkSql) +
+      ("ann_graph_recall" -> GraphAnnOracle.recallSql)
+  }
+
+  /** DuckDB replay of the graph-ANN index + beam search
+    * (operators/Similarity.graphTopK): the exact symmetrized
+    * GraphM-NN edge relation, then GraphRounds expand-score-prune
+    * rounds as generated CTEs. Scores ride the same left-fold cosine
+    * as every vector oracle, quantized to floor(cosine·10⁶) for the
+    * beam ordering — both engines floor the same IEEE double. */
+  private object GraphAnnOracle {
+    private def dot(u: String, v: String): String =
+      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $u[i]*$v[i])), (a,b) -> a+b)"
+    private val m = graft.operators.Similarity.GraphM
+    private val beam = graft.operators.Similarity.GraphBeam
+    private val rounds = graft.operators.Similarity.GraphRounds
+    private def chain: String = {
+      val roundCtes = (1 to rounds).map { r =>
+        s"""beam${r - 1} AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rn
+           |    FROM v${r - 1}) WHERE rn <= $beam),
+           |v$r AS MATERIALIZED (
+           |  SELECT DISTINCT probe_id, vec_id, score_micro FROM (
+           |    SELECT probe_id, vec_id, score_micro FROM v${r - 1}
+           |    UNION ALL
+           |    SELECT b.probe_id, e.dst AS vec_id, s.score_micro
+           |    FROM beam${r - 1} b JOIN edges e ON e.src = b.vec_id
+           |    JOIN allsc s ON s.src = b.probe_id AND s.dst = e.dst))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(${dot("vd", "vd")}) AS nrm FROM vecs),
+         |allsc AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    (${dot("a.vd", "b.vd")}) / (na.nrm * nb.nrm) AS cosine,
+         |    CAST(floor((${dot("a.vd", "b.vd")}) / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM vecs a CROSS JOIN vecs b
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id),
+         |knn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst) WHERE rn <= $m),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+         |probes AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id < 5),
+         |entry AS (SELECT min(vec_id) AS vec_id FROM vecs),
+         |v0 AS (
+         |  SELECT p.probe_id, en.vec_id, s.score_micro
+         |  FROM probes p CROSS JOIN entry en
+         |  JOIN allsc s ON s.src = p.probe_id AND s.dst = en.vec_id),
+         |$roundCtes,
+         |final AS (
+         |  SELECT probe_id, vec_id, score_micro,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rank
+         |  FROM v$rounds WHERE vec_id <> probe_id)""".stripMargin
+    }
+    def topkSql: String = chain +
+      "\nSELECT probe_id, vec_id, score_micro, rank FROM final WHERE rank <= 10" +
+      "\nORDER BY probe_id, rank"
+    def recallSql: String = chain + s""",
+         |exact_topk AS (
+         |  SELECT src AS probe_id, dst AS vec_id FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst AND src < 5) WHERE rn <= 10),
+         |hits AS (SELECT probe_id, vec_id FROM final WHERE rank <= 10)
+         |SELECT e.probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact_topk e LEFT JOIN hits h
+         |  ON e.probe_id = h.probe_id AND e.vec_id = h.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
   }
 
   /** DuckDB replay of the Markov removal-effect attribution: the same
@@ -644,6 +725,30 @@ object SparkEntry {
         |  CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS fl,
         |  CAST(ceil(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS ce
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // decimal DIVISION: DuckDB's own decimal / returns DOUBLE, so the
+    // oracle replays Spark's single scale-6 half-up rounding in pure
+    // integers — half_up(n/d) = (2n + d) // (2d) on the micro-unit
+    // numerator — and renders the identical fixed-scale string
+    "expr_decimal_div" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |), d AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (2 * cents * 10000 + q) // (2 * q) AS micro,
+        |    CASE WHEN q = 1 THEN NULL
+        |         ELSE (2 * cents * 10000 + (q - 1)) // (2 * (q - 1)) END AS micro_m1
+        |  FROM base
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(micro // 1000000 AS VARCHAR) || '.' ||
+        |    lpad(CAST(micro % 1000000 AS VARCHAR), 6, '0') AS unit_price_str,
+        |  CASE WHEN micro_m1 IS NULL THEN NULL
+        |       ELSE CAST(micro_m1 // 1000000 AS VARCHAR) || '.' ||
+        |         lpad(CAST(micro_m1 % 1000000 AS VARCHAR), 6, '0') END AS unit_price_m1_str
+        |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // native EXCLUDE CURRENT ROW vs the subtract-self translation
     "win_exclude_current" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

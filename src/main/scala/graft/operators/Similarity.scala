@@ -29,6 +29,12 @@ object Similarity {
   val NProbe = 4
   /** stage-1 candidate pool per probe for [[refineTopK]] (4× K). */
   val RefineC = 40
+  /** graph-ANN knobs: out-degree of the staged k-NN neighbor graph,
+    * beam width (ef-search — must exceed K so the final pool can
+    * fill the answer), and unrolled search rounds. */
+  val GraphM = 8
+  val GraphBeam = 16
+  val GraphRounds = 8
 
   /** corpus vectors with a cached L2 norm — self-dots are computed
     * once per vector here, never per candidate pair. */
@@ -887,6 +893,111 @@ object Similarity {
       .select(col("probe_id"), col("true_label"), col("pred_label"),
         col("votes"), (col("pred_label") === col("true_label")).as("correct"))
       .orderBy("probe_id")
+  }
+
+  /** Graph ANN — the HNSW/NSG index family re-expressed Spark-first:
+    * a staged k-NN NEIGHBOR GRAPH (each vector linked to its
+    * [[GraphM]] exact cosine neighbors, symmetrized — the build/serve
+    * split of ann_ivf_indexed applied to the graph index family) and
+    * a bounded BEAM SEARCH over it as an unrolled Pregel loop (the
+    * graph_bfs_distance shape): start every probe at one fixed
+    * entry vector (the corpus min id, a broadcast 1-row relation —
+    * HNSW's fixed entry point without the layer hierarchy), then
+    * [[GraphRounds]] rounds of expand-the-beam-along-edges → score
+    * ONLY the newly reached vectors → keep the best [[GraphBeam]].
+    * Per round the plan is one frontier⋈edges equi-join, one
+    * scoring join against the vector payload, and one bounded
+    * per-probe top-B on the native TopKPerKey — at 10⁹ vectors a
+    * probe touches ~Rounds·Beam·M vectors instead of N, the reason
+    * this family wins retrieval serving. Scores are integer-
+    * quantized (floor(cosine·10⁶) — both engines floor the same
+    * IEEE double) so every round's beam membership and the final
+    * ranks replay exactly in the oracle's unrolled CTEs; ties break
+    * by vec_id. The calibration-scale build here is the exact
+    * brute-force k-NN (staged once per (app, sf)); a deployment
+    * builds the graph with the IVF-bucketed pass and serves the
+    * SAME search, which touches only the staged edge relation.
+    * Reference anchor: the index-serving split of
+    * hdfs-parquet-scanner.h's scan-range state — build once, serve
+    * many — applied to the one similarity-search shape (graph
+    * traversal) the IVF/PQ family does not cover. */
+  def graphTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val pr = probes(spark, dir)
+    val edges = stagedNeighborGraph(spark, dir)
+    // score(probe, vec): the SAME fold as every cosine here —
+    // self-pairs included (the probe's own node can enter the beam;
+    // its score replays as the same near-1.0 double in both engines)
+    def scoreNew(cand: DataFrame): DataFrame =
+      cand.join(v, "vec_id").join(broadcast(pr), "probe_id")
+        .select(col("probe_id"), col("vec_id"),
+          floor(Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
+            * lit(1e6)).cast("long").as("score_micro"))
+    def topB(visited: DataFrame): DataFrame =
+      graft.plans.TopK.perKey(visited, Seq("probe_id"),
+          Seq("score_micro" -> false, "vec_id" -> true), GraphBeam)
+        .select("probe_id", "vec_id")
+    val entry = vecs(spark, dir).agg(min(col("vec_id")).as("vec_id"))
+    var visited = scoreNew(
+      pr.select("probe_id").crossJoin(broadcast(entry)))
+    var beam = topB(visited)
+    for (_ <- 1 to GraphRounds) {
+      val expand = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("probe_id"), col("dst").as("vec_id"))
+      val fresh = expand
+        .join(visited.select(col("probe_id"), col("vec_id"),
+          lit(1).as("seen")), Seq("probe_id", "vec_id"), "left")
+        .filter(col("seen").isNull).drop("seen")
+        .dropDuplicates("probe_id", "vec_id")
+      // visited feeds THREE consumers per round (the union, the
+      // seen-filter, and the beam top-B) — without an eager
+      // checkpoint the plan tree grows ~3^rounds (the graph_kcore
+      // lesson). The relation is tiny: ≤ 1 + rounds·beam·M rows per
+      // probe, so the checkpoint is O(probes·beam·M), never corpus.
+      visited = visited.unionByName(scoreNew(fresh)).localCheckpoint(true)
+      beam = topB(visited)
+    }
+    graft.plans.TopK.perKey(
+        visited.filter(col("vec_id") =!= col("probe_id")),
+        Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
+      .select("probe_id", "vec_id", "score_micro", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Recall@K of the graph search vs the exact ground truth — the
+    * acceptance audit for the graph index family (the
+    * emb_recall_at_k pattern): both relations stage once. */
+  def graphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val hit = graphTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    stagedExactTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+      .join(hit, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("probe_id")
+  }
+
+  /** the symmetrized GraphM-NN edge relation, staged once per
+    * (app, sf): the graph INDEX. Calibration build = exact k-NN via
+    * one broadcast-probe corpus pass per side (O(N²) at audit scale;
+    * the deployed build swaps in the IVF-bucketed neighbor pass,
+    * leaving the edge schema and the search untouched). */
+  private def stagedNeighborGraph(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.queries.SourcesSinks.tmp(spark, dir, "ann_graph_edges")
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      val v = vecs(spark, dir)
+      val asProbes = v.select(col("vec_id").as("probe_id"),
+        col("vd").as("pv"), col("vnrm").as("pnrm"))
+      val knn = bruteForceTopKOn(v, asProbes, GraphM, excludeSelf = true)
+        .select(col("probe_id").as("src"), col("vec_id").as("dst"))
+      knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .dropDuplicates("src", "dst")
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
   }
 
   /** Top principal direction of the embedding cloud by MATRIX-FREE

@@ -25,11 +25,10 @@ object Exprs {
     * HALF_UP rounding at positive and negative digits, floor/ceil,
     * and fixed-scale string rendering. Everything here is exact by
     * construction (2-decimal inputs), so the oracle comparison is
-    * bitwise; divisions are deliberately absent — decimal division
-    * SCALE rules are engine-specific (Spark pads to 6+ fraction
-    * digits, DuckDB keeps the dividend scale), the one fixed-point
-    * corner where dialects legitimately disagree, documented here by
-    * omission. */
+    * bitwise; division lives in its own row ([[decimalDiv]]) because
+    * decimal division SCALE rules are engine-specific (Spark pads to
+    * 6+ fraction digits; this DuckDB returns DOUBLE) — that row pins
+    * Spark's semantics against an integer replay instead. */
   def decimalArith(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -45,6 +44,36 @@ object Exprs {
         round(col("p"), -2).cast("bigint").as("round_hundreds"),
         floor(col("p")).cast("bigint").as("fl"),
         ceil(col("p")).cast("bigint").as("ce"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Decimal DIVISION contract — the corner [[decimalArith]]
+    * documents by omission, closed: Spark's division result scale is
+    * max(6, s1 + p2 + 1), so a (18,2) dividend over a (3,0) divisor
+    * lands EXACTLY at scale 6 — ONE half-up rounding of the exact
+    * rational quotient, no double rounding — and the widening cast
+    * to the declared DECIMAL(38,6) is value-preserving. try_divide
+    * carries the ÷0 lane: quantity−1 is zero on every qty-1 line,
+    * which degrades to NULL instead of aborting the stage (the ANSI
+    * TRY family of expr_try_arith applied to fixed-point). DuckDB's
+    * own decimal division returns DOUBLE (the dialect divergence
+    * that motivated the omission), so the oracle replays the SAME
+    * contract in pure integers: half-up(n/d) = (2n + d) DIV 2d on
+    * the micro-unit numerator — bitwise-equal fixed-scale strings.
+    * Inputs exact 2-decimal, quantities ≤ 50 → every intermediate
+    * fits BIGINT on the oracle side and DECIMAL(22,6) here. */
+  def decimalDiv(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast(D).as("p"),
+      col("l_quantity").cast(DecimalType(3, 0)).as("q"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // (18,2) / (3,0) → DECIMAL(22,6), single half-up at scale 6
+        expr("CAST(try_divide(p, q) AS DECIMAL(38,6))").cast("string")
+          .as("unit_price_str"),
+        // ÷0 lane: qty−1 is 0 on qty-1 lines → NULL, never an error
+        expr("CAST(try_divide(p, CAST(q - 1 AS DECIMAL(3,0))) AS DECIMAL(38,6))")
+          .cast("string").as("unit_price_m1_str"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** String kernel: substr/upper/lower/concat/length/LIKE. */
