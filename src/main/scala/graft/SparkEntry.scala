@@ -658,7 +658,8 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
          |probes AS (SELECT vec_id AS probe_id, vd AS pv FROM vecs WHERE vec_id < 5),
-         |${means("(SELECT vec_id % 16 AS cell, vd FROM vecs)", "cents_0")},
+         |nc AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS ncells FROM vecs),
+         |${means("(SELECT vec_id % (SELECT ncells FROM nc) AS cell, vd FROM vecs)", "cents_0")},
          |$rounds,
          |cents AS (SELECT cell, cv FROM cents_$iters),
          |${assign("cents", "assigned")},

@@ -25,6 +25,14 @@ import graft.sources.Tables._
   */
 object Similarity {
   val K = 10
+  /** cell count of the AD-HOC 0-iteration quantizer (ivfTopK — the
+    * one-shot query path with nothing to amortize). The PERSISTENT
+    * index does NOT use this constant: its cell count is derived
+    * from the data at build time as ⌊√N⌋ (occupancy-targeted — ≈√N
+    * vectors per inverted list, the standard IVF sizing rule; at
+    * 10⁹ vectors that is ~31.6k cells) and recorded in the index
+    * manifest ([[ivfBuildIndex]]). NProbe stays a QUERY knob in both
+    * paths. */
   val NumCells = 16
   val NProbe = 4
   /** stage-1 candidate pool per probe for [[refineTopK]] (4× K). */
@@ -164,9 +172,26 @@ object Similarity {
     * NumCells-row centroid relation (localCheckpoint keeps lineage
     * flat). A cell that loses every member drops out, identically in
     * both engines. */
+  /** (ncells, n_vectors): the data-derived cell count of the trained
+    * quantizer — ⌊√N⌋, floor 1. A broadcast 1-row relation, never a
+    * driver collect; both the mod-sample seed and the index manifest
+    * consume it, and the oracle derives the identical value from the
+    * same count. */
+  private def derivedCells(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).agg(
+      greatest(lit(1L),
+        floor(sqrt(count(lit(1)).cast("double"))).cast("long")).as("ncells"),
+      count(lit(1)).as("n_vectors"))
+
   private[graft] def trainedCentroids(spark: SparkSession, dir: String,
       iters: Int): DataFrame = {
-    var cents = centroids(spark, dir).localCheckpoint(true)
+    // round-11: the trained family seeds vec_id % ⌊√N⌋ cells (data-
+    // derived) instead of the fixed NumCells — the sizing rule a
+    // rebuild re-derives as the corpus grows
+    var cents = meansBy(vecs(spark, dir)
+      .crossJoin(broadcast(derivedCells(spark, dir).select("ncells")))
+      .select((col("vec_id") % col("ncells")).as("cell"), col("vd")))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       cents = meansBy(assignTo(vecs(spark, dir), cents)
         .select(col("cell"), col("vd"))).localCheckpoint(true)
@@ -278,21 +303,25 @@ object Similarity {
     assignTo(vecs(spark, dir), centroids(spark, dir))
 
   /** the generic nearest-centroid projection over any (vec_id, vd,
-    * vnrm) relation and any ≤NumCells centroid relation. */
+    * vnrm) relation and ANY centroid cardinality: a higher-order
+    * fold over the broadcast sorted centroid array (the previous
+    * form unrolled exactly NumCells try_element_at slots, which
+    * silently IGNORED cells past 16 once the trained family's cell
+    * count became data-derived — ⌊√N⌋ > 16 from 500 vectors up).
+    * Still one shuffle-free codegen projection; the strict `>` over
+    * the cell-ascending array keeps the LOWEST cell on exact cosine
+    * ties, identical to the oracle's ORDER BY cosine DESC, cell. */
   private[graft] def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(array_sort(collect_list(struct(col("cell"), col("cv"), col("cnrm"))))
         .as("cents"))
-    val cands = (1 to NumCells).map { i =>
-      val c = try_element_at(col("cents"), lit(i))
-      struct(
-        Vectors.cosinePre(col("vd"), c.getField("cv"), col("vnrm"),
-          c.getField("cnrm")).as("sim"),
-        (-c.getField("cell")).as("negcell"))
-    }
     vectors.crossJoin(broadcast(centsRow))
       .select(col("vec_id"), col("vd"), col("vnrm"),
-        (-greatest(cands: _*).getField("negcell")).as("cell"))
+        expr("""aggregate(
+          transform(cents, c -> named_struct(
+            'sim', graft_dot(vd, c.cv) / (vnrm * c.cnrm), 'cell', c.cell)),
+          named_struct('sim', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+          (acc, s) -> IF(s.sim > acc.sim, s, acc)).cell""").as("cell"))
   }
 
   /** probe → its NProbe nearest cells, on the native bounded-heap
@@ -343,6 +372,12 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     assignTo(vecs(spark, dir), cents).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$indexDir/assignments")
+    // the MANIFEST records how this index was sized — the derived
+    // cell count, the corpus cardinality it derives from, and the
+    // training depth — so a reader can validate the index against
+    // the live corpus (n changed ⇒ rebuild) without re-deriving
+    derivedCells(spark, dir).withColumn("train_iters", lit(TrainIters))
+      .write.mode("overwrite").parquet(s"$indexDir/manifest")
   }
 
   /** Query phase against the persistent index: probes rank the staged
@@ -353,12 +388,15 @@ object Similarity {
     * corpus. Output is identical to [[ivfTopK]] (same oracle). */
   def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     // integrity guard on the external index: the centroid table is by
-    // construction exactly the NumCells cells — enforcing the cell
-    // domain at read time keeps a corrupt/stale index from silently
-    // widening the probe fan-out (and states the bounded cardinality
-    // of this broadcast side in the plan itself)
+    // construction inside the MANIFEST's recorded cell domain —
+    // enforcing it at read time keeps a corrupt/stale index from
+    // silently widening the probe fan-out (and states the bounded
+    // cardinality of this broadcast side in the plan itself)
+    val manifest = spark.read.parquet(s"$indexDir/manifest")
     val cents = spark.read.parquet(s"$indexDir/centroids")
-      .filter(col("cell") >= 0 && col("cell") < NumCells)
+      .crossJoin(broadcast(manifest.select("ncells")))
+      .filter(col("cell") >= 0 && col("cell") < col("ncells"))
+      .drop("ncells")
     // partition-dir columns read back as INT; restore the engine type
     val assigned = spark.read.parquet(s"$indexDir/assignments")
       .withColumn("cell", col("cell").cast("bigint"))
@@ -570,9 +608,12 @@ object Similarity {
     // audit the SHIPPED index's quantizer: read the staged centroids
     // (built on first use) instead of re-running the training loop —
     // the acceptance gate inspects the artifact that serves traffic
-    val cents = spark.read
-      .parquet(s"${stagedIndexDir(spark, dir)}/centroids")
-      .filter(col("cell") >= 0 && col("cell") < NumCells)
+    val idx = stagedIndexDir(spark, dir)
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$idx/manifest").select("ncells")))
+      .filter(col("cell") >= 0 && col("cell") < col("ncells"))
+      .drop("ncells")
     val hit = searchCells(assignTo(vecs(spark, dir), cents),
         probeCells(spark, dir, cents))
       .select(col("probe_id"), col("vec_id"))

@@ -77,6 +77,16 @@ class SimilaritySpec extends SparkSpec {
     // cells' files are read at query time
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan.take(4000))
+    // the manifest records the data-derived sizing: ncells = ⌊√N⌋
+    // (occupancy-targeted), the N it derives from, and the training
+    // depth — the validation record a reader checks before serving
+    val idx = graft.queries.SourcesSinks.tmp(spark, sf, "ivf_index")
+    val m = spark.read.parquet(s"$idx/manifest").collect()
+    assert(m.length == 1)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(m(0).getAs[Long]("n_vectors") == n)
+    assert(m(0).getAs[Long]("ncells") == math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong))
+    assert(m(0).getAs[Int]("train_iters") == operators.Similarity.TrainIters)
   }
 
   test("ivf recall@10 vs brute force meets the floor") {
@@ -128,9 +138,12 @@ class SimilaritySpec extends SparkSpec {
     val trained = pairs(operators.Similarity.ivfTopKTrained(spark, sf))
     val recall = (bf intersect trained).size.toDouble / bf.size
     info(f"trained ivf recall@10 = $recall%.2f")
-    // measured: 0.50 at sf0.001, 0.60 at sf0.01 (vs 0.52 untrained
-    // there — the delta TrainIters buys); the floor is conservative
-    // but well above the untrained 0.15 worst-case bound
+    // measured 0.52 at sf0.001 on the round-11 data-derived sizing
+    // (⌊√500⌋ = 22 cells, NProbe 4 → 18% probe share). With cells
+    // now scaling ≈√N, recall on this random (clusterless) corpus
+    // tracks the probe share NProbe/⌊√N⌋ — at sf0.1 (44 cells) it
+    // measures 0.32; a deployment scales NProbe with √ncells to
+    // hold recall, which is exactly why NProbe is a QUERY knob.
     assert(recall >= 0.35, f"trained recall@10 $recall%.2f below floor 0.35")
   }
 
