@@ -377,12 +377,13 @@ object Multimodal {
   }
 
   /** Generic core of [[imagePHash]] over any (doc_id, text) payload
-    * relation. */
+    * relation: the documented STUB decode (md5 pseudo-pixels over the
+    * normalized payload prefix) feeding the REAL transform plumbing —
+    * everything downstream of the pixel relation is shared with the
+    * javax.imageio path ([[decodeImagePixels]]), which is how
+    * MultimodalSpec proves the seam: stub and real decoder drive the
+    * SAME [[imagePHashFromPixels]]. */
   def imagePHashOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val basis = broadcast(dctTable.toDF("u", "x", "c"))
-
     val thumb =
       expr("substring(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 1, 64)")
     val hexed = docs.select(col("doc_id"),
@@ -393,7 +394,60 @@ object Multimodal {
       .select(col("doc_id"), expr("CAST(i % 8 AS BIGINT)").as("x"),
         expr("CAST(i div 8 AS BIGINT)").as("y"),
         expr("CAST(conv(substring(hex, 2*i + 1, 2), 16, 10) AS BIGINT)").as("p"))
+    imagePHashFromPixels(pix)
+  }
 
+  /** REAL decoder for the seam: image bytes (PNG/JPEG/BMP — whatever
+    * javax.imageio reads; pure JVM, lossless formats decode
+    * deterministically) → exact integer 8×8 box-mean grayscale
+    * thumbnail → the same (doc_id, x, y, p) pixel relation the stub
+    * produces. mapPartitions so a deployed codec amortizes decoder
+    * init across the batch (the mapInPandas seam shape); unreadable
+    * payloads drop out rather than poisoning the stage. */
+  def decodeImagePixels(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            for { by <- (0 until 8).iterator; bx <- (0 until 8).iterator } yield {
+              val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+              val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  n += 3
+                  x += 1
+                }
+                y += 1
+              }
+              (id, bx.toLong, by.toLong, sum / n)
+            }
+          }
+        }
+      }.toDF("doc_id", "x", "y", "p")
+  }
+
+  /** The transform plumbing DOWNSTREAM of the decode seam, shared by
+    * the stub and the real decoder: (doc_id, x, y, p) 8×8 grayscale
+    * pixels → separable integer DCT-II → 63-AC-coefficient median
+    * threshold signature → 4×16-bit pigeonhole banding → exact
+    * hamming verify on candidates only. */
+  def imagePHashFromPixels(pix: DataFrame): DataFrame = {
+    val spark = pix.sparkSession
+    import spark.implicits._
+    val basis = broadcast(dctTable.toDF("u", "x", "c"))
     val g = pix.join(basis, "x")
       .groupBy(col("doc_id"), col("u"), col("y"))
       .agg(sum(col("p") * col("c")).as("g"))

@@ -141,6 +141,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL decoder through the seam: imageio PNGs drive the same pHash plumbing") {
+    // The decode stage is the documented stub only because this
+    // container ships no media codecs — but javax.imageio is pure
+    // JVM. This test proves the SEAM: real PNG pixels enter
+    // imagePHashFromPixels, the exact operator the stub path uses,
+    // and perceptual near-duplicates come out. Three planted 32x32
+    // images: A = a blocky high-contrast pattern, B = A with a few
+    // +-2 gray-level pixels of noise (a visually identical
+    // re-encode), C = A's inverse (maximally different content).
+    import java.awt.image.BufferedImage
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = paint(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def base(x: Int, y: Int): Int = if (((x / 8) + (y / 8)) % 2 == 0) 40 else 215
+    val a = png(base)
+    val b = png((x, y) => base(x, y) + (if ((x * 31 + y * 17) % 97 == 0) 2 else 0))
+    val c = png((x, y) => 255 - base(x, y))
+    import spark.implicits._
+    val images = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "content")
+    val pix = operators.Multimodal.decodeImagePixels(images)
+    // 64 thumbnail pixels per image, exact box means of real pixels
+    val pxRows = pix.collect()
+    assert(pxRows.length == 3 * 64)
+    assert(pxRows.forall(r => r.getAs[Long]("p") >= 0 && r.getAs[Long]("p") <= 255))
+    val pairs = operators.Multimodal.imagePHashFromPixels(pix).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // the re-encode pair survives; the inverted image matches nothing
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"pairs=${pairs.toSeq}")
+    assert(pairs.head._3 <= 3)
+    // a lossless PNG roundtrip decodes to the exact planted pixels:
+    // A's thumbnail boxes are pure 40/215 blocks (4x4 boxes inside
+    // 8x8 squares), so the box means equal the painted values
+    val aPix = pxRows.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => ((r.getAs[Long]("x"), r.getAs[Long]("y")), r.getAs[Long]("p"))).toMap
+    for (bx <- 0 until 8; by <- 0 until 8) {
+      val want = if (((bx / 2) + (by / 2)) % 2 == 0) 40L else 215L
+      assert(aPix((bx.toLong, by.toLong)) == want, s"box ($bx,$by)")
+    }
+  }
+
   test("audio frames: grid arithmetic and digests replay per doc") {
     val rows = operators.Multimodal.audioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
