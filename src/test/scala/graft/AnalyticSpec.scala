@@ -912,6 +912,95 @@ class AnalyticSpec extends SparkSpec {
     assert(pages > 0 && pages < rows.length)
   }
 
+  test("interval union, concurrency, bot detect survive a planted 100k-event whale") {
+    // the ev_pattern_match whale discipline applied to the three
+    // remaining per-user sweeps: their per-user window partitions are
+    // spillable sorts, and this fixture makes one user's partition
+    // hold 100k rows so the spill path is exercised, not assumed.
+    // user 9 = the whale (100k events, 1 s apart — one session
+    // spanning ~28 h, constant gaps ⇒ metronome bot); user 1 = a
+    // slow human (30 events, 1 h apart — regular but NOT fast);
+    // user 2 = a metronome burst (25 events, 7 s apart ⇒ bot).
+    val dir = java.nio.file.Files.createTempDirectory("graft_whale3").toFile
+    dir.deleteOnExit()
+    val t0 = 1704067200L
+    import spark.implicits._
+    spark.range(100055)
+      .selectExpr(
+        "id AS event_id",
+        s"""CASE WHEN id < 100000 THEN ${t0}L + id
+           | WHEN id < 100030 THEN ${t0}L + (id - 100000) * 3600
+           | ELSE ${t0}L + (id - 100030) * 7 END * 1000000000 AS ts""".stripMargin,
+        "CASE WHEN id < 100000 THEN 9L WHEN id < 100030 THEN 1L ELSE 2L END AS user_id",
+        "'view' AS event_type", "1.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val ev = spark.read.parquet(s"${dir.getAbsolutePath}/events.parquet")
+      .selectExpr("user_id", "event_id", "ts div 1000000000 AS sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // ---- interval union: brute-force sweep-merge per user ----
+    val gotIu = queries.Analytic.intervalUnion(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_islands"), r.getAs[Long]("union_sec")))).toMap
+    val expIu = ev.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.map(t => (t._3, t._3 + (t._2 % 541) + 60)).sortBy(identity)
+      var (n, union, curS, curE) = (0L, 0L, Long.MinValue, Long.MinValue)
+      sorted.foreach { case (s, e) =>
+        if (curE == Long.MinValue || s > curE) {
+          if (curE != Long.MinValue) union += curE - curS
+          n += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      union += curE - curS
+      u -> ((n, union))
+    }
+    assert(gotIu == expIu, s"got=$gotIu exp=$expIu")
+
+    // ---- concurrency: minute-sweep simulation ----
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map(t => (t._3, t._2)).sortBy(identity)
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = sorted.head._1; var prev = sorted.head._1
+      for ((s, _) <- sorted.tail) {
+        if (s - prev > 1800) { buf += ((start, prev)); start = s }
+        prev = s
+      }
+      buf += ((start, prev)); buf
+    }.toSeq.map { case (s, e) => (s / 60, e / 60) }
+    val deltas = scala.collection.mutable.TreeMap[Long, Long]()
+    sessions.foreach { case (ms, me) =>
+      deltas(ms) = deltas.getOrElse(ms, 0L) + 1
+      deltas(me + 1) = deltas.getOrElse(me + 1, 0L) - 1
+    }
+    var run = 0L
+    val concSim = deltas.toSeq.map { case (m, d) => run += d; (m, run) }
+    val expPeaks = concSim.groupBy(_._1 / 1440).view.mapValues { g =>
+      val best = g.maxBy(x => (x._2, -x._1)); (best._2, best._1)
+    }.toMap
+    val gotConc = queries.Analytic.concurrency(spark, dir.getAbsolutePath).collect()
+    assert(gotConc.length == expPeaks.size)
+    gotConc.foreach { r =>
+      val d = r.getAs[Long]("day")
+      assert((r.getAs[Long]("peak_conc"), r.getAs[Long]("peak_minute")) ==
+        expPeaks(d), s"day $d")
+    }
+    // the whale's single 28 h session spans a day boundary: the
+    // carry must keep concurrency ≥ 1 on the second day
+    assert(gotConc.length >= 2 && gotConc.forall(_.getAs[Long]("peak_conc") >= 1L))
+
+    // ---- bot detect: the whale IS a metronome bot at 100k scale ----
+    val gotBot = queries.Analytic.botDetect(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Boolean]("fast"), r.getAs[Boolean]("regular"),
+          r.getAs[Boolean]("is_bot")))).toMap
+    // user 9: 100k events over 99999 s — fast AND zero-variance gaps
+    assert(gotBot(9L) == ((true, true, true)))
+    // user 1: perfectly regular but 1/hour — never fast, never a bot
+    assert(gotBot(1L) == ((false, true, false)))
+    // user 2: 7 s metronome — classic scraper
+    assert(gotBot(2L) == ((true, true, true)))
+  }
+
   test("concurrency: sweep peaks replay from a driver-side simulation") {
     val rows = queries.Analytic.concurrency(spark, sf).collect()
     val ev = graft.sources.Tables.events(spark, sf)

@@ -160,4 +160,67 @@ class ScanSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("CBO join reorder: column stats flip a pessimal join order end-to-end") {
+    // ANALYZE stats exist (test above); this ties them to a PLAN: a
+    // 3-table chain written in the worst left-deep order — the big
+    // orders⋈customer join first, the 1-row-filtered nation last —
+    // must come out of CostBasedJoinReorder with nation joined to
+    // customer at the BOTTOM (1500-row orders join deferred until the
+    // selective dim has shrunk customer ~25×). Broadcast is disabled
+    // so the logical order, not a runtime build-side pick, is under
+    // test; AQE can re-pick build sides and split skew at runtime but
+    // it canNOT re-associate a join tree — ordering remains the
+    // planner's (CBO's) job even with AQE on.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sfx = math.abs(sf.hashCode).toString
+    val tabs = Seq(
+      "orders" -> graft.sources.Tables.orders(s, sf),
+      "customer" -> graft.sources.Tables.customer(s, sf),
+      "nation" -> graft.sources.Tables.nation(s, sf))
+    try {
+      tabs.foreach { case (name, df) =>
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft_cbo_$name").toString
+        df.write.mode("overwrite").option("path", path)
+          .saveAsTable(s"graft_cbo_${name}_$sfx")
+        s.sql(s"ANALYZE TABLE graft_cbo_${name}_$sfx COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      val q = s.sql(
+        s"""SELECT count(*) AS n
+           |FROM graft_cbo_orders_$sfx o
+           |JOIN graft_cbo_customer_$sfx c ON o.o_custkey = c.c_custkey
+           |JOIN graft_cbo_nation_$sfx n ON c.c_nationkey = n.n_nationkey
+           |WHERE n.n_name = 'NATION_7'""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size == 2, q.queryExecution.optimizedPlan.toString)
+      // the INNERMOST join (no Join below it) must pair customer with
+      // the filtered nation — i.e. the reorder fired and moved orders up
+      val bottom = joins.filter(j => j.collect { case x: Join => x } == Seq(j))
+      assert(bottom.size == 1)
+      val bottomStr = bottom.head.toString
+      assert(bottomStr.contains("nation") && bottomStr.contains("customer")
+        && !bottomStr.contains("orders"),
+        s"CBO did not reorder; bottom join:\n$bottomStr")
+      // and the reordered plan is still the right ANSWER: replay the
+      // count relationally on the plain session
+      val want = {
+        val o = graft.sources.Tables.orders(spark, sf)
+        val c = graft.sources.Tables.customer(spark, sf)
+        val n = graft.sources.Tables.nation(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("n_name") === "NATION_7")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey")).count()
+      }
+      assert(q.collect()(0).getAs[Long]("n") == want)
+    } finally {
+      tabs.foreach { case (name, _) =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cbo_${name}_$sfx")
+      }
+    }
+  }
 }
