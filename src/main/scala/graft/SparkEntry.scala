@@ -364,6 +364,7 @@ object SparkEntry {
     "stream_session_agg"   -> graft.streaming.StreamQueries.sessionAgg _,
     "stream_session_append" -> graft.streaming.StreamQueries.sessionAppend _,
     "stream_late_drop"     -> graft.streaming.StreamQueries.lateDrop _,
+    "stream_chaos_replay"  -> graft.streaming.StreamQueries.chaosReplay _,
     "stream_sliding_agg"   -> graft.streaming.StreamQueries.slidingAgg _,
     "stream_sliding_append" -> graft.streaming.StreamQueries.slidingAppend _,
     "stream_lsh_dedup"      -> graft.streaming.StreamQueries.lshDedup _,
@@ -3207,6 +3208,24 @@ object SparkEntry {
     // late-data drop: rows of the late-delivered 5% slice older than
     // the post-batch-1 watermark (max on-time event ms - 2h) are
     // dropped by the stateful agg; everything else aggregates
+    // chaos replay: survivors = batch1 entirely; batch2 redeliveries
+    // never (dedup state ∪ late filter tile the time axis); batches
+    // 3/4 first deliveries iff event time (µs) is strictly past the
+    // PREVIOUS batch's ms-floored watermark
+    "stream_chaos_replay" ->
+      """WITH e AS (SELECT event_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+        |a AS (SELECT * FROM e WHERE event_id % 20 > 1),
+        |c AS (SELECT * FROM e WHERE event_id % 20 = 1),
+        |d AS (SELECT * FROM e WHERE event_id % 20 = 0),
+        |wm1 AS (SELECT (max(us)//1000 - 7200000) * 1000 AS wm_us FROM a),
+        |wm3 AS (SELECT (greatest((SELECT max(us) FROM a), (SELECT max(us) FROM c))//1000 - 7200000) * 1000 AS wm_us),
+        |surv AS (
+        |  SELECT event_type, value FROM a
+        |  UNION ALL SELECT event_type, value FROM c, wm1 WHERE c.us > wm1.wm_us
+        |  UNION ALL SELECT event_type, value FROM d, wm3 WHERE d.us > wm3.wm_us)
+        |SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM surv GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_late_drop" ->
       """WITH e AS (SELECT event_id, event_type, value, epoch_ns(ts)//1000 AS us,
         |        epoch_ns(ts)//1000000000//3600*3600 AS hour_sec FROM events),

@@ -356,6 +356,84 @@ object StreamQueries {
       d
     }
 
+  /** Four-file staging for the CHAOS replay — the message-bus
+    * stand-in (no broker ships in this sandbox): one feed exhibiting
+    * ALL THREE at-least-once pathologies at once, each batch
+    * md5-shuffled so even within a file arrival order ≠ event time.
+    *   a_bulk (batch 1): 90% of events — establishes the watermark.
+    *   b_dup  (batch 2): exact REDELIVERIES of the %20∈{2,3} slice —
+    *     recent copies meet live dedup state, stale copies meet the
+    *     late filter; exactly-once must hold through BOTH paths.
+    *   c_new  (batch 3): first deliveries arriving OUT OF ORDER —
+    *     only those still inside the lateness SLA survive.
+    *   d_strag(batch 4): the straggler slice, mostly beyond SLA. */
+  private def stageChaosDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = graft.queries.SourcesSinks.tmp(spark, dir, "events_stream_chaos")
+      val marker = java.nio.file.Paths.get(d, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmpDir = s"$d/__tmp_$name"
+          df.orderBy(md5(col("event_id").cast("string")))
+            .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(d, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime): Unit
+          graft.queries.SourcesSinks.deleteRecursively(new java.io.File(tmpDir))
+        }
+        val t0 = 1600000000000L
+        writeOne(ev.filter(col("event_id") % 20 > 1), "a_bulk", t0)
+        writeOne(ev.filter(col("event_id") % 20 === 2 ||
+          col("event_id") % 20 === 3), "b_dup", t0 + 60000)
+        writeOne(ev.filter(col("event_id") % 20 === 1), "c_new", t0 + 120000)
+        writeOne(ev.filter(col("event_id") % 20 === 0), "d_strag", t0 + 180000)
+        java.nio.file.Files.createFile(marker)
+      }
+      d
+    }
+
+  /** CHAOS replay — out-of-order arrival AND duplicate redelivery in
+    * ONE feed through watermarked exactly-once dedup: the
+    * watermark-semantics torture test a file-source single-file
+    * replay can never produce, standing in for a real message bus.
+    * Batch 2's redelivered copies must ALL be suppressed — the
+    * recent ones by live dedup state (their first copy's state
+    * expires at event time + 2 h, which is provably after batch 1's
+    * watermark), the stale ones by the late filter (their event time
+    * is behind it); the two mechanisms tile the time axis with no
+    * gap, which is WHY dropDuplicatesWithinWatermark can guarantee
+    * exactly-once with bounded state. Batches 3 and 4 carry first
+    * deliveries arriving late: only rows inside the lateness SLA
+    * (event time strictly past the PREVIOUS batch's ms-floored
+    * watermark — Spark's two-watermark contract, same as
+    * [[lateDrop]]) survive to the sink; the rest are the data a
+    * deployment silently loses. The oracle replays the surviving
+    * population exactly from the batch boundaries. */
+  def chaosReplay(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    val path = stageChaosDir(spark, dir)
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", "1").parquet(path)
+      .withColumn("ts", Tables.epochNsOf(phys, "ts"))
+      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = stream
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
+      .withWatermark("ts_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    runBounded(spark, deduped, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** LATE-DATA DROP accounting — the out-of-order contract an
     * unbounded deployment lives with, which the single-file replays
     * above never exercise: once the watermark from the first two
