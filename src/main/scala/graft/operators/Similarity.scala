@@ -962,7 +962,21 @@ object Similarity {
     * hdfs-parquet-scanner.h's scan-range state — build once, serve
     * many — applied to the one similarity-search shape (graph
     * traversal) the IVF/PQ family does not cover. */
-  def graphTopK(spark: SparkSession, dir: String): DataFrame = {
+  def graphTopK(spark: SparkSession, dir: String): DataFrame =
+    stagedGraphTopK(spark, dir).orderBy("probe_id", "rank")
+
+  /** the search result, staged once per (app, sf): the headline
+    * query and the recall audit both read it — one beam search per
+    * corpus snapshot, the stage-once discipline of the dedup pair
+    * graphs. */
+  private def stagedGraphTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.queries.SourcesSinks.tmp(spark, dir, "ann_graph_topk")
+    if (!new java.io.File(s"$path/_SUCCESS").isFile)
+      graphTopKCompute(spark, dir).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private def graphTopKCompute(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val pr = probes(spark, dir)
     val edges = stagedNeighborGraph(spark, dir)
@@ -1009,7 +1023,7 @@ object Similarity {
     * acceptance audit for the graph index family (the
     * emb_recall_at_k pattern): both relations stage once. */
   def graphRecall(spark: SparkSession, dir: String): DataFrame = {
-    val hit = graphTopK(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hit = stagedGraphTopK(spark, dir).select(col("probe_id"), col("vec_id"))
       .withColumn("hit", lit(1L))
     stagedExactTopK(spark, dir).select(col("probe_id"), col("vec_id"))
       .join(hit, Seq("probe_id", "vec_id"), "left")
