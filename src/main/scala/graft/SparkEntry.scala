@@ -122,6 +122,7 @@ object SparkEntry {
     "ev_autocorr"          -> Analytic.autocorr _,
     "ev_seasonal_dow"      -> Analytic.seasonalDow _,
     "ev_forecast_naive"    -> Analytic.forecastNaive _,
+    "ev_forecast_holt"     -> Analytic.forecastHolt _,
     "ev_interpolate_linear" -> Analytic.interpolateLinear _,
     "ev_concurrency"       -> Analytic.concurrency _,
     "ev_burn_rate"         -> Analytic.burnRate _,
@@ -251,6 +252,7 @@ object SparkEntry {
     "ann_range_search"    -> Similarity.rangeSearch _,
     "ann_graph_topk"      -> Similarity.graphTopK _,
     "ann_graph_recall"    -> Similarity.graphRecall _,
+    "ann_graph_tuning"    -> Similarity.graphTuning _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -287,6 +289,7 @@ object SparkEntry {
     "src_json_multiline" -> SourcesSinks.jsonMultiline _,
     "pipeline_clean_corpus" -> Pipeline.cleanCorpusStats _,
     "pipeline_mix_weights"  -> Pipeline.mixWeights _,
+    "pipeline_mix_temperature" -> Pipeline.mixTemperature _,
     "pipeline_pack_sequences" -> Pipeline.packSequences _,
     "pipeline_token_budget"   -> Pipeline.tokenBudget _,
     "pipeline_source_stats"   -> Pipeline.sourceStats _,
@@ -426,7 +429,8 @@ object SparkEntry {
       // symmetrized exact k-NN graph, scores integer-quantized so
       // beam membership replays exactly
       ("ann_graph_topk" -> GraphAnnOracle.topkSql) +
-      ("ann_graph_recall" -> GraphAnnOracle.recallSql)
+      ("ann_graph_recall" -> GraphAnnOracle.recallSql) +
+      ("ann_graph_tuning" -> GraphAnnOracle.tuningSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -441,21 +445,32 @@ object SparkEntry {
     private val m = graft.operators.Similarity.GraphM
     private val beam = graft.operators.Similarity.GraphBeam
     private val rounds = graft.operators.Similarity.GraphRounds
-    private def chain: String = {
-      val roundCtes = (1 to rounds).map { r =>
-        s"""beam${r - 1} AS (
+    /** beam-width-suffixed unrolled rounds: v<bw>_0..v<bw>_R plus the
+      * per-width top-10 — shared by the headline chain (default
+      * width, unsuffixed aliases) and the tuning sweep. */
+    private def roundsFor(bw: Int, tag: String): String = {
+      val rc = (1 to rounds).map { r =>
+        s"""beam$tag${r - 1} AS (
            |  SELECT probe_id, vec_id FROM (
            |    SELECT probe_id, vec_id,
            |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rn
-           |    FROM v${r - 1}) WHERE rn <= $beam),
-           |v$r AS MATERIALIZED (
+           |    FROM v$tag${r - 1}) WHERE rn <= $bw),
+           |v$tag$r AS MATERIALIZED (
            |  SELECT DISTINCT probe_id, vec_id, score_micro FROM (
-           |    SELECT probe_id, vec_id, score_micro FROM v${r - 1}
+           |    SELECT probe_id, vec_id, score_micro FROM v$tag${r - 1}
            |    UNION ALL
            |    SELECT b.probe_id, e.dst AS vec_id, s.score_micro
-           |    FROM beam${r - 1} b JOIN edges e ON e.src = b.vec_id
+           |    FROM beam$tag${r - 1} b JOIN edges e ON e.src = b.vec_id
            |    JOIN allsc s ON s.src = b.probe_id AND s.dst = e.dst))""".stripMargin
       }.mkString(",\n")
+      s"""v${tag}0 AS (
+         |  SELECT p.probe_id, en.vec_id, s.score_micro
+         |  FROM probes p CROSS JOIN entry en
+         |  JOIN allsc s ON s.src = p.probe_id AND s.dst = en.vec_id),
+         |$rc""".stripMargin
+    }
+    private def chain: String = {
+      val roundCtes = roundsFor(beam, "")
       s"""WITH vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
          |norms AS MATERIALIZED (SELECT vec_id, sqrt(${dot("vd", "vd")}) AS nrm FROM vecs),
          |allsc AS MATERIALIZED (
@@ -474,15 +489,47 @@ object SparkEntry {
          |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
          |probes AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id < 5),
          |entry AS (SELECT min(vec_id) AS vec_id FROM vecs),
-         |v0 AS (
-         |  SELECT p.probe_id, en.vec_id, s.score_micro
-         |  FROM probes p CROSS JOIN entry en
-         |  JOIN allsc s ON s.src = p.probe_id AND s.dst = en.vec_id),
          |$roundCtes,
          |final AS (
          |  SELECT probe_id, vec_id, score_micro,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rank
          |  FROM v$rounds WHERE vec_id <> probe_id)""".stripMargin
+    }
+
+    /** the beam-width operating curve: the shared prefix + one
+      * suffixed round chain per width + per-width stats, graded
+      * against the exact top-10. */
+    def tuningSql: String = {
+      val beams = Seq(4, 8, 16)
+      val perBeam = beams.map { bw =>
+        s"""${roundsFor(bw, s"b${bw}_")},
+           |topk$bw AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rank
+           |    FROM vb${bw}_$rounds WHERE vec_id <> probe_id) WHERE rank <= 10),
+           |stat$bw AS (
+           |  SELECT CAST($bw AS BIGINT) AS beam,
+           |    CAST((SELECT count(*) FROM vb${bw}_$rounds) AS BIGINT) AS n_visited,
+           |    CAST((SELECT count(DISTINCT vec_id) FROM vb${bw}_$rounds) AS BIGINT) AS n_distinct_vecs,
+           |    CAST((SELECT count(*) FROM topk$bw) AS BIGINT) AS n_returned,
+           |    CAST((SELECT count(*) FROM topk$bw t JOIN exact_topk e
+           |          ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id) AS BIGINT) AS n_hits)""".stripMargin
+      }.mkString(",\n")
+      // the default chain carries the shared prefix; its unsuffixed
+      // rounds are unused here but harmless (CTEs are lazy)
+      chain + s""",
+         |exact_topk AS (
+         |  SELECT src AS probe_id, dst AS vec_id FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst AND src < 5) WHERE rn <= 10),
+         |$perBeam,
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_topk)
+         |SELECT beam, n_visited, n_distinct_vecs, n_returned, n_hits, n_exact,
+         |  CAST(1000000 * n_hits // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM stat4 UNION ALL SELECT * FROM stat8
+         |      UNION ALL SELECT * FROM stat16) s, ex
+         |ORDER BY beam""".stripMargin
     }
     def topkSql: String = chain +
       "\nSELECT probe_id, vec_id, score_micro, rank FROM final WHERE rank <= 10" +
@@ -1801,6 +1848,36 @@ object SparkEntry {
         |FROM f ORDER BY event_type, day""".stripMargin,
     // calendar equi-join lags (gap-proof), cross-multiplied winner,
     // truncated integer micro-MAE — engine-exact end to end
+    // Holt with dyadic alpha=beta=1/2: every recursion op is EXACT
+    // (no float rounding inside the 53-bit mantissa), so the replay
+    // is bitwise regardless of expression shape. RECURSIVE CTE, not
+    // list_reduce: DuckDB's list_reduce updates a struct accumulator
+    // FIELD BY FIELD (later fields read already-updated earlier
+    // fields — measured: q := a.q + a.p after p's update sees the
+    // new p), so multi-field folds replay there only as recursion —
+    // the ev_survival_curve precedent
+    "ev_forecast_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(n AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM d),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM s GROUP BY 1),
+        |rec(event_type, i, l, b, sae) AS (
+        |  SELECT event_type, i, y, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i,
+        |    (s.y + r.l + r.b) / 2.0,
+        |    ((s.y + r.l + r.b) / 2.0 - r.l) / 2.0 + r.b / 2.0,
+        |    r.sae + abs(s.y - (r.l + r.b))
+        |  FROM rec r JOIN s ON s.event_type = r.event_type AND s.i = r.i + 1)
+        |SELECT r.event_type, c.n_days, r.l AS level, r.b AS trend,
+        |  r.l + 7.0 * r.b AS forecast_h7, r.sae AS sum_abs_err
+        |FROM rec r JOIN cnt c ON c.event_type = r.event_type AND r.i = c.n_days
+        |ORDER BY r.event_type""".stripMargin,
     "ev_forecast_naive" ->
       """WITH d AS (
         |  SELECT event_type, epoch_ns(ts)//1000000000//86400 AS day, count(*) AS n
@@ -5641,6 +5718,28 @@ object SparkEntry {
         |FROM canon WHERE rn = 1
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // temperature mixing: per-source sqrt is one correctly-rounded
+    // IEEE op; the normalizer folds in lang order (list built ORDER
+    // BY lang here, array_sort of unique-lang structs there) so both
+    // engines produce the identical double before the ppm floors
+    "pipeline_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |by_lang AS (
+        |  SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(n_tokens ORDER BY lang), x -> sqrt(CAST(x AS DOUBLE)))),
+        |      (a, b) -> a + b) AS w_sum
+        |  FROM by_lang)
+        |SELECT lang, n_tokens,
+        |  CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / w_sum) AS BIGINT) AS share_ppm,
+        |  CAST(floor(1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / w_sum) /
+        |    (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS BIGINT) AS upsample_ppm
+        |FROM by_lang, tot ORDER BY lang""".stripMargin,
     "pipeline_mix_weights" ->
       """WITH t AS (
         |  SELECT lang,

@@ -117,6 +117,37 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled source mixing — the α-sampling rule
+    * multilingual training mixes actually deploy (p_l ∝ n_l^α, here
+    * α = 1/2): flattens the natural token distribution toward
+    * uniform so low-resource sources upsample without drowning the
+    * head — the knob between [[mixWeights]]' natural share and its
+    * uniform mix_weight. Exactness: each source's √tokens is one
+    * correctly-rounded IEEE op; the normalizing sum folds IN LANG
+    * ORDER via one aggregate() lambda over the collected ≤|langs|
+    * array (the bounded-domain fold of the survival curve), so both
+    * engines build the identical double; shares and upsample factors
+    * land as floor(10⁶·x) integers. Scale: one map-side-combined
+    * lang agg + a 1-row broadcast — the corpus is touched once. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = documents(spark, dir)
+      .withColumn("n_words", size(split(expr(normTextExpr), " ")).cast("bigint"))
+      .groupBy("lang").agg(sum("n_words").as("n_tokens"))
+    val totals = byLang.agg(
+      sum("n_tokens").as("total_tokens"),
+      expr("""aggregate(array_sort(collect_list(struct(lang, n_tokens))),
+        CAST(0.0 AS DOUBLE), (acc, s) -> acc + sqrt(CAST(s.n_tokens AS DOUBLE)))""")
+        .as("w_sum"))
+    byLang.crossJoin(broadcast(totals))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      .select(col("lang"), col("n_tokens"),
+        expr("CAST(floor(1000000.0 * w / w_sum) AS BIGINT)").as("share_ppm"),
+        expr("""CAST(floor(1000000.0 * (w / w_sum) /
+          (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS BIGINT)""")
+          .as("upsample_ppm"))
+      .orderBy("lang")
+  }
+
   /** Per-source provenance scorecard — the accounting a corpus build
     * runs before setting source quotas: per ingestion source, doc and
     * language counts, token mass, and exact-duplicate pressure (how

@@ -976,7 +976,20 @@ object Similarity {
     spark.read.parquet(path)
   }
 
-  private def graphTopKCompute(spark: SparkSession, dir: String): DataFrame = {
+  private def graphTopKCompute(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        beamSearchVisited(spark, dir, GraphBeam)
+          .filter(col("vec_id") =!= col("probe_id")),
+        Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
+      .select("probe_id", "vec_id", "score_micro", "rank")
+      .orderBy("probe_id", "rank")
+
+  /** the beam-parameterized search core: the full VISITED set
+    * (probe_id, vec_id, score_micro) after [[GraphRounds]] rounds at
+    * width `beam` — [[graphTopK]] serves with [[GraphBeam]], the
+    * tuning audit sweeps widths. */
+  private def beamSearchVisited(spark: SparkSession, dir: String,
+      beamWidth: Int): DataFrame = {
     val v = vecs(spark, dir)
     val pr = probes(spark, dir)
     val edges = stagedNeighborGraph(spark, dir)
@@ -990,7 +1003,7 @@ object Similarity {
             * lit(1e6)).cast("long").as("score_micro"))
     def topB(visited: DataFrame): DataFrame =
       graft.plans.TopK.perKey(visited, Seq("probe_id"),
-          Seq("score_micro" -> false, "vec_id" -> true), GraphBeam)
+          Seq("score_micro" -> false, "vec_id" -> true), beamWidth)
         .select("probe_id", "vec_id")
     val entry = vecs(spark, dir).agg(min(col("vec_id")).as("vec_id"))
     var visited = scoreNew(
@@ -1012,11 +1025,37 @@ object Similarity {
       visited = visited.unionByName(scoreNew(fresh)).localCheckpoint(true)
       beam = topB(visited)
     }
-    graft.plans.TopK.perKey(
-        visited.filter(col("vec_id") =!= col("probe_id")),
-        Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
-      .select("probe_id", "vec_id", "score_micro", "rank")
-      .orderBy("probe_id", "rank")
+    visited
+  }
+
+  /** Beam-width OPERATING CURVE for the graph index — the
+    * dedup_lsh_tuning discipline applied to ef-search: for beam ∈
+    * {4, 8, 16}, the vectors VISITED (the per-probe search cost —
+    * what a serving deployment pays) against recall@10 vs the staged
+    * exact ground truth (what it buys). The knee of this curve is
+    * how ef gets picked in production; all counts exact integers,
+    * recall in ppm by floor division. */
+  def graphTuning(spark: SparkSession, dir: String): DataFrame = {
+    val exact = stagedExactTopK(spark, dir)
+      .select(col("probe_id"), col("vec_id")).withColumn("t", lit(1L))
+    Seq(4, 8, 16).map { b =>
+      val visited = beamSearchVisited(spark, dir, b)
+      val topk = graft.plans.TopK.perKey(
+          visited.filter(col("vec_id") =!= col("probe_id")),
+          Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
+        .select("probe_id", "vec_id")
+      topk.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_returned"),
+          coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+        .crossJoin(broadcast(visited.agg(count(lit(1)).as("n_visited"),
+          countDistinct(col("vec_id")).as("n_distinct_vecs"))))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .withColumn("beam", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("beam"), col("n_visited"), col("n_distinct_vecs"),
+        col("n_returned"), col("n_hits"), col("n_exact"),
+        expr("1000000 * n_hits DIV greatest(n_exact, 1L)").as("recall_ppm"))
+      .orderBy("beam")
   }
 
   /** Recall@K of the graph search vs the exact ground truth — the

@@ -1838,6 +1838,50 @@ object Analytic {
       .orderBy("event_type")
   }
 
+  /** Holt DOUBLE-exponential forecast (level + trend) per event
+    * type — the smoothing upgrade of [[forecastNaive]]'s lag
+    * baselines and the trend-aware counterpart of [[ewmaSmooth]]:
+    * α = β = 1/2 DYADIC, so every level/trend iterate is an exact
+    * binary rational (series magnitude ~10⁴ at ≤2⁻ⁿ granularity over
+    * ≤31 observed days stays far inside the 53-bit mantissa — every
+    * fold op is EXACT, no rounding anywhere) and both engines agree
+    * bitwise regardless of expression shape. Recursion
+    * l_t = (y_t + l_{t−1} + b_{t−1})/2,
+    * b_t = (l_t − l_{t−1})/2 + b_{t−1}/2 from l₁ = y₁, b₁ = 0, over
+    * observed days in day order, as ONE aggregate() lambda over the
+    * collapsed per-type series array (the KM-fold discipline — a
+    * single projection, never per-step jobs). The backtest metric is
+    * the one-step-ahead ABSOLUTE error sum — still exact at 2⁻ⁿ
+    * granularity, where SQUARED errors would leave the mantissa
+    * (the reason this row ships MAE, not MSE). Output: final
+    * level/trend, the h=7 projection l + 7·b, and the error sum.
+    * Scale: the corpus collapses once to (type, day). */
+  def forecastHolt(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("sp"))
+      .select(col("event_type"),
+        expr("CAST(size(sp) AS BIGINT)").as("n_days"),
+        expr("""aggregate(sp,
+          named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+            'sae', CAST(0.0 AS DOUBLE), 'started', false),
+          (acc, x) -> IF(NOT acc.started,
+            named_struct('l', CAST(x.n AS DOUBLE), 'b', CAST(0.0 AS DOUBLE),
+              'sae', CAST(0.0 AS DOUBLE), 'started', true),
+            named_struct(
+              'l', (CAST(x.n AS DOUBLE) + acc.l + acc.b) / 2.0D,
+              'b', ((CAST(x.n AS DOUBLE) + acc.l + acc.b) / 2.0D - acc.l) / 2.0D
+                   + acc.b / 2.0D,
+              'sae', acc.sae + abs(CAST(x.n AS DOUBLE) - (acc.l + acc.b)),
+              'started', true)))""").as("h"))
+      .select(col("event_type"), col("n_days"),
+        col("h.l").as("level"), col("h.b").as("trend"),
+        (col("h.l") + lit(7.0) * col("h.b")).as("forecast_h7"),
+        col("h.sae").as("sum_abs_err"))
+      .orderBy("event_type")
+
   /** Day-of-week seasonality profile per event type — the weekly
     * periodicity readout next to [[autocorr]]'s lag scan and
     * [[hourlyAnomaly]]'s intra-day profile: traffic-shape drift
