@@ -117,6 +117,7 @@ object SparkEntry {
     "win_rolling_median"   -> Analytic.rollingMedian _,
     "win_groups_frame"     -> Analytic.winGroupsFrame _,
     "win_exclude_current"  -> Analytic.winExcludeCurrent _,
+    "win_exclude_group"    -> Analytic.winExcludeGroup _,
     "expr_decimal_arith"   -> Exprs.decimalArith _,
     "expr_decimal_div"     -> Exprs.decimalDiv _,
     "ev_autocorr"          -> Analytic.autocorr _,
@@ -799,6 +800,21 @@ object SparkEntry {
         |         lpad(CAST(micro_m1 % 1000000 AS VARCHAR), 6, '0') END AS unit_price_m1_str
         |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // native EXCLUDE CURRENT ROW vs the subtract-self translation
+    // native EXCLUDE GROUP / EXCLUDE TIES vs the three-aggregate
+    // decomposition (partition - peers [+ self])
+    "win_exclude_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  count(*) OVER w_g AS n_grp,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w_g AS DOUBLE) AS sum_grp,
+        |  count(*) OVER w_t AS n_ties,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w_t AS DOUBLE) AS sum_ties
+        |FROM lineitem
+        |WINDOW
+        |  w_g AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP),
+        |  w_t AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "win_exclude_current" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |  count(*) OVER w - 1 AS peer_n,

@@ -198,7 +198,6 @@ object Multimodal {
     * islands ride per-doc windows; no shuffle wider than the
     * per-doc rollup. */
   def silenceDetect(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val frames = documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("8000 + (doc_id % 3) * 4000").as("sample_rate"),
@@ -213,8 +212,17 @@ object Multimodal {
         """CAST(conv(substring(md5(CAST(substring(text,
           |CAST(frame_idx * hop + 1 AS INT), CAST(win AS INT)) AS BINARY)), 1, 4), 16, 10)
           |AS BIGINT) % 1000""".stripMargin.replace("\n", " ")))
-      .withColumn("silent", (col("energy") < 150).cast("long"))
-    val silent = frames.filter(col("silent") === 1L)
+      .select("doc_id", "n_frames", "frame_idx", "energy")
+    silenceFromFrames(frames, threshold = 150L)
+  }
+
+  /** The VAD plumbing DOWNSTREAM of the decode seam, shared by the
+    * md5 stub and the real WAV decoder: a (doc_id, n_frames,
+    * frame_idx, energy) frame-energy relation → threshold →
+    * per-doc island detection → segment accounting. */
+  def silenceFromFrames(frames: DataFrame, threshold: Long): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val silent = frames.filter(col("energy") < threshold)
       .withColumn("g", col("frame_idx") - row_number().over(w))
     val runs = silent.groupBy("doc_id", "g").agg(count(lit(1)).as("run_len"))
     val perDoc = runs.groupBy("doc_id")
@@ -227,6 +235,55 @@ object Multimodal {
       .select("doc_id", "n_frames", "n_silent", "n_segments",
         "longest_run", "silence_ppm")
       .orderBy("doc_id")
+  }
+
+  /** REAL audio decoder for the seam: WAV bytes → javax.sound
+    * (pure JVM; PCM decodes deterministically) → 16-bit samples →
+    * the 25 ms / 10 ms frame grid at the file's OWN sample rate →
+    * integer mean-|amplitude| energy per frame — the same
+    * (doc_id, n_frames, frame_idx, energy) relation the md5 stub
+    * produces, feeding [[silenceFromFrames]] unchanged.
+    * mapPartitions so a real codec amortizes init per batch;
+    * unreadable or non-16-bit payloads drop out. */
+  def decodeAudioEnergies(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+          if (in == null || in.getFormat.getSampleSizeInBits != 16 ||
+              in.getFormat.getChannels != 1) Iterator.empty
+          else {
+            val fmt = in.getFormat
+            val raw = in.readAllBytes()
+            val le = !fmt.isBigEndian
+            val n = raw.length / 2
+            val rate = fmt.getSampleRate.toLong
+            val win = rate * 25 / 1000
+            val hop = rate * 10 / 1000
+            if (n < win || hop <= 0) Iterator.empty
+            else {
+              def sample(i: Long): Long = {
+                val b0 = raw(2 * i.toInt) & 0xff
+                val b1 = raw(2 * i.toInt + 1) & 0xff
+                val v = if (le) (b1 << 8) | b0 else (b0 << 8) | b1
+                (v << 16) >> 16 // sign-extend
+              }
+              val nFrames = (n - win) / hop + 1
+              (0L until nFrames).iterator.map { f =>
+                var s = 0L; var i = f * hop
+                val end = f * hop + win
+                while (i < end) { s += math.abs(sample(i)); i += 1 }
+                (id, nFrames, f, s / win)
+              }
+            }
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "energy")
   }
 
   /** Feature-extract + resize planning over the binary column. The

@@ -1973,6 +1973,43 @@ object Analytic {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** EXCLUDE GROUP / EXCLUDE TIES frame exclusions — the two
+    * remaining SQL:2011 exclusion modes after
+    * [[winExcludeCurrent]] (leave-one-GROUP-out pricing: each line
+    * against every OTHER ship-date cohort of its supplier; TIES
+    * keeps the row itself but drops its cohort peers). Spark lacks
+    * the clause entirely; over a full-partition frame both modes
+    * decompose into three map-side-combined aggregates — partition
+    * totals, peer-group totals, the row — joined back: GROUP =
+    * partition − peers, TIES = partition − peers + self. NO window
+    * anywhere (the groupBy + broadcast-join-back shape), so the
+    * corpus never rides a partition sort. Null contract: a
+    * single-cohort partition leaves GROUP's frame empty — the
+    * native clause yields NULL for sum and 0 for count, replayed by
+    * the n_grp > 0 guard. All sums exact DECIMAL until the final
+    * double. Oracle runs the native EXCLUDE GROUP / EXCLUDE TIES
+    * syntax. */
+  def winExcludeGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .withColumn("p", col("l_extendedprice").cast(D))
+    val part = li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("part_n"), sum("p").as("part_sum"))
+    val peers = li.groupBy("l_suppkey", "l_shipdate")
+      .agg(count(lit(1)).as("peer_n"), sum("p").as("peer_sum"))
+    li.join(broadcast(peers), Seq("l_suppkey", "l_shipdate"))
+      .join(broadcast(part), Seq("l_suppkey"))
+      .withColumn("n_grp", col("part_n") - col("peer_n"))
+      .withColumn("sum_grp",
+        when(col("n_grp") > 0,
+          (col("part_sum") - col("peer_sum")).cast("double")))
+      .withColumn("n_ties", col("part_n") - col("peer_n") + 1)
+      .withColumn("sum_ties",
+        (col("part_sum") - col("peer_sum") + col("p")).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "n_grp", "sum_grp", "n_ties", "sum_ties")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   /** GROUPS window frame — the third SQL:2011 frame mode (peer-group
     * steps instead of row counts or value ranges), which Spark does
     * NOT implement (only ROWS/RANGE): per order, the revenue and row

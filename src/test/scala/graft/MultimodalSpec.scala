@@ -190,6 +190,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL audio decoder through the seam: javax.sound WAVs drive the same VAD plumbing") {
+    // the audio twin of the imageio PNG proof: real 16-bit PCM WAVs
+    // (pure-JVM encode AND decode) enter silenceFromFrames, the exact
+    // operator the md5 stub path uses. doc 1: 0.5 s sine, 0.5 s
+    // silence, 0.25 s sine at 8 kHz; doc 2: all sine (no silence).
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def sine(n: Int, amp: Int): Array[Short] =
+      Array.tabulate(n)(i => (amp * math.sin(2 * math.Pi * i / 50.0)).toShort)
+    val s1 = sine(4000, 8000) ++ Array.fill[Short](4000)(0) ++ sine(2000, 8000)
+    val s2 = sine(10000, 8000)
+    import spark.implicits._
+    val audio = Seq((1L, wav(s1, 8000f)), (2L, wav(s2, 8000f)))
+      .toDF("doc_id", "content")
+    val frames = operators.Multimodal.decodeAudioEnergies(audio)
+    val got = operators.Multimodal.silenceFromFrames(frames, threshold = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_silent"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("longest_run")))).toMap
+    // expectations from an in-test simulation on the SAME samples —
+    // the decoded energies must equal integer mean-|s| per frame
+    def sim(samples: Array[Short]) = {
+      val (win, hop) = (200, 80)
+      val nF = (samples.length - win) / hop + 1
+      val energies = (0 until nF).map { f =>
+        (f * hop until f * hop + win).map(i => math.abs(samples(i).toLong)).sum / win
+      }
+      val silent = energies.map(_ < 100L)
+      var (nSil, nSeg, longest, run) = (0L, 0L, 0L, 0L)
+      silent.foreach { s =>
+        if (s) { nSil += 1; run += 1; if (run == 1) nSeg += 1; longest = math.max(longest, run) }
+        else run = 0
+      }
+      (nF.toLong, nSil, nSeg, longest)
+    }
+    assert(got(1L) == sim(s1), s"doc 1: got=${got(1L)} want=${sim(s1)}")
+    assert(got(2L) == sim(s2), s"doc 2: got=${got(2L)} want=${sim(s2)}")
+    // the planted silence is really found: one mid-file segment
+    assert(got(1L)._2 > 0 && got(2L)._2 == 0)
+    // decoded energies are the exact integer means of the planted PCM
+    val e0 = frames.filter(
+        org.apache.spark.sql.functions.col("doc_id") === 1L &&
+        org.apache.spark.sql.functions.col("frame_idx") === 60L)
+      .collect()(0).getAs[Long]("energy")
+    assert(e0 == 0L, s"frame fully inside the zero span must read 0, got $e0")
+  }
+
   test("audio frames: grid arithmetic and digests replay per doc") {
     val rows = operators.Multimodal.audioFrames(spark, sf).collect()
     assert(rows.nonEmpty)
