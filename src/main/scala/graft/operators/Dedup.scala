@@ -681,9 +681,12 @@ object Dedup {
     val probed = Vectors.probeBandKeys(embeddings(spark, dir)).select("vec_id", "key")
 
     def statsOf(name: String, probe: DataFrame, build: DataFrame): DataFrame =
-      // counts only — so the per-band multiplicity collapses in ONE
-      // hash agg (two DISTINCT counts) instead of a dropDuplicates
-      // exchange + join + agg chain (measured 4.1 → 1.6 s at sf0.1)
+      // counts only — the per-band multiplicity collapses in ONE hash
+      // agg (two DISTINCT counts) instead of a dropDuplicates
+      // exchange + join + agg chain. Measured ~4.3 s at sf0.1 either
+      // way: the cost is the candidate JOIN mass itself (the thing
+      // this audit exists to measure), not the counting shape — kept
+      // because one aggregate is still one fewer exchange.
       probe.as("a").join(build.as("b").hint("shuffle_hash"),
           col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
