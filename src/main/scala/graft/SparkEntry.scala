@@ -254,6 +254,7 @@ object SparkEntry {
     "ann_graph_topk"      -> Similarity.graphTopK _,
     "ann_graph_recall"    -> Similarity.graphRecall _,
     "ann_graph_tuning"    -> Similarity.graphTuning _,
+    "ann_graph_insert"    -> Similarity.graphInsert _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -431,7 +432,8 @@ object SparkEntry {
       // beam membership replays exactly
       ("ann_graph_topk" -> GraphAnnOracle.topkSql) +
       ("ann_graph_recall" -> GraphAnnOracle.recallSql) +
-      ("ann_graph_tuning" -> GraphAnnOracle.tuningSql)
+      ("ann_graph_tuning" -> GraphAnnOracle.tuningSql) +
+      ("ann_graph_insert" -> GraphAnnOracle.insertSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -535,6 +537,50 @@ object SparkEntry {
     def topkSql: String = chain +
       "\nSELECT probe_id, vec_id, score_micro, rank FROM final WHERE rank <= 10" +
       "\nORDER BY probe_id, rank"
+
+    /** incremental insert: the base graph excludes the arrival slice
+      * (vec_id ≡ 0 mod 53); each arrival beam-searches the base
+      * graph, links to its top-M visited, and is graded against its
+      * exact top-M over the base corpus. */
+    def insertSql: String = {
+      val rc = roundsFor(graft.operators.Similarity.GraphInsertBeam, "")
+      s"""WITH vecs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(${dot("vd", "vd")}) AS nrm FROM vecs),
+         |allsc AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    (${dot("a.vd", "b.vd")}) / (na.nrm * nb.nrm) AS cosine,
+         |    CAST(floor((${dot("a.vd", "b.vd")}) / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM vecs a CROSS JOIN vecs b
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id),
+         |knn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst AND src % 53 <> 0 AND dst % 53 <> 0) WHERE rn <= $m),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+         |probes AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id % 53 = 0),
+         |entry AS (SELECT min(vec_id) AS vec_id FROM vecs WHERE vec_id % 53 <> 0),
+         |$rc,
+         |links AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rk
+         |    FROM v$rounds) WHERE rk <= $m),
+         |exactm AS (
+         |  SELECT src AS probe_id, dst AS vec_id FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src % 53 = 0 AND dst % 53 <> 0) WHERE rn <= $m)
+         |SELECT l.probe_id AS vec_id,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(1000000 * sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    // greatest(count(*), 1) AS BIGINT) AS link_recall_ppm
+         |FROM links l LEFT JOIN exactm e
+         |  ON e.probe_id = l.probe_id AND e.vec_id = l.vec_id
+         |GROUP BY l.probe_id ORDER BY vec_id""".stripMargin
+    }
     def recallSql: String = chain + s""",
          |exact_topk AS (
          |  SELECT src AS probe_id, dst AS vec_id FROM (
