@@ -255,6 +255,7 @@ object SparkEntry {
     "ann_graph_recall"    -> Similarity.graphRecall _,
     "ann_graph_tuning"    -> Similarity.graphTuning _,
     "ann_graph_insert"    -> Similarity.graphInsert _,
+    "ann_graph_delete"    -> Similarity.graphDelete _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -433,7 +434,8 @@ object SparkEntry {
       ("ann_graph_topk" -> GraphAnnOracle.topkSql) +
       ("ann_graph_recall" -> GraphAnnOracle.recallSql) +
       ("ann_graph_tuning" -> GraphAnnOracle.tuningSql) +
-      ("ann_graph_insert" -> GraphAnnOracle.insertSql)
+      ("ann_graph_insert" -> GraphAnnOracle.insertSql) +
+      ("ann_graph_delete" -> GraphAnnOracle.deleteSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -451,7 +453,8 @@ object SparkEntry {
     /** beam-width-suffixed unrolled rounds: v<bw>_0..v<bw>_R plus the
       * per-width top-10 — shared by the headline chain (default
       * width, unsuffixed aliases) and the tuning sweep. */
-    private def roundsFor(bw: Int, tag: String): String = {
+    private def roundsFor(bw: Int, tag: String, edgesCte: String = "edges",
+        entryCte: String = "entry"): String = {
       val rc = (1 to rounds).map { r =>
         s"""beam$tag${r - 1} AS (
            |  SELECT probe_id, vec_id FROM (
@@ -463,12 +466,12 @@ object SparkEntry {
            |    SELECT probe_id, vec_id, score_micro FROM v$tag${r - 1}
            |    UNION ALL
            |    SELECT b.probe_id, e.dst AS vec_id, s.score_micro
-           |    FROM beam$tag${r - 1} b JOIN edges e ON e.src = b.vec_id
+           |    FROM beam$tag${r - 1} b JOIN $edgesCte e ON e.src = b.vec_id
            |    JOIN allsc s ON s.src = b.probe_id AND s.dst = e.dst))""".stripMargin
       }.mkString(",\n")
       s"""v${tag}0 AS (
          |  SELECT p.probe_id, en.vec_id, s.score_micro
-         |  FROM probes p CROSS JOIN entry en
+         |  FROM probes p CROSS JOIN $entryCte en
          |  JOIN allsc s ON s.src = p.probe_id AND s.dst = en.vec_id),
          |$rc""".stripMargin
     }
@@ -537,6 +540,53 @@ object SparkEntry {
     def topkSql: String = chain +
       "\nSELECT probe_id, vec_id, score_micro, rank FROM final WHERE rank <= 10" +
       "\nORDER BY probe_id, rank"
+
+    /** tombstone deletion: LAZY mode searches the intact graph and
+      * filters deleted ids from results only (tombstones stay
+      * routable); HARD mode removes the nodes and their edges before
+      * the search. Both graded against the exact top-10 over the
+      * LIVE corpus. */
+    def deleteSql: String = {
+      // lazy-mode rounds ARE the chain's default rounds (the graph is
+      // untouched — only the result filter changes), so only the
+      // hard-removal mode needs its own suffixed chain
+      val hardRounds = roundsFor(beam, "hd_", "edges_hd", "entry_hd")
+      chain + s""",
+         |edges_hd AS MATERIALIZED (
+         |  SELECT src, dst FROM edges WHERE src % 41 <> 0 AND dst % 41 <> 0),
+         |entry_hd AS (SELECT min(vec_id) AS vec_id FROM vecs WHERE vec_id % 41 <> 0),
+         |$hardRounds,
+         |exact_live AS (
+         |  SELECT src AS probe_id, dst AS vec_id FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst AND src < 5 AND dst % 41 <> 0) WHERE rn <= 10),
+         |top_lz AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rk
+         |    FROM v$rounds WHERE vec_id <> probe_id AND vec_id % 41 <> 0) WHERE rk <= 10),
+         |top_hd AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, vec_id) AS rk
+         |    FROM vhd_$rounds WHERE vec_id <> probe_id AND vec_id % 41 <> 0) WHERE rk <= 10),
+         |graded AS (
+         |  SELECT 'hard_removed' AS mode, e.probe_id,
+         |    count(*) AS n_exact,
+         |    CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM exact_live e LEFT JOIN top_hd t
+         |    ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id
+         |  GROUP BY e.probe_id
+         |  UNION ALL
+         |  SELECT 'lazy_tombstone', e.probe_id, count(*),
+         |    CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM exact_live e LEFT JOIN top_lz t
+         |    ON t.probe_id = e.probe_id AND t.vec_id = e.vec_id
+         |  GROUP BY e.probe_id)
+         |SELECT mode, probe_id, n_exact, n_hits,
+         |  CAST(1000000 * n_hits // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
+         |FROM graded ORDER BY mode, probe_id""".stripMargin
+    }
 
     /** incremental insert: the base graph excludes the arrival slice
       * (vec_id ≡ 0 mod 53); each arrival beam-searches the base

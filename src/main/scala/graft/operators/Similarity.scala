@@ -1077,6 +1077,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Tombstone DELETION audit — the other half of the index
+    * lifecycle next to [[graphInsert]] (the DiskANN delete
+    * question): when a slice of the corpus is deleted
+    * (vec_id ≡ 0 mod 41, ~2.4%), does serving filter tombstones
+    * from RESULTS while keeping them ROUTABLE (lazy delete — the
+    * production answer), or remove their nodes and edges outright
+    * (hard removal — which fragments routes through deleted hubs)?
+    * Both modes search with the serving beam and are graded per
+    * probe against the exact top-10 over the LIVE corpus; the
+    * measured lazy-vs-hard recall gap is the number that justifies
+    * tombstoning + periodic consolidation over eager edge surgery.
+    * Lazy costs nothing at delete time (a result-side filter);
+    * hard pays an edge rewrite AND the recall damage this row
+    * measures. */
+  def graphDelete(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val pr = probes(spark, dir)
+    val edges = stagedNeighborGraph(spark, dir)
+    val exactLive = bruteForceTopKOn(all.filter(col("vec_id") % 41 =!= 0),
+        pr, K, excludeSelf = true)
+      .select(col("probe_id"), col("vec_id"))
+    def grade(mode: String, visited: DataFrame): DataFrame = {
+      val topk = graft.plans.TopK.perKey(
+          visited.filter(col("vec_id") =!= col("probe_id") &&
+            col("vec_id") % 41 =!= 0),
+          Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
+        .select(col("probe_id"), col("vec_id")).withColumn("t", lit(1L))
+      exactLive.join(broadcast(topk), Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+        .withColumn("mode", lit(mode))
+    }
+    val lazyMode = grade("lazy_tombstone",
+      beamSearchOn(all, pr, edges, GraphBeam))
+    val hardMode = grade("hard_removed",
+      beamSearchOn(all.filter(col("vec_id") % 41 =!= 0), pr,
+        edges.filter(col("src") % 41 =!= 0 && col("dst") % 41 =!= 0),
+        GraphBeam))
+    hardMode.unionByName(lazyMode)
+      .select(col("mode"), col("probe_id"), col("n_exact"), col("n_hits"),
+        expr("1000000 * n_hits DIV greatest(n_exact, 1L)").as("recall_ppm"))
+      .orderBy("mode", "probe_id")
+  }
+
   /** the arrivals-excluded base graph, staged once per (app, sf):
     * the index state BEFORE the ingest batch lands. */
   private def stagedBaseGraph(spark: SparkSession, dir: String): DataFrame = {
