@@ -60,7 +60,7 @@ object Dedup {
     // calibration, fuzzy verify) — stage it once per (app, sf dir)
     // instead of re-exploding the corpus per consumer; capped forms
     // are knob experiments and compute directly
-    case None => staged(spark, dir, "shingle_postings")(
+    case None => graft.sources.Staging.staged(spark, dir, "shingle_postings")(
       shinglePostingsOf(documents(spark, dir), None))
     case some => shinglePostingsOf(documents(spark, dir), some)
   }
@@ -287,40 +287,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Generic stage-once helper: compute → scratch parquet on first
-    * use per (app, sf dir), read the staged copy after — the
-    * deployed shape for every relation with multiple consumers
-    * (calibration pairs, pair graphs, closures), same discipline as
-    * the IVF / BM25 indexes. */
-  private[operators] def staged(spark: SparkSession, dir: String, tag: String)(
-      compute: => DataFrame): DataFrame = {
-    val path = graft.queries.SourcesSinks.tmp(spark, dir, tag)
-    // Publish atomically: write to a unique temp sibling, then rename
-    // into place. The bare check-then-overwrite raced when two
-    // queries in one app staged the same (dir, tag) — one reader
-    // could observe a half-overwritten relation. In-JVM the intern'd
-    // path string serializes the two writers; cross-process the
-    // rename either wins (published) or loses (temp dropped, winner's
-    // complete copy read) — never a partial directory at `path`.
-    path.intern.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").isFile) {
-        val tmpPath = s"${path}_tmp_${java.util.UUID.randomUUID.toString.take(8)}"
-        compute.write.mode("overwrite").parquet(tmpPath)
-        val tmpDir = new java.io.File(tmpPath)
-        if (!tmpDir.renameTo(new java.io.File(path))) {
-          // a concurrent process published first: use theirs
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
-          }
-          rm(tmpDir)
-          require(new java.io.File(s"$path/_SUCCESS").isFile,
-            s"staged($tag): rename to $path failed and no published copy exists")
-        }
-      }
-    }
-    spark.read.parquet(path)
-  }
-
   /** Exact 3-gram Jaccard ≥ 0.8 pairs via a posting-list equi-join on
     * the shingle hash (pairs only form for docs sharing a shingle).
     * Staged once per (app, sf): the pair graph feeds this query, the
@@ -330,7 +296,7 @@ object Dedup {
     stagedJaccard(spark, dir).orderBy("doc_a", "doc_b")
 
   private def stagedJaccard(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "ngram_jaccard_pairs")(ngramJaccard(spark, dir, None))
+    graft.sources.Staging.staged(spark, dir, "ngram_jaccard_pairs")(ngramJaccard(spark, dir, None))
 
   /** The staged exact-Jaccard pair graph, exposed for graph-analytic
     * consumers ([[Graph.dedupTriangles]]) so they ride the same
@@ -459,7 +425,7 @@ object Dedup {
   /** the closure is staged too: its other consumer (keep-best) must
     * not re-run the propagation fixpoint. */
   private[operators] def stagedComponents(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "dedup_components") {
+    graft.sources.Staging.staged(spark, dir, "dedup_components") {
       val labels = minLabelComponents(
         stagedJaccard(spark, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("label").as("component_id"))
@@ -598,7 +564,7 @@ object Dedup {
     stagedEmbeddingCosine(spark, dir).orderBy("vec_a", "vec_b")
 
   private def stagedEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "embedding_cosine_pairs")(embeddingCosineCompute(spark, dir))
+    graft.sources.Staging.staged(spark, dir, "embedding_cosine_pairs")(embeddingCosineCompute(spark, dir))
 
   private def embeddingCosineCompute(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Vectors.bandKeys(embeddings(spark, dir))
@@ -712,7 +678,7 @@ object Dedup {
     * per (app, sf) — calibration-scale only (O(N²)): the audit's
     * ground truth, never a production path. */
   private def stagedPairCosine(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "embedding_paircos") {
+    graft.sources.Staging.staged(spark, dir, "embedding_paircos") {
       val vecs = Vectors.asDouble(embeddings(spark, dir))
         .select(col("vec_id"), col("vd"), Vectors.norm(col("vd")).as("nrm"))
       broadcast(vecs.select(col("vec_id").as("vec_a"), col("vd").as("va"),
@@ -758,7 +724,7 @@ object Dedup {
     * posting pipeline runs once, not once per consumer. Same
     * stage-once discipline as the IVF / BM25 indexes. */
   private def stagedAccuracy(spark: SparkSession, dir: String): DataFrame =
-    staged(spark, dir, "minhash_accuracy")(minhashAccuracyCompute(spark, dir))
+    graft.sources.Staging.staged(spark, dir, "minhash_accuracy")(minhashAccuracyCompute(spark, dir))
 
   /** b-BIT MinHash accuracy audit (Li & König 2010): store only the
     * LOW BIT of each of the 128 lanes — 1/64th of the 64-bit

@@ -415,7 +415,7 @@ object Multimodal {
     * cluster rollup): stage it once per (app, sf dir) like the dedup
     * stack's shared relations. */
   private def stagedPhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.staged(spark, dir, "phash_pairs")(imagePHashOn(documents(spark, dir)))
+    graft.sources.Staging.staged(spark, dir, "phash_pairs")(imagePHashOn(documents(spark, dir)))
 
   /** Perceptual-duplicate CLUSTERS — the media-library rollup over
     * the [[imagePHash]] pair graph: connected components via the same

@@ -142,6 +142,10 @@ case class TopKPerKeyExec(
         if (heaps.isEmpty) return 0L
         val rows = sortedHeapRows()
         val file = org.apache.spark.graft.TaskMemoryBridge.createTempSpillFile()
+        // no task context ⇒ no completion listener owns deletion (the
+        // maxKeys threshold can still spill here) — fall back to JVM-
+        // exit cleanup so context-free executions don't leak runs
+        if (taskCtx == null) file.deleteOnExit()
         val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(file), 1 << 16))
         try {
@@ -212,7 +216,11 @@ case class TopKPerKeyExec(
           if (spillEpoch != epoch) {
             // the reserve spilled: our heap's rows are safely in the
             // run but the map was cleared under us — a stale `heap`
-            // reference would swallow this row. Re-create live state.
+            // reference would silently swallow this row. Re-create live
+            // state, accounting the key copy + per-key overhead the
+            // normal new-key path reserves (without it usedBytes
+            // drifts low after every mid-insert spill).
+            reserve(key.getSizeInBytes + 64L)
             heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reverse)
             heaps.put(key.copy(), heap)
           }
