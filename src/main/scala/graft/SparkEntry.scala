@@ -256,6 +256,7 @@ object SparkEntry {
     "ann_graph_tuning"    -> Similarity.graphTuning _,
     "ann_graph_insert"    -> Similarity.graphInsert _,
     "ann_graph_delete"    -> Similarity.graphDelete _,
+    "ann_graph_build_tuning" -> Similarity.graphBuildTuning _,
     // §2.9 text analysis
     "text_langid"      -> TextAnalysis.langId _,
     "text_lang_confusion" -> TextAnalysis.langConfusion _,
@@ -317,6 +318,8 @@ object SparkEntry {
     "mm_silence_detect"  -> Multimodal.silenceDetect _,
     "mm_image_ahash"     -> Multimodal.imageAHash _,
     "mm_image_phash"     -> Multimodal.imagePHash _,
+    "mm_image_phash_real" -> Multimodal.imagePHashReal _,
+    "mm_silence_real"    -> Multimodal.silenceReal _,
     "mm_phash_clusters"  -> Multimodal.phashClusters _,
     "mm_clip_filter"     -> Multimodal.clipFilter _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -435,7 +438,12 @@ object SparkEntry {
       ("ann_graph_recall" -> GraphAnnOracle.recallSql) +
       ("ann_graph_tuning" -> GraphAnnOracle.tuningSql) +
       ("ann_graph_insert" -> GraphAnnOracle.insertSql) +
-      ("ann_graph_delete" -> GraphAnnOracle.deleteSql)
+      ("ann_graph_delete" -> GraphAnnOracle.deleteSql) +
+      ("ann_graph_build_tuning" -> GraphAnnOracle.buildTuningSql) +
+      // real-codec decode rows: planted md5-derived PNG/WAV bytes,
+      // oracle regenerates the media from first principles
+      ("mm_image_phash_real" -> RealMediaOracle.imageSql) +
+      ("mm_silence_real" -> RealMediaOracle.audioSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -444,12 +452,174 @@ object SparkEntry {
     * rounds as generated CTEs. Scores ride the same left-fold cosine
     * as every vector oracle, quantized to floor(cosine·10⁶) for the
     * beam ordering — both engines floor the same IEEE double. */
+  /** DuckDB replay of the REAL-media decode rows: every planted byte
+    * derives from md5 content keys (operators/Multimodal.RealImageDocs
+    * / RealWavDocs), so the oracle regenerates the identical pixels /
+    * samples from first principles, replays the decoder's integer
+    * box-means / frame energies in SQL, and runs the same transform
+    * tails as the stub rows — a value oracle over real codec bytes. */
+  private object RealMediaOracle {
+    def imageSql: String = {
+      val imap = graft.operators.Multimodal.RealImageDocs
+        .map { case (id, b, v) => s"($id, $b, '$v')" }.mkString(", ")
+      s"""WITH imap(doc_id, base, variant) AS (VALUES $imap),
+         |chan AS (
+         |  SELECT doc_id, x, y,
+         |    CASE variant
+         |      WHEN 'inverse' THEN 255 - p0
+         |      WHEN 'noisy' THEN CASE WHEN (x + y) % 7 = 0 THEN least(p0 + 1, 255) ELSE p0 END
+         |      ELSE p0 END AS p
+         |  FROM (
+         |    SELECT doc_id, variant, x, y, c,
+         |      CAST(('0x' || substring(md5('img' || base || ':' || x || ':' || y || ':' || c), 1, 2)) AS BIGINT) AS p0
+         |    FROM imap, generate_series(0, 15) tx(x), generate_series(0, 15) ty(y),
+         |      generate_series(0, 2) tc(c))),
+         |pix AS (
+         |  SELECT doc_id, gx AS x, gy AS y, p FROM (
+         |    SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+         |      CAST(sum(p) // 12 AS BIGINT) AS p
+         |    FROM chan GROUP BY doc_id, x // 2, y // 2)),
+         |${PhashOracle.dctSuffix}""".stripMargin + PhashOracle.pairTail
+    }
+    def audioSql: String = {
+      val wd = graft.operators.Multimodal.RealWavDocs
+        .map(id => s"($id)").mkString(", ")
+      val n = graft.operators.Multimodal.WavSamples
+      val nFrames = (n - 200) / 80 + 1
+      s"""WITH wdocs(doc_id) AS (VALUES $wd),
+         |samp AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i >= doc_id * 300 + 400 AND i < doc_id * 300 + 1100 THEN 0
+         |      ELSE CAST(('0x' || substring(md5('wav' || doc_id || ':' || i), 1, 3)) AS BIGINT) - 2048 END AS amp
+         |  FROM wdocs, generate_series(0, ${n - 1}) t(i)),
+         |en AS (
+         |  SELECT f.doc_id, CAST($nFrames AS BIGINT) AS n_frames, f.frame_idx,
+         |    CAST(sum(abs(s.amp)) // 200 AS BIGINT) AS energy
+         |  FROM (SELECT doc_id, unnest(generate_series(0, ${nFrames - 1})) AS frame_idx FROM wdocs) f
+         |  JOIN samp s ON s.doc_id = f.doc_id
+         |    AND s.i >= f.frame_idx * 80 AND s.i < f.frame_idx * 80 + 200
+         |  GROUP BY f.doc_id, f.frame_idx),
+         |sil AS (
+         |  SELECT doc_id, frame_idx,
+         |    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS g
+         |  FROM en WHERE energy < 150),
+         |runs AS (
+         |  SELECT doc_id, g, count(*) AS run_len FROM sil GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS n_segments, CAST(max(run_len) AS BIGINT) AS longest_run,
+         |    CAST(sum(run_len) AS BIGINT) AS n_silent
+         |  FROM runs GROUP BY 1),
+         |base AS (SELECT doc_id, max(n_frames) AS n_frames FROM en GROUP BY 1)
+         |SELECT b.doc_id, b.n_frames,
+         |  coalesce(n_silent, 0) AS n_silent,
+         |  coalesce(n_segments, 0) AS n_segments,
+         |  coalesce(longest_run, 0) AS longest_run,
+         |  coalesce(n_silent, 0) * 1000000 // b.n_frames AS silence_ppm
+         |FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }
+  }
+
   private object GraphAnnOracle {
     private def dot(u: String, v: String): String =
       s"list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> $u[i]*$v[i])), (a,b) -> a+b)"
+    private def cos(u: String, v: String): String =
+      s"${dot(u, v)} / (sqrt(${dot(u, u)}) * sqrt(${dot(v, v)}))"
     private val m = graft.operators.Similarity.GraphM
     private val beam = graft.operators.Similarity.GraphBeam
     private val rounds = graft.operators.Similarity.GraphRounds
+    private val buildCells = graft.operators.Similarity.GraphBuildCells
+    private val degreeCap = graft.operators.Similarity.GraphDegreeCap
+
+    /** the blocked build replayed CTE by CTE
+      * (operators/Similarity.blockedGraphEdges): ⌊√N⌋ integer-grid
+      * mod-sample centroids over `vecsCte`, every vector multi-
+      * assigned to its `buildCells` nearest cells (rank ≤ buildCells
+      * with the (sim DESC, cell) tie-break ≡ the kernel's argmax +
+      * argmax-excluding-first), exact per-src top-M over the distinct
+      * blocked candidates (equivalent to Spark's two-stage per-cell
+      * top-M + merge — each global top-M edge is within its own
+      * cell's top-M), symmetrize, per-src degree cap. Emits
+      * `edges$tag`; scores come from the shared allsc lookup. */
+    private def blockedEdges(vecsCte: String, tag: String): String = {
+      val iters = graft.operators.Similarity.TrainIters
+      /** integer-grid per-cell means of (cell, vd) rows in `src` →
+        * `bcents${tag}i$t` (the Lloyd re-mean step). */
+      def meansCtes(src: String, t: Int): String =
+        s"""bdim${tag}i$t AS (
+           |  SELECT cell, unnest(generate_series(1, 64)) AS d,
+           |    unnest(list_transform(vd, x -> CAST(floor(x * 1000000000.0) AS BIGINT))) AS qx
+           |  FROM $src),
+           |bcd${tag}i$t AS (
+           |  SELECT cell, d, CAST(sum(qx) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS cx
+           |  FROM bdim${tag}i$t GROUP BY cell, d),
+           |bcents${tag}i$t AS MATERIALIZED (SELECT cell, list(cx ORDER BY d) AS cv FROM bcd${tag}i$t GROUP BY cell)""".stripMargin
+      val lloyd = (1 to iters).map { t =>
+        s"""basg${tag}i$t AS MATERIALIZED (
+           |  SELECT vec_id, vd, cell FROM (
+           |    SELECT v.vec_id, v.vd, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("vd", "cv")} DESC, c.cell) AS rn
+           |    FROM $vecsCte v CROSS JOIN bcents${tag}i${t - 1} c) WHERE rn = 1),
+           |${meansCtes(s"basg${tag}i$t", t)}""".stripMargin
+      }.mkString(",\n")
+      s"""nc$tag AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS ncells FROM $vecsCte),
+         |${meansCtes(s"(SELECT vec_id % (SELECT ncells FROM nc$tag) AS cell, vd FROM $vecsCte)", 0)},
+         |$lloyd,
+         |bcents$tag AS (SELECT cell, cv FROM bcents${tag}i$iters),
+         |vcell$tag AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("vd", "cv")} DESC, c.cell) AS rn
+         |    FROM $vecsCte v CROSS JOIN bcents$tag c) WHERE rn <= $buildCells),
+         |bcand$tag AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM vcell$tag a JOIN vcell$tag b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |bknn${tag}r0 AS MATERIALIZED (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT c.src, c.dst, s.cosine,
+         |      row_number() OVER (PARTITION BY c.src ORDER BY s.cosine DESC, c.dst) AS rn
+         |    FROM bcand$tag c JOIN allsc s ON s.src = c.src AND s.dst = c.dst) WHERE rn <= $m),
+         |${descentRounds(tag)},
+         |bknn$tag AS (SELECT src, dst, cosine FROM bknn${tag}r$descent),
+         |bcands$tag AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM bcand$tag
+         |    ${(1 to descent).map(r => s"UNION ALL SELECT src, dst FROM bcr${tag}r$r").mkString(" ")})),
+         |bsym$tag AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine FROM bknn$tag
+         |    UNION ALL SELECT dst AS src, src AS dst, cosine FROM bknn$tag)),
+         |edges$tag AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM bsym$tag) WHERE rn <= $degreeCap)""".stripMargin
+    }
+
+    private val descent = graft.operators.Similarity.GraphDescentRounds
+
+    /** the NN-descent refinement rounds of [[blockedEdges]]: each
+      * re-ranks every src over its 2-hop neighborhood in the
+      * symmetrized previous-round graph (candidates = previous kNN ∪
+      * 2-hops), scores from the shared allsc lookup. */
+    private def descentRounds(tag: String): String =
+      (1 to descent).map { r =>
+        s"""bds${tag}r${r - 1} AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM bknn${tag}r${r - 1}
+           |    UNION ALL SELECT dst AS src, src AS dst FROM bknn${tag}r${r - 1})),
+           |bcr${tag}r$r AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM bknn${tag}r${r - 1}
+           |    UNION ALL
+           |    SELECT x.src, y.dst FROM bds${tag}r${r - 1} x
+           |    JOIN bds${tag}r${r - 1} y ON x.dst = y.src WHERE x.src <> y.dst)),
+           |bknn${tag}r$r AS MATERIALIZED (
+           |  SELECT src, dst, cosine FROM (
+           |    SELECT c.src, c.dst, s.cosine,
+           |      row_number() OVER (PARTITION BY c.src ORDER BY s.cosine DESC, c.dst) AS rn
+           |    FROM bcr${tag}r$r c JOIN allsc s ON s.src = c.src AND s.dst = c.dst) WHERE rn <= $m)""".stripMargin
+      }.mkString(",\n")
     /** beam-width-suffixed unrolled rounds: v<bw>_0..v<bw>_R plus the
       * per-width top-10 — shared by the headline chain (default
       * width, unsuffixed aliases) and the tuning sweep. */
@@ -486,13 +656,7 @@ object SparkEntry {
          |  FROM vecs a CROSS JOIN vecs b
          |  JOIN norms na ON na.vec_id = a.vec_id
          |  JOIN norms nb ON nb.vec_id = b.vec_id),
-         |knn AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-         |    FROM allsc WHERE src <> dst) WHERE rn <= $m),
-         |edges AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+         |${blockedEdges("vecs", "")},
          |probes AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id < 5),
          |entry AS (SELECT min(vec_id) AS vec_id FROM vecs),
          |$roundCtes,
@@ -506,7 +670,7 @@ object SparkEntry {
       * suffixed round chain per width + per-width stats, graded
       * against the exact top-10. */
     def tuningSql: String = {
-      val beams = Seq(4, 8, 16)
+      val beams = graft.operators.Similarity.GraphTuningBeams
       val perBeam = beams.map { bw =>
         s"""${roundsFor(bw, s"b${bw}_")},
            |topk$bw AS (
@@ -533,13 +697,35 @@ object SparkEntry {
          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_topk)
          |SELECT beam, n_visited, n_distinct_vecs, n_returned, n_hits, n_exact,
          |  CAST(1000000 * n_hits // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
-         |FROM (SELECT * FROM stat4 UNION ALL SELECT * FROM stat8
-         |      UNION ALL SELECT * FROM stat16) s, ex
+         |FROM (${beams.map(bw => s"SELECT * FROM stat$bw").mkString(" UNION ALL ")}) s, ex
          |ORDER BY beam""".stripMargin
     }
     def topkSql: String = chain +
       "\nSELECT probe_id, vec_id, score_micro, rank FROM final WHERE rank <= 10" +
       "\nORDER BY probe_id, rank"
+
+    /** blocked-vs-brute build audit (Similarity.graphBuildTuning):
+      * candidate mass saved by the blocking against the edge recall
+      * it costs, the exact side being the full per-src top-M. */
+    def buildTuningSql: String = chain + s""",
+         |exact_knn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM allsc WHERE src <> dst) WHERE rn <= $m),
+         |bl AS (
+         |  SELECT CAST((SELECT count(*) FROM bcands) AS BIGINT) AS n_candidates,
+         |    CAST((SELECT count(*) FROM bknn) AS BIGINT) AS n_edges,
+         |    CAST((SELECT count(*) FROM bknn k JOIN exact_knn e
+         |          ON e.src = k.src AND e.dst = k.dst) AS BIGINT) AS n_hits),
+         |br AS (
+         |  SELECT CAST((SELECT count(*) * (count(*) - 1) FROM vecs) AS BIGINT) AS n_candidates,
+         |    CAST((SELECT count(*) FROM exact_knn) AS BIGINT) AS n_edges)
+         |SELECT config, n_candidates, n_edges, n_hits,
+         |  CAST(1000000 * n_hits // greatest(n_edges, 1) AS BIGINT) AS edge_recall_ppm
+         |FROM (
+         |  SELECT 'blocked_ivf' AS config, n_candidates, n_edges, n_hits FROM bl
+         |  UNION ALL SELECT 'brute_exact', n_candidates, n_edges, n_edges AS n_hits FROM br)
+         |ORDER BY config""".stripMargin
 
     /** tombstone deletion: LAZY mode searches the intact graph and
       * filters deleted ids from results only (tombstones stay
@@ -603,13 +789,8 @@ object SparkEntry {
          |  FROM vecs a CROSS JOIN vecs b
          |  JOIN norms na ON na.vec_id = a.vec_id
          |  JOIN norms nb ON nb.vec_id = b.vec_id),
-         |knn AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-         |    FROM allsc WHERE src <> dst AND src % 53 <> 0 AND dst % 53 <> 0) WHERE rn <= $m),
-         |edges AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+         |bvecs AS (SELECT vec_id, vd FROM vecs WHERE vec_id % 53 <> 0),
+         |${blockedEdges("bvecs", "")},
          |probes AS (SELECT vec_id AS probe_id FROM vecs WHERE vec_id % 53 = 0),
          |entry AS (SELECT min(vec_id) AS vec_id FROM vecs WHERE vec_id % 53 <> 0),
          |$rc,
@@ -695,25 +876,13 @@ object SparkEntry {
     * generated VALUES list from [[graft.operators.Multimodal.dctTable]]
     * — one source of truth for both engines. */
   private object PhashOracle {
-    /** the signature + pigeonhole-candidate chain shared by the pair
-      * query and the cluster rollup (RECURSIVE for the latter's
-      * reach CTE; harmless for the former). */
-    private def chain: String = {
+    /** the DCT→signature→pigeonhole chain downstream of a `pix`
+      * (doc_id, x, y, p) CTE — shared by the stub-decode chain and
+      * the real-media oracle (RealMediaOracle.imageSql). */
+    def dctSuffix: String = {
       val values = graft.operators.Multimodal.dctTable
         .map { case (u, x, c) => s"($u, $x, $c)" }.mkString(", ")
-      s"""WITH RECURSIVE thumb AS (
-         |  SELECT doc_id,
-         |    substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS t
-         |  FROM documents),
-         |hexed AS (
-         |  SELECT doc_id,
-         |    md5(t || '#px0') || md5(t || '#px1') || md5(t || '#px2') || md5(t || '#px3') AS hex
-         |  FROM thumb),
-         |pix AS (
-         |  SELECT doc_id, (i - 1) % 8 AS x, (i - 1) // 8 AS y,
-         |    CAST(('0x' || substring(hex, 2*(i-1) + 1, 2)) AS BIGINT) AS p
-         |  FROM hexed, generate_series(1, 64) t(i)),
-         |basis(u, x, c) AS (VALUES $values),
+      s"""basis(u, x, c) AS (VALUES $values),
          |g AS (
          |  SELECT doc_id, basis.u, pix.y, sum(p * c) AS g
          |  FROM pix JOIN basis ON pix.x = basis.x
@@ -740,11 +909,32 @@ object SparkEntry {
          |  FROM expl a JOIN expl b
          |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
     }
-    def sql: String = chain +
+    /** the signature + pigeonhole-candidate chain of the STUB decode
+      * (md5 pseudo-pixels over the text payload), shared by the pair
+      * query and the cluster rollup (RECURSIVE for the latter's
+      * reach CTE; harmless for the former). */
+    private def chain: String =
+      s"""WITH RECURSIVE thumb AS (
+         |  SELECT doc_id,
+         |    substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 64) AS t
+         |  FROM documents),
+         |hexed AS (
+         |  SELECT doc_id,
+         |    md5(t || '#px0') || md5(t || '#px1') || md5(t || '#px2') || md5(t || '#px3') AS hex
+         |  FROM thumb),
+         |pix AS (
+         |  SELECT doc_id, (i - 1) % 8 AS x, (i - 1) // 8 AS y,
+         |    CAST(('0x' || substring(hex, 2*(i-1) + 1, 2)) AS BIGINT) AS p
+         |  FROM hexed, generate_series(1, 64) t(i)),
+         |$dctSuffix""".stripMargin
+
+    def pairTail: String =
       """
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
+
+    def sql: String = chain + pairTail
     /** the same chain + the reach-CTE component closure over the
       * hamming-filtered pair graph. */
     def clustersSql: String = chain +

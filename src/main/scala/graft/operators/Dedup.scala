@@ -216,8 +216,10 @@ object Dedup {
       .union(cand.select(col("doc_b").as("doc_id")))
     // left_semi: filters without duplicating (no distinct stage needed
     // on the candidate list) — postings come from the checkpoint, so
-    // this branch never re-shingles the corpus.
-    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // this branch never re-shingles the corpus. candDocs GROWS with
+    // the corpus's near-dup density, so no forced broadcast: AQE
+    // broadcasts it when it measures small, shuffles when it doesn't.
+    val cpost = post.join(candDocs, Seq("doc_id"), "left_semi")
     cand
       .join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -351,7 +353,7 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val cpost = post.join(candDocs, Seq("doc_id"), "left_semi") // corpus-scaled: unhinted
     cand.join(pairIntersections(cpost), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST(inter AS DOUBLE) / (na + nb - inter)").as("jaccard"))
@@ -629,8 +631,22 @@ object Dedup {
     * relation); the all-pairs cosine relation stages once per
     * (app, sf) and every config's verify rides it as a join. All
     * outputs exact integers (ppm by floor division). */
-  def embeddingTuning(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingTuning(spark: SparkSession, dir: String): DataFrame =
+    embeddingTuningOn(spark, dir, auditSampleMod = 1L)
+
+  /** `auditSampleMod` is the calibration-scale SAMPLE CAP the audit
+    * scaladoc promises: the exact all-pairs truth and every config's
+    * candidate mass are restricted to pairs whose ANCHOR (vec_a, the
+    * smaller id) satisfies vec_a % mod == 0 — a deterministic
+    * hash-mod sample of anchors (the sample_stratified discipline),
+    * so a deployment audits 1/mod of the quadratic mass while every
+    * ratio stays an unbiased estimate. mod=1 (the query default at
+    * test SFs) is the full audit; DedupSpec pins subset consistency
+    * (every sampled count ≤ its full count). */
+  private[graft] def embeddingTuningOn(spark: SparkSession, dir: String,
+      auditSampleMod: Long): DataFrame = {
     val pairCos = stagedPairCosine(spark, dir)
+      .filter(col("vec_a") % auditSampleMod === 0L)
     val truth = pairCos.filter(col("cosine") >= 0.4)
       .select("vec_a", "vec_b").withColumn("t", lit(1L))
     val totals = broadcast(pairCos.agg(
@@ -656,7 +672,8 @@ object Dedup {
       probe.as("a").join(build.as("b").hint("shuffle_hash"),
           col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .join(broadcast(truth), Seq("vec_a", "vec_b"), "left")
+        .filter(col("vec_a") % auditSampleMod === 0L)
+        .join(truth, Seq("vec_a", "vec_b"), "left") // pair-graph-scaled: unhinted
         .agg(
           countDistinct(col("vec_a"), col("vec_b")).as("n_candidates"),
           countDistinct(when(col("t") === 1L,
@@ -760,7 +777,7 @@ object Dedup {
     val cand = lshCandidates(sigs)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val cpost = post.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val cpost = post.join(candDocs, Seq("doc_id"), "left_semi") // corpus-scaled: unhinted
     val nEq = (1 to 128).map(i =>
       when(element_at(col("sa"), i) === element_at(col("sb"), i), 1L)
         .otherwise(0L)).reduce(_ + _)

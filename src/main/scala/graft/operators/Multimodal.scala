@@ -496,6 +496,117 @@ object Multimodal {
       }.toDF("doc_id", "x", "y", "p")
   }
 
+  /** The PLANTED real-media corpus driving the driver-path decode
+    * rows ([[imagePHashReal]], [[silenceReal]]): every byte derives
+    * from md5 of a content key, so the DuckDB oracle regenerates the
+    * identical pixels/samples from first principles and replays the
+    * whole decode→transform chain — a REAL oracle over REAL codec
+    * bytes, not a literal answer table. Image variants: 8 base
+    * 16×16 RGB images, 4 exact re-encodes (hamming 0 by
+    * construction), 1 inverse (matches nothing), 2 noisy copies
+    * (+1 on the (x+y)%7 diagonal — the MultimodalSpec re-encode
+    * recipe). PNG is lossless and TYPE_INT_RGB carries channels
+    * verbatim, so decoded == planted exactly. */
+  private[graft] val RealImageDocs: Seq[(Long, Long, String)] =
+    (0L to 7L).map(i => (i, i, "base")) ++
+      (0L to 3L).map(i => (100L + i, i, "copy")) ++
+      Seq((200L, 0L, "inverse")) ++
+      (0L to 1L).map(i => (300L + i, i, "noisy"))
+
+  /** WAV side: 6 mono 16-bit PCM files at 8 kHz, 4000 samples each,
+    * amplitudes md5-derived in ±2048 with one planted 700-sample
+    * silent span per doc at offset doc·300+400. */
+  private[graft] val RealWavDocs: Seq[Long] = 0L to 5L
+  private[graft] val WavSamples = 4000
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def imgChannel(base: Long, variant: String, x: Int, y: Int,
+      c: Int): Int = {
+    val p = Integer.parseInt(md5Hex(s"img$base:$x:$y:$c").substring(0, 2), 16)
+    variant match {
+      case "inverse" => 255 - p
+      case "noisy"   => if ((x + y) % 7 == 0) math.min(p + 1, 255) else p
+      case _         => p
+    }
+  }
+
+  private[graft] def wavSample(doc: Long, i: Int): Int = {
+    val s0 = (doc * 300 + 400).toInt
+    if (i >= s0 && i < s0 + 700) 0
+    else Integer.parseInt(md5Hex(s"wav$doc:$i").substring(0, 3), 16) - 2048
+  }
+
+  /** the planted media FILES, staged once per (app, sf) through the
+    * atomic publish helper — 15 PNGs + 6 WAVs written with the real
+    * encoders (javax.imageio / javax.sound), read back through the
+    * real binaryFile source. */
+  private def stagedRealMedia(spark: SparkSession, dir: String): String =
+    graft.sources.Staging.stagedPath(spark, dir, "real_media",
+        readyMarker = "_DONE") { tmp =>
+      val d = new java.io.File(tmp); d.mkdirs()
+      RealImageDocs.foreach { case (id, base, variant) =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val r = imgChannel(base, variant, x, y, 0)
+          val g = imgChannel(base, variant, x, y, 1)
+          val b = imgChannel(base, variant, x, y, 2)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(d, s"doc_$id.png")): Unit
+      }
+      RealWavDocs.foreach { id =>
+        val bytes = new Array[Byte](WavSamples * 2)
+        (0 until WavSamples).foreach { i =>
+          val v = wavSample(id, i)
+          bytes(2 * i) = (v & 0xff).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, WavSamples.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          new java.io.File(d, s"doc_$id.wav")): Unit
+      }
+      new java.io.File(d, "_DONE").createNewFile(): Unit
+    }
+
+  /** Driver-path REAL image decode: the planted PNGs ingested through
+    * the binaryFile source, decoded DISTRIBUTED by the javax.imageio
+    * seam ([[decodeImagePixels]] — 8×8 integer box-mean grayscale
+    * inside mapPartitions), then the SAME pHash transform plumbing as
+    * the stub path. The oracle regenerates every planted channel
+    * value from its md5 content key, replays the box means in SQL,
+    * and runs the identical DCT chain — end-to-end proof that the
+    * real-codec path and the relational transform agree on real
+    * bytes. */
+  def imagePHashReal(spark: SparkSession, dir: String): DataFrame = {
+    val media = stagedRealMedia(spark, dir)
+    val images = spark.read.format("binaryFile").load(s"$media/*.png")
+      .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.png$', 1) AS BIGINT)")
+        .as("doc_id"), col("content"))
+    imagePHashFromPixels(decodeImagePixels(images))
+  }
+
+  /** Driver-path REAL audio decode: planted 16-bit PCM WAVs through
+    * binaryFile → the javax.sound seam ([[decodeAudioEnergies]] —
+    * 25 ms/10 ms frame grid, integer mean-|amplitude| energies) →
+    * the shared VAD island plumbing. Oracle regenerates the samples
+    * (incl. each doc's planted silent span) and replays frame
+    * energies + island detection in SQL. */
+  def silenceReal(spark: SparkSession, dir: String): DataFrame = {
+    val media = stagedRealMedia(spark, dir)
+    val audio = spark.read.format("binaryFile").load(s"$media/*.wav")
+      .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
+        .as("doc_id"), col("content"))
+    silenceFromFrames(decodeAudioEnergies(audio), threshold = 150L)
+  }
+
   /** The transform plumbing DOWNSTREAM of the decode seam, shared by
     * the stub and the real decoder: (doc_id, x, y, p) 8×8 grayscale
     * pixels → separable integer DCT-II → 63-AC-coefficient median

@@ -1988,7 +1988,18 @@ object Analytic {
     * native clause yields NULL for sum and 0 for count, replayed by
     * the n_grp > 0 guard. All sums exact DECIMAL until the final
     * double. Oracle runs the native EXCLUDE GROUP / EXCLUDE TIES
-    * syntax. */
+    * syntax.
+    *
+    * Join sizing (round 12): neither aggregate gets a broadcast
+    * HINT — peers is one row per (l_suppkey, l_shipdate) and part
+    * one per l_suppkey, both domains that GROW with the fact table
+    * (suppliers × dates), unlike the |statuses|×|dates| relation
+    * [[winGroupsFrame]] rightly pins. A forced hint would bypass
+    * AQE's size check and OOM the driver at 100 TB; unhinted, AQE
+    * broadcasts them when they measure small and falls back to a
+    * co-partitioned shuffle join when they don't (the groupBy output
+    * is already hash-partitioned on the join keys, so the fallback
+    * re-shuffles only the fact side). */
   def winExcludeGroup(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .withColumn("p", col("l_extendedprice").cast(D))
@@ -1996,8 +2007,8 @@ object Analytic {
       .agg(count(lit(1)).as("part_n"), sum("p").as("part_sum"))
     val peers = li.groupBy("l_suppkey", "l_shipdate")
       .agg(count(lit(1)).as("peer_n"), sum("p").as("peer_sum"))
-    li.join(broadcast(peers), Seq("l_suppkey", "l_shipdate"))
-      .join(broadcast(part), Seq("l_suppkey"))
+    li.join(peers, Seq("l_suppkey", "l_shipdate"))
+      .join(part, Seq("l_suppkey"))
       .withColumn("n_grp", col("part_n") - col("peer_n"))
       .withColumn("sum_grp",
         when(col("n_grp") > 0,

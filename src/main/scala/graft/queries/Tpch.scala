@@ -18,6 +18,16 @@ import graft.sources.Tables._
   * simple-predicates.h:37-120), dimension tables get broadcast, and
   * aggregates run partial→final with map-side combine.
   *
+  * Broadcast-hint policy (round-12 audit): a FORCED broadcast() hint
+  * appears only on relations whose cardinality is bounded by a fixed
+  * domain — nation (25 rows), region (5), and 1-row aggregates
+  * (avgBal, maxRev, tot). SF-scaled dimensions (customer, supplier,
+  * part and anything derived from them) are joined UNHINTED: at test
+  * SFs Catalyst/AQE still broadcasts them from measured size, while
+  * at 100 TB — where customer alone is billions of rows — the same
+  * plan degrades to a shuffle join instead of OOMing the driver the
+  * way a forced hint would.
+  *
   * Queries are adapted to the driver schema (no
   * l_shipmode/l_commitdate/l_receiptdate, no o_comment — see
   * SURVEY.md §3); the adaptation is noted per query.
@@ -66,7 +76,7 @@ object Tpch {
     val ord = orders(spark, dir).filter(col("o_orderdate") < ts("1998-06-01"))
     val li = lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-06-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -102,7 +112,7 @@ object Tpch {
     val li = lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
@@ -176,7 +186,7 @@ object Tpch {
     val pt = part(spark, dir)
     val li = lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) *
           sum(when(col("p_type").startsWith("PROMO"),
@@ -220,7 +230,7 @@ object Tpch {
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
       (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
   }
@@ -253,7 +263,7 @@ object Tpch {
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -274,14 +284,14 @@ object Tpch {
     val suppNation = nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     lineitem(spark, dir)
-      .join(broadcast(part(spark, dir).filter(col("p_type") === "ECONOMY")),
+      .join(part(spark, dir).filter(col("p_type") === "ECONOMY"),
         col("l_partkey") === col("p_partkey"))
       .join(orders(spark, dir)
           .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
         col("l_orderkey") === col("o_orderkey"))
       .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(amNations), col("c_nationkey") === col("am_nk"))
-      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
       .agg(
@@ -300,8 +310,8 @@ object Tpch {
   def q17(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_partkey")
     lineitem(spark, dir)
-      .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#7")
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(part(spark, dir).filter(col("p_brand") === "Brand#7")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .withColumn("avg_qty", avg(col("l_quantity")).over(w))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
@@ -359,7 +369,7 @@ object Tpch {
       .join(ordStats.filter(col("n_sups") >= 2 && col("n_late_sups") === 1), "l_orderkey")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(50)
@@ -404,8 +414,8 @@ object Tpch {
       .filter(col("p_size") === 11 && col("p_type") === "ECONOMY")
       .select("p_partkey")
     partsupp(spark, dir)
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
       .groupBy("p_partkey")
       .agg(min(struct(col("ps_supplycost"), col("ps_suppkey"), col("s_name"),
         col("s_acctbal"), col("n_name"))).as("m"))
@@ -428,10 +438,10 @@ object Tpch {
       .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(partsupp(spark, dir),
         col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(orders(spark, dir).select(col("o_orderkey"),
         year(col("o_orderdate")).cast("bigint").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
@@ -454,7 +464,7 @@ object Tpch {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val base = partsupp(spark, dir)
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
       .withColumn("value", col("ps_supplycost") * col("ps_availqty"))
       .localCheckpoint() // consumers: the total + the per-part agg
     val tot = base.agg(sum("value").as("total"))
@@ -479,8 +489,8 @@ object Tpch {
       .filter(expr(graft.operators.Hash60.sql("concat('cmpl:', s_suppkey)") + " % 10 = 0"))
       .select("s_suppkey")
     partsupp(spark, dir)
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("ps_partkey") === col("p_partkey"))
+      .join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
@@ -497,7 +507,7 @@ object Tpch {
       .select("p_partkey")
     val qty97 = lineitem(spark, dir)
       .filter(year(col("l_shipdate")) === 1997)
-      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .join(promo, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("bigint")).as("qty97"))
     val sup = supplier(spark, dir)
@@ -510,7 +520,7 @@ object Tpch {
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") * 2 > col("qty97"))
       .select("ps_suppkey").distinct()
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "n_name")
       .orderBy("s_suppkey")
   }

@@ -59,6 +59,16 @@ object GraftFunctions {
           graft.functions.PqAdc(exprs(0), exprs(1), exprs(2))
         })
     }
+    val amc = FunctionIdentifier("graft_argmax_cell")
+    if (!registry.functionExists(amc)) {
+      registry.registerFunction(
+        amc,
+        new ExpressionInfo(classOf[graft.functions.ArgMaxCell].getName, "graft_argmax_cell"),
+        (exprs: Seq[Expression]) => {
+          requireArity("graft_argmax_cell", exprs, 4)
+          graft.functions.ArgMaxCell(exprs(0), exprs(1), exprs(2), exprs(3))
+        })
+    }
     val mtext = FunctionIdentifier("graft_minhash_text")
     if (!registry.functionExists(mtext)) {
       registry.registerFunction(

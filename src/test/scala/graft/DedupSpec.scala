@@ -633,4 +633,18 @@ class DedupSpec extends SparkSpec {
       s"prefix filtering must be exact: ${viaPrefix.size} vs ${viaPosting.size}")
     assert(viaPrefix.nonEmpty)
   }
+
+  test("audit sample cap: sampled embedding-tuning counts bounded by the full audit") {
+    def byConfig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("config") -> r).toMap
+    val full = byConfig(operators.Dedup.embeddingTuning(spark, sf))
+    val s = byConfig(operators.Dedup.embeddingTuningOn(spark, sf, 3L))
+    for (cfg <- full.keys; colName <- Seq("n_candidates", "n_verified", "n_truth")) {
+      assert(s(cfg).getAs[Long](colName) <= full(cfg).getAs[Long](colName),
+        s"$cfg.$colName grew under sampling")
+      val ppm = s(cfg).getAs[Long]("recall_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L, s"$cfg recall_ppm $ppm out of range")
+    }
+    assert(s.values.exists(_.getAs[Long]("n_candidates") > 0))
+  }
 }

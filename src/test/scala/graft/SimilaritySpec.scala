@@ -519,4 +519,105 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(dev) <= 3000000000L, r.toString)
     }
   }
+
+  private def corpusOf(sfDir: String) = {
+    import org.apache.spark.sql.functions.col
+    operators.Vectors.asDouble(sources.Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("vd"),
+        operators.Vectors.norm(col("vd")).as("vnrm"))
+  }
+
+  test("blocked graph build: no corpus-as-probe broadcast, local top-M exchange-free") {
+    // assert on the stage-0 blocked kNN (the relation the descent
+    // loop checkpoints): the checkpointed edges plan shows only a
+    // Scan of the materialized RDD, hiding the build shape
+    val stage0 = operators.Similarity.blockedKnnFrom(
+      operators.Similarity.blockedScored(corpusOf(sf)))
+    val plan = stage0.queryExecution.executedPlan.toString
+    // the round-11 brute-force build broadcast the ENTIRE corpus as
+    // the probe side of a non-equi INNER join (a conditioned
+    // BroadcastNestedLoopJoin on vec_id ≠ probe_id) — the 10⁹-vector
+    // driver killer. The blocked build's only nested-loop joins are
+    // unconditioned Cross joins against broadcast 1-ROW relations
+    // (ncells, the centroid array).
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+      !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner"),
+      plan.take(3000))
+    // per-(cell, src) top-M runs directly on the cell-partitioned
+    // shuffle-hash join output: no Exchange between the deepest
+    // TopKPerKey and the join (hash(cell) clusters (cell, src))
+    val localTopK = plan.lastIndexOf("TopKPerKey")
+    val join = plan.indexOf("ShuffledHashJoin", localTopK)
+    assert(localTopK >= 0 && join > localTopK, plan.take(3000))
+    val between = plan.substring(localTopK, join)
+    assert(!between.contains("Exchange"),
+      s"unexpected exchange between local top-M and the blocking join:\n$between")
+  }
+
+  test("blocked graph build: whale hub's degree is capped, graph stays total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1 vector duplicated 1000× (the hot-key near-dup pile a crawl
+    // corpus always contains) + 200 distinct vectors: uncapped
+    // symmetrized kNN gives the duplicate pile's attractor unbounded
+    // IN-degree, and every beam that routes through it explodes.
+    val dims = 8
+    def vec(seed: Long): Seq[Double] =
+      (0 until dims).map(d => ((seed * 31L + d * 17L) % 97L + 1L).toDouble / 97.0)
+    val rows =
+      (0 until 1000).map(i => (i.toLong, vec(7L))) ++ // the whale pile
+      (0 until 200).map(i => ((1000 + i).toLong, vec(100L + i)))
+    val corpus = rows.toDF("vec_id", "vd")
+      .select(col("vec_id"), col("vd"),
+        operators.Vectors.norm(col("vd")).as("vnrm"))
+    val deg = operators.Similarity.blockedGraphEdges(corpus)
+      .groupBy("src").count().collect()
+    val maxDeg = deg.map(_.getAs[Long]("count")).max
+    info(s"whale corpus: ${deg.length} nodes, max out-degree $maxDeg")
+    assert(maxDeg <= operators.Similarity.GraphDegreeCap,
+      s"degree cap violated: $maxDeg")
+    // every vector keeps links — the cap prunes, never isolates
+    assert(deg.length == 1200, s"nodes with edges: ${deg.length}")
+  }
+
+  test("audit sample cap: sampled graph-insert grading is the full audit's subset") {
+    val full = operators.Similarity.graphInsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_links"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("link_recall_ppm"))).toMap
+    val sampled = operators.Similarity.graphInsertOn(spark, sf, 2L).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(id % 2 == 0, s"unsampled id $id graded")
+      assert(full(id) == (r.getAs[Long]("n_links"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("link_recall_ppm")), s"row for $id diverged under sampling")
+    }
+    assert(sampled.length == full.keys.count(_ % 2 == 0))
+  }
+
+  test("audit sample cap: sampled build-tuning counts bounded by the full audit") {
+    def byConfig(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("config") -> r).toMap
+    val full = byConfig(operators.Similarity.graphBuildTuning(spark, sf))
+    val s = byConfig(operators.Similarity.graphBuildTuningOn(spark, sf, 3L))
+    for (cfg <- Seq("blocked_ivf", "brute_exact"); colName <-
+        Seq("n_candidates", "n_edges", "n_hits")) {
+      assert(s(cfg).getAs[Long](colName) <= full(cfg).getAs[Long](colName),
+        s"$cfg.$colName grew under sampling")
+    }
+    assert(s("blocked_ivf").getAs[Long]("n_edges") > 0)
+  }
+
+  test("blocked build tuning: candidate mass strictly under brute, recall consistent") {
+    val rows = operators.Similarity.graphBuildTuning(spark, sf).collect()
+      .map(r => r.getAs[String]("config") -> r).toMap
+    val bl = rows("blocked_ivf"); val br = rows("brute_exact")
+    assert(bl.getAs[Long]("n_candidates") < br.getAs[Long]("n_candidates"),
+      "blocking must enumerate strictly fewer candidates than brute force")
+    assert(br.getAs[Long]("edge_recall_ppm") == 1000000L)
+    assert(bl.getAs[Long]("n_hits") <= bl.getAs[Long]("n_edges"))
+    assert(bl.getAs[Long]("n_edges") == br.getAs[Long]("n_edges"),
+      "blocked kNN must emit the same per-src edge count as exact")
+  }
 }
