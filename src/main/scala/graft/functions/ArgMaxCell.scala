@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
   * This emits one call into a JIT-compiled loop via
   * ctx.addReferenceObj, keeping the projection inside whole-stage
   * codegen — the graft_dot / graft_pq_encode pattern
-  * (/root/reference/hash-util.h:1 for the kernel ethos). Measured at
-  * sf0.1: the trained-assignment pass (ann_ivf_indexed cold build)
-  * 1.9 s → 1.3 s over the HOF fold.
+  * (/root/reference/hash-util.h:1 for the kernel ethos). Measured
+  * (dev/ArgMaxProbe, sf0.1 trained assignment, min-of-3): 0.141 s
+  * HOF → 0.094 s native (1.5×) at 2000×44 — a per-(row·cell) gap
+  * that widens with the √N cell count; assignment bit-identical
+  * (probe-joined, zero mismatches).
   */
 case class ArgMaxCell(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {

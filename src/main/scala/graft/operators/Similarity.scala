@@ -339,7 +339,7 @@ object Similarity {
     * whole-stage-codegen loop; the previous aggregate() HOF fold ran
     * its lambda interpreted per cell, √N interpreted steps per corpus
     * row at the trained family's data-derived cell count — measured
-    * 1.9 → 1.3 s on the sf0.1 cold index build). Bit-identical
+    * 1.5× on the sf0.1 assignment pass, dev/ArgMaxProbe). Bit-identical
     * semantics to the fold it replaces ([[graft.functions.ArgMaxCell]]):
     * strict `>` over the cell-ascending array keeps the LOWEST cell
     * on exact cosine ties, identical to the oracle's
@@ -1375,9 +1375,10 @@ object Similarity {
     require(GraphBuildCells == 2,
       s"blockedScored implements exactly 2 cells/vector, got $GraphBuildCells")
     // Lloyd-TRAINED cells (the persistent-IVF quantizer, TrainIters
-    // rounds): on this corpus training lifts stage-0 edge recall
-    // 0.29 → 0.36 and the refined graph 0.40 → 0.46 at sf0.1 —
-    // blocking quality is the one lever NN-descent cannot recover
+    // rounds): at sf0.1 training lifts stage-0 edge recall 0.29 →
+    // 0.36, and with the third descent round the refined graph goes
+    // 0.40 → 0.46 — blocking quality is the one lever descent
+    // cannot recover on its own
     val cents = trainedCellsOf(corpus, TrainIters)
     val assigned = withCentsRow(corpus, cents)
       .withColumn("c1", call_function("graft_argmax_cell",
