@@ -1255,7 +1255,15 @@ object Similarity {
   }
 
   /** the symmetrized, degree-capped GraphM-NN edge relation, staged
-    * once per (app, sf): the graph INDEX. */
+    * once per (app, sf): the graph INDEX. Serving scans it once per
+    * beam round with the tiny frontier broadcast against it — at
+    * extreme node counts a deployment fronts these edges with a
+    * point-lookup store instead; a src-bucket PARTITIONED parquet
+    * layout does NOT buy in-plan pruning here (measured,
+    * dev/EdgeDppProbe: dynamic partition pruning requires a
+    * selective predicate on the pruning side, and the beam frontier
+    * is a checkpointed relation with none — DPP never fires), so the
+    * flat layout is kept deliberately. */
   private def stagedNeighborGraph(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Staging.staged(spark, dir, "ann_graph_edges")(
       blockedGraphEdges(vecs(spark, dir)))
