@@ -235,6 +235,7 @@ object SparkEntry {
     "ann_pq_topk"         -> Similarity.pqTopK _,
     "ann_ivfpq_topk"      -> Similarity.ivfpqTopK _,
     "ann_ivf_indexed"     -> Similarity.ivfIndexed _,
+    "ann_ivf_tuning"      -> Similarity.ivfTuning _,
     "ann_filtered_topk"   -> Similarity.filteredTopK _,
     "ann_refine_topk"     -> Similarity.refineTopK _,
     "emb_label_stats"     -> Similarity.labelStats _,
@@ -413,6 +414,7 @@ object SparkEntry {
     // one CTE pair per round); emb_recall_trained audits the same
     // trained quantizer against the exact top-k
     m + ("ann_ivf_indexed" -> IvfOracle.trainedSearchSql) +
+      ("ann_ivf_tuning" -> IvfOracle.tuningSql) +
       ("emb_recall_trained" -> IvfOracle.trainedRecallSql) +
       // same contract: the inverted index is a layout change only
       ("text_bm25_indexed" -> m("text_bm25")) +
@@ -1017,6 +1019,54 @@ object SparkEntry {
       trainedChain +
         "\nSELECT probe_id, vec_id, cell, cosine, rank FROM ivf_topk WHERE rank <= 10" +
         "\nORDER BY probe_id, rank"
+    /** the nprobe operating curve (Similarity.ivfTuning): cells
+      * ranked once at the max nprobe, every config a rank prefix,
+      * counts + recall@10 vs the exact top-k. */
+    def tuningSql: String = {
+      val nps = graft.operators.Similarity.IvfTuningProbes
+      val maxP = nps.max
+      trainedChain + s""",
+         |pc_all AS (
+         |  SELECT probe_id, pv, cell, rn AS cell_rank FROM (
+         |    SELECT p.probe_id, p.pv, c.cell,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        ${cos("pv", "cv")} DESC, c.cell) AS rn
+         |    FROM probes p CROSS JOIN cents c) WHERE rn <= $maxP),
+         |sc AS MATERIALIZED (
+         |  SELECT pc.probe_id, av.vec_id, pc.cell_rank, ${cos("pv", "vd")} AS cosine
+         |  FROM assigned av JOIN pc_all pc ON av.cell = pc.cell AND av.vec_id <> pc.probe_id),
+         |nps(nprobe) AS (VALUES ${nps.map(p => s"(CAST($p AS BIGINT))").mkString(", ")}),
+         |tg AS MATERIALIZED (
+         |  SELECT n.nprobe, s.probe_id, s.vec_id, s.cosine
+         |  FROM sc s JOIN nps n ON s.cell_rank <= n.nprobe),
+         |tk AS (
+         |  SELECT nprobe, probe_id, vec_id FROM (
+         |    SELECT nprobe, probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY nprobe, probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM tg) WHERE rk <= 10),
+         |ns AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scored FROM tg GROUP BY nprobe),
+         |exact_scored AS (
+         |  SELECT probe_id, v.vec_id, ${cos("pv", "vd")} AS cosine
+         |  FROM probes CROSS JOIN vecs v WHERE v.vec_id <> probe_id),
+         |exact_topk AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM exact_scored) WHERE rank <= 10),
+         |graded AS (
+         |  SELECT n.nprobe, e.probe_id, e.vec_id,
+         |    CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact_topk e CROSS JOIN nps n
+         |  LEFT JOIN tk t ON t.nprobe = n.nprobe AND t.probe_id = e.probe_id AND t.vec_id = e.vec_id)
+         |SELECT g.nprobe, ns.n_scored,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(1000000 * sum(hit) // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+         |FROM graded g JOIN ns ON ns.nprobe = g.nprobe
+         |GROUP BY g.nprobe, ns.n_scored
+         |ORDER BY g.nprobe""".stripMargin
+    }
+
     def trainedRecallSql: String =
       trainedChain + s""",
          |exact_scored AS (

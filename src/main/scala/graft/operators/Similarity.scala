@@ -633,6 +633,66 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** the nprobe values the IVF tuning curve measures — one
+    * definition for the query and the oracle generator. */
+  val IvfTuningProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** NPROBE operating curve for the persistent IVF index — the
+    * ann_graph_tuning discipline applied to the coarse quantizer:
+    * for nprobe ∈ [[IvfTuningProbes]], the candidates SCORED (what a
+    * query at that nprobe pays — ~nprobe/⌊√N⌋ of the corpus) against
+    * recall@10 vs the staged exact ground truth (what it buys). The
+    * knee of this curve is how nprobe gets picked in production; the
+    * one-pass discipline of the beam sweep applies — cells are
+    * ranked ONCE at the max nprobe and every config is a rank
+    * prefix, so the whole curve costs one probed-cell scoring pass
+    * plus per-config bounded-heap top-k. Served from the SHIPPED
+    * staged index (the artifact that serves traffic), exactly like
+    * emb_recall_trained. */
+  def ivfTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = stagedIndexDir(spark, dir)
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$idx/manifest").select("ncells")))
+      .filter(col("cell") >= 0 && col("cell") < col("ncells"))
+      .drop("ncells")
+    val assigned = spark.read.parquet(s"$idx/assignments")
+      .withColumn("cell", col("cell").cast("bigint"))
+    val maxP = IvfTuningProbes.max
+    val pcells = graft.plans.TopK.perKey(
+        probes(spark, dir).join(broadcast(cents))
+          .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"),
+            Vectors.cosinePre(col("pv"), col("cv"), col("pnrm"), col("cnrm"))
+              .as("psim")),
+        Seq("probe_id"), Seq("psim" -> false, "cell" -> true), maxP)
+      .select(col("probe_id"), col("pv"), col("pnrm"), col("cell"),
+        col("rank").as("cell_rank"))
+    val nps = broadcast(IvfTuningProbes.map(_.toLong).toDF("nprobe"))
+    val tagged = assigned.join(broadcast(pcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell_rank"),
+        Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
+          .as("cosine"))
+      .crossJoin(nps)
+      .filter(col("cell_rank") <= col("nprobe"))
+      .localCheckpoint(true) // three consumers: topk, n_scored, and ranks
+    val topk = graft.plans.TopK.perKey(tagged, Seq("nprobe", "probe_id"),
+        Seq("cosine" -> false, "vec_id" -> true), K)
+      .select("nprobe", "probe_id", "vec_id").withColumn("t", lit(1L))
+    val nScored = tagged.groupBy("nprobe").agg(count(lit(1)).as("n_scored"))
+    stagedExactTopK(spark, dir).select("probe_id", "vec_id")
+      .crossJoin(nps)
+      .join(topk, Seq("nprobe", "probe_id", "vec_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+      .join(broadcast(nScored), "nprobe")
+      .select(col("nprobe"), col("n_scored"), col("n_exact"), col("n_hits"),
+        expr("1000000 * n_hits DIV greatest(n_exact, 1L)").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   def recallTrained(spark: SparkSession, dir: String): DataFrame = {
     val exact = stagedExactTopK(spark, dir).select(col("probe_id"), col("vec_id"))
     // audit the SHIPPED index's quantizer: read the staged centroids
@@ -1431,7 +1491,9 @@ object Similarity {
     * scale brute force by design — a deployment samples the audited
     * srcs; the blocked side is the shipped build itself. */
   def graphBuildTuning(spark: SparkSession, dir: String): DataFrame =
-    graphBuildTuningOn(spark, dir, auditSampleMod = 1L)
+    graft.sources.Staging.staged(spark, dir, "ann_graph_build_tuning")(
+        graphBuildTuningOn(spark, dir, auditSampleMod = 1L))
+      .orderBy("config")
 
   /** `auditSampleMod` caps the exact side here too: only srcs with
     * src % mod == 0 are audited (the blocked build itself is always
