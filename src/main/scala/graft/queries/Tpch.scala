@@ -457,7 +457,13 @@ object Tpch {
     * 1/5000 of the nation's total): per-part stock value filtered by
     * a cross-multiplied integer share test — no float division, and
     * the total is ONE broadcast row, never a correlated subquery
-    * re-scan. */
+    * re-scan. The sup join is deliberately UNHINTED per the round-12
+    * broadcast policy (supplier is SF-scaled): at sf0.1 this costs
+    * ~0.9 s of AQE stage overhead (the derived-partsupp side's
+    * shuffle map phase runs before the runtime broadcast conversion,
+    * 0.67 → 1.58 s measured) — the price of a plan that degrades to
+    * a shuffle join instead of OOMing when suppliers are billions of
+    * rows. */
   def q11(spark: SparkSession, dir: String): DataFrame = {
     val sup = supplier(spark, dir)
       .join(broadcast(nation(spark, dir).filter(col("n_name") === "NATION_7")),
