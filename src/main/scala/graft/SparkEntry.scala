@@ -221,6 +221,7 @@ object SparkEntry {
     "dedup_lsh_tuning"       -> Dedup.lshTuning _,
     "dedup_lsh_recall"       -> Dedup.lshRecall _,
     "pipeline_dedup_cascade" -> Dedup.cascade _,
+    "pipeline_dedup_weights" -> Pipeline.dedupWeights _,
     "dedup_prefix_filter"    -> Dedup.prefixFilter _,
     "dedup_threshold_sweep"  -> Dedup.thresholdSweep _,
     "dedup_fuzzy_verify"     -> Dedup.fuzzyVerify _,
@@ -1525,6 +1526,50 @@ object SparkEntry {
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact-digest stage + the full-corpus component closure
     // restricted to survivors (sound: an exact dup shares its
+    // soft-dedup sampling weights: exact-digest multiplicity + the
+    // near-dup component closure (the dedup_components chain) feeding
+    // integer floor-division weights
+    "pipeline_dedup_weights" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words FROM documents
+        |), sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(words)-2),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |    ELSE [] END AS sh FROM docs
+        |), shd AS (
+        |  SELECT doc_id, len(sh) AS n_sh,
+        |    list_transform(sh, s -> CAST(('0x'||substring(md5(s),1,15)) AS BIGINT)) AS hs
+        |  FROM sh0 WHERE len(sh) > 0
+        |), post AS (
+        |  SELECT doc_id, n_sh, unnest(hs) AS shingle_h FROM shd
+        |), pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        |  FROM post a JOIN post b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM pc WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+        |), comp AS (
+        |  SELECT node AS doc_id, min(lab) AS component_id FROM reach GROUP BY node
+        |), csz AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY component_id) AS component_size FROM comp
+        |), ex AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY digest) AS n_copies
+        |  FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest FROM documents)
+        |)
+        |SELECT e.doc_id, e.n_copies,
+        |  coalesce(c.component_size, 1) AS near_dup_size,
+        |  1000000 // e.n_copies AS hard_weight_ppm,
+        |  1000000 // CAST(floor(sqrt(CAST(coalesce(c.component_size, 1) AS DOUBLE))) AS BIGINT) AS soft_weight_ppm
+        |FROM ex e LEFT JOIN csz c ON c.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     // keeper's shingle set, so removal never disconnects)
     "pipeline_dedup_cascade" ->
       """WITH RECURSIVE d AS (

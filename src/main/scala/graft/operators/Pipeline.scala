@@ -771,4 +771,35 @@ object Pipeline {
         (col("n_violations") === 0L).as("pass"))
       .orderBy("check_name")
   }
+
+  /** Duplicate-aware SAMPLING WEIGHTS — the SOFT-dedup alternative to
+    * dropping copies (the RefinedWeb/SlimPajama-class decision: keep
+    * every document but downweight duplicated content so k copies of
+    * a page contribute ~one page of gradient): per doc, its EXACT-dup
+    * group size (normalized-digest groups — the hard multiplicity),
+    * its NEAR-dup component size (the staged Jaccard closure;
+    * singletons count 1), the hard weight 10⁶ div n_copies (k exact
+    * copies sum to ≈ one document of sampling mass), and the soft
+    * weight 10⁶ div ⌊√component_size⌋ (near-dups are related, not
+    * identical — the standard sqrt compromise keeps some extra mass
+    * for genuinely popular content instead of flattening it to one).
+    * Engine-exactness: both weights are BIGINT floor divisions;
+    * ⌊√k⌋ is exact in both engines (small-int sqrt is correctly
+    * rounded IEEE). Scale: the digest groups are a map-side-combined
+    * hash agg + join-back (never a window over the hot empty-page
+    * digest), and the component closure is the SAME staged relation
+    * the dedup stack already pays for — this row adds two joins. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.exactOn(documents(spark, dir))
+      .select(col("doc_id"), col("group_size").as("n_copies"))
+    val comp = Dedup.stagedComponents(spark, dir)
+      .select(col("doc_id"), col("component_size"))
+    exact.join(comp, Seq("doc_id"), "left")
+      .withColumn("near_dup_size", coalesce(col("component_size"), lit(1L)))
+      .select(col("doc_id"), col("n_copies"), col("near_dup_size"),
+        expr("1000000L DIV n_copies").as("hard_weight_ppm"),
+        expr("1000000L DIV CAST(floor(sqrt(CAST(near_dup_size AS DOUBLE))) AS BIGINT)")
+          .as("soft_weight_ppm"))
+      .orderBy("doc_id")
+  }
 }

@@ -489,4 +489,21 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("docs_removed") > 0,
       "near-dup stage should remove something at this sf")
   }
+
+  test("dedup weights: hard weight inverts copy count, soft weight bounded below by hard") {
+    val rows = operators.Pipeline.dedupWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_copies"); val m = r.getAs[Long]("near_dup_size")
+      val hw = r.getAs[Long]("hard_weight_ppm"); val sw = r.getAs[Long]("soft_weight_ppm")
+      assert(n >= 1 && m >= 1, r.toString)
+      assert(hw == 1000000L / n, r.toString)
+      assert(sw == 1000000L / math.floor(math.sqrt(m.toDouble)).toLong, r.toString)
+      // sqrt-downweighting keeps MORE mass than full component division
+      assert(sw >= 1000000L / m, r.toString)
+    }
+    // every doc of the corpus gets a weight row
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs)
+  }
 }
