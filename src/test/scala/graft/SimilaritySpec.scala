@@ -580,6 +580,22 @@ class SimilaritySpec extends SparkSpec {
     assert(deg.length == 1200, s"nodes with edges: ${deg.length}")
   }
 
+  test("ivf tuning curve: scored mass strictly grows with nprobe, recall never falls") {
+    val rows = operators.Similarity.ivfTuning(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ==
+      operators.Similarity.IvfTuningProbes.map(_.toLong))
+    val scored = rows.map(_.getAs[Long]("n_scored"))
+    assert(scored.zip(scored.tail).forall { case (a, b) => a < b },
+      s"n_scored must strictly grow with nprobe: ${scored.toSeq}")
+    // a wider probe set is a superset of candidates, so the exact
+    // top-10 over it can only gain true hits
+    val recall = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b },
+      s"recall must be non-decreasing in nprobe: ${recall.toSeq}")
+    rows.foreach(r => assert(r.getAs[Long]("n_exact") == 50L, r.toString))
+  }
+
   test("audit sample cap: sampled graph-insert grading is the full audit's subset") {
     val full = operators.Similarity.graphInsert(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
