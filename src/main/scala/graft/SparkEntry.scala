@@ -533,6 +533,8 @@ object SparkEntry {
     private val rounds = graft.operators.Similarity.GraphRounds
     private val buildCells = graft.operators.Similarity.GraphBuildCells
     private val degreeCap = graft.operators.Similarity.GraphDegreeCap
+    private val adjCap = graft.operators.Similarity.GraphAdjCap
+    private val cellCapFactor = graft.operators.Similarity.GraphCellCapFactor
 
     /** the blocked build replayed CTE by CTE
       * (operators/Similarity.blockedGraphEdges): ⌊√N⌋ integer-grid
@@ -565,7 +567,8 @@ object SparkEntry {
            |    FROM $vecsCte v CROSS JOIN bcents${tag}i${t - 1} c) WHERE rn = 1),
            |${meansCtes(s"basg${tag}i$t", t)}""".stripMargin
       }.mkString(",\n")
-      s"""nc$tag AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS ncells FROM $vecsCte),
+      s"""nc$tag AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS ncells,
+         |  $cellCapFactor * greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS cap FROM $vecsCte),
          |${meansCtes(s"(SELECT vec_id % (SELECT ncells FROM nc$tag) AS cell, vd FROM $vecsCte)", 0)},
          |$lloyd,
          |bcents$tag AS (SELECT cell, cv FROM bcents${tag}i$iters),
@@ -574,9 +577,14 @@ object SparkEntry {
          |    SELECT v.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("vd", "cv")} DESC, c.cell) AS rn
          |    FROM $vecsCte v CROSS JOIN bcents$tag c) WHERE rn <= $buildCells),
+         |vsub$tag AS MATERIALIZED (
+         |  SELECT v.vec_id, v.cell, v.vec_id % ((c.cnt + n.cap - 1) // n.cap) AS sub
+         |  FROM vcell$tag v
+         |  JOIN (SELECT cell, count(*) AS cnt FROM vcell$tag GROUP BY cell) c ON v.cell = c.cell
+         |  CROSS JOIN nc$tag n),
          |bcand$tag AS MATERIALIZED (
          |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM vcell$tag a JOIN vcell$tag b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |  FROM vsub$tag a JOIN vsub$tag b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id <> b.vec_id),
          |bknn${tag}r0 AS MATERIALIZED (
          |  SELECT src, dst, cosine FROM (
          |    SELECT c.src, c.dst, s.cosine,
@@ -607,10 +615,17 @@ object SparkEntry {
       * 2-hops), scores from the shared allsc lookup. */
     private def descentRounds(tag: String): String =
       (1 to descent).map { r =>
+        // the symmetrized adjacency is CAPPED at adjCap per src
+        // (cosine DESC, dst — Dong et al.'s sampled reverse
+        // neighbors) before the 2-hop expansion, mirroring
+        // Similarity.descentCandidates' skew bound
         s"""bds${tag}r${r - 1} AS MATERIALIZED (
-           |  SELECT DISTINCT src, dst FROM (
-           |    SELECT src, dst FROM bknn${tag}r${r - 1}
-           |    UNION ALL SELECT dst AS src, src AS dst FROM bknn${tag}r${r - 1})),
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst,
+           |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+           |    FROM (SELECT DISTINCT src, dst, cosine FROM (
+           |      SELECT src, dst, cosine FROM bknn${tag}r${r - 1}
+           |      UNION ALL SELECT dst AS src, src AS dst, cosine FROM bknn${tag}r${r - 1}))) WHERE rn <= $adjCap),
            |bcr${tag}r$r AS MATERIALIZED (
            |  SELECT DISTINCT src, dst FROM (
            |    SELECT src, dst FROM bknn${tag}r${r - 1}

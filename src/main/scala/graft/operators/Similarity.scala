@@ -67,8 +67,32 @@ object Similarity {
   val GraphBuildCells = 2
   val GraphDegreeCap: Int = 2 * GraphM
   /** NN-descent refinement rounds after the blocked stage-0 kNN
-    * ([[refinedKnn]]); each costs ≤ (2M)²·N candidate scores. */
+    * ([[refinedKnn]]); each costs ≤ [[GraphAdjCap]]²·N candidate
+    * scores. */
   val GraphDescentRounds = 3
+  /** per-node adjacency cap on the SYMMETRIZED graph the NN-descent
+    * 2-hop join expands (Dong et al. 2011's sampled reverse
+    * neighbors, ρ=1): a node keeps its top-M out-edges plus at most
+    * M reverse edges, ranked (cosine DESC, dst) — without it the
+    * symmetrized IN-degree of a popularity hub (the zero/boilerplate
+    * embedding every vector ranks near) is unbounded and one descent
+    * round scores in-degree² pairs through it. With the cap each
+    * round's 2-hop relation is ≤ N·[[GraphAdjCap]]² rows no matter
+    * how skewed the corpus — the reference never lets one value's
+    * frequency change a scan's complexity (dict-encoding.h's fixed
+    * code paths), and neither may the index build. */
+  val GraphAdjCap: Int = 2 * GraphM
+  /** hot-cell splitting factor for the blocked build's within-cell
+    * self-join ([[blockedScored]]): a cell holding more than
+    * `GraphCellCapFactor·⌊√N⌋` assignments is hash-split (vec_id mod
+    * ⌈cnt/cap⌉) into subcells of ≤cap before pairs are scored, so a
+    * dense cluster (αN near-identical vectors landing in one Lloyd
+    * cell) contributes ≤ cnt·cap pairs instead of cnt² — total
+    * candidate mass ≤ 2N·cap = 32·N^1.5 under ANY skew. At the test
+    * SFs no cell reaches the cap (mean occupancy ≈ 2√N), so the
+    * split is a no-op there; the planted dense-cluster spec drives
+    * it. */
+  val GraphCellCapFactor = 16
 
   /** corpus vectors with a cached L2 norm — self-dots are computed
     * once per vector here, never per candidate pair. */
@@ -1064,11 +1088,20 @@ object Similarity {
 
   private def graphTopKCompute(spark: SparkSession, dir: String): DataFrame =
     graft.plans.TopK.perKey(
-        beamSearchVisited(spark, dir, GraphBeam)
+        stagedGraphVisited(spark, dir)
           .filter(col("vec_id") =!= col("probe_id")),
         Seq("probe_id"), Seq("score_micro" -> false, "vec_id" -> true), K)
       .select("probe_id", "vec_id", "score_micro", "rank")
       .orderBy("probe_id", "rank")
+
+  /** the serving-beam VISITED set, staged once per (app, sf): the
+    * headline top-k and the delete audit's lazy-tombstone mode both
+    * rank prefixes/filtrations of the SAME search, so the beam runs
+    * once per corpus snapshot — ≤ probes·(1 + rounds·beam·M) rows,
+    * never corpus-sized. */
+  private def stagedGraphVisited(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staging.staged(spark, dir, "ann_graph_visited")(
+      beamSearchVisited(spark, dir, GraphBeam))
 
   /** the beam-parameterized search core: the full VISITED set
     * (probe_id, vec_id, score_micro) after [[GraphRounds]] rounds at
@@ -1206,8 +1239,10 @@ object Similarity {
           coalesce(sum(col("t")), lit(0L)).as("n_hits"))
         .withColumn("mode", lit(mode))
     }
-    val lazyMode = grade("lazy_tombstone",
-      beamSearchOn(all, pr, edges, GraphBeam))
+    // the lazy-mode search IS the serving search (the graph is
+    // untouched — only the result filter changes), so it rides the
+    // staged visited set instead of re-running the beam
+    val lazyMode = grade("lazy_tombstone", stagedGraphVisited(spark, dir))
     val hardMode = grade("hard_removed",
       beamSearchOn(all.filter(col("vec_id") % 41 =!= 0), pr,
         edges.filter(col("src") % 41 =!= 0 && col("dst") % 41 =!= 0),
@@ -1410,18 +1445,7 @@ object Similarity {
     // the distinct blocked stage-0 pairs plus each round's additions
     var allCands = scored0.select("src", "dst").dropDuplicates("src", "dst")
     for (_ <- 1 to GraphDescentRounds) {
-      val sym = knn
-        .select(explode(array(
-            struct(col("src"), col("dst")),
-            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint(true)
-      val hops = sym.as("x").join(sym.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      val cands = knn.select("src", "dst").unionByName(hops)
-        .dropDuplicates("src", "dst")
+      val cands = descentCandidates(knn)
       val scored = cands
         .join(payloadS, "src").join(payloadD, "dst")
         .select(col("src"), col("dst"),
@@ -1433,10 +1457,63 @@ object Similarity {
     (allCands, knn)
   }
 
+  /** One NN-descent candidate-generation round: the current kNN rows
+    * plus every 2-hop pair in the CAPPED symmetrized adjacency. The
+    * cap ([[GraphAdjCap]], ranked cosine DESC so the kept reverse
+    * edges are the nearest ones — the only ones descent learns from)
+    * is what bounds the round at N·[[GraphAdjCap]]² rows under hub
+    * skew; without it a node's symmetrized list inherits its full
+    * IN-degree and the 2-hop join is quadratic in it (SimilaritySpec
+    * pins the bound on a planted 1000-edge hub). `knn` must carry
+    * (src, dst, cosine). */
+  private[graft] def descentCandidates(knn: DataFrame): DataFrame = {
+    val sym = graft.plans.TopK.perKey(
+        knn.select(explode(array(
+              struct(col("src"), col("dst")),
+              struct(col("dst").as("src"), col("src").as("dst")))).as("e"),
+            col("cosine"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("cosine"))
+          .dropDuplicates("src", "dst"),
+        Seq("src"), Seq("cosine" -> false, "dst" -> true), GraphAdjCap)
+      .select("src", "dst")
+      .localCheckpoint(true)
+    val hops = sym.as("x").join(sym.as("y"), col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    knn.select("src", "dst").unionByName(hops)
+      .dropDuplicates("src", "dst")
+  }
+
   /** build stages 1-3a: every blocked candidate pair scored —
     * (cell, src, dst, cosine), a pair per shared cell (the tuning
     * audit counts this relation's distinct mass). */
   private[graft] def blockedScored(corpus: DataFrame): DataFrame = {
+    val assigned = subAssignments(corpus)
+    val a = assigned.select(col("cell"), col("sub"), col("vec_id").as("src"),
+      col("vd").as("svd"), col("vnrm").as("snrm"))
+    val b = assigned.select(col("cell").as("bcell"), col("sub").as("bsub"),
+      col("vec_id").as("dst"), col("vd").as("dvd"), col("vnrm").as("dnrm"))
+    a.join(b.hint("shuffle_hash"),
+        col("cell") === col("bcell") && col("sub") === col("bsub") &&
+          col("src") =!= col("dst"))
+      .select(col("cell"), col("sub"), col("src"), col("dst"),
+        Vectors.cosinePre(col("svd"), col("dvd"), col("snrm"), col("dnrm"))
+          .as("cosine"))
+  }
+
+  /** build stages 1-2: each vector's (cell, sub) blocking keys — the
+    * 2-cell multi-assignment plus the HOT-CELL SPLIT: a cell holding
+    * cnt > cap = [[GraphCellCapFactor]]·⌊√N⌋ assignments is hash-
+    * split (sub = vec_id mod ⌈cnt/cap⌉) into subcells of ≤ cap, so
+    * the within-cell self-join scores ≤ cnt·cap pairs per cell —
+    * ≤ 2N·cap total under ANY skew (Lloyd training targets balanced
+    * occupancy but nothing else CAPS a cell when the corpus is one
+    * dense cluster; this does). Under the cap nsub = 1 and sub ≡ 0 —
+    * a no-op, byte-identical blocking (the test-SF case: mean
+    * occupancy ≈ 2√N ≪ 16√N). The cell-count relation is ⌊√N⌋ rows —
+    * broadcast; `cap` is a broadcast 1-row aggregate. */
+  private[graft] def subAssignments(corpus: DataFrame): DataFrame = {
     // the c1/c2 projection below IS the GraphBuildCells=2 expansion
     // (the native kernel excludes one cell per call); widening the
     // knob needs an exclude-set kernel — fail loudly, not silently
@@ -1456,15 +1533,15 @@ object Similarity {
       .select(col("vec_id"), col("vd"), col("vnrm"),
         explode(array(col("c1"), col("c2"))).as("cell"))
       .filter(col("cell") >= 0) // single-cell corpora have no 2nd pick
-    val a = assigned.select(col("cell"), col("vec_id").as("src"),
-      col("vd").as("svd"), col("vnrm").as("snrm"))
-    val b = assigned.select(col("cell").as("bcell"), col("vec_id").as("dst"),
-      col("vd").as("dvd"), col("vnrm").as("dnrm"))
-    a.join(b.hint("shuffle_hash"),
-        col("cell") === col("bcell") && col("src") =!= col("dst"))
-      .select(col("cell"), col("src"), col("dst"),
-        Vectors.cosinePre(col("svd"), col("dvd"), col("snrm"), col("dnrm"))
-          .as("cosine"))
+    val cap = corpus.agg(
+      (lit(GraphCellCapFactor.toLong) * greatest(lit(1L),
+        floor(sqrt(count(lit(1)).cast("double"))).cast("long"))).as("cap"))
+    val cellCnt = assigned.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    assigned
+      .join(broadcast(cellCnt), "cell")
+      .crossJoin(broadcast(cap))
+      .withColumn("sub", col("vec_id") % expr("(cnt + cap - 1L) DIV cap"))
+      .select("vec_id", "vd", "vnrm", "cell", "sub")
   }
 
   /** build stage 3b: per-src exact top-M over the blocked candidates.
@@ -1474,7 +1551,12 @@ object Similarity {
     * set (each global top-M edge is within its own cell's top-M), at
     * a fraction of the shuffle. */
   private[graft] def blockedKnnFrom(scored: DataFrame): DataFrame = {
-    val local = graft.plans.TopK.perKey(scored, Seq("cell", "src"),
+    // (cell, sub, src) — a pair is a candidate only if it shares
+    // cell AND subcell, so each global top-M edge is inside its own
+    // (cell, sub)'s top-M and the two-stage merge stays equivalent;
+    // the join output is hash-partitioned by (cell, sub), which
+    // clusters the grouping keys → the local heaps run exchange-free
+    val local = graft.plans.TopK.perKey(scored, Seq("cell", "sub", "src"),
         Seq("cosine" -> false, "dst" -> true), GraphM)
       .select("src", "dst", "cosine")
       .dropDuplicates("src", "dst") // both-cells-shared pairs: same cosine

@@ -580,6 +580,69 @@ class SimilaritySpec extends SparkSpec {
     assert(deg.length == 1200, s"nodes with edges: ${deg.length}")
   }
 
+  test("graph build skew: hot cell splits into bounded subcells, pair mass linear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // a DENSE CLUSTER at adversarial shape: 1000 copies of one
+    // vector — after Lloyd every copy lands in the SAME (c1, c2)
+    // cells, so without the hot-cell split the within-cell self-join
+    // scores ~2·1000² pairs (quadratic in the cluster, the mass one
+    // crawl whale injects at any corpus size)
+    val dims = 8
+    def vec(seed: Long): Seq[Double] =
+      (0 until dims).map(d => ((seed * 31L + d * 17L) % 97L + 1L).toDouble / 97.0)
+    val n = 1200
+    val rows =
+      (0 until 1000).map(i => (i.toLong, vec(7L))) ++
+      (0 until 200).map(i => ((1000 + i).toLong, vec(100L + i)))
+    val corpus = rows.toDF("vec_id", "vd")
+      .select(col("vec_id"), col("vd"),
+        operators.Vectors.norm(col("vd")).as("vnrm"))
+    val cap = operators.Similarity.GraphCellCapFactor *
+      math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong) // 16·34 = 544
+    val assigned = operators.Similarity.subAssignments(corpus)
+    val groups = assigned.groupBy("cell", "sub").count().collect()
+    val maxGroup = groups.map(_.getAs[Long]("count")).max
+    info(s"cap=$cap, ${groups.length} (cell,sub) groups, max group $maxGroup")
+    // the invariant that bounds Σ group² at cnt·cap per cell: no
+    // (cell, sub) group exceeds the cap ...
+    assert(maxGroup <= cap, s"subcell of $maxGroup rows exceeds cap $cap")
+    // ... and the hot cell actually split (≥2 subcells somewhere)
+    assert(groups.groupBy(_.getAs[Long]("cell")).values
+      .exists(_.length >= 2), "expected the 1000-copy cell to split")
+    // end to end: scored pair mass ≤ 2N·cap (linear in N) — the
+    // uncapped build's ≳2·10⁶ hot-cell pairs cannot appear
+    val mass = operators.Similarity.blockedScored(corpus).count()
+    assert(mass <= 2L * n * cap, s"pair mass $mass exceeds 2N·cap ${2L * n * cap}")
+  }
+
+  test("graph build skew: descent 2-hop expansion is bounded under a planted hub") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a popularity hub: node 0 is in EVERY node's kNN list (the
+    // zero/boilerplate embedding all vectors rank near). Uncapped,
+    // the symmetrized graph gives node 0 an adjacency of n−1 and the
+    // 2-hop join routes (n−1)² ≈ 10⁶ pairs through it in one round;
+    // the GraphAdjCap'd adjacency bounds the round at N·adjCap² + N·M.
+    val n = 1000
+    val knnRows = (1 until n).flatMap { i =>
+      // every node points at the hub (cosine 0.99) and its ring
+      // neighbor (cosine 0.5) — out-degree ≤ M, hub in-degree n−1
+      Seq((i.toLong, 0L, 0.99), (i.toLong, ((i % (n - 1)) + 1).toLong, 0.5))
+    }.filter { case (s, d, _) => s != d }
+    val knn = knnRows.toDF("src", "dst", "cosine")
+    val adjCap = operators.Similarity.GraphAdjCap
+    val cands = operators.Similarity.descentCandidates(knn)
+    val nc = cands.count()
+    val bound = n.toLong * (adjCap.toLong * adjCap + operators.Similarity.GraphM)
+    info(s"hub corpus: $nc candidate pairs (uncapped would exceed ${(n - 1).toLong * (n - 1)})")
+    assert(nc <= bound, s"descent candidates $nc exceed N·(adjCap²+M) = $bound")
+    // the hub keeps a full (capped) adjacency — bounded, not isolated
+    assert(cands.filter(col("src") === 0L).count() >= adjCap,
+      "hub lost its neighborhood entirely")
+  }
+
   test("ivf tuning curve: scored mass strictly grows with nprobe, recall never falls") {
     val rows = operators.Similarity.ivfTuning(spark, sf).collect()
       .sortBy(_.getAs[Long]("nprobe"))
