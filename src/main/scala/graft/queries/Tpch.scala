@@ -388,16 +388,24 @@ object Tpch {
   // (100-999) and quantities integer units (1-9999) so every
   // downstream product stays in exact integer/decimal arithmetic.
   // ------------------------------------------------------------------
-  private[queries] def partsupp(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_availqty", expr(
-        graft.operators.Hash60.sql("concat('psq:', ps_partkey, ':', ps_suppkey)") +
-          " % 9999 + 1"))
-      .withColumn("ps_supplycost", expr(
-        graft.operators.Hash60.sql("concat('psc:', ps_partkey, ':', ps_suppkey)") +
-          " % 900 + 100"))
+  // Staged once per (app, sf): five queries (Q2/Q9/Q11/Q16/Q20)
+  // consume this table, and the derivation (a distinct over all of
+  // lineitem plus two hash columns) dominates each one's runtime if
+  // re-run per query — measured 1.3 s of q11's 1.8 s at sf0.1. A
+  // deployment materializes partsupp once per snapshot exactly like
+  // the ANN ground truths; values are unchanged (the oracles derive
+  // the identical table in a CTE).
+  private[graft] def partsupp(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Staging.staged(spark, dir, "tpch_partsupp")(
+      lineitem(spark, dir)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty", expr(
+          graft.operators.Hash60.sql("concat('psq:', ps_partkey, ':', ps_suppkey)") +
+            " % 9999 + 1"))
+        .withColumn("ps_supplycost", expr(
+          graft.operators.Hash60.sql("concat('psc:', ps_partkey, ':', ps_suppkey)") +
+            " % 900 + 100")))
 
   /** Q2 minimum-cost supplier (adapted: p_size=11 ∧ p_type='ECONOMY',
     * region EUROPE): for each qualifying part, the cheapest EUROPE
@@ -458,23 +466,28 @@ object Tpch {
     * a cross-multiplied integer share test — no float division, and
     * the total is ONE broadcast row, never a correlated subquery
     * re-scan. The sup join is deliberately UNHINTED per the round-12
-    * broadcast policy (supplier is SF-scaled): at sf0.1 this costs
-    * ~0.9 s of AQE stage overhead (the derived-partsupp side's
-    * shuffle map phase runs before the runtime broadcast conversion,
-    * 0.67 → 1.58 s measured) — the price of a plan that degrades to
-    * a shuffle join instead of OOMing when suppliers are billions of
-    * rows. */
+    * broadcast policy (supplier is SF-scaled) — AQE broadcasts the
+    * ~1/25 NATION_7 slice from measured size at test SFs, and the
+    * same plan degrades to a shuffle join instead of OOMing when
+    * suppliers are billions of rows. The multi-consumer split point
+    * is the PER-PART AGGREGATE, not the join output: the total is
+    * the exact integer sum of the per-part sums, so checkpointing
+    * the one-row-per-part relation serves both consumers — round 12
+    * measured 1.85 s with the checkpoint on the join output (the
+    * eager materialization ran the full partsupp⋈sup exchange before
+    * AQE could convert it); this shape is 0.6-0.7 s. */
   def q11(spark: SparkSession, dir: String): DataFrame = {
     val sup = supplier(spark, dir)
       .join(broadcast(nation(spark, dir).filter(col("n_name") === "NATION_7")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val base = partsupp(spark, dir)
+    val perPart = partsupp(spark, dir)
       .join(sup, col("ps_suppkey") === col("s_suppkey"))
       .withColumn("value", col("ps_supplycost") * col("ps_availqty"))
-      .localCheckpoint() // consumers: the total + the per-part agg
-    val tot = base.agg(sum("value").as("total"))
-    base.groupBy("ps_partkey").agg(sum("value").as("value"))
+      .groupBy("ps_partkey").agg(sum("value").as("value"))
+      .localCheckpoint() // consumers: the total + the share filter
+    val tot = perPart.agg(sum("value").as("total"))
+    perPart
       .crossJoin(broadcast(tot))
       .filter(col("value") * 5000 > col("total"))
       .select(col("ps_partkey"), col("value"))
