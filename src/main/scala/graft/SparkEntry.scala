@@ -56,6 +56,7 @@ object SparkEntry {
     "scan_runtime_bloom" -> Scans.bloomFilteredJoin _,
     "scan_bloom_pointlookup" -> SourcesSinks.bloomPointLookup _,
     "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
+    "scan_record_filter" -> SourcesSinks.recordFilter _,
     "sink_encrypted_roundtrip" -> SourcesSinks.encryptedRoundtrip _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
@@ -3043,6 +3044,14 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey % 16 = 7""".stripMargin,
+    // record-level filtering must be invisible in the values: the
+    // oracle runs the same selective aggregate on the base table
+    "scan_record_filter" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | max(l_orderkey) AS max_orderkey
+        |FROM lineitem
+        |WHERE l_quantity = 7""".stripMargin,
     // salting must be invisible in the output: the oracle is unsalted.
     "join_salted_skew" ->
       """WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events)

@@ -512,6 +512,59 @@ object SourcesSinks {
         sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"))
 
+  /** Row-granular RECORD-LEVEL parquet filtering — the per-ROW
+    * analog of the reference's skip bitsets (simple-predicates.h:
+    * 30-133 `EqOperate`/`InOperate` producing bitsets that
+    * hdfs-parquet-scanner.cc's late materialization consumes): when
+    * pages are COARSE (here: one page per column chunk, so the
+    * column index has nothing finer than the row group) and the
+    * predicate column is uncorrelated with file order (every
+    * group's min/max spans the probe), no stats granularity can
+    * skip — `spark.sql.parquet.recordLevelFilter.enabled` is the
+    * remaining lever: parquet-mr evaluates the pushed predicate per
+    * record and the reader emits ONLY matching rows, so the scan
+    * materializes the 2% selectivity instead of the file
+    * (SourcesSpec measures the scan-node row delta vs the
+    * record-filter-off control; both produce identical values).
+    * Requires the row-based reader (the vectorized path skips at
+    * stats granularity only and re-evaluates the predicate
+    * post-materialization in codegen) — the trade a 100 TB
+    * deployment makes on wide rows + selective predicates where
+    * decode bandwidth, not CPU, is the bottleneck. */
+  private[graft] def recordFilterLayout(spark: SparkSession, dir: String): String = {
+    val path = tmp(spark, dir, "lineitem_coarsepage")
+    // fixture layout, staged once per (app, sf)
+    if (new java.io.File(s"$path/_SUCCESS").isFile) return path
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .coalesce(4)
+      .write.mode("overwrite")
+      // one page per chunk: row-count limit above any group size and
+      // the page-size cap lifted — the adversarial layout for
+      // stats-granular skipping
+      .option("parquet.page.row.count.limit", "10000000")
+      .option("parquet.page.size", (32 * 1024 * 1024).toString)
+      .parquet(path)
+    path
+  }
+
+  def recordFilter(spark0: SparkSession, dir: String): DataFrame = {
+    val path = recordFilterLayout(spark0, dir)
+    val s = spark0.newSession()
+    s.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    s.conf.set("spark.sql.parquet.recordLevelFilter.enabled", "true")
+    recordFilterRead(s, path)
+  }
+
+  /** the selective-read half, reusable with the record filter off
+    * (SourcesSpec's materialized-rows control). */
+  private[graft] def recordFilterRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("l_quantity") === 7.0)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"),
+        max(col("l_orderkey")).as("max_orderkey"))
+
   /** Dictionary-page row-group filtering — the FOURTH skipping
     * granularity after row-group min/max (sink_sorted_skipping),
     * page column indexes (sink_zorder_skipping), and bloom filters
