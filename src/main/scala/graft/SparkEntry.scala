@@ -57,6 +57,7 @@ object SparkEntry {
     "scan_bloom_pointlookup" -> SourcesSinks.bloomPointLookup _,
     "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
     "scan_record_filter" -> SourcesSinks.recordFilter _,
+    "sink_encoding_policy" -> SourcesSinks.encodingPolicy _,
     "sink_encrypted_roundtrip" -> SourcesSinks.encryptedRoundtrip _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
@@ -3044,6 +3045,24 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey % 16 = 7""".stripMargin,
+    // the encoding POLICY is a pure function of per-column NDV — the
+    // oracle measures the same NDVs and replays the CASE (type
+    // dispatch becomes name dispatch: the integer key columns are
+    // named); the footer/bytes assertions live in SourcesSpec
+    "sink_encoding_policy" ->
+      """WITH nr AS (SELECT count(*) AS n_rows FROM lineitem),
+        |nd AS (
+        |  SELECT 'l_orderkey' AS column_name, count(DISTINCT l_orderkey) AS ndv FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag) FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(DISTINCT l_extendedprice) FROM lineitem)
+        |SELECT column_name, ndv, n_rows,
+        |  CASE WHEN ndv <= 4096 THEN 'dict'
+        |       WHEN column_name IN ('l_orderkey', 'l_partkey') THEN 'delta_int'
+        |       ELSE 'plain' END AS encoding
+        |FROM nd, nr ORDER BY column_name""".stripMargin,
     // record-level filtering must be invisible in the values: the
     // oracle runs the same selective aggregate on the base table
     "scan_record_filter" ->

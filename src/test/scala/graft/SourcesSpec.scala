@@ -135,6 +135,78 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("encoding policy: footers carry the chosen encodings, policy write beats single-encoding controls") {
+    import org.apache.spark.sql.functions._
+    // run the query (computes decisions + writes the policy layout)
+    val decisions = queries.SourcesSinks.encodingPolicy(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("encoding")).toMap
+    assert(decisions.keySet == queries.SourcesSinks.EncodingPolicyCols.toSet)
+    // low-NDV columns choose dict at every SF; the high-NDV double
+    // never does (extendedprice NDV ≈ row count)
+    assert(decisions("l_returnflag") == "dict" && decisions("l_linestatus") == "dict")
+    assert(decisions("l_extendedprice") == "plain", decisions.toString)
+    // footer: every column's chunk encodings match its decision
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dirPath = new java.io.File(queries.SourcesSinks.encodingPolicyPath(spark, sf))
+    val part = dirPath.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      def encodings(col: String): Set[String] =
+        chunks.find(_.getPath.toDotString == col).get
+          .getEncodings.asScala.map(_.name()).toSet
+      for ((c, enc) <- decisions) enc match {
+        case "dict" =>
+          assert(encodings(c).exists(_.contains("DICTIONARY")), s"$c: ${encodings(c)}")
+        case "delta_int" =>
+          assert(encodings(c).contains("DELTA_BINARY_PACKED") &&
+            !encodings(c).exists(_.contains("DICTIONARY")), s"$c: ${encodings(c)}")
+        case "plain" =>
+          assert(encodings(c).contains("PLAIN") &&
+            !encodings(c).exists(_.contains("DICTIONARY")), s"$c: ${encodings(c)}")
+      }
+    } finally reader.close()
+    // ...and the per-column choice beats every SINGLE-encoding write
+    // on total bytes (uncompressed, so the delta is pure encoding):
+    // all-plain (v1, dict off), all-delta (v2, dict off), and
+    // all-dict-attempt (v2, dict on — parquet's own mid-write
+    // fallback handles the overflow, the reference writer's policy)
+    def bytes(dir: java.io.File): Long =
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(queries.SourcesSinks.EncodingPolicyCols.map(col): _*)
+    def control(tag: String, version: String, dict: Boolean): Long = {
+      val p = queries.SourcesSinks.tmp(spark, sf, tag)
+      li.write.mode("overwrite")
+        .option("parquet.writer.version", version)
+        .option("compression", "uncompressed")
+        .option("parquet.enable.dictionary", dict.toString)
+        .parquet(p)
+      bytes(new java.io.File(p))
+    }
+    val policyBytes = bytes(dirPath)
+    val plainB = control("enc_allplain", "v1", dict = false)
+    val deltaB = control("enc_alldelta", "v2", dict = false)
+    val dictB = control("enc_alldict", "v2", dict = true)
+    info(s"bytes: policy=$policyBytes plain=$plainB delta=$deltaB dictAttempt=$dictB")
+    assert(policyBytes < plainB, s"policy $policyBytes !< all-plain $plainB")
+    assert(policyBytes < deltaB, s"policy $policyBytes !< all-delta $deltaB")
+    assert(policyBytes <= dictB, s"policy $policyBytes !<= all-dict $dictB")
+    // the layout also roundtrips exactly
+    val got = spark.read.parquet(dirPath.getAbsolutePath)
+      .agg(count(lit(1)), sum("l_orderkey"), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    val want = li
+      .agg(count(lit(1)), sum("l_orderkey"), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    assert(got == want)
+  }
+
   test("json-lines roundtrip preserves per-type aggregates exactly") {
     import org.apache.spark.sql.functions._
     val viaJson = queries.SourcesSinks.jsonLines(spark, sf).collect()
