@@ -308,6 +308,7 @@ object SparkEntry {
     "pipeline_epoch_shuffle"  -> Pipeline.epochShuffle _,
     "pipeline_dataset_card"   -> Pipeline.datasetCard _,
     "pipeline_split_contamination" -> Pipeline.splitContamination _,
+    "pipeline_semantic_contamination" -> Pipeline.semanticContamination _,
     "pipeline_winsorize"      -> Pipeline.winsorize _,
     "pipeline_data_quality"   -> Pipeline.dataQuality _,
     "pipeline_negative_sample" -> Pipeline.negativeSample _,
@@ -4786,6 +4787,54 @@ object SparkEntry {
         |   / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
         |      * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // same LSH pair generation + cosine verify as
+    // dedup_embedding_cosine, endpoints joined against the
+    // digest-keyed leakage split (vec ids ARE doc ids)
+    "pipeline_semantic_contamination" ->
+      """WITH planes AS (
+        |  SELECT p, list_transform(generate_series(0,63), d ->
+        |    (CAST(('0x'||substring(md5('hp'||p||'_'||d),1,15)) AS BIGINT) % 2001 - 1000)/1000.0) AS w
+        |  FROM (SELECT unnest(generate_series(0,127)) AS p)
+        |), vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+        |), bits AS (
+        |  SELECT v.vec_id, pl.p // 8 AS band,
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vd[i]*w[i])), (a,b) -> a+b) >= 0
+        |      THEN (1 << (pl.p % 8)) ELSE 0 END AS bit
+        |  FROM vecs v CROSS JOIN planes pl
+        |), slices AS (
+        |  SELECT vec_id, band, CAST(sum(bit) AS INTEGER) AS slice FROM bits GROUP BY vec_id, band
+        |), expl AS (
+        |  SELECT s.vec_id, v.vd,
+        |    CAST(('0x'||substring(md5(s.band||':'||s.slice),1,15)) AS BIGINT) AS key
+        |  FROM slices s JOIN vecs v USING (vec_id)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vd AS va, b.vd AS vb
+        |  FROM expl a JOIN expl b ON a.key = b.key AND a.vec_id < b.vec_id
+        |), pairs AS MATERIALIZED (
+        |  SELECT vec_a, vec_b,
+        |    list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) AS cosine
+        |  FROM cand
+        |  WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*vb[i])), (a,b) -> a+b)
+        |     / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> va[i]*va[i])), (a,b) -> a+b))
+        |        * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1,64), i -> vb[i]*vb[i])), (a,b) -> a+b))) >= 0.4
+        |), sym AS (
+        |  SELECT vec_a AS doc_id, vec_b AS nbr, cosine FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a, cosine FROM pairs
+        |), sp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x'||substring(md5(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),1,15)) AS BIGINT) % 100 < 90
+        |         THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents
+        |)
+        |SELECT s.doc_id, count(*) AS n_train_neighbors,
+        |  max(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS max_cosine_micro
+        |FROM sym s
+        |JOIN sp e ON e.doc_id = s.doc_id AND e.split = 'eval'
+        |JOIN sp t ON t.doc_id = s.nbr AND t.split = 'train'
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // same LSH pair generation as dedup_embedding_cosine, closed
     // transitively by recursive reachability (= the min-label fixpoint)
     "dedup_semantic_clusters" ->

@@ -565,7 +565,7 @@ object Dedup {
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
     stagedEmbeddingCosine(spark, dir).orderBy("vec_a", "vec_b")
 
-  private def stagedEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Staging.staged(spark, dir, "embedding_cosine_pairs")(embeddingCosineCompute(spark, dir))
 
   private def embeddingCosineCompute(spark: SparkSession, dir: String): DataFrame = {

@@ -443,6 +443,51 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC train/eval contamination audit — the embedding-level
+    * twin of [[splitContamination]], and the leak class SemDeDup-era
+    * curation actually hunts: a PARAPHRASE of an eval document sits
+    * in train with a different digest (so [[leakageSplit]]'s
+    * digest keying cannot co-locate it) and possibly near-zero
+    * n-gram overlap (so the shingle audit under-reports it), but its
+    * EMBEDDING is a near-duplicate. Candidates come from the staged
+    * banded-LSH near-dup relation (dedup_embedding_cosine's 16×8
+    * hashed bands + exact-cosine verify at ≥0.4 — never all-pairs),
+    * joined against the digest-keyed split on both endpoints; every
+    * eval doc with a verified train-side neighbor is reported with
+    * its neighbor count and max cosine (micro-quantized: both
+    * engines floor the same IEEE double). Scale shape: the pair
+    * relation is the already-staged near-dup graph (tiny vs corpus);
+    * two id-keyed joins and one small groupBy — nothing rescans the
+    * corpus. Reading the audit: a nonzero row here after the digest
+    * and n-gram gates pass is exactly the signal to re-split or drop
+    * the eval doc. Reference ethos: the reference's scanner dedups
+    * at VALUE granularity (dict codes) because byte equality is too
+    * coarse — this is the same lesson at corpus granularity. */
+  def semanticContamination(spark: SparkSession, dir: String): DataFrame =
+    semanticContaminationOn(
+      Dedup.stagedEmbeddingCosine(spark, dir).select("vec_a", "vec_b", "cosine"),
+      leakageSplit(spark, dir).select("doc_id", "split"))
+
+  /** generic core: `pairs` (vec_a, vec_b, cosine — verified near-dup
+    * pairs over doc ids), `split` (doc_id, split ∈ train|eval). */
+  private[graft] def semanticContaminationOn(pairs: DataFrame,
+      split: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("vec_a").as("doc_id"), col("vec_b").as("nbr"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("doc_id"), col("vec_a").as("nbr"), col("cosine")))
+    sym
+      .join(split, "doc_id")
+      .filter(col("split") === "eval")
+      .join(split.select(col("doc_id").as("nbr"), col("split").as("nbr_split")),
+        "nbr")
+      .filter(col("nbr_split") === "train")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_train_neighbors"),
+        max(floor(col("cosine") * lit(1e6)).cast("long")).as("max_cosine_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Dataset card — the per-release summary table a corpus ships
     * with (per-language rows + the grand total via ROLLUP): doc and
     * distinct-source counts, token mass, exact-duplicate pressure,

@@ -396,6 +396,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic contamination: a planted paraphrase leak crosses the digest-keyed split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1 (eval) is a PARAPHRASE of doc 0 (train): different digest
+    // — the digest-keyed split cannot co-locate them and the n-gram
+    // gate may see zero overlap — but their embeddings are near-dups,
+    // so the semantic audit must surface the leak (both directions of
+    // the a<b pair orientation); train-train pairs are not leaks.
+    val pairs = Seq((0L, 1L, 0.97), (2L, 3L, 0.95), (4L, 5L, 0.99))
+      .toDF("vec_a", "vec_b", "cosine")
+    val split = Seq(
+      0L -> "train", 1L -> "eval",
+      2L -> "eval", 3L -> "train",
+      4L -> "train", 5L -> "train")
+      .toDF("doc_id", "split")
+    val got = operators.Pipeline.semanticContaminationOn(pairs, split).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_train_neighbors"), r.getAs[Long]("max_cosine_micro")))).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) == ((1L, math.floor(0.97 * 1e6).toLong)))
+    assert(got(2L) == ((1L, math.floor(0.95 * 1e6).toLong)))
+    // and on the real corpus the audit agrees with an in-test
+    // recompute from the shipped pair + split relations
+    val corpusPairs = operators.Dedup.embeddingCosine(spark, sf)
+      .select(col("vec_a"), col("vec_b"), col("cosine")).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cosine")))
+    val sp = operators.Pipeline.leakageSplit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = (corpusPairs.map(p => (p._1, p._2, p._3)) ++
+        corpusPairs.map(p => (p._2, p._1, p._3)))
+      .filter { case (e, t, _) => sp.get(e).contains("eval") && sp.get(t).contains("train") }
+      .groupBy(_._1)
+      .map { case (id, xs) => id ->
+        ((xs.length.toLong, xs.map(x => math.floor(x._3 * 1e6).toLong).max)) }
+    val onCorpus = operators.Pipeline.semanticContamination(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_train_neighbors"), r.getAs[Long]("max_cosine_micro")))).toMap
+    assert(onCorpus == expected, s"corpus audit diverged: $onCorpus vs $expected")
+  }
+
   test("dataset card: per-lang rows reconcile exactly with the TOTAL row") {
     val rows = operators.Pipeline.datasetCard(spark, sf).collect()
     val (total, langs) = rows.partition(_.getAs[String]("lang") == "TOTAL")
