@@ -325,6 +325,8 @@ object SparkEntry {
     "mm_image_phash"     -> Multimodal.imagePHash _,
     "mm_image_phash_real" -> Multimodal.imagePHashReal _,
     "mm_silence_real"    -> Multimodal.silenceReal _,
+    "mm_frame_sample_real" -> Multimodal.frameSampleReal _,
+    "mm_scene_cuts_real" -> Multimodal.sceneCutsReal _,
     "mm_phash_clusters"  -> Multimodal.phashClusters _,
     "mm_clip_filter"     -> Multimodal.clipFilter _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -449,7 +451,9 @@ object SparkEntry {
       // real-codec decode rows: planted md5-derived PNG/WAV bytes,
       // oracle regenerates the media from first principles
       ("mm_image_phash_real" -> RealMediaOracle.imageSql) +
-      ("mm_silence_real" -> RealMediaOracle.audioSql)
+      ("mm_silence_real" -> RealMediaOracle.audioSql) +
+      ("mm_frame_sample_real" -> RealMediaOracle.frameSampleSql) +
+      ("mm_scene_cuts_real" -> RealMediaOracle.sceneCutsSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -487,6 +491,49 @@ object SparkEntry {
          |    FROM chan GROUP BY doc_id, x // 2, y // 2)),
          |${PhashOracle.dctSuffix}""".stripMargin + PhashOracle.pairTail
     }
+    /** shared prefix for the GIF frame-family oracles: per-(doc,
+      * scene) 8×8 gray sums regenerated from the md5 content keys,
+      * fanned out to per-frame sums via frame_idx // scene_len —
+      * the relation [[graft.operators.Multimodal.decodeGifFrames]]
+      * produces from the real codec bytes. */
+    private def gifFramesCte: String = {
+      val gmap = graft.operators.Multimodal.RealGifDocs
+        .map(id => s"($id, ${graft.operators.Multimodal.gifFrames(id)}, " +
+          s"${graft.operators.Multimodal.gifSceneLen(id)})")
+        .mkString(", ")
+      s"""WITH gdocs(doc_id, n_frames, scene_len) AS (VALUES $gmap),
+         |ssum AS (
+         |  SELECT doc_id, s AS scene,
+         |    CAST(sum(CAST(('0x' || substring(md5('vid' || doc_id || ':' || s || ':' || x || ':' || y), 1, 2)) AS BIGINT)) AS BIGINT) AS fsum
+         |  FROM (SELECT doc_id, unnest(generate_series(0, (n_frames + scene_len - 1) // scene_len - 1)) AS s FROM gdocs),
+         |    generate_series(0, 7) tx(x), generate_series(0, 7) ty(y)
+         |  GROUP BY doc_id, s),
+         |frames AS (
+         |  SELECT f.doc_id, CAST(g.n_frames AS BIGINT) AS n_frames, f.frame_idx, ss.fsum
+         |  FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM gdocs) f
+         |  JOIN gdocs g ON g.doc_id = f.doc_id
+         |  JOIN ssum ss ON ss.doc_id = f.doc_id AND ss.scene = f.frame_idx // g.scene_len)""".stripMargin
+    }
+    def frameSampleSql: String = gifFramesCte + """
+      |SELECT doc_id, n_frames, frame_idx, fsum
+      |FROM frames WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+    def sceneCutsSql: String = gifFramesCte + """,
+      |cuts AS (
+      |  SELECT doc_id, frame_idx,
+      |    CASE WHEN lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+      |         IS DISTINCT FROM fsum THEN 1 ELSE 0 END AS is_cut
+      |  FROM frames),
+      |sc AS (
+      |  SELECT doc_id, frame_idx,
+      |    sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_id
+      |  FROM cuts),
+      |per_scene AS (
+      |  SELECT doc_id, scene_id, count(*) AS scene_frames FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(scene_frames) AS BIGINT) AS n_decoded,
+      |  count(*) AS n_scenes, CAST(max(scene_frames) AS BIGINT) AS longest_scene
+      |FROM per_scene GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
     def audioSql: String = {
       val wd = graft.operators.Multimodal.RealWavDocs
         .map(id => s"($id)").mkString(", ")

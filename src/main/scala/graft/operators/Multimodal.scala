@@ -519,6 +519,20 @@ object Multimodal {
   private[graft] val RealWavDocs: Seq[Long] = 0L to 5L
   private[graft] val WavSamples = 4000
 
+  /** GIF side (the frame family's real corpus): 6 animated GIFs,
+    * 8×8 indexed-gray frames, doc d carrying [[gifFrames]] frames in
+    * scenes of [[gifSceneLen]] consecutive identical frames — the
+    * planted scene boundaries. Every pixel derives from
+    * md5("vid{doc}:{scene}:{x}:{y}"), the palette is the explicit
+    * 256-gray IndexColorModel, and GIF is lossless over an indexed
+    * image — decoded == planted exactly, so the oracle regenerates
+    * every frame from first principles. */
+  private[graft] val RealGifDocs: Seq[Long] = 0L to 5L
+  private[graft] def gifFrames(doc: Long): Int = 24 + (doc.toInt % 3) * 8
+  private[graft] def gifSceneLen(doc: Long): Int = 4 + (doc.toInt % 3)
+  private[graft] def gifPixel(doc: Long, scene: Int, x: Int, y: Int): Int =
+    Integer.parseInt(md5Hex(s"vid$doc:$scene:$x:$y").substring(0, 2), 16)
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -573,6 +587,33 @@ object Multimodal {
           javax.sound.sampled.AudioFileFormat.Type.WAVE,
           new java.io.File(d, s"doc_$id.wav")): Unit
       }
+      // explicit 256-gray palette: an indexed image roundtrips GIF
+      // losslessly (the default RGB path would re-quantize)
+      val grays = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      RealGifDocs.foreach { id =>
+        val out = javax.imageio.ImageIO.createImageOutputStream(
+          new java.io.File(d, s"doc_$id.gif"))
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        val sceneLen = gifSceneLen(id)
+        (0 until gifFrames(id)).foreach { f =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val scene = f / sceneLen
+          for (y <- 0 until 8; x <- 0 until 8) {
+            val v = gifPixel(id, scene, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        out.close()
+      }
       new java.io.File(d, "_DONE").createNewFile(): Unit
     }
 
@@ -605,6 +646,89 @@ object Multimodal {
       .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     silenceFromFrames(decodeAudioEnergies(audio), threshold = 150L)
+  }
+
+  /** REAL multi-frame decoder for the frame-family seam: animated
+    * GIF bytes → per-frame 8×8 integer gray sums, decoding ONLY the
+    * strided frame indexes (`reader.read(i)` is index-addressable —
+    * sampling happens before decode, the 100 TB-correct order the
+    * stub documents). mapPartitions so a deployed codec amortizes
+    * init across the batch; unreadable payloads drop out. Frames are
+    * written complete (no GIF delta/disposal compositing), so the
+    * per-index read IS the full frame. */
+  def decodeGifFrames(videos: DataFrame, stride: Int): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("doc_id").cast("long"), col("content").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, bytes) =>
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) Iterator.empty
+          else {
+            val r = readers.next()
+            r.setInput(in)
+            val n = r.getNumImages(true)
+            (0 until n by stride).iterator.map { i =>
+              val img = r.read(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r=g=b
+                  x += 1
+                }
+                y += 1
+              }
+              (id, n.toLong, i.toLong, sum)
+            }
+          }
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "fsum")
+  }
+
+  /** Driver-path REAL frame sampling: the planted animated GIFs
+    * through binaryFile → [[decodeGifFrames]] at stride 4 (only the
+    * sampled indexes decode) → per-frame integer gray sums. The
+    * oracle regenerates every sampled frame's pixels from the md5
+    * content keys and sums them in SQL — the mm_frame_sample shape
+    * on real codec bytes. */
+  def frameSampleReal(spark: SparkSession, dir: String): DataFrame =
+    decodeGifFrames(realGifBytes(spark, dir), stride = 4)
+      .orderBy("doc_id", "frame_idx")
+
+  /** Driver-path REAL scene segmentation: every frame decodes
+    * (stride 1), a CUT lands where consecutive frame sums differ,
+    * and the island trick rolls cuts into scenes — run against the
+    * planted scene boundaries (each GIF is scenes of
+    * [[gifSceneLen]] identical frames). Same per-asset window
+    * plumbing as the stub row; the oracle replays the frame sums and
+    * the lag/island logic in SQL. */
+  def sceneCutsReal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    decodeGifFrames(realGifBytes(spark, dir), stride = 1)
+      .withColumn("prev", lag("fsum", 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNull || col("prev") =!= col("fsum"), 1L).otherwise(0L))
+      .withColumn("scene_id", sum("is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "scene_id")
+      .agg(count(lit(1)).as("scene_frames"))
+      .groupBy("doc_id")
+      .agg(sum("scene_frames").as("n_decoded"),
+        count(lit(1)).as("n_scenes"),
+        max("scene_frames").as("longest_scene"))
+      .orderBy("doc_id")
+  }
+
+  private def realGifBytes(spark: SparkSession, dir: String): DataFrame = {
+    val media = stagedRealMedia(spark, dir)
+    spark.read.format("binaryFile").load(s"$media/*.gif")
+      .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.gif$', 1) AS BIGINT)")
+        .as("doc_id"), col("content"))
   }
 
   /** The transform plumbing DOWNSTREAM of the decode seam, shared by

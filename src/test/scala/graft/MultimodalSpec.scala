@@ -338,4 +338,43 @@ class MultimodalSpec extends SparkSpec {
     assert(keep * mis > 2 * misKeep * pairs,
       s"no separation: $keep/$pairs vs $misKeep/$mis")
   }
+
+  test("real GIF decode: scene cuts land exactly on the planted boundaries") {
+    val M = operators.Multimodal
+    // in-test ground truth straight from the planted content keys:
+    // per-frame sums through the SAME md5 scheme, then the cut logic
+    def frameSums(doc: Long): Seq[Long] =
+      (0 until M.gifFrames(doc)).map { f =>
+        val scene = f / M.gifSceneLen(doc)
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield M.gifPixel(doc, scene, x, y).toLong).sum
+      }
+    val cuts = operators.Multimodal.sceneCutsReal(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_decoded"), r.getAs[Long]("n_scenes"),
+          r.getAs[Long]("longest_scene")))).toMap
+    assert(cuts.keySet == M.RealGifDocs.toSet)
+    M.RealGifDocs.foreach { doc =>
+      val sums = frameSums(doc)
+      val nScenes = 1L + sums.sliding(2).count { case Seq(a, b) => a != b }
+      val runs = sums.foldLeft(List.empty[(Long, Long)]) {
+        case ((v, n) :: t, s) if v == s => (v, n + 1) :: t
+        case (acc, s) => (s, 1L) :: acc
+      }
+      assert(cuts(doc) == ((sums.length.toLong, nScenes, runs.map(_._2).max)),
+        s"doc $doc: ${cuts(doc)}")
+      // and the planted structure itself: scenes of gifSceneLen frames
+      assert(nScenes == (M.gifFrames(doc) + M.gifSceneLen(doc) - 1) / M.gifSceneLen(doc),
+        s"doc $doc: planted sums collided across a scene boundary")
+    }
+    // frame sampling decodes ONLY the strided indexes, sums exact
+    val sampled = operators.Multimodal.frameSampleReal(spark, sf).collect()
+    assert(sampled.length == M.RealGifDocs.map(d => (M.gifFrames(d) + 3) / 4).sum)
+    sampled.foreach { r =>
+      val doc = r.getAs[Long]("doc_id"); val f = r.getAs[Long]("frame_idx")
+      assert(f % 4 == 0)
+      assert(r.getAs[Long]("n_frames") == M.gifFrames(doc).toLong)
+      assert(r.getAs[Long]("fsum") == frameSums(doc)(f.toInt), s"doc $doc frame $f")
+    }
+  }
 }
