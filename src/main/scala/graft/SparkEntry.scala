@@ -58,6 +58,7 @@ object SparkEntry {
     "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
     "scan_record_filter" -> SourcesSinks.recordFilter _,
     "sink_encoding_policy" -> SourcesSinks.encodingPolicy _,
+    "src_avro_roundtrip" -> SourcesSinks.avroRoundtrip _,
     "sink_encrypted_roundtrip" -> SourcesSinks.encryptedRoundtrip _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
     // §2.3 expressions
@@ -271,6 +272,7 @@ object SparkEntry {
     "text_zipf_curve"  -> TextAnalysis.zipfCurve _,
     "text_burstiness"  -> TextAnalysis.burstiness _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "text_html_extract" -> TextAnalysis.htmlExtract _,
     "vocab_pair_freq"  -> TextAnalysis.pairFreq _,
     "vocab_bpe_merges" -> TextAnalysis.bpeMerges _,
     "vocab_bpe_apply"  -> TextAnalysis.bpeApply _,
@@ -3093,6 +3095,14 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey % 16 = 7""".stripMargin,
+    // the Avro hop must be invisible in the values: the oracle runs
+    // the same aggregate on the plain table (prices through the
+    // exact-decimal path)
+    "src_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | max(o_orderkey) AS max_okey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the encoding POLICY is a pure function of per-column NDV — the
     // oracle measures the same NDVs and replays the CASE (type
     // dispatch becomes name dispatch: the integer key columns are
@@ -5401,6 +5411,38 @@ object SparkEntry {
         |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the oracle rebuilds the identical page frame and replays the
+    // same strip/decode/collapse chain (regexes are RE2-and-Java
+    // compatible; 'g' = Spark's replace-all default)
+    "text_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><style>body{margin:0}</style></head><body>' ||
+        |    '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>' ||
+        |    '<script>var x = 1 < 2 && 3 > 2;</script>' ||
+        |    '<article><h1>Doc ' || doc_id || '</h1><p>' ||
+        |    replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+        |    '</p></article>' ||
+        |    '<footer>&copy; 2026 Example Corp &mdash; legal</footer></body></html>' AS page
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, page,
+        |    trim(regexp_replace(
+        |      replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(page,
+        |          '<script>.*?</script>', ' ', 'g'),
+        |          '<style>.*?</style>', ' ', 'g'),
+        |          '<nav>.*?</nav>', ' ', 'g'),
+        |          '<footer>.*?</footer>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM pg)
+        |SELECT doc_id, CAST(strlen(page) AS BIGINT) AS n_html,
+        |  CAST(length(extracted) AS BIGINT) AS n_text,
+        |  1000000 * CAST(length(extracted) AS BIGINT) // CAST(strlen(page) AS BIGINT) AS text_share_ppm,
+        |  md5(extracted) AS text_md5
+        |FROM ex ORDER BY doc_id""".stripMargin,
     // data-derived 80% day cutoff; spanning-user leakage audit
     "pipeline_time_split" ->
       """WITH ud AS (

@@ -1244,4 +1244,54 @@ object TextAnalysis {
         col("occ_ratio_ppm"))
       .orderBy("octave")
   }
+
+  /** HTML boilerplate extraction — the FIRST operator of every crawl
+    * pipeline (trafilatura/jusText territory): strip script/style
+    * blocks, drop nav/footer chrome, flatten the remaining tags,
+    * decode entities, collapse whitespace — and account for what the
+    * page carried vs what survived (text_share_ppm is the
+    * content-density gate crawl curation filters on). The corpus
+    * ships plain text, so each doc is first wrapped in a
+    * DETERMINISTIC page frame (title/nav/script/article/footer, the
+    * text entity-escaped on the way in) — the operator then has real
+    * markup to remove and the oracle rebuilds the identical page
+    * from the same columns; the extraction chain itself is exactly
+    * what runs on real crawl HTML. All codegen'd regexp/replace
+    * built-ins (non-greedy block patterns never cross into the
+    * payload: the frame regions contain no user text), one corpus
+    * pass, no UDFs. TextSpec pins exact extraction on a planted page
+    * and boilerplate absence on the corpus. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtractOn(documents(spark, dir)).orderBy("doc_id")
+
+  /** generic core over any (doc_id, text) relation. */
+  private[graft] def htmlExtractOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("page", concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>body{margin:0}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>"),
+        lit("<script>var x = 1 < 2 && 3 > 2;</script>"),
+        lit("<article><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        expr("replace(replace(text, '&', '&amp;'), '<', '&lt;')"),
+        lit("</p></article>"),
+        lit("<footer>&copy; 2026 Example Corp &mdash; legal</footer></body></html>")))
+      .withColumn("s1", regexp_replace(col("page"), "<script>.*?</script>", " "))
+      .withColumn("s2", regexp_replace(col("s1"), "<style>.*?</style>", " "))
+      .withColumn("s3", regexp_replace(col("s2"), "<nav>.*?</nav>", " "))
+      .withColumn("s4", regexp_replace(col("s3"), "<footer>.*?</footer>", " "))
+      .withColumn("s5", regexp_replace(col("s4"), "<[^>]+>", " "))
+      // decode order matters: &lt; before &amp; (an escaped literal
+      // '&lt;' arrives as '&amp;lt;', which the &lt; rule cannot
+      // touch — no '&' directly precedes its 'lt;')
+      .withColumn("s6",
+        expr("replace(replace(s5, '&lt;', '<'), '&amp;', '&')"))
+      .withColumn("extracted",
+        trim(regexp_replace(col("s6"), "\\s+", " ")))
+      .select(col("doc_id"),
+        expr("CAST(octet_length(page) AS BIGINT)").as("n_html"),
+        expr("CAST(length(extracted) AS BIGINT)").as("n_text"),
+        expr("1000000 * CAST(length(extracted) AS BIGINT) DIV CAST(octet_length(page) AS BIGINT)")
+          .as("text_share_ppm"),
+        md5(col("extracted")).as("text_md5"))
 }

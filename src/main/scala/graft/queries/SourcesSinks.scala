@@ -640,6 +640,89 @@ object SourcesSinks {
         sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"),
         max(col("l_orderkey")).as("max_orderkey"))
 
+  /** Avro container-format roundtrip — the third row-oriented
+    * interchange format next to delimited text and JSONL, and the
+    * one long-haul pipelines actually move (schema'd, splittable,
+    * compressible). This container ships Avro CORE (avro-1.12, a
+    * Spark runtime dependency) but not the spark-avro connector, so
+    * the row exercises the format through the same distributed seam
+    * as the real-media decoders: the WRITE runs DataFileWriter over
+    * GenericRecords inside foreachPartition (one .avro container
+    * per partition — exactly what the connector's write tasks do),
+    * and the READ ingests the containers via binaryFile +
+    * DataFileStream in mapPartitions (decoder init amortized per
+    * batch). The aggregate must match the parquet table bit-exactly
+    * — prices travel as exact 2-decimal strings through the Avro
+    * boundary so the double-sum trap never opens. A deployment adds
+    * the spark-avro jar and swaps this seam for
+    * `spark.read.format("avro")`; the container bytes are
+    * standard Avro either way. */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmp(spark, dir, "orders_avro")
+    val schemaJson =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_orderstatus","type":"string"},
+        |{"name":"o_totalprice_c","type":"string"}]}""".stripMargin
+    if (!new java.io.File(s"$path/_DONE").isFile) {
+      new java.io.File(path).mkdirs()
+      orders(spark, dir)
+        .select(col("o_orderkey"),
+          col("o_orderstatus"),
+          // exact 2-decimal string: the Avro hop must not re-open
+          // the double-sum trap
+          col("o_totalprice").cast(D).cast("string").as("o_totalprice_c"))
+        .as[(Long, String, String)]
+        .foreachPartition { (iter: Iterator[(Long, String, String)]) =>
+          val rows = iter.toArray
+          if (rows.nonEmpty) {
+            val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
+            w.create(schema, new java.io.File(f"$path/part-$pid%05d.avro"))
+            rows.foreach { case (k, s, p) =>
+              val r = new org.apache.avro.generic.GenericData.Record(schema)
+              r.put("o_orderkey", k); r.put("o_orderstatus", s)
+              r.put("o_totalprice_c", p)
+              w.append(r)
+            }
+            w.close()
+          }
+        }
+      new java.io.File(s"$path/_DONE").createNewFile(): Unit
+    }
+    val back = spark.read.format("binaryFile").load(s"$path/*.avro")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions { iter =>
+        iter.flatMap { bytes =>
+          val rd = new org.apache.avro.file.DataFileStream(
+            new java.io.ByteArrayInputStream(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          new Iterator[(Long, String, String)] {
+            def hasNext = rd.hasNext
+            def next() = {
+              val r = rd.next()
+              (r.get("o_orderkey").asInstanceOf[Long],
+                r.get("o_orderstatus").toString,
+                r.get("o_totalprice_c").toString)
+            }
+          }
+        }
+      }.toDF("o_orderkey", "o_orderstatus", "o_totalprice_c")
+    back
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        max("o_orderkey").as("max_okey"),
+        sum(col("o_totalprice_c").cast(D)).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Dictionary-page row-group filtering — the FOURTH skipping
     * granularity after row-group min/max (sink_sorted_skipping),
     * page column indexes (sink_zorder_skipping), and bloom filters

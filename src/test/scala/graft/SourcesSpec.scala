@@ -207,6 +207,28 @@ class SourcesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("avro roundtrip: real container files, aggregates exact through the hop") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SourcesSinks.avroRoundtrip(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("m"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    // the written files are REAL Avro object containers: 'Obj\x01'
+    val dir = new java.io.File(queries.SourcesSinks.tmp(spark, sf, "orders_avro"))
+    val parts = dir.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)),
+        s"${f.getName} lacks the Avro container magic")
+    }
+  }
+
   test("json-lines roundtrip preserves per-type aggregates exactly") {
     import org.apache.spark.sql.functions._
     val viaJson = queries.SourcesSinks.jsonLines(spark, sf).collect()

@@ -615,4 +615,28 @@ class TextSpec extends SparkSpec {
     assert(got("the") == (10L, 10L, 1000000L, 1000000L), got.toString)
     assert(got("spam") == (50L, 10L, 5000000L, 1000000L), got.toString)
   }
+
+  test("html extract: boilerplate stripped, entity roundtrip exact on a planted page") {
+    import spark.implicits._
+    // payload exercises BOTH escapes (& and <) plus a literal '&lt;'
+    // (which must survive as the four chars, not decode to '<')
+    val docs = Seq((7L, "alpha & beta <tag> raw&lt;x gamma"))
+      .toDF("doc_id", "text")
+    val r = operators.TextAnalysis.htmlExtractOn(docs).collect()(0)
+    val expected = "Doc 7 Doc 7 alpha & beta <tag> raw&lt;x gamma"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("text_md5") == md5,
+      s"extraction diverged from '$expected'")
+    assert(r.getAs[Long]("n_text") == expected.length.toLong)
+    assert(r.getAs[Long]("n_text") < r.getAs[Long]("n_html"))
+    // corpus sanity: content density is a proper fraction everywhere
+    val rows = operators.TextAnalysis.htmlExtract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("n_text") < x.getAs[Long]("n_html"))
+      val ppm = x.getAs[Long]("text_share_ppm")
+      assert(ppm > 0 && ppm < 1000000)
+    }
+  }
 }
