@@ -329,6 +329,7 @@ object SparkEntry {
     "mm_silence_real"    -> Multimodal.silenceReal _,
     "mm_frame_sample_real" -> Multimodal.frameSampleReal _,
     "mm_scene_cuts_real" -> Multimodal.sceneCutsReal _,
+    "mm_audio_fingerprint" -> Multimodal.audioFingerprint _,
     "mm_phash_clusters"  -> Multimodal.phashClusters _,
     "mm_clip_filter"     -> Multimodal.clipFilter _,
     "mm_feature_extract" -> Multimodal.featureExtract _,
@@ -455,7 +456,8 @@ object SparkEntry {
       ("mm_image_phash_real" -> RealMediaOracle.imageSql) +
       ("mm_silence_real" -> RealMediaOracle.audioSql) +
       ("mm_frame_sample_real" -> RealMediaOracle.frameSampleSql) +
-      ("mm_scene_cuts_real" -> RealMediaOracle.sceneCutsSql)
+      ("mm_scene_cuts_real" -> RealMediaOracle.sceneCutsSql) +
+      ("mm_audio_fingerprint" -> RealMediaOracle.audioFpSql)
   }
 
   /** DuckDB replay of the graph-ANN index + beam search
@@ -535,6 +537,54 @@ object SparkEntry {
       |SELECT doc_id, CAST(sum(scene_frames) AS BIGINT) AS n_decoded,
       |  count(*) AS n_scenes, CAST(max(scene_frames) AS BIGINT) AS longest_scene
       |FROM per_scene GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** constellation fingerprint replay: samples regenerated per
+      * (doc, base, shift) — the shifted twins read the base formula
+      * at i − shift — then frame energies, strict local peaks, the
+      * Δ ∈ [1,8] target-zone pair hashes, and match counts. */
+    def audioFpSql: String = {
+      val shift = graft.operators.Multimodal.WavShift
+      val wd = (graft.operators.Multimodal.RealWavDocs.map(id => s"($id, $id, 0)") ++
+        graft.operators.Multimodal.RealWavShifted.map(d => s"(${100 + d}, $d, $shift)"))
+        .mkString(", ")
+      val n = graft.operators.Multimodal.WavSamples
+      val nFrames = (n - 200) / 80 + 1
+      s"""WITH wdocs(doc_id, base, shift) AS (VALUES $wd),
+         |samp AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i < shift THEN 0
+         |      WHEN (i - shift) >= base * 300 + 400 AND (i - shift) < base * 300 + 1100 THEN 0
+         |      ELSE CAST(('0x' || substring(md5('wav' || base || ':' || (i - shift)), 1, 3)) AS BIGINT) - 2048 END AS amp
+         |  FROM wdocs, generate_series(0, ${n - 1}) t(i)),
+         |en AS (
+         |  SELECT f.doc_id, f.frame_idx, CAST(sum(abs(s.amp)) // 200 AS BIGINT) AS energy
+         |  FROM (SELECT doc_id, unnest(generate_series(0, ${nFrames - 1})) AS frame_idx FROM wdocs) f
+         |  JOIN samp s ON s.doc_id = f.doc_id
+         |    AND s.i >= f.frame_idx * 80 AND s.i < f.frame_idx * 80 + 200
+         |  GROUP BY f.doc_id, f.frame_idx),
+         |pk AS (
+         |  SELECT doc_id, frame_idx, energy FROM (
+         |    SELECT doc_id, frame_idx, energy,
+         |      lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev,
+         |      lead(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nxt
+         |    FROM en)
+         |  WHERE energy >= 200 AND energy > coalesce(prev, -1) AND energy > coalesce(nxt, -1)),
+         |pr AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id,
+         |    (a.energy * 4096 + b.energy) * 16 + (b.frame_idx - a.frame_idx) AS fhash
+         |  FROM pk a JOIN pk b ON a.doc_id = b.doc_id
+         |    AND b.frame_idx - a.frame_idx BETWEEN 1 AND 8),
+         |cnt AS (SELECT doc_id, count(*) AS n_prints FROM pr GROUP BY doc_id),
+         |m AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM pr x JOIN pr y ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT m.doc_a, m.doc_b, m.n_shared, ca.n_prints AS n_a, cb.n_prints AS n_b,
+         |  1000000 * m.n_shared // least(ca.n_prints, cb.n_prints) AS overlap_ppm
+         |FROM m JOIN cnt ca ON ca.doc_id = m.doc_a JOIN cnt cb ON cb.doc_id = m.doc_b
+         |WHERE m.n_shared >= 3
+         |ORDER BY m.doc_a, m.doc_b""".stripMargin
+    }
 
     def audioSql: String = {
       val wd = graft.operators.Multimodal.RealWavDocs

@@ -519,6 +519,16 @@ object Multimodal {
   private[graft] val RealWavDocs: Seq[Long] = 0L to 5L
   private[graft] val WavSamples = 4000
 
+  /** shifted TWINS for the fingerprint row (files fp_10d.wav): doc
+    * 100+d is doc d delayed by [[WavShift]] samples — exactly 2
+    * frame hops, so the shifted energies are the original's
+    * energies displaced by 2 frames: the same audio at a different
+    * alignment. Raw energy vectors disagree frame-by-frame; only a
+    * time-delta-anchored fingerprint can match the pair — precisely
+    * the property constellation hashing exists for. */
+  private[graft] val RealWavShifted: Seq[Long] = 0L to 2L
+  private[graft] val WavShift = 160
+
   /** GIF side (the frame family's real corpus): 6 animated GIFs,
     * 8×8 indexed-gray frames, doc d carrying [[gifFrames]] frames in
     * scenes of [[gifSceneLen]] consecutive identical frames — the
@@ -587,6 +597,20 @@ object Multimodal {
           javax.sound.sampled.AudioFileFormat.Type.WAVE,
           new java.io.File(d, s"doc_$id.wav")): Unit
       }
+      RealWavShifted.foreach { base =>
+        val bytes = new Array[Byte](WavSamples * 2)
+        (0 until WavSamples).foreach { i =>
+          val v = if (i < WavShift) 0 else wavSample(base, i - WavShift)
+          bytes(2 * i) = (v & 0xff).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, WavSamples.toLong)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          new java.io.File(d, s"fp_${100 + base}.wav")): Unit
+      }
       // explicit 256-gray palette: an indexed image roundtrips GIF
       // losslessly (the default RGB path would re-quantize)
       val grays = Array.tabulate(256)(_.toByte)
@@ -642,10 +666,73 @@ object Multimodal {
     * energies + island detection in SQL. */
   def silenceReal(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
-    val audio = spark.read.format("binaryFile").load(s"$media/*.wav")
+    // doc_*.wav only: the fp_* shifted twins belong to the
+    // fingerprint row's corpus, not the silence audit's
+    val audio = spark.read.format("binaryFile").load(s"$media/doc_*.wav")
       .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     silenceFromFrames(decodeAudioEnergies(audio), threshold = 150L)
+  }
+
+  /** Audio FINGERPRINT matching (the Shazam constellation scheme) —
+    * the near-dup detector for audio the way pHash is for images:
+    * local energy PEAKS anchor hashes of (peak energy, next-peak
+    * energy, frame delta), and two recordings match when they share
+    * hashes — the Δ-anchoring makes the fingerprint TIME-SHIFT
+    * INVARIANT, the property that separates it from raw energy-
+    * vector comparison. Driven end-to-end on REAL codec bytes: the
+    * corpus is the planted WAVs plus shifted twins (fp_10d.wav =
+    * doc d delayed 2 frame hops — same audio, every frame energy
+    * displaced, so only the constellation matches the pair), decoded
+    * through the javax.sound seam. Scale shape: peaks are a bounded
+    * per-doc window pass; the target-zone pairing is a band
+    * self-join with Δ ≤ 8 fan-out; matching is one hash-keyed join
+    * over the (tiny) fingerprint relation — never a doc×doc
+    * compare. All integer arithmetic; the oracle regenerates
+    * samples (incl. the shift) and replays peaks → hashes → match
+    * counts in SQL. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val media = stagedRealMedia(spark, dir)
+    val audio = spark.read.format("binaryFile").load(s"$media/*.wav")
+      .select(expr("CAST(regexp_extract(path, '(?:doc|fp)_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
+        .as("doc_id"), col("content"))
+    audioFingerprintOn(decodeAudioEnergies(audio))
+  }
+
+  /** generic core over any (doc_id, frame_idx, energy) frame grid. */
+  private[graft] def audioFingerprintOn(frames: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val peaks = frames
+      .withColumn("prev", lag("energy", 1).over(w))
+      .withColumn("next", lead("energy", 1).over(w))
+      .filter(col("energy") >= 200 &&
+        col("energy") > coalesce(col("prev"), lit(-1L)) &&
+        col("energy") > coalesce(col("next"), lit(-1L)))
+      .select(col("doc_id"), col("frame_idx"), col("energy"))
+      .localCheckpoint() // both sides of the target-zone pairing
+    val prints = peaks.as("a").join(peaks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          (col("b.frame_idx") - col("a.frame_idx")).between(1, 8))
+      .select(col("a.doc_id").as("doc_id"),
+        ((col("a.energy") * 4096 + col("b.energy")) * 16 +
+          (col("b.frame_idx") - col("a.frame_idx"))).as("fhash"))
+      .distinct()
+      .localCheckpoint() // counts + both sides of the match join
+    val counts = prints.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
+    prints.as("x").join(prints.as("y").hint("shuffle_hash"),
+        col("x.fhash") === col("y.fhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .join(broadcast(counts.select(col("doc_id").as("doc_a"),
+        col("n_prints").as("n_a"))), "doc_a")
+      .join(broadcast(counts.select(col("doc_id").as("doc_b"),
+        col("n_prints").as("n_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("1000000 * n_shared DIV least(n_a, n_b)").as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** REAL multi-frame decoder for the frame-family seam: animated

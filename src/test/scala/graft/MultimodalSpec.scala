@@ -339,6 +339,29 @@ class MultimodalSpec extends SparkSpec {
       s"no separation: $keep/$pairs vs $misKeep/$mis")
   }
 
+  test("audio fingerprint: shifted twins match, unrelated audio does not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val M = operators.Multimodal
+    // corpus row: exactly the planted twin pairs, at full overlap
+    val rows = M.audioFingerprint(spark, sf).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == M.RealWavShifted.map(d => (d, 100L + d)).toSet, pairs.toString)
+    rows.foreach(r => assert(r.getAs[Long]("overlap_ppm") >= 800000, r.toString))
+    // core property on planted frames: doc 11 = doc 10 shifted 2
+    // frames (every raw energy displaced — zero frame-wise equality
+    // at the same index), doc 12 unrelated; only the twin matches
+    def eng(seed: Int, f: Int) = 200L + ((f * 37 + seed * 101) % 97) * ((f % 3) + 1)
+    val frames =
+      (0 until 40).map(f => (10L, f.toLong, eng(1, f))) ++
+      (0 until 40).map(f => (11L, f.toLong, if (f < 2) 0L else eng(1, f - 2))) ++
+      (0 until 40).map(f => (12L, f.toLong, eng(7, f)))
+    val got = M.audioFingerprintOn(
+        frames.toDF("doc_id", "frame_idx", "energy"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == Set((10L, 11L)), got.toString)
+  }
+
   test("real GIF decode: scene cuts land exactly on the planted boundaries") {
     val M = operators.Multimodal
     // in-test ground truth straight from the planted content keys:
