@@ -693,7 +693,8 @@ object Multimodal {
     * counts in SQL. */
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
-    val audio = spark.read.format("binaryFile").load(s"$media/*.wav")
+    val audio = spark.read.format("binaryFile")
+      .load(s"$media/doc_*.wav", s"$media/fp_*.wav")
       .select(expr("CAST(regexp_extract(path, '(?:doc|fp)_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     audioFingerprintOn(decodeAudioEnergies(audio))
@@ -710,12 +711,24 @@ object Multimodal {
         col("energy") > coalesce(col("next"), lit(-1L)))
       .select(col("doc_id"), col("frame_idx"), col("energy"))
       .localCheckpoint() // both sides of the target-zone pairing
-    val prints = peaks.as("a").join(peaks.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          (col("b.frame_idx") - col("a.frame_idx")).between(1, 8))
-      .select(col("a.doc_id").as("doc_id"),
-        ((col("a.energy") * 4096 + col("b.energy")) * 16 +
-          (col("b.frame_idx") - col("a.frame_idx"))).as("fhash"))
+    // target-zone pairing as a BANDED join, never doc-keyed with the
+    // Δ-range as a post-filter: a doc-keyed self-join is per-doc
+    // peaks² intermediate (quadratic in recording length — the skew
+    // channel a 3-hour asset would blow open); bucketing frame_idx
+    // by the zone width bounds each join group at one bucket's peaks
+    // (strict peaks are ≥2 frames apart → ≤4/bucket), so the pairing
+    // is LINEAR in frames at any asset length — the ev_range_join
+    // bucket-explode discipline
+    val anchor = peaks.withColumn("bkt", explode(array(
+      expr("frame_idx DIV 8"), expr("frame_idx DIV 8 + 1L"))))
+    val target = peaks
+      .select(col("doc_id"), expr("frame_idx DIV 8").as("bkt"),
+        col("frame_idx").as("t_idx"), col("energy").as("t_energy"))
+    val prints = anchor.join(target.hint("shuffle_hash"), Seq("doc_id", "bkt"))
+      .filter((col("t_idx") - col("frame_idx")).between(1, 8))
+      .select(col("doc_id"),
+        ((col("energy") * 4096 + col("t_energy")) * 16 +
+          (col("t_idx") - col("frame_idx"))).as("fhash"))
       .distinct()
       .localCheckpoint() // counts + both sides of the match join
     val counts = prints.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
