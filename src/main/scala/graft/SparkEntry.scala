@@ -336,6 +336,7 @@ object SparkEntry {
     // §2.11 wider SQL surface
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
+    "sql_ctas_catalog"       -> SqlSurface.ctasCatalog _,
     "sql_cube"               -> SqlSurface.cubeAgg _,
     "sql_full_outer"         -> SqlSurface.fullOuter _,
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
@@ -6561,6 +6562,13 @@ object SparkEntry {
         |  max(l_linenumber) AS max_ln,
         |  CAST((array_agg(l_quantity ORDER BY l_linenumber, l_quantity))[1] AS DOUBLE) AS first_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // the DDL lifecycle must be invisible in the values: CTAS slice +
+    // INSERT slice = the whole base table
+    "sql_ctas_catalog" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,

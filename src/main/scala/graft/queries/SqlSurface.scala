@@ -33,6 +33,44 @@ object SqlSurface {
       .orderBy("o_custkey")
   }
 
+  /** Managed-table DDL LIFECYCLE — the Impala bread-and-butter
+    * catalog surface run end to end as one row: CREATE TABLE AS
+    * SELECT into the session catalog (managed parquet), INSERT INTO
+    * appending the remaining slice, ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR ALL COLUMNS (Impala's COMPUTE STATS — the pass
+    * that feeds its planner exactly as it feeds Catalyst's CBO), and
+    * a query answered FROM THE CATALOG TABLE. The aggregate must be
+    * invisible to the lifecycle: CTAS slice + INSERT slice = the
+    * whole base table, bit-exact (prices ride the exact-decimal
+    * path through the managed parquet). DROP IF EXISTS leads, so
+    * the row is idempotent per session; at 100 TB the same sequence
+    * is partitioned-INSERT territory and the stats pass is what
+    * keeps join orders sane (SqlSurfaceSpec asserts the catalog
+    * row-count statistic landed). */
+  def ctasCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode)
+    val tbl = s"graft_ctas_$h"
+    val v = s"orders_ctas_$h"
+    orders(spark, dir).createOrReplaceTempView(v)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl USING PARQUET AS
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         |FROM $v WHERE o_orderstatus <> 'F'""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT o_orderkey, o_orderstatus,
+         |  CAST(o_totalprice AS DECIMAL(18,2))
+         |FROM $v WHERE o_orderstatus = 'F'""".stripMargin)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(price) AS DOUBLE) AS sum_price,
+         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+         |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** ROLLUP aggregation over returnflag × linestatus (subtotals +
     * grand total — the OLAP cube surface). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

@@ -603,6 +603,26 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("ctas lifecycle: managed table carries the whole base and the computed stats") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SqlSurface.ctasCatalog(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // the ANALYZE pass landed in the catalog: row count + column stats
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        s"graft_ctas_${math.abs(sf.hashCode)}"))
+    val nOrders = want.values.map(_._1).sum
+    assert(meta.stats.exists(_.rowCount.exists(_.toLong == nOrders)),
+      s"row-count statistic missing or wrong: ${meta.stats}")
+    assert(meta.stats.exists(_.colStats.nonEmpty), "no column stats computed")
+  }
+
   test("star except: the excluded columns are gone, pruning reaches the scan") {
     val df = queries.SqlSurface.starExcept(spark, sf)
     assert(df.columns.toSet == Set("c_custkey", "c_nationkey", "c_acctbal"))
