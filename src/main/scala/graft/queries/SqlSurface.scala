@@ -52,9 +52,17 @@ object SqlSurface {
     val tbl = s"graft_ctas_$h"
     val v = s"orders_ctas_$h"
     orders(spark, dir).createOrReplaceTempView(v)
+    // external CTAS at a per-app scratch location: the session
+    // catalog is in-memory, so a MANAGED table's files would outlive
+    // the catalog entry across apps and the next CTAS would hit
+    // LOCATION_ALREADY_EXISTS (measured in the round-13 full gate);
+    // dropping the entry AND clearing the location keeps the row
+    // idempotent both across apps and across in-app re-runs
+    val loc = graft.queries.SourcesSinks.tmp(spark, dir, "ctas_orders")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(loc))
     spark.sql(
-      s"""CREATE TABLE $tbl USING PARQUET AS
+      s"""CREATE TABLE $tbl USING PARQUET LOCATION '$loc' AS
          |SELECT o_orderkey, o_orderstatus,
          |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
          |FROM $v WHERE o_orderstatus <> 'F'""".stripMargin)
