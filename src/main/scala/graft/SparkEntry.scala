@@ -3158,20 +3158,26 @@ object SparkEntry {
     // oracle measures the same NDVs and replays the CASE (type
     // dispatch becomes name dispatch: the integer key columns are
     // named); the footer/bytes assertions live in SourcesSpec
-    "sink_encoding_policy" ->
-      """WITH nr AS (SELECT count(*) AS n_rows FROM lineitem),
-        |nd AS (
-        |  SELECT 'l_orderkey' AS column_name, count(DISTINCT l_orderkey) AS ndv FROM lineitem
-        |  UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
-        |  UNION ALL SELECT 'l_returnflag', count(DISTINCT l_returnflag) FROM lineitem
-        |  UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
-        |  UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem
-        |  UNION ALL SELECT 'l_extendedprice', count(DISTINCT l_extendedprice) FROM lineitem)
-        |SELECT column_name, ndv, n_rows,
-        |  CASE WHEN ndv <= 4096 THEN 'dict'
-        |       WHEN column_name IN ('l_orderkey', 'l_partkey') THEN 'delta_int'
-        |       ELSE 'plain' END AS encoding
-        |FROM nd, nr ORDER BY column_name""".stripMargin,
+    // the NDV measurement + CASE are GENERATED from the same
+    // EncodingPolicyCols/EncodingDictNdvCap/EncodingDeltaIntCols
+    // constants encodingChoice consumes — one policy definition
+    "sink_encoding_policy" -> {
+      val cols = graft.queries.SourcesSinks.EncodingPolicyCols
+      val ndvSelects = cols.zipWithIndex.map { case (c, i) =>
+        if (i == 0) s"  SELECT '$c' AS column_name, count(DISTINCT $c) AS ndv FROM lineitem"
+        else s"  UNION ALL SELECT '$c', count(DISTINCT $c) FROM lineitem"
+      }.mkString("\n")
+      val deltaList = graft.queries.SourcesSinks.EncodingDeltaIntCols
+        .toSeq.sorted.map(c => s"'$c'").mkString(", ")
+      s"""WITH nr AS (SELECT count(*) AS n_rows FROM lineitem),
+         |nd AS (
+         |$ndvSelects)
+         |SELECT column_name, ndv, n_rows,
+         |  CASE WHEN ndv <= ${graft.queries.SourcesSinks.EncodingDictNdvCap} THEN 'dict'
+         |       WHEN column_name IN ($deltaList) THEN 'delta_int'
+         |       ELSE 'plain' END AS encoding
+         |FROM nd, nr ORDER BY column_name""".stripMargin
+    },
     // record-level filtering must be invisible in the values: the
     // oracle runs the same selective aggregate on the base table
     "scan_record_filter" ->
@@ -5487,7 +5493,7 @@ object SparkEntry {
         |          '<footer>.*?</footer>', ' ', 'g'),
         |          '<[^>]+>', ' ', 'g'),
         |        '&lt;', '<'), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS extracted
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS extracted
         |  FROM pg)
         |SELECT doc_id, CAST(strlen(page) AS BIGINT) AS n_html,
         |  CAST(length(extracted) AS BIGINT) AS n_text,

@@ -652,7 +652,12 @@ object Multimodal {
     * bytes. */
   def imagePHashReal(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
-    val images = spark.read.format("binaryFile").load(s"$media/*.png")
+    // pathGlobFilter, never a glob in the load PATH: a globbed path
+    // logs a recovered FileNotFoundException under Spark 4.1's
+    // hybrid analyzer (single-path loads) — the dir+filter form is
+    // silent and equivalent
+    val images = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.png").load(media)
       .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.png$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     imagePHashFromPixels(decodeImagePixels(images))
@@ -668,7 +673,8 @@ object Multimodal {
     val media = stagedRealMedia(spark, dir)
     // doc_*.wav only: the fp_* shifted twins belong to the
     // fingerprint row's corpus, not the silence audit's
-    val audio = spark.read.format("binaryFile").load(s"$media/doc_*.wav")
+    val audio = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.wav").load(media)
       .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     silenceFromFrames(decodeAudioEnergies(audio), threshold = 150L)
@@ -694,7 +700,7 @@ object Multimodal {
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
     val audio = spark.read.format("binaryFile")
-      .load(s"$media/doc_*.wav", s"$media/fp_*.wav")
+      .option("pathGlobFilter", "{doc,fp}_*.wav").load(media)
       .select(expr("CAST(regexp_extract(path, '(?:doc|fp)_(\\\\d+)\\\\.wav$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
     audioFingerprintOn(decodeAudioEnergies(audio))
@@ -753,9 +759,15 @@ object Multimodal {
     * strided frame indexes (`reader.read(i)` is index-addressable —
     * sampling happens before decode, the 100 TB-correct order the
     * stub documents). mapPartitions so a deployed codec amortizes
-    * init across the batch; unreadable payloads drop out. Frames are
-    * written complete (no GIF delta/disposal compositing), so the
-    * per-index read IS the full frame. */
+    * init across the batch; unreadable/corrupt payloads drop out
+    * (any IOException from the codec drops the DOC, not the task).
+    * The seam contract is COMPLETE frames — a per-index read of a
+    * delta-encoded GIF (disposal compositing against prior frames)
+    * would silently sum a partial frame, so the decoder FAILS FAST
+    * on any frame whose disposal method composites (`restore*`):
+    * contract violations error loudly instead of corrupting sums.
+    * Per-doc decode is eager (a doc's sampled sums are a handful of
+    * longs) so the reader and stream dispose deterministically. */
   def decodeGifFrames(videos: DataFrame, stride: Int): DataFrame = {
     val spark = videos.sparkSession
     import spark.implicits._
@@ -765,29 +777,64 @@ object Multimodal {
         iter.flatMap { case (id, bytes) =>
           val in = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (!readers.hasNext) Iterator.empty
-          else {
-            val r = readers.next()
-            r.setInput(in)
-            val n = r.getNumImages(true)
-            (0 until n by stride).iterator.map { i =>
-              val img = r.read(i)
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r=g=b
-                  x += 1
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(in)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(in)
+                val n = r.getNumImages(true)
+                (0 until n by stride).map { i =>
+                  requireCompleteGifFrame(r, i, id)
+                  val img = r.read(i)
+                  var sum = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r=g=b
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  (id, n.toLong, i.toLong, sum)
                 }
-                y += 1
-              }
-              (id, n.toLong, i.toLong, sum)
+              } catch {
+                // truncated/corrupt payload: this doc drops out; the
+                // contract require above is an IllegalArgumentException
+                // and PROPAGATES (a delta GIF must fail the job, not
+                // silently vanish)
+                case _: java.io.IOException => Seq.empty
+              } finally r.dispose()
             }
-          }
+          } finally if (in != null) in.close()
         }
       }.toDF("doc_id", "n_frames", "frame_idx", "fsum")
+  }
+
+  /** fail-fast seam contract for [[decodeGifFrames]]: frame i must be
+    * complete (disposal method never composites against prior
+    * frames). GIF delta encoding shows up in the per-frame
+    * GraphicControlExtension as disposalMethod=restore*; "none" and
+    * "doNotDispose" on a full redraw are the complete-frame modes the
+    * planted writer emits. */
+  private def requireCompleteGifFrame(r: javax.imageio.ImageReader,
+      i: Int, docId: Long): Unit = {
+    val md = r.getImageMetadata(i)
+    val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[org.w3c.dom.Element]
+    val gce = tree.getElementsByTagName("GraphicControlExtension")
+    var j = 0
+    while (j < gce.getLength) {
+      val disposal = gce.item(j).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("disposalMethod")
+      require(disposal == "none" || disposal == "doNotDispose",
+        s"doc $docId frame $i is delta-encoded (disposalMethod=$disposal): " +
+          "decodeGifFrames reads frames WITHOUT disposal compositing; " +
+          "composite upstream or decode sequentially")
+      j += 1
+    }
   }
 
   /** Driver-path REAL frame sampling: the planted animated GIFs
@@ -826,7 +873,8 @@ object Multimodal {
 
   private def realGifBytes(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
-    spark.read.format("binaryFile").load(s"$media/*.gif")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.gif").load(media)
       .select(expr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.gif$', 1) AS BIGINT)")
         .as("doc_id"), col("content"))
   }

@@ -1287,7 +1287,10 @@ object TextAnalysis {
       .withColumn("s6",
         expr("replace(replace(s5, '&lt;', '<'), '&amp;', '&')"))
       .withColumn("extracted",
-        trim(regexp_replace(col("s6"), "\\s+", " ")))
+        // explicit class, not \s: Java's \s includes \x0B (vertical
+        // tab) where RE2's (the oracle engine's) does not — a \x0B in
+        // the corpus would silently split the engines
+        trim(regexp_replace(col("s6"), "[ \\t\\n\\r\\f\\x0B]+", " ")))
       .select(col("doc_id"),
         expr("CAST(octet_length(page) AS BIGINT)").as("n_html"),
         expr("CAST(length(extracted) AS BIGINT)").as("n_text"),

@@ -316,29 +316,37 @@ object SourcesSinks {
     "l_orderkey", "l_partkey", "l_returnflag", "l_linestatus",
     "l_quantity", "l_extendedprice")
 
+  /** the integer key columns whose high-NDV fallback is v2
+    * DELTA_BINARY_PACKED rather than PLAIN. */
+  private[graft] val EncodingDeltaIntCols: Set[String] =
+    Set("l_orderkey", "l_partkey")
+
   /** the shared policy: (column, measured NDV) → encoding label —
-    * ONE definition consumed by the decision table, the write
-    * options, and (by name dispatch) the DuckDB oracle CASE. */
+    * the ONE definition; the decision table, the write options, and
+    * the generated DuckDB oracle CASE (built from the same
+    * [[EncodingDictNdvCap]]/[[EncodingDeltaIntCols]] constants) all
+    * derive from it. */
   private[graft] def encodingChoice(name: String, ndv: Long): String =
     if (ndv <= EncodingDictNdvCap) "dict"
-    else if (name == "l_orderkey" || name == "l_partkey") "delta_int"
+    else if (EncodingDeltaIntCols(name)) "delta_int"
     else "plain"
 
-  /** the decision table (column_name, ndv, n_rows, encoding). */
+  /** the decision table (column_name, ndv, n_rows, encoding): ONE
+    * distributed multi-distinct pass measures every column's exact
+    * NDV + the row count, then the |columns|-row table is mapped
+    * through [[encodingChoice]] driver-side (bounded collect — the
+    * EncodingLab discipline) so the policy has a single definition. */
   private[graft] def encodingDecisions(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir).select(EncodingPolicyCols.map(col): _*)
-    val nRows = li.agg(count(lit(1)).as("n_rows"))
-    EncodingPolicyCols.map { c =>
-      li.select(c).distinct().agg(count(lit(1)).as("ndv"))
-        .select(lit(c).as("column_name"), col("ndv"))
-    }.reduce(_ unionAll _)
-      .crossJoin(broadcast(nRows))
-      .withColumn("encoding",
-        when(col("ndv") <= EncodingDictNdvCap, "dict")
-          .when(col("column_name").isin("l_orderkey", "l_partkey"), "delta_int")
-          .otherwise("plain"))
-      .select("column_name", "ndv", "n_rows", "encoding")
-      .orderBy("column_name")
+    import spark.implicits._
+    val stats = lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        EncodingPolicyCols.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
+      .collect()(0)
+    val nRows = stats.getAs[Long]("n_rows")
+    EncodingPolicyCols.sorted.map { c =>
+      val ndv = stats.getAs[Long](s"ndv_$c")
+      (c, ndv, nRows, encodingChoice(c, ndv))
+    }.toDF("column_name", "ndv", "n_rows", "encoding")
   }
 
   private[graft] def encodingPolicyPath(spark: SparkSession, dir: String): String =
@@ -675,8 +683,9 @@ object SourcesSinks {
           col("o_totalprice").cast(D).cast("string").as("o_totalprice_c"))
         .as[(Long, String, String)]
         .foreachPartition { (iter: Iterator[(Long, String, String)]) =>
-          val rows = iter.toArray
-          if (rows.nonEmpty) {
+          // stream the iterator: a write task's working set is one
+          // record, never the whole partition
+          if (iter.hasNext) {
             val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val w = new org.apache.avro.file.DataFileWriter(
@@ -684,7 +693,7 @@ object SourcesSinks {
                 org.apache.avro.generic.GenericRecord](schema))
             w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
             w.create(schema, new java.io.File(f"$path/part-$pid%05d.avro"))
-            rows.foreach { case (k, s, p) =>
+            iter.foreach { case (k, s, p) =>
               val r = new org.apache.avro.generic.GenericData.Record(schema)
               r.put("o_orderkey", k); r.put("o_orderstatus", s)
               r.put("o_totalprice_c", p)
@@ -695,7 +704,11 @@ object SourcesSinks {
         }
       new java.io.File(s"$path/_DONE").createNewFile(): Unit
     }
-    val back = spark.read.format("binaryFile").load(s"$path/*.avro")
+    // pathGlobFilter, never a glob in the load PATH (a globbed
+    // single path logs a recovered FileNotFoundException under the
+    // hybrid analyzer)
+    val back = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "part-*.avro").load(path)
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions { iter =>

@@ -47,31 +47,42 @@ object SqlSurface {
     * is partitioned-INSERT territory and the stats pass is what
     * keeps join orders sane (SqlSurfaceSpec asserts the catalog
     * row-count statistic landed). */
+  /** sanitized identifier slug of an sf dir — collision-free per dir
+    * (unlike a hashCode, which collides across dirs and breaks the
+    * identifier at Int.MinValue) and a stable lock key. */
+  private[graft] def dirSlug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "").toLowerCase
+
   def ctasCatalog(spark: SparkSession, dir: String): DataFrame = {
-    val h = math.abs(dir.hashCode)
-    val tbl = s"graft_ctas_$h"
-    val v = s"orders_ctas_$h"
-    orders(spark, dir).createOrReplaceTempView(v)
-    // external CTAS at a per-app scratch location: the session
-    // catalog is in-memory, so a MANAGED table's files would outlive
-    // the catalog entry across apps and the next CTAS would hit
-    // LOCATION_ALREADY_EXISTS (measured in the round-13 full gate);
-    // dropping the entry AND clearing the location keeps the row
-    // idempotent both across apps and across in-app re-runs
-    val loc = graft.queries.SourcesSinks.tmp(spark, dir, "ctas_orders")
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(loc))
-    spark.sql(
-      s"""CREATE TABLE $tbl USING PARQUET LOCATION '$loc' AS
-         |SELECT o_orderkey, o_orderstatus,
-         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
-         |FROM $v WHERE o_orderstatus <> 'F'""".stripMargin)
-    spark.sql(
-      s"""INSERT INTO $tbl
-         |SELECT o_orderkey, o_orderstatus,
-         |  CAST(o_totalprice AS DECIMAL(18,2))
-         |FROM $v WHERE o_orderstatus = 'F'""".stripMargin)
-    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    val slug = dirSlug(dir)
+    val tbl = s"graft_ctas_$slug"
+    val v = s"orders_ctas_$slug"
+    // the drop/delete/create sequence mutates shared catalog + fs
+    // state: serialize concurrent invocations in one JVM on the
+    // interned table name (the Staging.stagedPath lock discipline)
+    tbl.intern.synchronized {
+      orders(spark, dir).createOrReplaceTempView(v)
+      // external CTAS at a per-app scratch location: the session
+      // catalog is in-memory, so a MANAGED table's files would outlive
+      // the catalog entry across apps and the next CTAS would hit
+      // LOCATION_ALREADY_EXISTS (measured in the round-13 full gate);
+      // dropping the entry AND clearing the location keeps the row
+      // idempotent both across apps and across in-app re-runs
+      val loc = graft.queries.SourcesSinks.tmp(spark, dir, "ctas_orders")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(loc))
+      spark.sql(
+        s"""CREATE TABLE $tbl USING PARQUET LOCATION '$loc' AS
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM $v WHERE o_orderstatus <> 'F'""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_orderstatus,
+           |  CAST(o_totalprice AS DECIMAL(18,2))
+           |FROM $v WHERE o_orderstatus = 'F'""".stripMargin)
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
     spark.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  CAST(sum(price) AS DOUBLE) AS sum_price,

@@ -616,7 +616,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // the ANALYZE pass landed in the catalog: row count + column stats
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(
-        s"graft_ctas_${math.abs(sf.hashCode)}"))
+        s"graft_ctas_${queries.SqlSurface.dirSlug(sf)}"))
     val nOrders = want.values.map(_._1).sum
     assert(meta.stats.exists(_.rowCount.exists(_.toLong == nOrders)),
       s"row-count statistic missing or wrong: ${meta.stats}")
