@@ -542,7 +542,9 @@ object SparkEntry {
     /** constellation fingerprint replay: samples regenerated per
       * (doc, base, shift) — the shifted twins read the base formula
       * at i − shift — then frame energies, strict local peaks, the
-      * Δ ∈ [1,8] target-zone pair hashes, and match counts. */
+      * Δ ∈ [1,8] target-zone pair hashes, the doc-frequency cap
+      * (hashes in > FpDfCap docs drop, mirroring the engine's hot-
+      * hash guard), and match counts over the KEPT hashes. */
     def audioFpSql: String = {
       val shift = graft.operators.Multimodal.WavShift
       val wd = (graft.operators.Multimodal.RealWavDocs.map(id => s"($id, $id, 0)") ++
@@ -570,11 +572,16 @@ object SparkEntry {
          |      lead(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS nxt
          |    FROM en)
          |  WHERE energy >= 200 AND energy > coalesce(prev, -1) AND energy > coalesce(nxt, -1)),
-         |pr AS MATERIALIZED (
+         |pr0 AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id,
          |    (a.energy * 4096 + b.energy) * 16 + (b.frame_idx - a.frame_idx) AS fhash
          |  FROM pk a JOIN pk b ON a.doc_id = b.doc_id
          |    AND b.frame_idx - a.frame_idx BETWEEN 1 AND 8),
+         |pr AS MATERIALIZED (
+         |  SELECT pr0.doc_id, pr0.fhash FROM pr0
+         |  JOIN (SELECT fhash FROM pr0 GROUP BY fhash
+         |        HAVING count(*) <= ${graft.operators.Multimodal.FpDfCap}) keep
+         |    USING (fhash)),
          |cnt AS (SELECT doc_id, count(*) AS n_prints FROM pr GROUP BY doc_id),
          |m AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared

@@ -693,10 +693,11 @@ object Multimodal {
     * through the javax.sound seam. Scale shape: peaks are a bounded
     * per-doc window pass; the target-zone pairing is a band
     * self-join with Δ ≤ 8 fan-out; matching is one hash-keyed join
-    * over the (tiny) fingerprint relation — never a doc×doc
-    * compare. All integer arithmetic; the oracle regenerates
-    * samples (incl. the shift) and replays peaks → hashes → match
-    * counts in SQL. */
+    * over the fingerprint relation — never a doc×doc compare — with
+    * ubiquitous hashes df-capped out first ([[FpDfCap]]) so no hot
+    * fingerprint can make a join group quadratic. All integer
+    * arithmetic; the oracle regenerates samples (incl. the shift)
+    * and replays peaks → hashes → df-cap → match counts in SQL. */
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val media = stagedRealMedia(spark, dir)
     val audio = spark.read.format("binaryFile")
@@ -706,8 +707,23 @@ object Multimodal {
     audioFingerprintOn(decodeAudioEnergies(audio))
   }
 
+  /** doc-frequency cap on the fingerprint hash postings, the
+    * shinglePostings dfCap discipline: the match self-join keys on
+    * fhash, so a UBIQUITOUS fingerprint (silence-adjacent plateau
+    * patterns, a jingle re-used across 10⁹ assets) is a hot key with
+    * (docs sharing it)² pair fan-out — the one unbounded channel in
+    * the pipeline. Match evidence lives in the RARE constellation
+    * hashes (a hash in >64 docs identifies nothing), so dropping hot
+    * hashes BEFORE the join is recall-neutral under a generous cap
+    * (MultimodalSpec proves result equality vs uncapped on a planted
+    * corpus) while bounding every join group at dfCap postings. The
+    * per-doc denominator n_prints counts KEPT hashes, so overlap is
+    * measured consistently on the kept hash sets. */
+  private[graft] val FpDfCap: Int = 64
+
   /** generic core over any (doc_id, frame_idx, energy) frame grid. */
-  private[graft] def audioFingerprintOn(frames: DataFrame): DataFrame = {
+  private[graft] def audioFingerprintOn(frames: DataFrame,
+      dfCap: Int = FpDfCap): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val peaks = frames
       .withColumn("prev", lag("energy", 1).over(w))
@@ -730,12 +746,21 @@ object Multimodal {
     val target = peaks
       .select(col("doc_id"), expr("frame_idx DIV 8").as("bkt"),
         col("frame_idx").as("t_idx"), col("energy").as("t_energy"))
-    val prints = anchor.join(target.hint("shuffle_hash"), Seq("doc_id", "bkt"))
+    val raw = anchor.join(target.hint("shuffle_hash"), Seq("doc_id", "bkt"))
       .filter((col("t_idx") - col("frame_idx")).between(1, 8))
       .select(col("doc_id"),
         ((col("energy") * 4096 + col("t_energy")) * 16 +
           (col("t_idx") - col("frame_idx"))).as("fhash"))
       .distinct()
+      .localCheckpoint() // df agg + the capped postings join
+    // df-cap ([[FpDfCap]]): drop ubiquitous hashes BEFORE the match
+    // self-join — the df is a map-side-combined hash agg, so a hash
+    // in 10⁹ docs collapses to partial counts, never one task's
+    // buffer; the surviving join groups are ≤ dfCap postings each
+    val prints = raw.join(
+        raw.groupBy("fhash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("fhash"),
+        Seq("fhash"), "inner")
       .localCheckpoint() // counts + both sides of the match join
     val counts = prints.groupBy("doc_id").agg(count(lit(1)).as("n_prints"))
     prints.as("x").join(prints.as("y").hint("shuffle_hash"),

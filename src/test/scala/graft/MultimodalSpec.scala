@@ -362,6 +362,106 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((10L, 11L)), got.toString)
   }
 
+  test("audio fingerprint: ubiquitous hash is df-capped out, cap is recall-neutral") {
+    import spark.implicits._
+    val M = operators.Multimodal
+    def eng(seed: Int, f: Int) = 200L + ((f * 37 + seed * 101) % 97) * ((f % 3) + 1)
+    // twin pair 1/2 (doc 2 = doc 1 delayed 2 frames) + one unrelated doc
+    val base =
+      (0 until 40).map(f => (1L, f.toLong, eng(1, f))) ++
+      (0 until 40).map(f => (2L, f.toLong, if (f < 2) 0L else eng(1, f - 2))) ++
+      (0 until 40).map(f => (3L, f.toLong, eng(7, f)))
+    // the hot channel: FpDfCap+16 byte-identical clones — every hash
+    // they carry lands in all of them (df ≫ cap), the mass-reused
+    // jingle at 10⁹ assets. Uncapped, the match join's fan-out on
+    // each such hash is nHot² pairs.
+    val nHot = M.FpDfCap + 16
+    val hot = (0 until nHot).flatMap(d =>
+      (0 until 40).map(f => (100L + d, f.toLong, eng(5, f))))
+    val corpus = (base ++ hot).toDF("doc_id", "frame_idx", "energy")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // capped (deployment default): the twin survives, the nHot²-pair
+    // hot channel is GONE — every join group is ≤ dfCap postings
+    val capped = pairs(M.audioFingerprintOn(corpus))
+    assert(capped == Set((1L, 2L)), capped.toString)
+    // control: without the cap the hot clones flood the result —
+    // proving the cap (not luck) is what bounded the join
+    val uncapped = pairs(M.audioFingerprintOn(corpus, dfCap = Int.MaxValue))
+    assert(uncapped.size == 1 + nHot * (nHot - 1) / 2, uncapped.size.toString)
+    // recall-neutral: on a corpus with no ubiquitous hash the capped
+    // and uncapped results are byte-identical (n_prints included —
+    // the denominator counts kept hashes only)
+    val clean = base.toDF("doc_id", "frame_idx", "energy")
+    assert(M.audioFingerprintOn(clean).collect().toSeq ==
+      M.audioFingerprintOn(clean, dfCap = Int.MaxValue).collect().toSeq)
+  }
+
+  test("GIF decode: delta-encoded frames fail fast, corrupt payloads drop the doc") {
+    import spark.implicits._
+    val M = operators.Multimodal
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    def gifBytes(disposal: Option[String]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      (0 until 3).foreach { f =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val v = (f * 40 + x + y) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val md = disposal.map { d =>
+          val m = writer.getDefaultImageMetadata(
+            javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+            writer.getDefaultWriteParam)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = m.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          val gce = if (gces.getLength > 0)
+            gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            n.setAttribute("userInputFlag", "FALSE")
+            n.setAttribute("transparentColorFlag", "FALSE")
+            n.setAttribute("delayTime", "10")
+            n.setAttribute("transparentColorIndex", "0")
+            root.appendChild(n); n
+          }
+          gce.setAttribute("disposalMethod", d)
+          m.setFromTree(fmt, root)
+          m
+        }.orNull
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); out.close()
+      bos.toByteArray
+    }
+    // a delta GIF (disposal composites against prior frames) must
+    // fail the job loudly — a per-index read would silently sum a
+    // partial frame
+    val delta = Seq((1L, gifBytes(Some("restoreToBackgroundColor"))))
+      .toDF("doc_id", "content")
+    val e = intercept[Exception] {
+      M.decodeGifFrames(delta, stride = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("delta-encoded")), messages(e).toString)
+    // a truncated payload drops ITS doc only; intact docs decode
+    val good = gifBytes(None)
+    val mixed = Seq((1L, good), (2L, good.take(good.length / 2)))
+      .toDF("doc_id", "content")
+    val got = M.decodeGifFrames(mixed, stride = 1).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L), got.mkString(","))
+    assert(got.length == 3)
+  }
+
   test("real GIF decode: scene cuts land exactly on the planted boundaries") {
     val M = operators.Multimodal
     // in-test ground truth straight from the planted content keys:
