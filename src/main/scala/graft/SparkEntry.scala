@@ -58,6 +58,7 @@ object SparkEntry {
     "scan_dict_filter"   -> SourcesSinks.dictFilterScan _,
     "scan_record_filter" -> SourcesSinks.recordFilter _,
     "sink_encoding_policy" -> SourcesSinks.encodingPolicy _,
+    "sink_dict_fallback" -> SourcesSinks.dictFallback _,
     "src_avro_roundtrip" -> SourcesSinks.avroRoundtrip _,
     "sink_encrypted_roundtrip" -> SourcesSinks.encryptedRoundtrip _,
     "join_salted_skew"   -> SkewJoin.saltedJoin _,
@@ -337,6 +338,8 @@ object SparkEntry {
     "sql_earliest_order"     -> SqlSurface.earliestOrder _,
     "sql_rollup"             -> SqlSurface.rollupAgg _,
     "sql_ctas_catalog"       -> SqlSurface.ctasCatalog _,
+    "sql_tablesample"        -> SqlSurface.tableSample _,
+    "sql_view_pushdown"      -> SqlSurface.viewPushdown _,
     "sql_cube"               -> SqlSurface.cubeAgg _,
     "sql_full_outer"         -> SqlSurface.fullOuter _,
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
@@ -3185,6 +3188,14 @@ object SparkEntry {
          |       ELSE 'plain' END AS encoding
          |FROM nd, nr ORDER BY column_name""".stripMargin
     },
+    // the mid-write dict→plain fallback must be invisible in the
+    // values: the oracle runs the same aggregate on the base table
+    // (the footer's dual-encoding evidence lives in SourcesSpec)
+    "sink_dict_fallback" ->
+      """SELECT count(*) AS n_rows, max(l_orderkey) AS max_okey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
     // record-level filtering must be invisible in the values: the
     // oracle runs the same selective aggregate on the base table
     "scan_record_filter" ->
@@ -6582,6 +6593,21 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // sampled membership is seed-dependent; the oracle pins the
+    // invariants the row PROVES (count envelope, rerun stability,
+    // subset) plus the exact base count
+    "sql_tablesample" ->
+      """SELECT count(*) AS n_total, TRUE AS in_envelope,
+        |  TRUE AS rerun_stable, TRUE AS is_subset
+        |FROM lineitem""".stripMargin,
+    // the view dissolves before planning: the oracle replays the
+    // ALTERed definition's predicate inline
+    "sql_view_pushdown" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity < 30 AND l_shipdate >= TIMESTAMP '1995-06-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,

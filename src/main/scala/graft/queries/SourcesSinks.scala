@@ -373,6 +373,58 @@ object SourcesSinks {
     decisions
   }
 
+  private[graft] def dictFallbackPath(spark: SparkSession, dir: String): String =
+    tmp(spark, dir, "lineitem_dictfallback")
+
+  /** Mid-write dictionary FALLBACK — the complement of
+    * [[encodingPolicy]]'s up-front decision, for when the up-front
+    * stats LIE (an NDV estimate from a sample that missed a
+    * high-cardinality tail). The reference writer starts every
+    * column dict-encoded and falls back to plain mid-file when the
+    * dictionary overflows (hdfs-parquet-table-writer.cc:59
+    * MAX_DICTIONARY_ENTRIES; :258 "it will fall back to plain");
+    * parquet-mr implements the identical policy behind
+    * parquet.dictionary.page.size. One sorted chunk demonstrates all
+    * three writer outcomes: l_orderkey (distinct count grows with
+    * row position — 1 new key per 4 lines) flushes its first pages
+    * dict-encoded and overflows the budget MID-chunk, so its footer
+    * carries BOTH a DICTIONARY encoding and PLAIN; l_extendedprice
+    * (near-unique) fails the writer's first-page
+    * compression-satisfaction check and re-encodes in place — PLAIN
+    * only, no dictionary trace (the case the up-front policy
+    * predicts); l_returnflag (NDV 3) stays dictionary-only.
+    * SourcesSpec asserts exactly those three footer shapes. The
+    * values must be invisible to the fallback: the oracle runs the
+    * same aggregate on the base table. */
+  def dictFallback(spark: SparkSession, dir: String): DataFrame = {
+    val path = dictFallbackPath(spark, dir)
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        // one sorted chunk: orderkey's distinct count must GROW
+        // through the file so pages flush dict-encoded before the
+        // budget overflows — the mid-write moment under test. (A
+        // fixture write, one-time per (app, sf); scan order wouldn't
+        // be deterministic without the explicit sort.)
+        .repartition(1).sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "true")
+        // 500-row pages so early pages flush while the dictionary is
+        // still small; the 8 KB dict budget (≈1024 distinct 8-byte
+        // values — the MAX_DICTIONARY_ENTRIES analog) then overflows
+        // around row 4096 at every SF
+        .option("parquet.page.row.count.limit", "500")
+        .option("parquet.dictionary.page.size", "8192")
+        .option("compression", "uncompressed")
+        .parquet(path)
+    }
+    spark.read.parquet(path)
+      .agg(count(lit(1)).as("n_rows"),
+        max("l_orderkey").as("max_okey"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"),
+        countDistinct("l_returnflag").as("n_flags"))
+  }
+
   /** JSON-lines roundtrip: events written as newline-delimited JSON
     * (the interchange format half the world's event feeds arrive in),
     * re-read with an EXPLICIT schema — schema inference over 100 TB

@@ -90,6 +90,70 @@ object SqlSurface {
          |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** TABLESAMPLE dialect surface — the sampling entry point users
+    * actually TYPE (Impala ships TABLESAMPLE SYSTEM(p); Spark parses
+    * TABLESAMPLE (p PERCENT) REPEATABLE(seed) natively). The
+    * deterministic hash-mod family (sample_stratified etc.) is the
+    * reproducible-pipeline primitive; this row covers the ad-hoc SQL
+    * verb. A sample's rows are seed-dependent, so the oracle pins
+    * the INVARIANTS instead of the membership: the exact base count,
+    * the count envelope (10% ± 5pp — ≥13σ of Bernoulli at every SF),
+    * REPEATABLE-seed rerun stability (same multiset twice), and
+    * sample ⊆ base. Each check is a distributed count/exceptAll; the
+    * scalars are a bounded driver collect. */
+  def tableSample(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"lineitem_tsamp_${dirSlug(dir)}"
+    lineitem(spark, dir).createOrReplaceTempView(v)
+    def sample() = spark.sql(
+      s"""SELECT l_orderkey, l_linenumber FROM $v
+         |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin)
+    val base = spark.table(v).select("l_orderkey", "l_linenumber")
+    val total = base.count()
+    val s1 = sample()
+    val n1 = s1.count()
+    val stable = n1 == sample().count() && s1.exceptAll(sample()).isEmpty
+    val subset = s1.exceptAll(base).isEmpty
+    spark.range(1).select(
+      lit(total).as("n_total"),
+      lit(n1 * 20 >= total && n1 * 20 <= total * 3).as("in_envelope"),
+      lit(stable).as("rerun_stable"),
+      lit(subset).as("is_subset"))
+  }
+
+  /** Catalog VIEW lifecycle — the other Impala bread-and-butter DDL
+    * verb next to [[ctasCatalog]]'s CTAS/INSERT/ANALYZE: CREATE OR
+    * REPLACE VIEW over the parquet-backed table, ALTER VIEW ... AS
+    * re-pointing the definition (the view queried is the ALTERed
+    * one), then a query answered THROUGH the view. A view is a named
+    * logical plan, so Catalyst inlines it and pushdown must be
+    * unaffected by the boundary — SqlSurfaceSpec asserts
+    * PushedFilters carries BOTH the view's own predicate and the
+    * query's, and ReadSchema only the referenced columns. The 100 TB
+    * story: views cost nothing at scan time exactly because they
+    * dissolve before planning. */
+  def viewPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val vw = s"graft_liview_${dirSlug(dir)}"
+    vw.intern.synchronized {
+      val src = s"parquet.`$dir/lineitem.parquet`"
+      // CREATE establishes the view; ALTER ... AS swaps in the
+      // definition actually served (narrower projection + predicate)
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $vw AS
+           |SELECT l_orderkey, l_returnflag, l_shipdate, l_quantity,
+           |  l_extendedprice, l_discount
+           |FROM $src""".stripMargin)
+      spark.sql(
+        s"""ALTER VIEW $vw AS
+           |SELECT l_returnflag, l_shipdate, l_extendedprice
+           |FROM $src WHERE l_quantity < 30""".stripMargin)
+    }
+    spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM $vw WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** ROLLUP aggregation over returnflag × linestatus (subtotals +
     * grand total — the OLAP cube surface). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =

@@ -135,6 +135,49 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("dict fallback: the overflowed chunks carry BOTH dictionary and plain pages") {
+    import org.apache.spark.sql.functions._
+    // the values are invisible to the fallback
+    val got = queries.SourcesSinks.dictFallback(spark, sf).collect()(0)
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), max("l_orderkey"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+        countDistinct("l_returnflag")).collect()(0)
+    assert(got == want, s"$got vs $want")
+    // the footer carries the mid-write fallback: the high-NDV chunks
+    // started dict-encoded (a DICTIONARY encoding is present) AND
+    // overflowed to PLAIN data pages in the same chunk; the low-NDV
+    // flag column never fell back
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dirPath = new java.io.File(queries.SourcesSinks.dictFallbackPath(spark, sf))
+    val part = dirPath.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      def encodings(col: String): Set[String] =
+        chunks.find(_.getPath.toDotString == col).get
+          .getEncodings.asScala.map(_.name()).toSet
+      // the growing-NDV key: dict pages flushed, then the mid-write
+      // overflow switched the rest of the chunk to plain
+      assert(encodings("l_orderkey").exists(_.contains("DICTIONARY")) &&
+        encodings("l_orderkey").contains("PLAIN"),
+        s"l_orderkey should carry BOTH encodings: ${encodings("l_orderkey")}")
+      // the near-unique double: first-page compression check fails,
+      // re-encoded in place — no dictionary trace
+      assert(encodings("l_extendedprice").contains("PLAIN") &&
+        !encodings("l_extendedprice").exists(_.contains("DICTIONARY")),
+        s"l_extendedprice should be plain-only: ${encodings("l_extendedprice")}")
+      assert(encodings("l_returnflag").exists(_.contains("DICTIONARY")) &&
+        !encodings("l_returnflag").contains("PLAIN"),
+        s"l_returnflag should stay dict-only: ${encodings("l_returnflag")}")
+    } finally reader.close()
+  }
+
   test("encoding policy: footers carry the chosen encodings, policy write beats single-encoding controls") {
     import org.apache.spark.sql.functions._
     // run the query (computes decisions + writes the policy layout)

@@ -631,4 +631,46 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scan.contains("c_custkey") && !scan.contains("c_comment"))
     assert(df.count() == graft.sources.Tables.customer(spark, sf).count())
   }
+
+  test("tablesample: invariants hold, REPEATABLE seed is rerun-stable, plan is a Sample") {
+    val row = queries.SqlSurface.tableSample(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_total") ==
+      graft.sources.Tables.lineitem(spark, sf).count())
+    assert(row.getAs[Boolean]("in_envelope"), "sample count outside 10% ± 5pp")
+    assert(row.getAs[Boolean]("rerun_stable"), "REPEATABLE(42) rerun diverged")
+    assert(row.getAs[Boolean]("is_subset"), "sampled rows not in the base table")
+    // the verb plans as a Sample over the scan — sampling happens in
+    // the reader pipeline, not after a full materialization
+    val v = s"lineitem_tsamp_${queries.SqlSurface.dirSlug(sf)}"
+    val plan = spark.sql(
+      s"SELECT * FROM $v TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sample"), plan.take(500))
+  }
+
+  test("view pushdown: both predicates and the pruned schema cross the view boundary") {
+    import org.apache.spark.sql.functions._
+    val df = queries.SqlSurface.viewPushdown(spark, sf)
+    // values match the inlined definition
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") < 30 &&
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // the view dissolves: the scan sees the view's own l_quantity
+    // predicate AND the query's l_shipdate predicate, and reads only
+    // the three referenced columns
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_shipdate"), pushed)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_extendedprice")
+      && !readSchema.contains("l_orderkey") && !readSchema.contains("l_discount"),
+      readSchema)
+  }
 }
