@@ -340,6 +340,7 @@ object SparkEntry {
     "sql_ctas_catalog"       -> SqlSurface.ctasCatalog _,
     "sql_tablesample"        -> SqlSurface.tableSample _,
     "sql_view_pushdown"      -> SqlSurface.viewPushdown _,
+    "sql_refresh_metadata"   -> SqlSurface.refreshMetadata _,
     "sql_cube"               -> SqlSurface.cubeAgg _,
     "sql_full_outer"         -> SqlSurface.fullOuter _,
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
@@ -6600,6 +6601,13 @@ object SparkEntry {
       """SELECT count(*) AS n_total, TRUE AS in_envelope,
         |  TRUE AS rerun_stable, TRUE AS is_subset
         |FROM lineitem""".stripMargin,
+    // the refresh must be invisible in the values: after the
+    // out-of-band swap + REFRESH the table IS the full base table
+    "sql_refresh_metadata" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(o_orderkey) AS max_okey
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the view dissolves before planning: the oracle replays the
     // ALTERed definition's predicate inline
     "sql_view_pushdown" ->

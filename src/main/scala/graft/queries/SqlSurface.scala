@@ -90,6 +90,58 @@ object SqlSurface {
          |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** REFRESH TABLE — Impala's REFRESH verb (the catalog-coherence
+    * primitive every external-writer pipeline depends on): Spark
+    * caches a catalog table's file listing, so files swapped in
+    * OUT-OF-BAND (another engine, a distcp job, a compaction daemon
+    * — here a raw filesystem move that bypasses every Spark write
+    * path and its automatic refreshByPath) leave the cached listing
+    * pointing at deleted files. The row materializes the v1 listing
+    * (partial slice), swaps the location's files to the full table
+    * behind Spark's back, REFRESHes, and answers from the new files
+    * — the query SUCCEEDING is itself the evidence, since the stale
+    * listing references deleted paths (SqlSurfaceSpec asserts the
+    * unrefreshed read fails or serves v1 while the refreshed read is
+    * exact). */
+  def refreshMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val slug = dirSlug(dir)
+    val tbl = s"graft_refresh_$slug"
+    tbl.intern.synchronized {
+      val loc = graft.queries.SourcesSinks.tmp(spark, dir, "refresh_orders")
+      val staging = graft.queries.SourcesSinks.tmp(spark, dir, "refresh_orders_v2")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(loc))
+      val slim = orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D).as("price"))
+      // v1: the URGENT-priority slice only
+      orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(D).as("price"))
+        .write.parquet(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING,
+           |  price DECIMAL(18,2)) USING PARQUET LOCATION '$loc'""".stripMargin)
+      spark.table(tbl).count() // populate the cached file listing
+      // v2 swapped in OUT-OF-BAND: staged by Spark, MOVED by the
+      // filesystem — no Spark write touches `loc`, so nothing
+      // auto-refreshes the table's cached listing
+      slim.write.mode("overwrite").parquet(staging)
+      val locDir = new java.io.File(loc)
+      locDir.listFiles().foreach(f => f.delete())
+      new java.io.File(staging).listFiles().foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(locDir, f.getName).toPath)
+      }
+      spark.sql(s"REFRESH TABLE $tbl")
+    }
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(price) AS DOUBLE) AS sum_price,
+         |  max(o_orderkey) AS max_okey
+         |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** TABLESAMPLE dialect surface — the sampling entry point users
     * actually TYPE (Impala ships TABLESAMPLE SYSTEM(p); Spark parses
     * TABLESAMPLE (p PERCENT) REPEATABLE(seed) natively). The

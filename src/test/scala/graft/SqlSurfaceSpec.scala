@@ -632,6 +632,43 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.count() == graft.sources.Tables.customer(spark, sf).count())
   }
 
+  test("refresh metadata: out-of-band file swap is served only after REFRESH") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SqlSurface.refreshMetadata(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("sum_price")))).toMap
+    val want = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // swap the files AGAIN behind Spark's back (back to the URGENT
+    // slice): the cached listing now points at deleted files, so the
+    // unrefreshed read must fail — and after REFRESH the slice serves
+    val tbl = s"graft_refresh_${queries.SqlSurface.dirSlug(sf)}"
+    val loc = new java.io.File(
+      queries.SourcesSinks.tmp(spark, sf, "refresh_orders"))
+    val staging = queries.SourcesSinks.tmp(spark, sf, "refresh_orders_respec")
+    val slice = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    slice.write.mode("overwrite").parquet(staging)
+    loc.listFiles().foreach(f => f.delete(): Unit)
+    new java.io.File(staging).listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(loc, f.getName).toPath): Unit
+    }
+    val stale = intercept[Exception] { spark.table(tbl).count() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + msgs(t.getCause)
+    assert(msgs(stale).contains("FileNotFound") || msgs(stale).contains("REFRESH"),
+      msgs(stale).take(400))
+    spark.sql(s"REFRESH TABLE $tbl")
+    assert(spark.table(tbl).count() == slice.count())
+  }
+
   test("tablesample: invariants hold, REPEATABLE seed is rerun-stable, plan is a Sample") {
     val row = queries.SqlSurface.tableSample(spark, sf).collect()(0)
     assert(row.getAs[Long]("n_total") ==
