@@ -331,21 +331,26 @@ object SourcesSinks {
     else if (EncodingDeltaIntCols(name)) "delta_int"
     else "plain"
 
-  /** the decision table (column_name, ndv, n_rows, encoding): ONE
-    * distributed multi-distinct pass measures every column's exact
-    * NDV + the row count, then the |columns|-row table is mapped
-    * through [[encodingChoice]] driver-side (bounded collect — the
+  /** the decision table (column_name, ndv, n_rows, encoding): one
+    * job of per-column distinct-agg subtrees (column-pruned scans —
+    * measured 2.7× cheaper than the Expand-based multi-distinct
+    * rewrite at sf0.1) measures every exact NDV + the row count,
+    * then the |columns|-row table is mapped through
+    * [[encodingChoice]] driver-side (bounded collect — the
     * EncodingLab discipline) so the policy has a single definition. */
   private[graft] def encodingDecisions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stats = lineitem(spark, dir)
-      .agg(count(lit(1)).as("n_rows"),
-        EncodingPolicyCols.map(c => countDistinct(col(c)).as(s"ndv_$c")): _*)
-      .collect()(0)
-    val nRows = stats.getAs[Long]("n_rows")
+    val li = lineitem(spark, dir).select(EncodingPolicyCols.map(col): _*)
+    val nRowsDf = li.agg(count(lit(1)).as("ndv"))
+      .select(lit("__n_rows").as("column_name"), col("ndv"))
+    val stats = EncodingPolicyCols.map { c =>
+      li.select(c).distinct().agg(count(lit(1)).as("ndv"))
+        .select(lit(c).as("column_name"), col("ndv"))
+    }.reduce(_ unionAll _).unionAll(nRowsDf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("ndv")).toMap
+    val nRows = stats("__n_rows")
     EncodingPolicyCols.sorted.map { c =>
-      val ndv = stats.getAs[Long](s"ndv_$c")
-      (c, ndv, nRows, encodingChoice(c, ndv))
+      (c, stats(c), nRows, encodingChoice(c, stats(c)))
     }.toDF("column_name", "ndv", "n_rows", "encoding")
   }
 
