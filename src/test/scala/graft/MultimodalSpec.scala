@@ -362,6 +362,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((10L, 11L)), got.toString)
   }
 
+  test("audio fingerprint: shift invariance holds for ARBITRARY delays (seeded sweep)") {
+    import spark.implicits._
+    val M = operators.Multimodal
+    // deterministic pseudo-random energy series per (seed, frame)
+    def eng(seed: Int, f: Int): Long =
+      200L + (math.abs((f * 2654435761L + seed * 40503L).toInt) % 97) * ((f % 3) + 1)
+    for (round <- 1 to 3) {
+      // 3 base docs per round, each with a twin delayed by a
+      // round-varying shift k ∈ [1, 12]; shift must never change the
+      // constellation, whatever k is
+      val shifts = Seq(1 + round, 4 + round * 2, 12 - round)
+      val frames = (0 until 3).flatMap { d =>
+        val seed = round * 100 + d * 7 + 1
+        val k = shifts(d)
+        (0 until 48).map(f => (d.toLong, f.toLong, eng(seed, f))) ++
+          (0 until 48).map(f =>
+            (100L + d, f.toLong, if (f < k) 0L else eng(seed, f - k)))
+      }.toDF("doc_id", "frame_idx", "energy")
+      val got = M.audioFingerprintOn(frames).collect()
+      val pairs = got.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(pairs == (0 until 3).map(d => (d.toLong, 100L + d)).toSet,
+        s"round $round: $pairs")
+      // the delayed twin carries the IDENTICAL constellation: full overlap
+      got.foreach(r => assert(r.getAs[Long]("overlap_ppm") == 1000000L, r.toString))
+    }
+  }
+
   test("audio fingerprint: ubiquitous hash is df-capped out, cap is recall-neutral") {
     import spark.implicits._
     val M = operators.Multimodal
