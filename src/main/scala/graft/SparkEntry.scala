@@ -103,6 +103,8 @@ object SparkEntry {
     "sink_dynamic_overwrite" -> SourcesSinks.dynamicOverwrite _,
     "src_xml_roundtrip"      -> SourcesSinks.xmlRoundtrip _,
     "src_binary_files"       -> SourcesSinks.binaryFiles _,
+    "src_csv_corrupt"        -> SourcesSinks.csvCorrupt _,
+    "sink_int96_timestamps"  -> SourcesSinks.int96Timestamps _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
@@ -3312,6 +3314,25 @@ object SparkEntry {
         |  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
         |  UNION ALL SELECT '_corrupt', 3
         |) ORDER BY event_type""".stripMargin,
+    // same contract, delimited-text parser: the 3 planted malformed
+    // lines land in the corrupt bucket (the over-token line still
+    // yields its leading typed fields: id 7 and value 2.0; the type-
+    // failure line yields value 1.5), the good rows aggregate exactly
+    "src_csv_corrupt" ->
+      """SELECT bucket, n_events, n_ids, sum_value FROM (
+        |  SELECT event_type AS bucket, count(*) AS n_events, count(*) AS n_ids,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY event_type
+        |  UNION ALL SELECT '_corrupt', 3, 1, 3.5
+        |) ORDER BY bucket""".stripMargin,
+    // the INT96 hop must be lossless at the µs contract: the oracle
+    // replays the same ns→µs truncation on the base table
+    "sink_int96_timestamps" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  min(epoch_ns(ts) // 1000) AS min_us,
+        |  max(epoch_ns(ts) // 1000) AS max_us,
+        |  CAST(sum((epoch_ns(ts) // 1000) % 1000000) AS BIGINT) AS sum_subsec_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle builds the hostile payload (delimiter + quotes +
     // newline) directly from nation; the Spark side must survive the
     // CSV write/read roundtrip to reproduce it byte-for-byte

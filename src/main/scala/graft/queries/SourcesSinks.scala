@@ -235,6 +235,86 @@ object SourcesSinks {
       .orderBy("event_type")
   }
 
+  /** CSV PERMISSIVE/corrupt-record handling — the delimited-text
+    * twin of [[jsonCorrupt]] (real CSV feeds carry truncated writes
+    * and stray log lines too; the reference's delimited-text parser
+    * survives them row by row): planted malformed lines (a type
+    * failure, an over-token row, a bare fragment) land in the
+    * corrupt-record column instead of failing the scan, and the
+    * well-formed rows aggregate exactly. The aggregate references
+    * EVERY data column on purpose: the CSV parser prunes columns, so
+    * a type failure in an unreferenced column would never mark the
+    * record (measured — the event_type-only form saw zero corrupt
+    * rows); parsing the full schema is what arms the detector.
+    * SourcesSpec additionally pins that FAILFAST aborts on the same
+    * payload. */
+  def csvCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, dir, "events_csv_dirty")
+    import spark.implicits._
+    val good = events(spark, dir)
+      .select(concat_ws("|", col("event_id"), col("event_type"),
+        col("value").cast(D)).as("line"))
+    val bad = Seq(
+      "notanumber|purchase|1.50", // event_id type failure
+      "7|click|2.00|extra|tokens", // over-token row
+      "just-a-stray-log-line").toDF("line")
+    good.unionAll(bad).write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("sep", "|")
+      .csv(path)
+      .select(when(col("_corrupt").isNotNull, lit("_corrupt"))
+        .otherwise(col("event_type")).as("bucket"),
+        col("event_id"), col("value"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("event_id")).as("n_ids"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  private[graft] def int96Path(spark: SparkSession, dir: String): String =
+    tmp(spark, dir, "events_int96")
+
+  /** INT96 timestamp interop — the reference engine's SIGNATURE
+    * legacy physical type (Impala/Hive wrote parquet timestamps as
+    * 12-byte INT96 for years; every warehouse migration still reads
+    * them): event timestamps written at the µs contract through the
+    * INT96 writer path, read back through Spark's INT96 decoder, and
+    * aggregated — values must be identical to the epoch-ns source
+    * truncated to µs, proving the hop is lossless at the contract
+    * precision. SourcesSpec asserts the footer's physical type
+    * really is INT96 (not a micros file wearing a flag). */
+  def int96Timestamps(spark: SparkSession, dir: String): DataFrame = {
+    val path = int96Path(spark, dir)
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      val prevType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      try events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts96"))
+        .write.mode("overwrite").parquet(path)
+      finally prevType match {
+        case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+    spark.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("unix_micros(ts96)")).as("min_us"),
+        max(expr("unix_micros(ts96)")).as("max_us"),
+        sum(expr("unix_micros(ts96) % 1000000")).as("sum_subsec_us"))
+      .orderBy("event_type")
+  }
+
   /** Parquet sink roundtrip: filtered projection written with
     * dictionary encoding + snappy, re-read, aggregated. */
   def parquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -135,6 +135,54 @@ class SourcesSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("int96 timestamps: the footer's physical type really is INT96") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SourcesSinks.int96Timestamps(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)), min(expr("ts DIV 1000")), max(expr("ts DIV 1000")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dirPath = new java.io.File(queries.SourcesSinks.int96Path(spark, sf))
+    val part = dirPath.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val t = schema.getType(schema.getFieldIndex("ts96"))
+      assert(t.asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96,
+        t.toString)
+    } finally reader.close()
+  }
+
+  test("csv corrupt: FAILFAST aborts on the same dirty payload PERMISSIVE survives") {
+    // run the row first (stages the dirty file, proves the permissive
+    // aggregate); then the strict mode must refuse the payload
+    assert(queries.SourcesSinks.csvCorrupt(spark, sf).collect().nonEmpty)
+    val path = queries.SourcesSinks.tmp(spark, sf, "events_csv_dirty")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val e = intercept[Exception] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .option("sep", "|").csv(path).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("MALFORMED_RECORD") || msgs(e).contains("FAILFAST"),
+      msgs(e).take(300))
+  }
+
   test("dict fallback: the overflowed chunks carry BOTH dictionary and plain pages") {
     import org.apache.spark.sql.functions._
     // the values are invisible to the fallback
