@@ -167,6 +167,13 @@ object Bench {
     val s = df.queryExecution.optimizedPlan.canonicalized.toString
       .replaceAll("graft_io/[^/]+", "graft_io/APP")
       .replaceAll("@[0-9a-fA-F]{4,}", "@X")
+      // typed-operation closures print as Foo$$$Lambda$2374/0x00007f…
+      // — the index and hidden-class address vary per COMPILATION and
+      // per JVM, so without this normalization every recompile of a
+      // lambda-bearing file resets its queries' floors (measured in
+      // round 15: the mm_*_real/src_avro repeat resets were exactly
+      // these tokens)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "LambdaN")
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -325,6 +332,17 @@ object Bench {
     val (merged, fpResets) = mergeBaseline(old, host,
       results.collect { case (n, w, _) if w > 0 => n -> w }.toMap, fps)
     saveBaseline(sfDir, blDir, merged)
+    // fp_resets lists WHICH stored fingerprint changed, not just the
+    // names (round-14 adjudication gap): every reset is a plan change
+    // the round narrative must name a cause for — an expected reset
+    // (hint removal, rewritten load path) and an UNINTENDED one (a
+    // lost pushdown after a refactor) look identical as bare names,
+    // so the old/new pair is recorded to make each one auditable
+    // against the round's diff.
+    def fpResetDetail(names: Seq[String]): String = names.map { n =>
+      "\"" + n + "\":{\"old\":\"" + old.fps.getOrElse(n, "") +
+        "\",\"new\":\"" + fps.getOrElse(n, "") + "\"}"
+    }.mkString("{", ",", "}")
     // trend points feed the OTHER SFs' baselines so future trend gates
     // have per-SF floors (the main sfDir already merged above)
     val mainSf = new java.io.File(sfDir).getName
@@ -334,7 +352,7 @@ object Bench {
         trendSteady(sfName), trendFps(sfName))
       saveBaseline(sfPath, blDir, m)
     }
-    val fpResetsJs = fpResets.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fpResetsJs = fpResetDetail(fpResets)
 
     // ---- per-query regression gate vs the PREVIOUS BENCH_FULL ----
     // The floor file min-merges (it hides regressions by

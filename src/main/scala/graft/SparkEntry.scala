@@ -105,6 +105,7 @@ object SparkEntry {
     "src_binary_files"       -> SourcesSinks.binaryFiles _,
     "src_csv_corrupt"        -> SourcesSinks.csvCorrupt _,
     "sink_int96_timestamps"  -> SourcesSinks.int96Timestamps _,
+    "src_int96_legacy_rebase" -> SourcesSinks.int96LegacyRebase _,
     "sink_merge_upsert"      -> SourcesSinks.mergeUpsert _,
     "scan_metadata_cols"     -> SourcesSinks.metadataCols _,
     "dict_cardinality_stats" -> SourcesSinks.dictCardinalityStats _,
@@ -343,6 +344,7 @@ object SparkEntry {
     "sql_tablesample"        -> SqlSurface.tableSample _,
     "sql_view_pushdown"      -> SqlSurface.viewPushdown _,
     "sql_refresh_metadata"   -> SqlSurface.refreshMetadata _,
+    "sql_analyze_partition"  -> SqlSurface.analyzePartition _,
     "sql_cube"               -> SqlSurface.cubeAgg _,
     "sql_full_outer"         -> SqlSurface.fullOuter _,
     "agg_percentile_exact"   -> SqlSurface.percentileExact _,
@@ -398,6 +400,7 @@ object SparkEntry {
     "stream_interval_join" -> graft.streaming.StreamQueries.intervalJoin _,
     "stream_outer_join"    -> graft.streaming.StreamQueries.outerJoin _,
     "stream_upsert_sink"   -> graft.streaming.StreamQueries.upsertSink _,
+    "stream_graph_maintain" -> graft.streaming.StreamQueries.graphMaintain _,
     "stream_static_enrich" -> graft.streaming.StreamQueries.staticEnrich _,
     "stream_cep_funnels"   -> graft.streaming.StreamQueries.cepFunnels _,
     // §2.12 native TopKPerKey operator (custom LogicalPlan/Strategy/SparkPlan)
@@ -456,6 +459,11 @@ object SparkEntry {
       ("ann_graph_recall" -> GraphAnnOracle.recallSql) +
       ("ann_graph_tuning" -> GraphAnnOracle.tuningSql) +
       ("ann_graph_insert" -> GraphAnnOracle.insertSql) +
+      // the streamed maintenance path lands the IDENTICAL index
+      // state the one-shot batch insert builds (arrivals search the
+      // base graph; per-probe state only), so its oracle IS the
+      // batch insert chain
+      ("stream_graph_maintain" -> GraphAnnOracle.insertSql) +
       ("ann_graph_delete" -> GraphAnnOracle.deleteSql) +
       ("ann_graph_build_tuning" -> GraphAnnOracle.buildTuningSql) +
       // real-codec decode rows: planted md5-derived PNG/WAV bytes,
@@ -3333,6 +3341,25 @@ object SparkEntry {
         |  max(epoch_ns(ts) // 1000) AS max_us,
         |  CAST(sum((epoch_ns(ts) // 1000) % 1000000) AS BIGINT) AS sum_subsec_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the Hive-era INT96 calendar hazard: the planted year-1500
+    // timestamps (base 1500-06-15 UTC + per-event second/µs offsets)
+    // must read back EXACTLY under LEGACY rebase, and the SAME bytes
+    // must surface exactly 10 days later under CORRECTED (the 1500s
+    // Julian↔proleptic-Gregorian gap) — the shift columns pin that
+    // constant. DuckDB's epoch_us is proleptic, matching the
+    // intended instants.
+    "src_int96_legacy_rebase" ->
+      """WITH planted AS (
+        |  SELECT event_type,
+        |    epoch_us(TIMESTAMP '1500-06-15 00:00:00')
+        |      + ((epoch_ns(ts) // 1000000000) % 86400) * 1000000
+        |      + (event_id % 1000000) AS us
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |  min(us) AS min_us, max(us) AS max_us,
+        |  CAST(10 AS BIGINT) AS shift_days_min,
+        |  CAST(10 AS BIGINT) AS shift_days_max
+        |FROM planted GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle builds the hostile payload (delimiter + quotes +
     // newline) directly from nation; the Spark side must survive the
     // CSV write/read roundtrip to reproduce it byte-for-byte
@@ -6629,6 +6656,16 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  max(o_orderkey) AS max_okey
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the per-partition stats pass must be invisible in the values:
+    // the catalog-table query over two partitions equals the same
+    // aggregate on the base table
+    "sql_analyze_partition" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_ns(ts) // 1000000000 // 3600 * 3600) AS min_hour,
+        |  max(epoch_ns(ts) // 1000000000 // 3600 * 3600) AS max_hour
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the view dissolves before planning: the oracle replays the
     // ALTERed definition's predicate inline
     "sql_view_pushdown" ->

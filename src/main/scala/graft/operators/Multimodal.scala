@@ -769,10 +769,18 @@ object Multimodal {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
-      .join(broadcast(counts.select(col("doc_id").as("doc_a"),
-        col("n_prints").as("n_a"))), "doc_a")
-      .join(broadcast(counts.select(col("doc_id").as("doc_b"),
-        col("n_prints").as("n_b"))), "doc_b")
+      // UNHINTED join-backs on purpose (round 15; were broadcast()):
+      // `counts` is one row per corpus document, so a forced
+      // broadcast is a driver-memory bomb at 10⁹ assets — the exact
+      // class the round-12 audit removed repo-wide. AQE broadcasts
+      // from the MEASURED size at bench SFs and degrades to a
+      // shuffle join at scale (cf. graphInsert's unhinted
+      // arrival-scaled audit join, Similarity.scala);
+      // MultimodalSpec pins that no hint forces the exchange.
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_prints").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_prints").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
         col("n_b"),
         expr("1000000 * n_shared DIV least(n_a, n_b)").as("overlap_ppm"))
@@ -810,8 +818,9 @@ object Multimodal {
               try {
                 r.setInput(in)
                 val n = r.getNumImages(true)
+                val (sw, sh) = gifLogicalScreen(r)
                 (0 until n by stride).map { i =>
-                  requireCompleteGifFrame(r, i, id)
+                  requireCompleteGifFrame(r, i, id, sw, sh)
                   val img = r.read(i)
                   var sum = 0L
                   var y = 0
@@ -838,14 +847,39 @@ object Multimodal {
       }.toDF("doc_id", "n_frames", "frame_idx", "fsum")
   }
 
+  /** the GIF's LogicalScreenDescriptor dimensions — the canvas every
+    * complete frame must fully cover. Falls back to frame 0's
+    * dimensions when the stream metadata is absent (a reader that
+    * cannot surface it), which is the same contract: frame 0 always
+    * paints the whole canvas. */
+  private def gifLogicalScreen(r: javax.imageio.ImageReader): (Int, Int) = {
+    val sm = r.getStreamMetadata
+    val lsd = if (sm == null) null else
+      sm.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("LogicalScreenDescriptor")
+    if (lsd == null || lsd.getLength == 0) (r.getWidth(0), r.getHeight(0))
+    else {
+      val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+      (e.getAttribute("logicalScreenWidth").toInt,
+        e.getAttribute("logicalScreenHeight").toInt)
+    }
+  }
+
   /** fail-fast seam contract for [[decodeGifFrames]]: frame i must be
-    * complete (disposal method never composites against prior
-    * frames). GIF delta encoding shows up in the per-frame
-    * GraphicControlExtension as disposalMethod=restore*; "none" and
-    * "doNotDispose" on a full redraw are the complete-frame modes the
-    * planted writer emits. */
+    * complete (a full-canvas redraw that never composites against
+    * prior frames). GIF delta encoding shows up two ways, BOTH
+    * guarded: the per-frame GraphicControlExtension's
+    * disposalMethod=restore* (compositing disposal — "none" and
+    * "doNotDispose" on a full redraw are the complete-frame modes
+    * the planted writer emits), and — the far more common form — a
+    * SUB-RECTANGLE ImageDescriptor (offset into the canvas, or
+    * smaller than it) under a non-restore disposal, whose pixels
+    * outside the rect come from the PRIOR frame; r.read(i) on such a
+    * frame returns only the sub-rect and a gray sum over it would be
+    * silently partial. */
   private def requireCompleteGifFrame(r: javax.imageio.ImageReader,
-      i: Int, docId: Long): Unit = {
+      i: Int, docId: Long, screenW: Int, screenH: Int): Unit = {
     val md = r.getImageMetadata(i)
     val tree = md.getAsTree("javax_imageio_gif_image_1.0")
       .asInstanceOf[org.w3c.dom.Element]
@@ -859,6 +893,20 @@ object Multimodal {
           "decodeGifFrames reads frames WITHOUT disposal compositing; " +
           "composite upstream or decode sequentially")
       j += 1
+    }
+    val desc = tree.getElementsByTagName("ImageDescriptor")
+    var k = 0
+    while (k < desc.getLength) {
+      val e = desc.item(k).asInstanceOf[org.w3c.dom.Element]
+      def at(n: String): Int = e.getAttribute(n).toInt
+      val (l, t, w, h) = (at("imageLeftPosition"), at("imageTopPosition"),
+        at("imageWidth"), at("imageHeight"))
+      require(l == 0 && t == 0 && w == screenW && h == screenH,
+        s"doc $docId frame $i is a sub-rectangle delta " +
+          s"(${w}x$h at ($l,$t) on a ${screenW}x$screenH canvas): " +
+          "decodeGifFrames reads frames WITHOUT compositing the pixels " +
+          "outside the rect; composite upstream or decode sequentially")
+      k += 1
     }
   }
 

@@ -1180,20 +1180,45 @@ object Similarity {
     * SimilaritySpec pins subset consistency (sampled audit rows are
     * EXACTLY the full audit's rows for the sampled ids). */
   private[graft] def graphInsertOn(spark: SparkSession, dir: String,
-      auditSampleMod: Long): DataFrame = {
-    val all = vecs(spark, dir)
-    val arrivals = all.filter(col("vec_id") % 53 === 0)
+      auditSampleMod: Long): DataFrame =
+    gradeInsertLinks(spark, dir,
+      insertLinksFor(spark, dir, insertArrivals(spark, dir)), auditSampleMod)
+
+  /** the arrival slice in probe shape — the ingest batch the base
+    * graph was built without. Exposed to the streaming maintenance
+    * path ([[graft.streaming.StreamQueries]]), which replays it in
+    * micro-batches. */
+  private[graft] def insertArrivals(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).filter(col("vec_id") % 53 === 0)
       .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
         col("vnrm").as("pnrm"))
-    val base = all.filter(col("vec_id") % 53 =!= 0)
-    val baseEdges = stagedBaseGraph(spark, dir)
-    val visited = beamSearchOn(base, arrivals, baseEdges, GraphInsertBeam)
-    val links = graft.plans.TopK.perKey(visited, Seq("probe_id"),
+
+  /** search-then-link for ANY subset of the arrivals: each searches
+    * the CURRENT base graph with the insert beam and links to its
+    * top-[[GraphM]] visited. Per-probe state only — arrivals never
+    * interact — so links over a UNION of arrival subsets equal the
+    * union of per-subset links: the property that makes the
+    * micro-batched streaming replay land the identical index state
+    * the one-shot batch insert builds. */
+  private[graft] def insertLinksFor(spark: SparkSession, dir: String,
+      arrivals: DataFrame): DataFrame = {
+    val base = vecs(spark, dir).filter(col("vec_id") % 53 =!= 0)
+    val visited = beamSearchOn(base, arrivals,
+      stagedBaseGraph(spark, dir), GraphInsertBeam)
+    graft.plans.TopK.perKey(visited, Seq("probe_id"),
         Seq("score_micro" -> false, "vec_id" -> true), GraphM)
       .select("probe_id", "vec_id")
-      .filter(col("probe_id") % auditSampleMod === 0L)
+  }
+
+  /** the exact-audit grading of a link table: each graded arrival's
+    * link set against its exact top-M over the base corpus. */
+  private[graft] def gradeInsertLinks(spark: SparkSession, dir: String,
+      allLinks: DataFrame, auditSampleMod: Long): DataFrame = {
+    val base = vecs(spark, dir).filter(col("vec_id") % 53 =!= 0)
+    val links = allLinks.filter(col("probe_id") % auditSampleMod === 0L)
     val exactM = bruteForceTopKOn(base,
-        arrivals.filter(col("probe_id") % auditSampleMod === 0L), GraphM)
+        insertArrivals(spark, dir)
+          .filter(col("probe_id") % auditSampleMod === 0L), GraphM)
       .select(col("probe_id"), col("vec_id")).withColumn("t", lit(1L))
     // exactM is arrivals·M rows — a relation that GROWS with the
     // corpus (N/53 arrivals), so no forced broadcast: AQE sizes it

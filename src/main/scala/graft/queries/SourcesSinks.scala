@@ -295,15 +295,20 @@ object SourcesSinks {
     val path = int96Path(spark, dir)
     if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       val prevType = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      val prevRebase = spark.conf.getOption("spark.sql.parquet.int96RebaseModeInWrite")
       spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
       spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(t) => spark.conf.set(key, t)
+        case None => spark.conf.unset(key)
+      }
       try events(spark, dir)
         .select(col("event_id"), col("event_type"),
           timestamp_micros(expr("ts DIV 1000")).as("ts96"))
         .write.mode("overwrite").parquet(path)
-      finally prevType match {
-        case Some(t) => spark.conf.set("spark.sql.parquet.outputTimestampType", t)
-        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      finally {
+        restore("spark.sql.parquet.outputTimestampType", prevType)
+        restore("spark.sql.parquet.int96RebaseModeInWrite", prevRebase)
       }
     }
     spark.read.parquet(path)
@@ -312,6 +317,122 @@ object SourcesSinks {
         min(expr("unix_micros(ts96)")).as("min_us"),
         max(expr("unix_micros(ts96)")).as("max_us"),
         sum(expr("unix_micros(ts96) % 1000000")).as("sum_subsec_us"))
+      .orderBy("event_type")
+  }
+
+  private[graft] def int96LegacyPath(spark: SparkSession, dir: String): String =
+    tmp(spark, dir, "events_int96_legacy") + "/part-0.parquet"
+
+  /** Julian-hybrid INT96 encoding of a proleptic-Gregorian epoch-µs
+    * instant — byte-for-byte what the Hive-era writers (Impala's
+    * timestamp-value.cc, Hive pre-3.1) put on disk: the instant's
+    * WALL-CLOCK FIELDS (in the writer's zone) re-composed under the
+    * java.util hybrid calendar (Julian before the 1582 cutover), then
+    * split as (julian day number, nanos of day). For pre-cutover
+    * dates the hybrid fields land on a DIFFERENT instant than the
+    * proleptic ones — the calendar shift [[int96LegacyRebase]]
+    * demonstrates. Zone choice mirrors Spark's LEGACY-rebase reader
+    * (JVM default), so encode/decode cancel in any host zone. */
+  private[graft] def hybridInt96(prolepticMicros: Long): (Int, Long) = {
+    val subSecUs = java.lang.Math.floorMod(prolepticMicros, 1000000L)
+    val sec = java.lang.Math.floorDiv(prolepticMicros, 1000000L)
+    val ldt = java.time.Instant.ofEpochSecond(sec)
+      .atZone(java.time.ZoneId.systemDefault()).toLocalDateTime
+    val cal = new java.util.GregorianCalendar(java.util.TimeZone.getDefault)
+    cal.clear()
+    cal.set(ldt.getYear, ldt.getMonthValue - 1, ldt.getDayOfMonth,
+      ldt.getHour, ldt.getMinute, ldt.getSecond)
+    val hybridUs = cal.getTimeInMillis * 1000L + subSecUs
+    ((java.lang.Math.floorDiv(hybridUs, 86400000000L) + 2440588L).toInt,
+      java.lang.Math.floorMod(hybridUs, 86400000000L) * 1000L)
+  }
+
+  /** INT96 LEGACY-rebase READ — the real Hive-era hazard behind the
+    * rebase confs: a pre-Gregorian-cutover timestamp written by a
+    * hybrid-calendar engine (Impala timestamp-value.cc, Hive ≤2.x)
+    * decodes to a DIFFERENT instant depending on which calendar the
+    * reader assumes. The fixture is an Impala-faithful file: written
+    * through parquet-mr DIRECTLY (no Spark footer metadata, so the
+    * reader cannot auto-detect the calendar and
+    * int96RebaseModeInRead genuinely governs — a Spark-written
+    * LEGACY file carries a marker that silently overrides the conf),
+    * holding year-1500 timestamps INT96-encoded via [[hybridInt96]].
+    * Read back under LEGACY the values are EXACT (the reader inverts
+    * the hybrid composition); under CORRECTED the same bytes surface
+    * 10 days later (the 1500s Julian↔proleptic-Gregorian gap) — both
+    * facts are columns of the result, so the oracle pins the exact
+    * legacy values AND the visible calendar shift. The fixture writer
+    * is a bounded driver loop BY DESIGN: it simulates the EXTERNAL
+    * engine that produced the file (like the planted WAV/GIF
+    * corpora), it is not a data-path operator; reads are ordinary
+    * distributed parquet scans. */
+  def int96LegacyRebase(spark: SparkSession, dir: String): DataFrame = {
+    val path = int96LegacyPath(spark, dir)
+    val base1500 = java.time.LocalDateTime.of(1500, 6, 15, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    if (!new java.io.File(path).isFile) {
+      val rows = events(spark, dir)
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"),
+          (lit(base1500) + expr("(ts DIV 1000000000) % 86400") * 1000000L +
+            col("event_id") % 1000000L).as("us"))
+        .orderBy("event_id")
+        .collect()
+      import org.apache.parquet.schema.{MessageTypeParser}
+      val schema = MessageTypeParser.parseMessageType(
+        """message events_int96_legacy {
+          |  required int64 event_id;
+          |  required binary event_type (UTF8);
+          |  required int96 ts96;
+          |}""".stripMargin)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(path))
+        .withConf(conf)
+        .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+      try rows.foreach { r =>
+        val (jdn, nanos) = hybridInt96(r.getAs[Long]("us"))
+        val buf = java.nio.ByteBuffer.allocate(12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.putLong(nanos).putInt(jdn)
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.add("event_id", r.getAs[Long]("event_id"))
+        g.add("event_type", r.getAs[String]("event_type"))
+        g.add("ts96", org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(buf.array()))
+        writer.write(g)
+      } finally writer.close()
+    }
+    // one aggregate per rebase mode; localCheckpoint() materializes
+    // INSIDE the conf window (the mode must bind to each scan) and
+    // the conf restores symmetrically
+    def aggUnder(mode: String): DataFrame = {
+      val key = "spark.sql.parquet.int96RebaseModeInRead"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, mode)
+      try spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(expr("unix_micros(ts96)")).as("min_us"),
+          max(expr("unix_micros(ts96)")).as("max_us"))
+        .localCheckpoint()
+      finally prev match {
+        case Some(t) => spark.conf.set(key, t)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val legacy = aggUnder("LEGACY")
+    val corrected = aggUnder("CORRECTED")
+      .select(col("event_type"), col("min_us").as("c_min_us"),
+        col("max_us").as("c_max_us"))
+    legacy.join(corrected, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("min_us"), col("max_us"),
+        ((col("c_min_us") - col("min_us")) / 86400000000L).cast("bigint")
+          .as("shift_days_min"),
+        ((col("c_max_us") - col("max_us")) / 86400000000L).cast("bigint")
+          .as("shift_days_max"))
       .orderBy("event_type")
   }
 

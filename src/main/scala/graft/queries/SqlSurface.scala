@@ -47,11 +47,19 @@ object SqlSurface {
     * is partitioned-INSERT territory and the stats pass is what
     * keeps join orders sane (SqlSurfaceSpec asserts the catalog
     * row-count statistic landed). */
-  /** sanitized identifier slug of an sf dir — collision-free per dir
-    * (unlike a hashCode, which collides across dirs and breaks the
-    * identifier at Int.MinValue) and a stable lock key. */
-  private[graft] def dirSlug(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "").toLowerCase
+  /** sanitized identifier slug of an sf dir and a stable lock key.
+    * The sanitization alone is NOT collision-free (it collapses
+    * punctuation runs and case: /data/sf0.1 and /data/sf0_1 would
+    * map to the same identifier), so a short digest of the RAW path
+    * is appended — that suffix is what makes distinct dirs yield
+    * distinct catalog names and distinct interned locks. */
+  private[graft] def dirSlug(dir: String): String = {
+    val base = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_|_$", "").toLowerCase
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${base}_$digest"
+  }
 
   def ctasCatalog(spark: SparkSession, dir: String): DataFrame = {
     val slug = dirSlug(dir)
@@ -82,12 +90,17 @@ object SqlSurface {
            |  CAST(o_totalprice AS DECIMAL(18,2))
            |FROM $v WHERE o_orderstatus = 'F'""".stripMargin)
       spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      // materialize INSIDE the lock (round-14 advice): a concurrent
+      // invocation's DROP + location delete between lock release and
+      // a lazy execution would scan deleted files. The result is a
+      // handful of grouped rows, so the checkpoint is O(groups).
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(price) AS DOUBLE) AS sum_price,
+           |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+           |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        .localCheckpoint()
     }
-    spark.sql(
-      s"""SELECT o_orderstatus, count(*) AS n_orders,
-         |  CAST(sum(price) AS DOUBLE) AS sum_price,
-         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
-         |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** REFRESH TABLE — Impala's REFRESH verb (the catalog-coherence
@@ -134,12 +147,16 @@ object SqlSurface {
           new java.io.File(locDir, f.getName).toPath)
       }
       spark.sql(s"REFRESH TABLE $tbl")
+      // materialize INSIDE the lock (round-14 advice): a concurrent
+      // invocation's drop/delete window between lock release and a
+      // lazy execution would serve deleted files.
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(price) AS DOUBLE) AS sum_price,
+           |  max(o_orderkey) AS max_okey
+           |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        .localCheckpoint()
     }
-    spark.sql(
-      s"""SELECT o_orderstatus, count(*) AS n_orders,
-         |  CAST(sum(price) AS DOUBLE) AS sum_price,
-         |  max(o_orderkey) AS max_okey
-         |FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
   /** TABLESAMPLE dialect surface — the sampling entry point users
@@ -198,12 +215,20 @@ object SqlSurface {
         s"""ALTER VIEW $vw AS
            |SELECT l_returnflag, l_shipdate, l_extendedprice
            |FROM $src WHERE l_quantity < 30""".stripMargin)
+      // ANALYZE the query inside the lock (round-14 advice): the view
+      // inlines at analysis time, so once spark.sql returns, this
+      // DataFrame's plan has captured the ALTERed definition — a
+      // concurrent invocation sitting between its own CREATE (wide)
+      // and ALTER can no longer leak the unfiltered definition into
+      // this thread's plan. Execution stays lazy (the inlined plan
+      // reads the parquet directly; no catalog state remains in it),
+      // so SqlSurfaceSpec can still assert pushdown on the live plan.
+      spark.sql(
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM $vw WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
-    spark.sql(
-      s"""SELECT l_returnflag, count(*) AS n_rows,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM $vw WHERE l_shipdate >= TIMESTAMP '1995-06-01'
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
   /** ROLLUP aggregation over returnflag × linestatus (subtotals +
@@ -460,6 +485,54 @@ object SqlSurface {
         col("exact_ndv") <= 0.05).as("direct_within_bound"),
       (abs(col("est_merged") - col("est_direct")).cast("double") /
         col("est_direct") <= 0.01).as("merge_consistent"))
+  }
+
+  /** Partition-level ANALYZE — Impala's COMPUTE INCREMENTAL STATS
+    * analog (the last catalog verb next to [[ctasCatalog]]'s
+    * table-level pass): events land as a PARTITIONED external
+    * catalog table (one directory per event_type — the layout
+    * [[partitionedSink]] proves prunes), partitions are discovered
+    * with ALTER TABLE ... RECOVER PARTITIONS (Impala's post-load
+    * metadata refresh), then `ANALYZE TABLE ... PARTITION
+    * (event_type) COMPUTE STATISTICS` writes PER-PARTITION row
+    * counts and sizes into the catalog — the granularity that lets a
+    * planner cost a partition-filtered query from the pruned
+    * partitions' own stats instead of a whole-table average. The
+    * answered query filters to two partitions; SqlSurfaceSpec
+    * asserts every partition's catalog rowCount is exact and that
+    * the pruned scan's size estimate equals the analyzed partitions'
+    * stored totalSize (not the table-wide bytes). At 100 TB the
+    * incremental form is the only affordable one: stats refresh
+    * touches the partitions a load changed, never the whole table. */
+  def analyzePartition(spark: SparkSession, dir: String): DataFrame = {
+    val slug = dirSlug(dir)
+    val tbl = s"graft_parts_$slug"
+    tbl.intern.synchronized {
+      val loc = SourcesSinks.tmp(spark, dir, "events_parts_cat")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      SourcesSinks.deleteRecursively(new java.io.File(loc))
+      events(spark, dir)
+        .select(expr("ts div 1000000000 div 3600 * 3600").as("hour_sec"),
+          col("value"), col("event_type"))
+        .write.partitionBy("event_type").parquet(loc)
+      spark.sql(
+        s"""CREATE TABLE $tbl (hour_sec BIGINT, value DOUBLE,
+           |  event_type STRING)
+           |USING PARQUET PARTITIONED BY (event_type)
+           |LOCATION '$loc'""".stripMargin)
+      spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
+      spark.sql(s"ANALYZE TABLE $tbl PARTITION (event_type) COMPUTE STATISTICS")
+      // materialize INSIDE the lock (the ctasCatalog discipline): a
+      // concurrent invocation's DROP + location delete must not race
+      // a lazy execution
+      spark.sql(
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           |  min(hour_sec) AS min_hour, max(hour_sec) AS max_hour
+           |FROM $tbl WHERE event_type IN ('click', 'purchase')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .localCheckpoint()
+    }
   }
 
   /** Partitioned parquet sink + partition-pruned re-read: events

@@ -698,6 +698,110 @@ object StreamQueries {
     out
   }
 
+  /** Three-file staging of the graph-ANN ARRIVAL slice (vec_id ≡ 0
+    * mod 53 — the ingest batch the base graph was built without),
+    * split by (vec_id / 53) % 3 with strictly increasing mtimes so
+    * maxFilesPerTrigger=1 replays three deterministic micro-batches
+    * of new vectors. */
+  private def stageGraphArrivalsDir(spark: SparkSession, dir: String): String =
+    synchronized {
+      val d = graft.queries.SourcesSinks.tmp(spark, dir, "emb_stream_arrivals")
+      val marker = java.nio.file.Paths.get(d, "_STAGED")
+      if (!java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val emb = Tables.embeddings(spark, dir).filter(col("vec_id") % 53 === 0)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+            mtime: Long): Unit = {
+          val tmpDir = s"$d/__tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+          val part = new java.io.File(tmpDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(d, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(mtime): Unit
+          graft.queries.SourcesSinks.deleteRecursively(new java.io.File(tmpDir))
+        }
+        val t0 = 1600000000000L
+        writeOne(emb.filter(expr("(vec_id DIV 53) % 3 = 0")), "a_first", t0)
+        writeOne(emb.filter(expr("(vec_id DIV 53) % 3 = 1")), "b_second", t0 + 60000)
+        writeOne(emb.filter(expr("(vec_id DIV 53) % 3 = 2")), "c_third", t0 + 120000)
+        java.nio.file.Files.createFile(marker)
+      }
+      d
+    }
+
+  /** STREAMING graph-ANN index maintenance — the index lifecycle
+    * made continuous: each micro-batch of arriving vectors runs
+    * [[graft.operators.Similarity]]'s search-then-link insertion
+    * (the HNSW insert primitive ann_graph_insert grades in batch)
+    * and MERGEs its links into the persistent index state under
+    * [[upsertSink]]'s exactly-once contract — idempotent writes
+    * keyed by batchId, so a replayed batch rewrites the same version
+    * with the same bytes instead of duplicating links. Arrivals
+    * search the BASE index (per-probe state only, arrivals never
+    * interact), so the final link table is batch-partition-invariant
+    * and IDENTICAL to the one-shot batch insert — the property that
+    * lets the DuckDB oracle replay the whole streamed lifecycle as
+    * the batch chain, and the contract a deployment would verify
+    * before switching ingest from nightly rebuilds to continuous
+    * maintenance. Output: the batch insert audit (per-arrival links
+    * vs exact top-M over the base corpus) served from the STREAMED
+    * index state. At 100 TB each micro-batch costs
+    * O(batch·rounds·beam·M) scores against the persistent graph —
+    * never a rebuild, never corpus×corpus. */
+  def graphMaintain(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = replaySession(spark0)
+    // the replay session is a FRESH newSession (empty function
+    // registry): register the native kernels explicitly — riding on
+    // Tables access is not enough, because the arrivals staging is
+    // marker-guarded and a SECOND invocation skips it (measured:
+    // run 2 failed analysis on graft_dot in the micro-batch clone)
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val path = stageGraphArrivalsDir(spark, dir)
+    // schema from the STAGED files (canonical Tables.embeddings
+    // types), not the raw table — the staging wrote canonicalized
+    // columns and the stream must read what was staged
+    val phys = spark.read.parquet(s"$path/a_first.parquet").schema
+    val stream = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet").parquet(path)
+    val base = java.nio.file.Files.createTempDirectory("graft_graph_state")
+      .toString
+    val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        // the micro-batch session is the stream's own clone; make the
+        // kernel registration explicit rather than inherited
+        org.apache.spark.sql.GraftFunctions.register(s)
+        val arrivals = graft.operators.Vectors.asDouble(
+            batch.select(col("vec_id").cast("long"), col("embedding")))
+          .select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+            graft.operators.Vectors.norm(col("vd")).as("pnrm"))
+        val links = graft.operators.Similarity
+          .insertLinksFor(s, dir, arrivals)
+        val prev = s"$base/v$id"
+        val merged =
+          if (!new java.io.File(prev).exists()) links
+          else s.read.parquet(prev).unionByName(links)
+        // idempotence: keyed by batchId — a replay of batch `id`
+        // overwrites v_{id+1} with identical bytes
+        merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
+        lastVersion.set(math.max(lastVersion.get(), id + 1))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // grade on the BATCH session (32 shuffle partitions): the audit
+    // is the batch-surface brute-force pass, not part of the replay
+    val streamedLinks = spark0.read.parquet(s"$base/v${lastVersion.get()}")
+    val out = graft.operators.Similarity
+      .gradeInsertLinks(spark0, dir, streamedLinks, auditSampleMod = 1L)
+      .localCheckpoint(true)
+    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
+    out
+  }
+
   /** Stream-static enrichment — the OTHER ubiquitous production join:
     * each micro-batch joins against a STATIC dimension snapshot (here
     * a batch-computed per-user activity tier). No state store at all —

@@ -424,6 +424,19 @@ class MultimodalSpec extends SparkSpec {
       M.audioFingerprintOn(clean, dfCap = Int.MaxValue).collect().toSeq)
   }
 
+  test("audio fingerprint: no hint-forced broadcast of a corpus-scaled relation") {
+    // `counts` (one row per corpus doc) joins back per match side;
+    // a broadcast() hint there is a driver-memory bomb at 10⁹ assets
+    // (the round-12 policy). The only hints allowed in this plan are
+    // the scale-safe shuffle_hash pins on the pairing/match joins —
+    // any broadcast must be AQE's own measured-size decision.
+    val M = operators.Multimodal
+    val analyzed = M.audioFingerprint(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("strategy=broadcast"),
+      "fingerprint plan carries a forced broadcast hint:\n" +
+        analyzed.linesIterator.filter(_.contains("ResolvedHint")).mkString("\n"))
+  }
+
   test("GIF decode: delta-encoded frames fail fast, corrupt payloads drop the doc") {
     import spark.implicits._
     val M = operators.Multimodal
@@ -480,6 +493,33 @@ class MultimodalSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("delta-encoded")), messages(e).toString)
+    // the COMMON delta form: a sub-rectangle frame (ImageDescriptor
+    // smaller than the logical screen) under a non-restore disposal —
+    // it passes the disposal guard but its pixels outside the rect
+    // composite against the prior frame, so it must also fail fast
+    def subRectGif(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      Seq(8, 4).foreach { side => // frame 1 covers only a 4x4 corner
+        val img = new java.awt.image.BufferedImage(side, side,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        for (y <- 0 until side; x <- 0 until side) {
+          val v = (x + y) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); out.close()
+      bos.toByteArray
+    }
+    val sub = Seq((1L, subRectGif())).toDF("doc_id", "content")
+    val e2 = intercept[Exception] {
+      M.decodeGifFrames(sub, stride = 1).collect()
+    }
+    assert(messages(e2).exists(_.contains("sub-rectangle delta")), messages(e2).toString)
     // a truncated payload drops ITS doc only; intact docs decode
     val good = gifBytes(None)
     val mixed = Seq((1L, good), (2L, good.take(good.length / 2)))

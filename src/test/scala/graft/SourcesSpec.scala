@@ -137,6 +137,19 @@ class SourcesSpec extends SparkSpec {
 
   test("int96 timestamps: the footer's physical type really is INT96") {
     import org.apache.spark.sql.functions._
+    // the writer toggles outputTimestampType AND int96RebaseModeInWrite;
+    // BOTH must restore to their pre-call values (round-14 advice: the
+    // rebase mode leaked). Plant a sentinel and force the write branch.
+    queries.SourcesSinks.deleteRecursively(
+      new java.io.File(queries.SourcesSinks.int96Path(spark, sf)))
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+    try {
+      queries.SourcesSinks.int96Timestamps(spark, sf).collect(): Unit
+      assert(spark.conf.get("spark.sql.parquet.int96RebaseModeInWrite") == "LEGACY",
+        "int96RebaseModeInWrite leaked out of the writer")
+    } finally spark.conf.unset("spark.sql.parquet.int96RebaseModeInWrite")
+    // the row pins CORRECTED internally regardless of the session
+    // sentinel, so the value/footer assertions below are unaffected
     val got = queries.SourcesSinks.int96Timestamps(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val want = graft.sources.Tables.events(spark, sf)
@@ -158,6 +171,55 @@ class SourcesSpec extends SparkSpec {
       assert(t.asPrimitiveType().getPrimitiveTypeName ==
         org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96,
         t.toString)
+    } finally reader.close()
+  }
+
+  test("int96 legacy rebase: LEGACY read is exact, CORRECTED shows the 10-day calendar shift") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.SourcesSinks.int96LegacyRebase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the calendar shift is VISIBLE and is exactly the 1500s
+    // Julian↔proleptic gap on every group boundary value
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shift_days_min") == 10L, r.toString)
+      assert(r.getAs[Long]("shift_days_max") == 10L, r.toString)
+    }
+    // LEGACY read is EXACT against the independently-computed
+    // intended instants (proleptic µs, straight from the base table)
+    val base1500 = java.time.LocalDateTime.of(1500, 6, 15, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_type"),
+        (lit(base1500) + expr("(ts DIV 1000000000) % 86400") * 1000000L +
+          col("event_id") % 1000000L).as("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("us").as("mn"), max("us").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx")))).toMap
+    val got = rows.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_events"), r.getAs[Long]("min_us"),
+        r.getAs[Long]("max_us")))).toMap
+    assert(got == want)
+    // the fixture really is an EXTERNAL-engine file: INT96 physical
+    // type AND no Spark writer metadata (a Spark-written LEGACY file
+    // carries a marker that silently overrides int96RebaseModeInRead)
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val part = new java.io.File(queries.SourcesSinks.int96LegacyPath(spark, sf))
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val fmd = reader.getFooter.getFileMetaData
+      val t = fmd.getSchema.getType(fmd.getSchema.getFieldIndex("ts96"))
+      assert(t.asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96,
+        t.toString)
+      val keys = fmd.getKeyValueMetaData.keySet()
+      assert(!keys.stream().anyMatch(_.startsWith("org.apache.spark")),
+        s"fixture carries Spark writer metadata: $keys")
     } finally reader.close()
   }
 

@@ -623,6 +623,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(meta.stats.exists(_.colStats.nonEmpty), "no column stats computed")
   }
 
+  test("analyze partition: per-partition rowCounts land, the pruned estimate uses them") {
+    import org.apache.spark.sql.functions._
+    val got = queries.SqlSurface.analyzePartition(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    val want = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // the per-partition stats really landed: every partition's
+    // catalog rowCount is the exact per-type count
+    val tbl = s"graft_parts_${queries.SqlSurface.dirSlug(sf)}"
+    val parts = spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val trueCounts = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.map(_.spec("event_type")).toSet == trueCounts.keySet)
+    parts.foreach { p =>
+      val et = p.spec("event_type")
+      assert(p.stats.exists(_.rowCount.exists(_.toLong == trueCounts(et))),
+        s"partition $et rowCount missing or wrong: ${p.stats}")
+    }
+    // the planner's estimate for a partition-filtered scan is the
+    // PRUNED partitions' own analyzed bytes, not the table-wide size
+    val chosen = Set("click", "purchase")
+    val pruned = spark.table(tbl)
+      .filter(col("event_type").isin(chosen.toSeq: _*))
+    val est = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wantBytes = parts.filter(p => chosen(p.spec("event_type")))
+      .map(_.stats.get.sizeInBytes).sum
+    val allBytes = parts.map(_.stats.get.sizeInBytes).sum
+    assert(est == wantBytes && est < allBytes,
+      s"pruned estimate $est, analyzed-partition bytes $wantBytes, table $allBytes")
+  }
+
   test("star except: the excluded columns are gone, pruning reaches the scan") {
     val df = queries.SqlSurface.starExcept(spark, sf)
     assert(df.columns.toSet == Set("c_custkey", "c_nationkey", "c_acctbal"))

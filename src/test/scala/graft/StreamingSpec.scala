@@ -565,6 +565,30 @@ class StreamingSpec extends SparkSpec {
       s"only $spanning users span 2+ micro-batches")
   }
 
+  test("graph maintenance: streamed micro-batch inserts land the batch index state") {
+    import org.apache.spark.sql.functions._
+    val got = rowSet(graft.streaming.StreamQueries.graphMaintain(spark, sf))
+    // the streamed link table must be IDENTICAL to the one-shot
+    // batch insert — the batch-partition-invariance contract the
+    // oracle reuse rests on
+    val want = rowSet(graft.operators.Similarity.graphInsert(spark, sf))
+    assert(want.nonEmpty && got == want)
+    // a SECOND invocation in the same JVM must work and agree: the
+    // staging is marker-guarded, so run 2 exercises the fresh replay
+    // session WITHOUT the staging side effects (round-15 regression:
+    // kernel registration rode the staging path and run 2 failed
+    // analysis on graft_dot)
+    assert(rowSet(graft.streaming.StreamQueries.graphMaintain(spark, sf)) == want)
+    // the replay was genuinely micro-batched: the arrival slice
+    // spans all three staged thirds, so links accumulated across
+    // at least two MERGE versions rather than one bulk write
+    val arrivals = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 53 === 0)
+    val slices = arrivals.select(expr("(vec_id DIV 53) % 3").as("s"))
+      .distinct().count()
+    assert(slices >= 2, s"arrival slice spans only $slices thirds")
+  }
+
   test("outer-join null rows emit exactly at the watermark eviction boundary") {
     import org.apache.spark.sql.functions._
     // Planted boundary purchases around W = min(max click, max
