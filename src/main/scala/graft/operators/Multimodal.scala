@@ -112,7 +112,11 @@ object Multimodal {
     * an all-pairs compare. Mean threshold is exact integer math
     * (pixel·60 > Σpixels). */
   def imageAHash(spark: SparkSession, dir: String): DataFrame =
-    imageAHashOn(documents(spark, dir))
+    // single-row-group input: the md5×4 + 60-pixel extraction stage
+    // would run in ONE scan task; fan the docs across the machine
+    // first (identity at scale — see Tables.parallelized)
+    imageAHashOn(graft.sources.Tables.parallelized(
+      documents(spark, dir), col("doc_id")))
 
   /** Generic core: aHash near-dup pairs over any (doc_id, text)
     * payload relation — the library entry point (and the seam the

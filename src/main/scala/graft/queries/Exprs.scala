@@ -30,10 +30,19 @@ object Exprs {
     * 6+ fraction digits; this DuckDB returns DOUBLE) — that row pins
     * Spark's semantics against an integer replay instead. */
   def decimalArith(spark: SparkSession, dir: String): DataFrame =
+    // sort FIRST on the narrow key columns, derive the decimal/string
+    // payload AFTER the Sort (r15, guide §2.3/§2.4): the range
+    // exchange's sampling pass re-executes the map-side pipeline, so a
+    // payload computed below the Exchange is paid twice — and rides the
+    // wire. Project-above-Sort computes it once, post-shuffle, and the
+    // exchange carries 4 narrow input columns instead of rendered
+    // strings. Identical rows in the identical total order (Project
+    // preserves Sort order).
     lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast(D).as("p"),
       col("l_quantity").cast(DecimalType(9, 2)).as("q"))
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("p").cast("string").as("p_str"),
@@ -44,7 +53,6 @@ object Exprs {
         round(col("p"), -2).cast("bigint").as("round_hundreds"),
         floor(col("p")).cast("bigint").as("fl"),
         ceil(col("p")).cast("bigint").as("ce"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Decimal DIVISION contract — the corner [[decimalArith]]
     * documents by omission, closed: Spark's division result scale is
@@ -62,10 +70,14 @@ object Exprs {
     * Inputs exact 2-decimal, quantities ≤ 50 → every intermediate
     * fits BIGINT on the oracle side and DECIMAL(22,6) here. */
   def decimalDiv(spark: SparkSession, dir: String): DataFrame =
+    // sort-first / project-after, same reasoning as [[decimalArith]]:
+    // the two divisions and their string renders run once, above the
+    // range exchange, instead of twice below it.
     lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast(D).as("p"),
       col("l_quantity").cast(DecimalType(3, 0)).as("q"))
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         // (18,2) / (3,0) → DECIMAL(22,6), single half-up at scale 6
@@ -74,7 +86,6 @@ object Exprs {
         // ÷0 lane: qty−1 is 0 on qty-1 lines → NULL, never an error
         expr("CAST(try_divide(p, CAST(q - 1 AS DECIMAL(3,0))) AS DECIMAL(38,6))")
           .cast("string").as("unit_price_m1_str"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** String kernel: substr/upper/lower/concat/length/LIKE. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -108,7 +119,14 @@ object Exprs {
 
   /** Arithmetic + CASE WHEN + cast + floor/ceil. */
   def mathCase(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).select(
+    // sort-first / project-after (see decimalArith): the CASE/decimal
+    // payload is computed once above the range exchange, which carries
+    // only the 6 narrow input columns
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
         .cast("double").as("gross"),
@@ -146,13 +164,16 @@ object Exprs {
     * dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the oracle
     * shifts). */
   def dateParse(spark: SparkSession, dir: String): DataFrame =
+    // sort-first / project-after (see decimalArith): format+parse run
+    // once above the range exchange
     orders(spark, dir)
+      .select("o_orderkey", "o_orderdate")
+      .orderBy("o_orderkey")
       .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyyMMdd").as("ymd"))
       .withColumn("parsed", to_date(col("ymd"), "yyyyMMdd"))
       .withColumn("epoch_day", unix_date(col("parsed")).cast("bigint"))
       .withColumn("weekday", dayofweek(col("parsed")).cast("bigint"))
-      .orderBy("o_orderkey")
 
   /** Content digests — the hash-util.h analog (md5 / sha256 are
     * engine-portable, unlike CRC32c/FNV). */
@@ -205,13 +226,16 @@ object Exprs {
 
   /** NULL semantics: nullif/coalesce/null-safe equality. */
   def nullSemantics(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir).select(
+    // sort-first / project-after (see decimalArith)
+    lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
       coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
       (col("l_discount") <=> lit(0.0)).as("is_zero_nullsafe"),
       isnull(nullif(col("l_tax"), lit(0.0))).as("tax_is_zero"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Nested-type surface: arrays as first-class scan columns —
     * length, element access (front/back), and order-free element
@@ -383,7 +407,10 @@ object Exprs {
     * (counts of each outcome, min/max of the survivors) so the
     * result is engine-exact. */
   def tryArith(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
+    // single-row-group input: the 4 try_* kernels + partial agg would
+    // run in ONE scan task; parallelized() fans the rows across the
+    // machine first (identity at scale — see Tables.parallelized)
+    graft.sources.Tables.parallelized(lineitem(spark, dir), col("l_orderkey"))
       .select(col("l_returnflag"),
         expr("try_multiply(l_orderkey % 13300, 700000000000000L)").as("mul"),
         expr(s"try_add(${Long.MaxValue - 1000L}L, l_partkey % 1024)").as("add"),

@@ -572,7 +572,10 @@ object SqlSurface {
   def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
     val js = concat(lit("{\"e\":\""), col("event_type"),
       lit("\",\"p\":"), col("props"), lit("}"))
-    events(spark, dir)
+    // single-row-group input: parse_json + 4 variant probes + partial
+    // agg would run in ONE scan task; fan rows across the machine
+    // first (identity at scale — see Tables.parallelized)
+    graft.sources.Tables.parallelized(events(spark, dir), col("event_id"))
       .withColumn("v", parse_json(js))
       .select(
         variant_get(col("v"), "$.e", "string").as("etype"),

@@ -50,7 +50,13 @@ object Tpch {
 
   /** Q1 pricing summary: selective scan + hash agg on lineitem. */
   def q1(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
+    // single-row-group input: the 4-decimal-sum partial aggregate
+    // would run in ONE scan task; fan the rows across the machine
+    // first (identity at scale — see Tables.parallelized). Column
+    // pruning pushes below the repartition, so the exchange carries
+    // only the 7 referenced columns.
+    val li = graft.sources.Tables.parallelized(
+      lineitem(spark, dir), col("l_orderkey"))
     li.filter(col("l_shipdate") <= ts("2001-09-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(

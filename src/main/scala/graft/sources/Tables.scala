@@ -85,6 +85,24 @@ object Tables {
       drifted.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c)) }: _*)
   }
 
+  /** Parallelize an effectively-unsplittable scan (guide §2.5's
+    * repartition-after-read remedy, made scale-adaptive): the test
+    * data ships ONE row group per file, so Spark plans the whole scan
+    * as a single task and every per-row kernel above it (decimal
+    * arithmetic, JSON parse, decode, hashing) runs on one core. When
+    * the planned scan parallelism is below the session's cores,
+    * hash-repartition on `key` so the compute uses the machine; when
+    * the source already splits (any real multi-row-group / multi-file
+    * layout — i.e. every at-scale deployment), this is the IDENTITY
+    * and adds no plan node and no shuffle. Hash (not round-robin) so
+    * the row→partition map is deterministic under task retry
+    * (SPARK-38388 discipline) and pays no sort-before-repartition. */
+  def parallelized(df: DataFrame, key: Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, key)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

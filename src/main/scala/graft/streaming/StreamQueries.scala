@@ -181,6 +181,16 @@ object StreamQueries {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // dev-only timing breakdown (never set by the driver): per-batch
+    // durationMs from the progress log, to locate micro-batch overhead
+    if (sys.env.contains("GRAFT_STREAM_PROFILE")) {
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        System.err.println(s"[streamprof] $name batch=${p.batchId} rows=${p.numInputRows} " +
+          scala.jdk.CollectionConverters.MapHasAsScala(d).asScala.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
+    }
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
