@@ -37,6 +37,24 @@ object StreamQueries {
 
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Scratch-dir root for the bounded replay's checkpoint/state
+    * artifacts (offsets WAL, commit log, state-store deltas, the
+    * foreachBatch version files): RAM-backed when the host offers it
+    * (r15, guide §6 — these are per-run scratch, created fresh and
+    * deleted on completion, so disk durability buys nothing and every
+    * micro-batch pays its fsync/write latency; an unbounded
+    * production deployment points checkpointLocation at durable
+    * storage precisely because its checkpoints must OUTLIVE the job —
+    * a replay's must not). Falls back to java.io.tmpdir when no
+    * tmpfs is mounted. */
+  private[streaming] def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root =
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  }
+
   /** Child session sized for the bounded replay. The state-store
     * instance count of every stateful operator equals
     * spark.sql.shuffle.partitions AT STREAM START — it is the
@@ -178,9 +196,12 @@ object StreamQueries {
     * not accumulate sink tables on the driver). */
   private def runBounded(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_out_${seq.incrementAndGet()}"
+    val ckpt = scratchDir("graft_ckpt_")
     val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(ckpt))
     // dev-only timing breakdown (never set by the driver): per-batch
     // durationMs from the progress log, to locate micro-batch overhead
     if (sys.env.contains("GRAFT_STREAM_PROFILE")) {
@@ -662,8 +683,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(path)
       .withColumn("ns", Tables.epochNsOf(phys, "ts"))
       .select(col("user_id"), col("ns"), col("event_id"), col("event_type"))
-    val base = java.nio.file.Files.createTempDirectory("graft_upsert_state")
-      .toString
+    val base = scratchDir("graft_upsert_state")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val q = stream.writeStream
@@ -694,6 +714,7 @@ object StreamQueries {
         merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
         lastVersion.set(math.max(lastVersion.get(), id + 1))
       }
+      .option("checkpointLocation", scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
@@ -776,8 +797,7 @@ object StreamQueries {
     val stream = spark.readStream.schema(phys)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet").parquet(path)
-    val base = java.nio.file.Files.createTempDirectory("graft_graph_state")
-      .toString
+    val base = scratchDir("graft_graph_state")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -800,6 +820,7 @@ object StreamQueries {
         merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
         lastVersion.set(math.max(lastVersion.get(), id + 1))
       }
+      .option("checkpointLocation", scratchDir("graft_ckpt_"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     // grade on the BATCH session (32 shuffle partitions): the audit
