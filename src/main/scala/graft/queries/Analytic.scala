@@ -713,30 +713,49 @@ object Analytic {
     * user_id)` (AnalyticSpec asserts parity) while every window
     * partition is bounded: the per-shard windows by the value
     * distribution, the offset window by nShards rows. */
-  private def shardedNtile(df: DataFrame, sortCol: String, k: Int, out: String): DataFrame = {
+  /** Multi-column form of the two-level exact ntile (r15): every
+    * banded column shares ONE stats pass (per-column min/max + the
+    * common count, broadcast once) and one shard-assignment
+    * projection, instead of the former per-column fold that chained a
+    * full stats aggregate and its broadcast per pass (~34 scheduled
+    * stages for 3 bands; now ~half). The per-column offsets
+    * aggregates are independent subtrees AQE materializes
+    * concurrently. Ranking math, tie-breaks, and band values are
+    * bit-identical to the single-column form the spec pins against
+    * the global-window ntile. */
+  private def shardedNtile(df: DataFrame, colsOut: Seq[(String, String)],
+      k: Int): DataFrame = {
     val nShards = 16
-    val stats = df.agg(min(col(sortCol).cast("double")).as("_mn"),
-      max(col(sortCol).cast("double")).as("_mx"), count(lit(1)).as("_n"))
-    val sharded = df.crossJoin(broadcast(stats))
-      .withColumn("_shard",
-        when(col("_mx") > col("_mn"),
+    val aggs = count(lit(1)).as("_n") +: colsOut.flatMap { case (c, _) => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val sharded = colsOut.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (d, (c, _)) => d.withColumn(s"_shard_$c",
+        when(col(s"_mx_$c") > col(s"_mn_$c"),
           least(lit(nShards - 1),
-            floor((col(sortCol).cast("double") - col("_mn")) /
-              (col("_mx") - col("_mn")) * nShards)))
+            floor((col(c).cast("double") - col(s"_mn_$c")) /
+              (col(s"_mx_$c") - col(s"_mn_$c")) * nShards)))
         .otherwise(lit(0)).cast("int"))
-    val wLocal = Window.partitionBy("_shard").orderBy(col(sortCol), col("user_id"))
-    val offsets = sharded.groupBy("_shard").agg(count(lit(1)).as("_cnt"))
-      // nShards rows — the unpartitioned cumsum is bounded by construction
-      .withColumn("_off", coalesce(sum("_cnt").over(
-        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    sharded.join(broadcast(offsets.select("_shard", "_off")), "_shard")
-      .withColumn("_rank", col("_off") + row_number().over(wLocal))
-      .withColumn(out, expr(
-        s"""CASE WHEN _rank <= (_n % $k) * ((_n div $k) + 1)
-           | THEN (_rank - 1) div ((_n div $k) + 1) + 1
-           | ELSE (_n % $k) + (_rank - 1 - (_n % $k) * ((_n div $k) + 1)) div (_n div $k) + 1
-           | END""".stripMargin).cast("bigint"))
-      .drop("_shard", "_off", "_rank", "_mn", "_mx", "_n")
+    }
+    val banded = colsOut.foldLeft(sharded) { case (d, (c, out)) =>
+      val wLocal = Window.partitionBy(s"_shard_$c").orderBy(col(c), col("user_id"))
+      val offsets = sharded.groupBy(s"_shard_$c").agg(count(lit(1)).as("_cnt"))
+        // nShards rows — the unpartitioned cumsum is bounded by construction
+        .withColumn("_off", coalesce(sum("_cnt").over(
+          Window.orderBy(s"_shard_$c").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      d.join(broadcast(offsets.select(s"_shard_$c", "_off")), s"_shard_$c")
+        .withColumn("_rank", col("_off") + row_number().over(wLocal))
+        .withColumn(out, expr(
+          s"""CASE WHEN _rank <= (_n % $k) * ((_n div $k) + 1)
+             | THEN (_rank - 1) div ((_n div $k) + 1) + 1
+             | ELSE (_n % $k) + (_rank - 1 - (_n % $k) * ((_n div $k) + 1)) div (_n div $k) + 1
+             | END""".stripMargin).cast("bigint"))
+        .drop("_off", "_rank")
+    }
+    val scratch = Seq("_n") ++ colsOut.flatMap { case (c, _) =>
+      Seq(s"_mn_$c", s"_mx_$c", s"_shard_$c") }
+    banded.drop(scratch: _*)
   }
 
   /** RFM segmentation — recency / frequency / monetary quintile bands
@@ -758,9 +777,9 @@ object Analytic {
         count(lit(1)).as("n_purchases"),
         sum(col("value").cast(D)).cast("double").as("total_spend"))
       .localCheckpoint() // staged once: three ranking passes read it
-    val banded = Seq(("last_purchase_sec", "r_band"), ("n_purchases", "f_band"),
-        ("total_spend", "m_band"))
-      .foldLeft(per) { case (df, (c, b)) => shardedNtile(df, c, 5, b) }
+    val banded = shardedNtile(per,
+      Seq(("last_purchase_sec", "r_band"), ("n_purchases", "f_band"),
+        ("total_spend", "m_band")), 5)
     banded
       .withColumn("segment",
         concat(col("r_band"), lit("-"), col("f_band"), lit("-"), col("m_band")))
@@ -1422,6 +1441,13 @@ object Analytic {
     lineitem(spark, dir)
       .withColumn("med7", expr("percentile(l_extendedprice, 0.5)").over(w))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "med7")
+      // materialize ONCE before the global sort (r15): the range
+      // exchange's sampling pass re-executes its child, and here the
+      // child is the full percentile window — the query's entire cost
+      // — so the final orderBy silently doubled it. The checkpoint
+      // caches the windowed rows (partition-local, spillable); sample
+      // and shuffle-map then both read the cache. Values unchanged.
+      .localCheckpoint()
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
@@ -2018,6 +2044,12 @@ object Analytic {
         (col("part_sum") - col("peer_sum") + col("p")).cast("double"))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice",
         "n_grp", "sum_grp", "n_ties", "sum_ties")
+      // materialize ONCE before the global sort (r15, same reasoning
+      // as win_rolling_median): with the two aggregates broadcast the
+      // fact side reaches the final range exchange with no shuffle
+      // below, so the sampling pass re-ran both join-backs over the
+      // whole corpus. Values unchanged.
+      .localCheckpoint()
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
