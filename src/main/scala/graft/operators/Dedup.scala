@@ -1127,7 +1127,12 @@ object Dedup {
     * Docs with fewer than w shingles emit no full window and are
     * absent — the contract (MOSS ignores sub-window fragments too). */
   def winnowing(spark: SparkSession, dir: String): DataFrame =
-    winnowingOn(documents(spark, dir)).orderBy("doc_id")
+    // single-row-group input: normalize+shingle would explode the
+    // whole corpus in ONE scan task before the per-doc window's
+    // exchange; fan docs out first (identity at scale — see
+    // Tables.parallelized)
+    winnowingOn(graft.sources.Tables.parallelized(
+      documents(spark, dir), col("doc_id"))).orderBy("doc_id")
 
   /** Generic core of [[winnowing]] over any (doc_id, text) relation;
     * k=3-word shingles, window w=4. */
@@ -1176,7 +1181,10 @@ object Dedup {
     * where pairwise diffing is not. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val words = documents(spark, dir)
+    // single-row-group input fanned out before the explode — see
+    // [[winnowing]]; identity at scale
+    val words = graft.sources.Tables.parallelized(
+        documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
     // shuffle-free: the word count is a projection over the doc row,
     // never an aggregate over the exploded token relation
