@@ -108,7 +108,9 @@ object TextAnalysis {
   /** length / punctuation / stopword / digit ratios + a weighted
     * quality score — the classic pre-training quality filter shape. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    qualityOn(documents(spark, dir))
+    // single-row-group input fanned out before the per-doc scoring
+    // projection (identity at scale — see Tables.parallelized)
+    qualityOn(graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id")))
 
   /** generic core: quality scoring over any (doc_id, text) relation —
     * the library entry point; the (spark, dir) form binds it to the
@@ -425,7 +427,7 @@ object TextAnalysis {
     // (the contamination/minhash pattern — the two consumers otherwise
     // each re-run the explode + (doc,term) aggregation from a fresh
     // scan, and (doc,term) is corpus-scale work)
-    val tf = documents(spark, dir)
+    val tf = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -469,7 +471,7 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tri = documents(spark, dir)
+    val tri = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
@@ -506,7 +508,7 @@ object TextAnalysis {
   def dupNgram(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val grams = documents(spark, dir)
+    val grams = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
@@ -562,7 +564,7 @@ object TextAnalysis {
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val phoneRe = "\\+1-555-[0-9]{4}"
-    val salted = documents(spark, dir).select(
+    val salted = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id")).select(
       col("doc_id"),
       concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
@@ -978,7 +980,7 @@ object TextAnalysis {
   def dupCurve(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val words = documents(spark, dir)
+    val words = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
     val withLeads = (1 to 6).foldLeft(words) { (df, i) =>
       df.withColumn(s"w$i", lead("w", i).over(byDoc))
@@ -1023,7 +1025,7 @@ object TextAnalysis {
     * top-1000 boundary break by (count desc, bigram asc) so the
     * model is a pure function of the corpus. */
   def lmFamiliarity(spark: SparkSession, dir: String): DataFrame =
-    lmFamiliarityOn(documents(spark, dir))
+    lmFamiliarityOn(graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id")))
 
   /** Generic core of [[lmFamiliarity]] over any (doc_id, text)
     * relation — train the top-1000 bigram model on the SAME corpus
@@ -1079,7 +1081,7 @@ object TextAnalysis {
     * Map-only: one projection pass, no shuffle before the per-doc
     * output. */
   def codeDetect(spark: SparkSession, dir: String): DataFrame =
-    codeDetectOn(documents(spark, dir)).orderBy("doc_id")
+    codeDetectOn(graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))).orderBy("doc_id")
 
   /** Generic core of [[codeDetect]] over any (doc_id, text) relation. */
   def codeDetectOn(docs: DataFrame): DataFrame =
