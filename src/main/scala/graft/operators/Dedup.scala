@@ -1181,10 +1181,7 @@ object Dedup {
     * where pairwise diffing is not. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // single-row-group input fanned out before the explode — see
-    // [[winnowing]]; identity at scale
-    val words = graft.sources.Tables.parallelized(
-        documents(spark, dir), col("doc_id"))
+    val words = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
     // shuffle-free: the word count is a projection over the doc row,
     // never an aggregate over the exploded token relation

@@ -108,9 +108,7 @@ object TextAnalysis {
   /** length / punctuation / stopword / digit ratios + a weighted
     * quality score — the classic pre-training quality filter shape. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    // single-row-group input fanned out before the per-doc scoring
-    // projection (identity at scale — see Tables.parallelized)
-    qualityOn(graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id")))
+    qualityOn(documents(spark, dir))
 
   /** generic core: quality scoring over any (doc_id, text) relation —
     * the library entry point; the (spark, dir) form binds it to the
@@ -427,7 +425,7 @@ object TextAnalysis {
     // (the contamination/minhash pattern — the two consumers otherwise
     // each re-run the explode + (doc,term) aggregation from a fresh
     // scan, and (doc,term) is corpus-scale work)
-    val tf = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
+    val tf = documents(spark, dir)
       .select(col("doc_id"), explode(split(expr(normTextExpr), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -471,7 +469,7 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val tri = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
+    val tri = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
@@ -508,7 +506,7 @@ object TextAnalysis {
   def dupNgram(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val grams = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
+    val grams = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead("w", 1).over(byDoc))
       .withColumn("w2", lead("w", 2).over(byDoc))
@@ -980,7 +978,7 @@ object TextAnalysis {
   def dupCurve(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val words = graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id"))
+    val words = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
     val withLeads = (1 to 6).foldLeft(words) { (df, i) =>
       df.withColumn(s"w$i", lead("w", i).over(byDoc))
@@ -1025,7 +1023,7 @@ object TextAnalysis {
     * top-1000 boundary break by (count desc, bigram asc) so the
     * model is a pure function of the corpus. */
   def lmFamiliarity(spark: SparkSession, dir: String): DataFrame =
-    lmFamiliarityOn(graft.sources.Tables.parallelized(documents(spark, dir), col("doc_id")))
+    lmFamiliarityOn(documents(spark, dir))
 
   /** Generic core of [[lmFamiliarity]] over any (doc_id, text)
     * relation — train the top-1000 bigram model on the SAME corpus
