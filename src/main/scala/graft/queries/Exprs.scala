@@ -119,14 +119,13 @@ object Exprs {
 
   /** Arithmetic + CASE WHEN + cast + floor/ceil. */
   def mathCase(spark: SparkSession, dir: String): DataFrame =
-    // sort-first / project-after (see decimalArith): the CASE/decimal
-    // payload is computed once above the range exchange, which carries
-    // only the 6 narrow input columns
-    lineitem(spark, dir)
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax")
-      .orderBy("l_orderkey", "l_linenumber")
-      .select(
+    // NOTE (r15): the sort-first / project-after rewrite (see
+    // decimalArith) does NOT hold here — every derived column is a
+    // collapsible single-reference expression, so CollapseProject
+    // merges the payload back below the Sort whatever the source
+    // shape; the original form is kept (measured: plan fingerprint
+    // identical under both spellings).
+    lineitem(spark, dir).select(
       col("l_orderkey"), col("l_linenumber"),
       (col("l_quantity").cast(D) * col("l_extendedprice").cast(D))
         .cast("double").as("gross"),
@@ -138,6 +137,7 @@ object Exprs {
       col("l_quantity").cast("int").as("qty_int"),
       (-col("l_tax")).as("neg_tax"),
       abs(col("l_extendedprice") - col("l_quantity")).as("abs_diff"))
+      .orderBy("l_orderkey", "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Date/time kernel on order dates. */
