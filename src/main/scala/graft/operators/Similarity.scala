@@ -1117,47 +1117,70 @@ object Similarity {
     * ids; entry = the corpus min id. */
   private def beamSearchOn(corpus: DataFrame, probeSet0: DataFrame,
       edges0: DataFrame, beamWidth: Int): DataFrame = {
-    // Round-invariant inputs are materialized ONCE (r15): the loop
-    // re-planned the edge scan and the probe projection (incl. its
-    // norm fold) every round, so 8 rounds paid 8 parquet scans of the
-    // index and 8 probe-norm recomputations, and every round's stage
-    // closures carried the full scan subplans. localCheckpoint holds
-    // them as partitioned executor blocks (MEMORY_AND_DISK, spillable
-    // — the memory-resident shape every graph-ANN serving deployment
+    // Round-invariant inputs are materialized ONCE (r15): without it
+    // the loop re-planned the edge scan and the probe projection
+    // (incl. its norm fold) every round. localCheckpoint holds them
+    // as partitioned executor blocks (MEMORY_AND_DISK, spillable —
+    // the memory-resident shape every graph-ANN serving deployment
     // keeps its index in; NOT a driver/every-executor broadcast, so
     // it scales horizontally with the cluster). Values unchanged.
-    val edges = edges0.localCheckpoint()
+    //
+    // r16 loop flattening (guide §2.4 — the round loop is stage-
+    // scheduling-bound, ~0.3 s of task work inside a 4.6 s wall):
+    //  1. ADJACENCY WITH PAYLOAD: the edge relation is staged carrying
+    //     the DESTINATION vector (dvd, dnrm), so expanding the beam
+    //     yields scorable rows directly and the per-round join against
+    //     the corpus disappears — 8 corpus re-joins per search → 0.
+    //     Memory is O(edges·dims) = M·corpus, the standard HNSW
+    //     serving layout (links + vectors resident together).
+    //  2. RE-SCORE INSTEAD OF ANTI-JOIN: the seen-filter (left-anti on
+    //     visited) + dropDuplicates pair is replaced by scoring every
+    //     expanded edge and deduplicating (probe, vec) in ONE
+    //     aggregate. A re-reached vertex re-scores to the identical
+    //     long (same IEEE fold, same floor), so min() is the value
+    //     itself — values unchanged, ~2× kernel calls on a kernel that
+    //     is a 64-wide multiply-add, in exchange for 2 fewer exchanges
+    //     per round.
+    //  3. ONE EXCHANGE PER ROUND: the explicit repartition by probe_id
+    //     satisfies the dedup aggregate (clustering {probe_id, vec_id}
+    //     ⊇ {probe_id}) AND the top-B TopKPerKey (clustered by
+    //     probe_id), and localCheckpoint preserves the partitioning,
+    //     so the next round's top-B reads the checkpoint exchange-free.
     val probeSet = probeSet0.localCheckpoint()
+    val edgesP = edges0.join(corpus, edges0("dst") === corpus("vec_id"))
+      .select(edges0("src"), edges0("dst"),
+        corpus("vd").as("dvd"), corpus("vnrm").as("dnrm"))
+      .localCheckpoint()
     // score(probe, vec): the SAME fold as every cosine here —
     // self-pairs included (the probe's own node can enter the beam;
     // its score replays as the same near-1.0 double in both engines)
-    def scoreNew(cand: DataFrame): DataFrame =
-      cand.join(corpus, "vec_id").join(broadcast(probeSet), "probe_id")
-        .select(col("probe_id"), col("vec_id"),
-          floor(Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
-            * lit(1e6)).cast("long").as("score_micro"))
     def topB(visited: DataFrame): DataFrame =
       graft.plans.TopK.perKey(visited, Seq("probe_id"),
           Seq("score_micro" -> false, "vec_id" -> true), beamWidth)
         .select("probe_id", "vec_id")
     val entry = corpus.agg(min(col("vec_id")).as("vec_id"))
-    var visited = scoreNew(
-      probeSet.select("probe_id").crossJoin(broadcast(entry)))
+    var visited = probeSet.select("probe_id").crossJoin(broadcast(entry))
+      .join(corpus, "vec_id").join(broadcast(probeSet), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        floor(Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
+          * lit(1e6)).cast("long").as("score_micro"))
     var beam = topB(visited)
     for (_ <- 1 to GraphRounds) {
-      val expand = beam.join(edges, beam("vec_id") === edges("src"))
-        .select(col("probe_id"), col("dst").as("vec_id"))
-      val fresh = expand
-        .join(visited.select(col("probe_id"), col("vec_id"),
-          lit(1).as("seen")), Seq("probe_id", "vec_id"), "left")
-        .filter(col("seen").isNull).drop("seen")
-        .dropDuplicates("probe_id", "vec_id")
-      // visited feeds THREE consumers per round (the union, the
-      // seen-filter, and the beam top-B) — without an eager
-      // checkpoint the plan tree grows ~3^rounds (the graph_kcore
-      // lesson). The relation is tiny: ≤ 1 + rounds·beam·M rows per
-      // probe, so the checkpoint is O(probes·beam·M), never corpus.
-      visited = visited.unionByName(scoreNew(fresh)).localCheckpoint(true)
+      val expand = beam.join(edgesP, beam("vec_id") === edgesP("src"))
+        .join(broadcast(probeSet), "probe_id")
+        .select(col("probe_id"), edgesP("dst").as("vec_id"),
+          floor(Vectors.cosinePre(col("pv"), col("dvd"), col("pnrm"), col("dnrm"))
+            * lit(1e6)).cast("long").as("score_micro"))
+      // eager checkpoint per round: visited feeds both the union and
+      // the beam top-B — without it the plan tree grows per round
+      // (the graph_kcore lesson). The relation is tiny: ≤ 1 +
+      // rounds·beam·M rows per probe, so the checkpoint is
+      // O(probes·beam·M), never corpus.
+      visited = visited.unionByName(expand)
+        .repartition(col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(min(col("score_micro")).as("score_micro"))
+        .localCheckpoint(true)
       beam = topB(visited)
     }
     visited
@@ -1338,33 +1361,41 @@ object Similarity {
       widths: Seq[Long]): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, dir)
-    // round-invariant inputs materialized once — see [[beamSearchOn]]
+    // round-invariant inputs materialized once, adjacency staged WITH
+    // the destination payload, anti-join replaced by re-score +
+    // one-exchange dedup — see [[beamSearchOn]] for the r16 loop
+    // flattening rationale; here the (beam, probe) pair is the key.
     val pr = probes(spark, dir).localCheckpoint()
-    val edges = stagedNeighborGraph(spark, dir).localCheckpoint()
+    val edges0 = stagedNeighborGraph(spark, dir)
+    val edgesP = edges0.join(v, edges0("dst") === v("vec_id"))
+      .select(edges0("src"), edges0("dst"),
+        v("vd").as("dvd"), v("vnrm").as("dnrm"))
+      .localCheckpoint()
     val beams = widths.toDF("beam")
-    def scoreNew(cand: DataFrame): DataFrame =
-      cand.join(v, "vec_id").join(broadcast(pr), "probe_id")
-        .select(col("beam"), col("probe_id"), col("vec_id"),
-          floor(Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
-            * lit(1e6)).cast("long").as("score_micro"))
     def topB(visited: DataFrame): DataFrame =
       graft.plans.TopK.perKey(visited, Seq("beam", "probe_id"),
           Seq("score_micro" -> false, "vec_id" -> true), widths.max.toInt)
         .filter(col("rank") <= col("beam"))
         .select("beam", "probe_id", "vec_id")
     val entry = vecs(spark, dir).agg(min(col("vec_id")).as("vec_id"))
-    var visited = scoreNew(pr.select("probe_id")
-      .crossJoin(broadcast(beams)).crossJoin(broadcast(entry)))
+    var visited = pr.select("probe_id")
+      .crossJoin(broadcast(beams)).crossJoin(broadcast(entry))
+      .join(v, "vec_id").join(broadcast(pr), "probe_id")
+      .select(col("beam"), col("probe_id"), col("vec_id"),
+        floor(Vectors.cosinePre(col("pv"), col("vd"), col("pnrm"), col("vnrm"))
+          * lit(1e6)).cast("long").as("score_micro"))
     var beam = topB(visited)
     for (_ <- 1 to GraphRounds) {
-      val expand = beam.join(edges, beam("vec_id") === edges("src"))
-        .select(col("beam"), col("probe_id"), col("dst").as("vec_id"))
-      val fresh = expand
-        .join(visited.select(col("beam"), col("probe_id"), col("vec_id"),
-          lit(1).as("seen")), Seq("beam", "probe_id", "vec_id"), "left")
-        .filter(col("seen").isNull).drop("seen")
-        .dropDuplicates("beam", "probe_id", "vec_id")
-      visited = visited.unionByName(scoreNew(fresh)).localCheckpoint(true)
+      val expand = beam.join(edgesP, beam("vec_id") === edgesP("src"))
+        .join(broadcast(pr), "probe_id")
+        .select(col("beam"), col("probe_id"), edgesP("dst").as("vec_id"),
+          floor(Vectors.cosinePre(col("pv"), col("dvd"), col("pnrm"), col("dnrm"))
+            * lit(1e6)).cast("long").as("score_micro"))
+      visited = visited.unionByName(expand)
+        .repartition(col("beam"), col("probe_id"))
+        .groupBy("beam", "probe_id", "vec_id")
+        .agg(min(col("score_micro")).as("score_micro"))
+        .localCheckpoint(true)
       beam = topB(visited)
     }
     visited

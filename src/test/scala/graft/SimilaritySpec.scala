@@ -131,6 +131,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("flattened beam: served scores equal cosines recomputed from raw vectors") {
+    // r16 internals change: the beam loop scores expansions from the
+    // DESTINATION PAYLOAD staged on the adjacency (not a per-round
+    // corpus join) and deduplicates re-reached vertices by aggregate
+    // (not an anti-join). Two invariants pin the rewrite: (a) every
+    // (probe, vec) appears once per rank — no duplicate survived the
+    // dedup; (b) each served score_micro equals floor(cosine·1e6)
+    // recomputed directly from the raw embedding table with the same
+    // fold — the payload-path score is bit-identical to the
+    // corpus-path score it replaced.
+    val topk = operators.Similarity.graphTopK(spark, sf)
+    val pairs = topk.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length, "duplicate (probe, vec) served")
+    val v = operators.Vectors.asDouble(sources.Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("vd"),
+        operators.Vectors.norm(col("vd")).as("nrm"))
+    val recomputed = topk
+      .join(v.select(col("vec_id").as("probe_id"), col("vd").as("pv"),
+        col("nrm").as("pnrm")), "probe_id")
+      .join(v.select(col("vec_id"), col("vd"), col("nrm").as("vnrm")), "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("score_micro"),
+        floor(operators.Vectors.cosinePre(col("pv"), col("vd"),
+          col("pnrm"), col("vnrm")) * lit(1e6)).cast("long").as("expect"))
+      .collect()
+    recomputed.foreach { r =>
+      assert(r.getAs[Long]("score_micro") == r.getAs[Long]("expect"),
+        s"probe ${r.getLong(0)} vec ${r.getLong(1)}")
+    }
+  }
+
   test("trained quantizer recall meets a floor above the untrained bound") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
