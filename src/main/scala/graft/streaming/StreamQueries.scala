@@ -63,10 +63,33 @@ object StreamQueries {
     * one bounded file is right-sized at 8 (measured: the interval
     * join's per-batch store commit overhead drops 6.0→2.5 s steady
     * at sf0.1, values identical). A 100 TB deployment sets this to
-    * its own state parallelism; nothing else here changes. */
-  private def replaySession(spark0: SparkSession): SparkSession = {
+    * its own state parallelism; nothing else here changes.
+    *
+    * `finalWatermarkFlush = false` additionally disables the no-data
+    * micro-batch (r16, guide §1/§5: the zero-row batch costs ~0.9 s
+    * of state-store scan+commit per run). The no-data batch exists to
+    * advance the watermark PAST the last data and flush/evict — its
+    * emissions matter ONLY to operators whose final output rows are
+    * produced by watermark passage: append-mode window aggregates and
+    * the outer join's null-padded rows keep it; complete/update-mode
+    * aggregates, pass-through dedup, inner joins and stateless
+    * pipelines emit their full result on data batches, so for them
+    * the no-data batch re-reads and commits every state store to emit
+    * nothing — pure fixed cost, identical results (the oracle gate
+    * and the replay specs hold either way, and an unbounded
+    * deployment keeps the default — there the no-data batch is what
+    * caps emit latency on an idle feed). */
+  private def replaySession(spark0: SparkSession,
+      finalWatermarkFlush: Boolean = true): SparkSession = {
     val s = spark0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // parameterized (prop/env, local default 8): the deployment's
+    // state parallelism is a per-installation choice, never a
+    // constant tuned to one box
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.props.get("graft.replay.partitions")
+        .orElse(sys.env.get("GRAFT_REPLAY_PARTITIONS")).getOrElse("8"))
+    if (!finalWatermarkFlush)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s
   }
 
@@ -158,7 +181,7 @@ object StreamQueries {
     * signal a verify stage prioritizes by); the oracle replays the
     * batch band join bit-for-bit. */
   def lshDedup(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     // the fresh child session has a fresh function registry; the
     // native signature kernel must be registered on THIS session
     org.apache.spark.sql.GraftFunctions.register(spark)
@@ -197,11 +220,19 @@ object StreamQueries {
   private def runBounded(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_out_${seq.incrementAndGet()}"
     val ckpt = scratchDir("graft_ckpt_")
-    val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(ckpt))
+    // the scratch checkpoint must not outlive the replay even when the
+    // query throws — it lives on RAM-backed tmpfs, so a leak costs
+    // memory, not just inodes (r16, per-ADVICE)
+    val q =
+      try {
+        val q0 = df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q0.awaitTermination()
+        q0
+      } finally {
+        graft.queries.SourcesSinks.deleteRecursively(new java.io.File(ckpt))
+      }
     // dev-only timing breakdown (never set by the driver): per-batch
     // durationMs from the progress log, to locate micro-batch overhead
     if (sys.env.contains("GRAFT_STREAM_PROFILE")) {
@@ -226,7 +257,7 @@ object StreamQueries {
     * ones the final watermark never passes (append would hold back
     * the stream's tail hour — the classic parity trap). */
   def tumblingAgg(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
@@ -273,7 +304,7 @@ object StreamQueries {
     * before the stateful agg, exactly as in batch; complete output
     * for the bounded-replay parity (see tumblingAgg). */
   def slidingAgg(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(window(col("ts_ts"), "1 hour", "30 minutes").as("win"),
@@ -311,7 +342,7 @@ object StreamQueries {
     * Analytic.sessionWindowAgg (native session_window, 30 min gap),
     * sharing its oracle. */
   def sessionAgg(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val agg = eventsStream(spark, dir)
       .withWatermark("ts_ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("sw"))
@@ -464,7 +495,7 @@ object StreamQueries {
     * deployment silently loses. The oracle replays the surviving
     * population exactly from the batch boundaries. */
   def chaosReplay(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val deduped = new ChaosFileFeed(dir).stream(spark)
       .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
       .withWatermark("ts_ts", "2 hours")
@@ -493,7 +524,7 @@ object StreamQueries {
     * watermark (max on-time∪tick event ms − 2 h), per Spark's
     * previous-batch watermark contract. */
   def lateDrop(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val path = stageLateDir(spark, dir)
     val phys = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(phys)
@@ -524,7 +555,7 @@ object StreamQueries {
     * operator behind dedup is append-only territory; the parity
     * replay needs the complete result). */
   def dedupAgg(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     def side(): DataFrame = eventsStream(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"), col("ts_ts"))
     val deduped = side().unionAll(side())
@@ -557,7 +588,7 @@ object StreamQueries {
     // arbitrary-state v2 requires the RocksDB state store; run on a
     // child session so the provider choice never leaks into the
     // caller's other streaming queries
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
@@ -586,7 +617,7 @@ object StreamQueries {
     * tail rows in append mode; the per-purchase rollup runs in batch
     * over the sunk pairs. */
   def intervalJoin(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     // event time truncated to SECONDS so the join bound is the exact
     // integer-second predicate the batch twin and the oracle use —
     // sub-second precision in the bound would flip boundary pairs
@@ -684,6 +715,7 @@ object StreamQueries {
       .withColumn("ns", Tables.epochNsOf(phys, "ts"))
       .select(col("user_id"), col("ns"), col("event_id"), col("event_type"))
     val base = scratchDir("graft_upsert_state")
+    val ckpt = scratchDir("graft_ckpt_")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
 
     val q = stream.writeStream
@@ -714,19 +746,24 @@ object StreamQueries {
         merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
         lastVersion.set(math.max(lastVersion.get(), id + 1))
       }
-      .option("checkpointLocation", scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-
-    val out = spark.read.parquet(s"$base/v${lastVersion.get()}")
-      .select(col("user_id"), col("n_events"),
-        expr("last.ns div 1000000000").as("last_sec"),
-        col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_type"))
-      .orderBy("user_id")
-      .localCheckpoint(true)
-    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
-    out
+    try {
+      q.awaitTermination()
+      val out = spark.read.parquet(s"$base/v${lastVersion.get()}")
+        .select(col("user_id"), col("n_events"),
+          expr("last.ns div 1000000000").as("last_sec"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"))
+        .orderBy("user_id")
+        .localCheckpoint(true)
+      out
+    } finally {
+      // both scratch trees live on RAM-backed tmpfs — delete on every
+      // path so repeated bench runs cannot accumulate (r16, per-ADVICE)
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(ckpt))
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** Three-file staging of the graph-ANN ARRIVAL slice (vec_id ≡ 0
@@ -798,6 +835,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet").parquet(path)
     val base = scratchDir("graft_graph_state")
+    val ckpt = scratchDir("graft_ckpt_")
     val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -820,17 +858,22 @@ object StreamQueries {
         merged.write.mode("overwrite").parquet(s"$base/v${id + 1}")
         lastVersion.set(math.max(lastVersion.get(), id + 1))
       }
-      .option("checkpointLocation", scratchDir("graft_ckpt_"))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // grade on the BATCH session (32 shuffle partitions): the audit
-    // is the batch-surface brute-force pass, not part of the replay
-    val streamedLinks = spark0.read.parquet(s"$base/v${lastVersion.get()}")
-    val out = graft.operators.Similarity
-      .gradeInsertLinks(spark0, dir, streamedLinks, auditSampleMod = 1L)
-      .localCheckpoint(true)
-    graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
-    out
+    try {
+      q.awaitTermination()
+      // grade on the BATCH session (32 shuffle partitions): the audit
+      // is the batch-surface brute-force pass, not part of the replay
+      val streamedLinks = spark0.read.parquet(s"$base/v${lastVersion.get()}")
+      graft.operators.Similarity
+        .gradeInsertLinks(spark0, dir, streamedLinks, auditSampleMod = 1L)
+        .localCheckpoint(true)
+    } finally {
+      // both scratch trees live on RAM-backed tmpfs — delete on every
+      // path so repeated bench runs cannot accumulate (r16, per-ADVICE)
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(ckpt))
+      graft.queries.SourcesSinks.deleteRecursively(new java.io.File(base))
+    }
   }
 
   /** Stream-static enrichment — the OTHER ubiquitous production join:
@@ -844,7 +887,7 @@ object StreamQueries {
     * in batch over the sunk enriched rows; the oracle is the same
     * join expressed fully in batch. */
   def staticEnrich(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = replaySession(spark0)
+    val spark = replaySession(spark0, finalWatermarkFlush = false)
     val phys = spark.read.parquet(s"$dir/events.parquet").schema
     // the dimension snapshot: per-user lifetime event tier, computed
     // batch-side from the same landing data a real dim table would
