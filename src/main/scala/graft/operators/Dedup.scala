@@ -1130,7 +1130,9 @@ object Dedup {
     // single-row-group input: normalize+shingle would explode the
     // whole corpus in ONE scan task before the per-doc window's
     // exchange; fan docs out first (identity at scale — see
-    // Tables.parallelized)
+    // Tables.parallelized). Re-confirmed r16 by interleaved A/B:
+    // plain is 1.09× slower (unlike repeatedSpans, the winnowing
+    // kernel is heavy enough that the fan-out pays).
     winnowingOn(graft.sources.Tables.parallelized(
       documents(spark, dir), col("doc_id"))).orderBy("doc_id")
 
@@ -1181,6 +1183,12 @@ object Dedup {
     * where pairwise diffing is not. */
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // NOTE (r16): the scan fan-out (Tables.parallelized before the
+    // explode) was re-adjudicated with an alternating same-session A/B
+    // and measured 1.4× SLOWER than this plain shape (median of 4
+    // interleaved pairs) — the explode feeds a window whose exchange
+    // already parallelizes everything above the scan, so the added
+    // repartition is pure stage latency. The r15 revert stands.
     val words = documents(spark, dir)
       .select(col("doc_id"), posexplode(split(expr(normTextExpr), " ")).as(Seq("pos", "w")))
     // shuffle-free: the word count is a projection over the doc row,

@@ -112,11 +112,12 @@ object Multimodal {
     * an all-pairs compare. Mean threshold is exact integer math
     * (pixel·60 > Σpixels). */
   def imageAHash(spark: SparkSession, dir: String): DataFrame =
-    // single-row-group input: the md5×4 + 60-pixel extraction stage
-    // would run in ONE scan task; fan the docs across the machine
-    // first (identity at scale — see Tables.parallelized)
-    imageAHashOn(graft.sources.Tables.parallelized(
-      documents(spark, dir), col("doc_id")))
+    // r16: the r15 scan fan-out is dropped — re-adjudicated on an
+    // interleaved same-session A/B (plain beat fan-out 0.85 median of
+    // 5 pairs): the signature projection feeds the blocking join's
+    // exchange, which already parallelizes everything downstream, so
+    // the added repartition was pure stage latency here.
+    imageAHashOn(documents(spark, dir))
 
   /** Generic core: aHash near-dup pairs over any (doc_id, text)
     * payload relation — the library entry point (and the seam the
