@@ -138,7 +138,6 @@ object Exprs {
       (-col("l_tax")).as("neg_tax"),
       abs(col("l_extendedprice") - col("l_quantity")).as("abs_diff"))
       .orderBy("l_orderkey", "l_linenumber")
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** Date/time kernel on order dates. */
   def dateFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -213,6 +213,14 @@ class TextSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     val required = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
     assert(required.findFirstIn(plan).isEmpty, plan.take(2000))
+    // ...and any hash exchange that IS present must be exactly that
+    // fan-out (REPARTITION_BY_NUM), not some other shuffle a future
+    // regression could smuggle in under a different origin tag (r16,
+    // per-ADVICE: the ENSURE_REQUIREMENTS check alone was broader than
+    // the stated intent)
+    "Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(ex.contains("REPARTITION_BY_NUM"), ex)
+    }
   }
 
   test("chunking tiles every document with 48-stride 64-word windows") {
