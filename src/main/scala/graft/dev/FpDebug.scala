@@ -11,7 +11,7 @@ object FpDebug {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     new java.io.File(out).mkdirs()
     names.foreach { n =>
       val s = graft.SparkEntry.queries(n)(spark, dir)
